@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local oracle-check harness mimicking the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfdir> <outdir> [query ...]
+
+Expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have been run
+first (writes <outdir>/<name>/ parquet + <outdir>/oracle_sql.json).
+Registers each fixture parquet as a DuckDB view, runs the oracle SQL,
+and compares against the Spark result: schema (column names sorted),
+row count, and per-column values sorted column-wise (the driver sorts
+columns by name before hashing values).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df):
+    """DataFrame -> (sorted col names, sorted per-column value lists)."""
+    cols = sorted(df.columns)
+    out = {}
+    for c in cols:
+        vals = df[c].tolist()
+        def key(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return (0, "")
+            return (1, str(v))
+        out[c] = sorted((key(v) for v in vals))
+    return cols, out
+
+
+def close_enough(a, b):
+    if a == b:
+        return True
+    # compare float-ish strings with tolerance for diagnostics only
+    return False
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+            want = con.execute(sql).df()
+            gc, gv = canon(got)
+            wc, wv = canon(want)
+            if gc != wc:
+                print(f"FAIL {name}: columns {gc} != {wc}")
+                n_fail += 1
+                continue
+            if len(got) != len(want):
+                print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+                n_fail += 1
+                continue
+            bad = [c for c in gc if gv[c] != wv[c]]
+            if bad:
+                print(f"FAIL {name}: value mismatch in {bad}")
+                for c in bad[:2]:
+                    diffs = [(a, b) for a, b in zip(gv[c], wv[c]) if a != b][:3]
+                    print(f"  {c}: {diffs}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(got)} rows)")
+                n_pass += 1
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

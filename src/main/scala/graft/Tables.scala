@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Data layer: the driver-provided TPC-H-ish star schema plus the
+  * LLM-pipeline tables (`documents`, `embeddings`) — see FIXTURES.md.
+  *
+  * Mirrors the reference's catalog/table-scan surface
+  * (reference `src/execution/operator/scan/physical_table_scan.cpp`,
+  * `src/function/table/table_scan.cpp`): projection + filter pushdown is
+  * delegated to Spark's parquet DataSource (visible as `PushedFilters` /
+  * `ReadSchema` in `explain("formatted")`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Tables small enough to broadcast in any realistic deployment: at 100 TB
+    * total, region/nation stay tiny (dimension-like) — always broadcast. */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every fixture table as a temp view (idempotent, cheap —
+    * catalog-only) so `spark.sql` queries can reference them by name. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Run a SQL query with all fixture views registered. */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(query)
+  }
+}
