@@ -16,10 +16,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.CoreQueries.queries
+    operators.CoreQueries.queries ++
+      operators.Joins.queries ++
+      operators.Aggregates.queries ++
+      operators.Windows.queries ++
+      operators.SetOps.queries ++
+      operators.Shaping.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.CoreQueries.oracle
+    operators.CoreQueries.oracle ++
+      operators.Joins.oracle ++
+      operators.Aggregates.oracle ++
+      operators.Windows.oracle ++
+      operators.SetOps.oracle ++
+      operators.Shaping.oracle
 }

@@ -20,8 +20,22 @@ object Tables {
     * total, region/nation stay tiny (dimension-like) — always broadcast. */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects; read nanos as long and truncate to µs (values are µs-aligned
+    // — verified — and DuckDB reads the same file as µs TIMESTAMP, so this
+    // is exact oracle parity, not lossy).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case None => df
+    }
+  }
 
   /** Register every fixture table as a temp view (idempotent, cheap —
     * catalog-only) so `spark.sql` queries can reference them by name. */

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Aggregation surface of the reference (reference
+  * `src/execution/operator/aggregate/physical_hash_aggregate.cpp` —
+  * GROUPING SETS/CUBE/ROLLUP via per-set radix tables,
+  * `physical_ungrouped_aggregate.cpp`, and the aggregate function library
+  * under `src/core_functions/aggregate/`), expressed via `groupBy/agg`,
+  * `rollup`, `cube`, and SQL GROUPING SETS so Spark's partial→final
+  * HashAggregateExec (map-side combine) applies everywhere — the property
+  * that keeps these queries one-shuffle at 100 TB.
+  */
+object Aggregates {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Ungrouped (global) aggregate — parallel partial + single combine. */
+  def aggGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+
+  val aggGlobalSql: String =
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      |FROM lineitem""".stripMargin
+
+  /** DISTINCT aggregates (reference `distinct_aggregate_data.cpp` —
+    * per-aggregate radix-partitioned dedup). */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      count(lit(1)).as("n"))
+
+  val aggDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  val aggRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+
+  val aggCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Explicit GROUPING SETS (reference `physical_hash_aggregate.cpp:119-131`
+    * — one HashAggregateGroupingData per set). */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir, aggGroupingSetsSql)
+
+  val aggGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  /** Algebraic/statistical aggregates (reference
+    * `src/core_functions/aggregate/algebraic/` .cpp files). Rounded: these are
+    * float-accumulating and merge-order sensitive by nature. */
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+      round(var_samp(col("l_quantity")), 6).as("var_qty"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+      round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covar_qd"),
+      round(avg(col("l_quantity")), 6).as("avg_qty"))
+
+  val aggStatsSql: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  round(var_samp(l_quantity), 6) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(covar_pop(l_quantity, l_discount), 6) AS covar_qd,
+      |  round(avg(l_quantity), 6) AS avg_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** arg_max/arg_min (reference
+    * `src/core_functions/aggregate/distributive/arg_min_max.cpp`) with a
+    * total-order tie-break: max_by over a (value, key) struct. */
+  def aggArgmax(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      max_by(col("l_orderkey"), struct(col("l_extendedprice"), col("l_orderkey")))
+        .as("argmax_key"),
+      min_by(col("l_orderkey"), struct(col("l_extendedprice"), col("l_orderkey")))
+        .as("argmin_key"),
+      max(col("l_extendedprice")).as("max_price"))
+
+  val aggArgmaxSql: String =
+    """SELECT l_returnflag,
+      |  first(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey DESC) AS argmax_key,
+      |  first(l_orderkey ORDER BY l_extendedprice, l_orderkey) AS argmin_key,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** string_agg / list aggregation with deterministic intra-group order
+    * (reference `string_agg.cpp`, `nested/list.cpp`). */
+  def aggStringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "supplier").groupBy(col("s_nationkey")).agg(
+      concat_ws(",", sort_array(collect_list(col("s_name")))).as("names"),
+      count(lit(1)).as("n"))
+
+  val aggStringAggSql: String =
+    """SELECT s_nationkey,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS names,
+      |  count(*) AS n
+      |FROM supplier GROUP BY s_nationkey""".stripMargin
+
+  /** bool_and/bool_or + bitwise aggregates (reference
+    * `distributive/bool.cpp`, `bitagg.cpp`). */
+  def aggBoolBit(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+      bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+      bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+      bit_and(col("o_orderkey") % 256).as("band"),
+      bit_or(col("o_orderkey") % 256).as("bor"),
+      bit_xor(col("o_orderkey") % 256).as("bxor"))
+
+  val aggBoolBitSql: String =
+    """SELECT o_orderstatus,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  bool_or(o_totalprice > 400000) AS any_over_400k,
+      |  bit_and(o_orderkey % 256) AS band,
+      |  bit_or(o_orderkey % 256) AS bor,
+      |  bit_xor(o_orderkey % 256) AS bxor
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Exact interpolated quantiles (reference `holistic/quantile.cpp`
+    * quantile_cont): Spark's `percentile` is the same sort+interpolate. */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      percentile(col("l_quantity"), lit(0.5)).as("p50"),
+      percentile(col("l_quantity"), lit(0.9)).as("p90"),
+      percentile(col("l_quantity"), lit(0.99)).as("p99"))
+
+  val aggPercentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.9) AS p90,
+      |  quantile_cont(l_quantity, 0.99) AS p99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** mode() (reference `holistic/mode.cpp`) phrased deterministically on
+    * both sides: highest count, ties broken by value. */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+  }
+
+  val aggModeSql: String =
+    """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+      |  SELECT l_returnflag, l_quantity, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY count(*) DESC, l_quantity) AS rn
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity) t
+      |WHERE rn = 1""".stripMargin
+
+  /** count(*) vs count(col) null semantics + conditional counting. */
+  def aggCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_all"),
+      count(nullif(col("l_tax"), lit(0.0))).as("n_taxed"),
+      count(when(col("l_discount") > 0.05, 1)).as("n_discounted"))
+
+  val aggCountsSql: String =
+    """SELECT count(*) AS n_all,
+      |  count(nullif(l_tax, 0.0)) AS n_taxed,
+      |  count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+      |FROM lineitem""".stripMargin
+
+  /** Value histogram (reference `nested/histogram.cpp`) as rows — the
+    * scalable phrasing (map-typed output needs a driver merge; rows shard). */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_quantity").as("val")).agg(count(lit(1)).as("freq"))
+
+  val aggHistogramSql: String =
+    "SELECT l_quantity AS val, count(*) AS freq FROM lineitem GROUP BY 1"
+
+  /** approx_count_distinct — HLL (reference `approx_count.cpp`). Sketches
+    * differ across engines, so this entry has no SQL oracle (rows-only). */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_global" -> (aggGlobal _),
+    "agg_distinct" -> (aggDistinct _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_stats" -> (aggStats _),
+    "agg_argmax" -> (aggArgmax _),
+    "agg_string_agg" -> (aggStringAgg _),
+    "agg_bool_bit" -> (aggBoolBit _),
+    "agg_percentile" -> (aggPercentile _),
+    "agg_mode" -> (aggMode _),
+    "agg_counts" -> (aggCounts _),
+    "agg_histogram" -> (aggHistogram _),
+    "agg_approx_distinct" -> (aggApproxDistinct _))
+
+  val oracle: Map[String, String] = Map(
+    "agg_global" -> aggGlobalSql,
+    "agg_distinct" -> aggDistinctSql,
+    "agg_rollup" -> aggRollupSql,
+    "agg_cube" -> aggCubeSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
+    "agg_stats" -> aggStatsSql,
+    "agg_argmax" -> aggArgmaxSql,
+    "agg_string_agg" -> aggStringAggSql,
+    "agg_bool_bit" -> aggBoolBitSql,
+    "agg_percentile" -> aggPercentileSql,
+    "agg_mode" -> aggModeSql,
+    "agg_counts" -> aggCountsSql,
+    "agg_histogram" -> aggHistogramSql)
+}

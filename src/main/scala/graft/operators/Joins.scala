@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's full join surface (reference
+  * `src/execution/physical_plan/plan_comparison_join.cpp`,
+  * `src/common/enums/join_type.cpp`: INNER/LEFT/RIGHT/FULL/SEMI/ANTI/MARK/
+  * SINGLE, plus cross product, as-of, IEJoin/range and positional joins),
+  * re-expressed through Spark's join API so Catalyst chooses
+  * broadcast/shuffled-hash/sort-merge per side statistics.
+  *
+  * Scale notes: every query here aggregates or bounds its output; no
+  * driver-side collection. Dimension sides are marked `broadcast` where the
+  * table stays small at any scale factor (nation/region, filtered dims).
+  */
+object Joins {
+
+  /** LEFT OUTER with an extra non-key predicate in the ON clause —
+    * exercises null-extension of unmatched probe rows
+    * (reference `physical_hash_join.cpp` LEFT path + OuterJoinMarker). */
+  def joinLeft(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.t(s, dir, "orders")
+    val li = Tables.t(s, dir, "lineitem")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey") && li("l_quantity") > 49, "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(li("l_orderkey")).as("n_matched"),
+        count(when(li("l_orderkey").isNull, 1)).as("n_unmatched"))
+  }
+
+  val joinLeftSql: String =
+    """SELECT count(*) AS n_rows, count(l_orderkey) AS n_matched,
+      |  count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_unmatched
+      |FROM orders LEFT JOIN lineitem
+      |  ON o_orderkey = l_orderkey AND l_quantity > 49""".stripMargin
+
+  /** RIGHT OUTER (reference plans RIGHT via hash-join HT scan stage,
+    * `physical_hash_join.cpp:557` HashJoinSourceStage::SCAN_HT). */
+  def joinRight(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+    val ord = Tables.t(s, dir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"), "right")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(li("l_orderkey")).as("n_matched"))
+  }
+
+  val joinRightSql: String =
+    """SELECT count(*) AS n_rows, count(l_orderkey) AS n_matched
+      |FROM (SELECT * FROM lineitem WHERE l_quantity > 49) l
+      |RIGHT JOIN orders ON l.l_orderkey = o_orderkey""".stripMargin
+
+  /** FULL OUTER over two pre-aggregated sides with partially disjoint keys. */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(s, dir, "customer").filter(col("c_acctbal") < 0)
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+    val p = Tables.t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("nk_c") === col("nk_s"), "full")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  val joinFullSql: String =
+    """SELECT coalesce(nk_c, nk_s) AS nationkey,
+      |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer
+      |      WHERE c_acctbal < 0 GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier
+      |      WHERE s_acctbal > 5000 GROUP BY 1) p
+      |ON nk_c = nk_s""".stripMargin
+
+  /** LEFT SEMI ≡ EXISTS (reference JoinType::SEMI). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.t(s, dir, "customer")
+    val bigOrders = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    cust.join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin
+
+  /** LEFT ANTI ≡ NOT EXISTS (reference JoinType::ANTI). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.t(s, dir, "customer")
+    val ord = Tables.t(s, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_no_orders"))
+  }
+
+  val joinAntiSql: String =
+    """SELECT count(*) AS n_no_orders FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** MARK join — IN-subquery surfaced as a boolean column (reference
+    * JoinType::MARK; Catalyst ExistenceJoin). */
+  def joinMark(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir,
+      """SELECT flag, count(*) AS n FROM (
+        |  SELECT o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) AS flag
+        |  FROM orders) t
+        |GROUP BY flag""".stripMargin)
+
+  val joinMarkSql: String =
+    """SELECT flag, count(*) AS n FROM (
+      |  SELECT o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) AS flag
+      |  FROM orders) t
+      |GROUP BY flag""".stripMargin
+
+  /** SINGLE join — uncorrelated scalar subquery feeding a predicate
+    * (reference JoinType::SINGLE). Expressed as a broadcast cross join of a
+    * 1-row aggregate: distributed, no driver collect. */
+  def joinSingle(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.t(s, dir, "orders")
+    val avgDf = ord.agg(
+      (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("avg_price"))
+    ord.join(broadcast(avgDf))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .agg(count(lit(1)).as("n_above"))
+  }
+
+  val joinSingleSql: String =
+    """SELECT count(*) AS n_above FROM orders
+      |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |                      FROM orders)""".stripMargin
+
+  /** Cartesian product (reference `physical_cross_product.cpp` — a
+    * CompactingPhysicalOperator; tiny dims so Spark broadcasts). */
+  def joinCross(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.t(s, dir, "region")
+    val n = Tables.t(s, dir, "nation")
+    r.crossJoin(n).select(col("r_name"), col("n_name"))
+  }
+
+  val joinCrossSql: String =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+  /** AS-OF join (reference `physical_asof_join.cpp`): for each click, the
+    * most recent purchase at-or-before it by the same user. Spark lacks a
+    * native as-of join; the scalable recipe is union + last(ignoreNulls)
+    * over a per-user time-ordered window — one shuffle on user_id, no
+    * range explosion, works at any scale. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("ts").as("pts"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(null).cast("timestamp").as("pts"),
+        lit(1).as("tag"), col("event_id"))
+    // At equal ts the purchase (tag 0) sorts first, giving ASOF >= semantics.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("purchase_ts", last(col("pts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("purchase_ts"))
+  }
+
+  val joinAsofSql: String =
+    """SELECT c.event_id, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
+  /** IEJoin-shaped 2-predicate inequality self-join (reference
+    * `physical_iejoin.cpp`). Spark plans a broadcast nested-loop; output is
+    * aggregated so only the count crosses operator boundaries. */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val s1 = Tables.t(s, dir, "supplier").select(
+      col("s_acctbal").as("b1"), col("s_nationkey").as("n1"))
+    val s2 = Tables.t(s, dir, "supplier").select(
+      col("s_acctbal").as("b2"), col("s_nationkey").as("n2"))
+    s1.join(s2, col("b1") < col("b2") && col("n1") > col("n2"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val joinRangeSql: String =
+    """SELECT count(*) AS n_pairs
+      |FROM supplier s1 JOIN supplier s2
+      |  ON s1.s_acctbal < s2.s_acctbal AND s1.s_nationkey > s2.s_nationkey""".stripMargin
+
+  /** Positional join (reference `physical_positional_join.cpp`): align rows
+    * of two relations by computed position (row_number over a total order —
+    * the distribution-safe phrasing of zipWithIndex). */
+  def joinPositional(s: SparkSession, dir: String): DataFrame = {
+    val wR = Window.orderBy(col("r_regionkey"))
+    val wN = Window.orderBy(col("n_nationkey"))
+    val r = Tables.t(s, dir, "region")
+      .withColumn("pos", row_number().over(wR)).select(col("pos"), col("r_name"))
+    val n = Tables.t(s, dir, "nation")
+      .withColumn("pos", row_number().over(wN))
+      .filter(col("pos") <= 5).select(col("pos"), col("n_name"))
+    r.join(n, "pos")
+  }
+
+  val joinPositionalSql: String =
+    """SELECT r.pos, r_name, n_name
+      |FROM (SELECT row_number() OVER (ORDER BY r_regionkey) AS pos, r_name FROM region) r
+      |JOIN (SELECT row_number() OVER (ORDER BY n_nationkey) AS pos, n_name FROM nation) n
+      |  ON r.pos = n.pos
+      |WHERE n.pos <= 5""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_left" -> (joinLeft _),
+    "join_right" -> (joinRight _),
+    "join_full" -> (joinFull _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_mark" -> (joinMark _),
+    "join_single" -> (joinSingle _),
+    "join_cross" -> (joinCross _),
+    "join_asof" -> (joinAsof _),
+    "join_range" -> (joinRange _),
+    "join_positional" -> (joinPositional _))
+
+  val oracle: Map[String, String] = Map(
+    "join_left" -> joinLeftSql,
+    "join_right" -> joinRightSql,
+    "join_full" -> joinFullSql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql,
+    "join_mark" -> joinMarkSql,
+    "join_single" -> joinSingleSql,
+    "join_cross" -> joinCrossSql,
+    "join_asof" -> joinAsofSql,
+    "join_range" -> joinRangeSql,
+    "join_positional" -> joinPositionalSql)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Set operations and CTE/subquery machinery (reference
+  * `src/execution/physical_plan/plan_set_operation.cpp` — INTERSECT/EXCEPT
+  * are planned as SEMI/ANTI hash joins over all columns;
+  * `src/execution/operator/set/physical_{union,cte,recursive_cte}.cpp`;
+  * subquery decorrelation `src/planner/subquery/flatten_dependent_join.cpp`).
+  */
+object SetOps {
+
+  def setUnionAll(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val p = Tables.t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.unionAll(p).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+  }
+
+  val setUnionAllSql: String =
+    """SELECT nationkey, count(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier) t
+      |GROUP BY nationkey""".stripMargin
+
+  /** UNION DISTINCT ≡ union + hash-agg dedup (reference `plan_distinct.cpp`). */
+  def setUnion(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(s, dir, "customer").filter(col("c_acctbal") < -900)
+      .select(col("c_nationkey").as("nationkey"))
+    val p = Tables.t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_nationkey").as("nationkey"))
+    c.union(p).distinct()
+  }
+
+  val setUnionSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -900
+      |UNION
+      |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0""".stripMargin
+
+  /** INTERSECT ≡ SEMI join on all columns (reference
+    * `plan_set_operation.cpp:24-44`). */
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(s, dir, "customer").filter(col("c_acctbal") > 9990)
+      .select(col("c_nationkey").as("nationkey"))
+    val p = Tables.t(s, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"))
+    c.intersect(p)
+  }
+
+  val setIntersectSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9990
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
+
+  /** EXCEPT ≡ ANTI join on all columns. */
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+    val p = Tables.t(s, dir, "supplier").filter(col("s_acctbal") > 0)
+      .select(col("s_nationkey").as("nationkey"))
+    c.except(p)
+  }
+
+  val setExceptSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 0""".stripMargin
+
+  /** CTE reuse + scalar subquery over it — TPC-H Q15 shape (reference
+    * `physical_cte.cpp`; Spark inlines the CTE and Catalyst dedups scans). */
+  def cteBasic(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir, cteBasicSql)
+
+  val cteBasicSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin
+
+  /** Recursive CTE (reference `physical_recursive_cte.cpp` — fixed-point
+    * loop): Spark has no WITH RECURSIVE, so this is the idiomatic
+    * driver-side fixed-point union loop. Bounded depth here; a production
+    * variant checkpoints every k iterations to cut lineage. */
+  def cteRecursive(s: SparkSession, dir: String): DataFrame = {
+    var frontier = s.range(1, 2).select(col("id").cast("int").as("n"))
+    var acc = frontier
+    var i = 1
+    while (i < 20) {
+      frontier = frontier.select((col("n") + 1).as("n"))
+      acc = acc.unionAll(frontier)
+      i += 1
+    }
+    acc.select(col("n"), (col("n") * col("n")).as("sq"))
+  }
+
+  val cteRecursiveSql: String =
+    """WITH RECURSIVE t(n) AS (
+      |  SELECT 1
+      |  UNION ALL
+      |  SELECT n + 1 FROM t WHERE n < 20)
+      |SELECT n, n * n AS sq FROM t""".stripMargin
+
+  /** Correlated scalar subquery — TPC-H Q17 shape (reference decorrelation
+    * `flatten_dependent_join.cpp`; Catalyst RewriteCorrelatedScalarSubquery). */
+  def subCorrelated(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir, subCorrelatedSql)
+
+  val subCorrelatedSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_union_all" -> (setUnionAll _),
+    "set_union" -> (setUnion _),
+    "set_intersect" -> (setIntersect _),
+    "set_except" -> (setExcept _),
+    "cte_basic" -> (cteBasic _),
+    "cte_recursive" -> (cteRecursive _),
+    "sub_correlated" -> (subCorrelated _))
+
+  val oracle: Map[String, String] = Map(
+    "set_union_all" -> setUnionAllSql,
+    "set_union" -> setUnionSql,
+    "set_intersect" -> setIntersectSql,
+    "set_except" -> setExceptSql,
+    "cte_basic" -> cteBasicSql,
+    "cte_recursive" -> cteRecursiveSql,
+    "sub_correlated" -> subCorrelatedSql)
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Row-shaping operators: unnest/explode, pivot, top-n, limit/offset,
+  * sampling, VALUES lists, lazy series, DISTINCT, JSON extraction
+  * (reference `src/execution/operator/projection/physical_unnest.cpp`,
+  * `physical_pivot.cpp`, `physical_top_n.cpp`,
+  * `src/execution/operator/helper/physical_{limit,streaming_sample}.cpp`,
+  * `src/function/table/range.cpp`, scan of VALUES lists
+  * `physical_expression_scan.cpp`, JSON functions
+  * `extension/json/json_functions.cpp`).
+  */
+object Shaping {
+
+  /** LIST→rows unnest: word histogram over documents (Catalyst Generate). */
+  def shapeUnnest(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  val shapeUnnestSql: String =
+    """SELECT word, count(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |WHERE word <> ''
+      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+
+  /** PIVOT: order counts per priority × status (reference
+    * `physical_pivot.cpp`); missing combinations filled with 0 to match the
+    * FILTER-based relational phrasing. */
+  def shapePivot(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+
+  val shapePivotSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** DISTINCT + ORDER BY + LIMIT (reference `physical_top_n.cpp` with
+    * dedup; Spark plans TakeOrderedAndProject over HashAggregate). */
+  def shapeTopnDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_quantity").as("qty")).distinct()
+      .orderBy(col("qty").desc).limit(5)
+
+  val shapeTopnDistinctSql: String =
+    "SELECT DISTINCT l_quantity AS qty FROM lineitem ORDER BY qty DESC LIMIT 5"
+
+  /** LIMIT + OFFSET over a total order (reference `physical_limit.cpp`). */
+  def shapeLimitOffset(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir, shapeLimitOffsetSql)
+
+  val shapeLimitOffsetSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey LIMIT 10 OFFSET 5""".stripMargin
+
+  /** Bernoulli sampling (reference `physical_streaming_sample.cpp`).
+    * Sampling is engine-specific pseudo-randomness → no SQL oracle
+    * (rows-only check); the seed makes it reproducible within Spark. */
+  def shapeSample(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("l_orderkey")).as("first_key"))
+
+  /** VALUES list as a relation (reference `physical_expression_scan.cpp`). */
+  def shapeValues(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = Seq((0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"), (4, "epsilon"))
+      .toDF("key", "code")
+    Tables.t(s, dir, "region")
+      .join(codes, col("r_regionkey") === col("key"))
+      .select(col("r_name"), col("code"))
+  }
+
+  val shapeValuesSql: String =
+    """SELECT r_name, code
+      |FROM region JOIN (VALUES (0,'alpha'),(1,'beta'),(2,'gamma'),(3,'delta'),(4,'epsilon'))
+      |  AS t(key, code) ON r_regionkey = key""".stripMargin
+
+  /** Lazy integer series (reference `src/function/table/range.cpp`). */
+  def shapeRange(s: SparkSession, dir: String): DataFrame =
+    s.range(0, 1000).select((col("id") % 7).as("g"), col("id"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("total"))
+
+  val shapeRangeSql: String =
+    """SELECT id % 7 AS g, count(*) AS n, CAST(sum(id) AS BIGINT) AS total
+      |FROM range(1000) t(id) GROUP BY 1""".stripMargin
+
+  /** JSON field extraction from a string column (reference
+    * `extension/json/json_functions.cpp` json_extract). */
+  def shapeJson(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .select((get_json_object(col("props"), "$.k").cast("int") % 10).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+
+  val shapeJsonSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS g,
+      |  count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Multi-column DISTINCT (reference `plan_distinct.cpp`). */
+  def shapeDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  val shapeDistinctSql: String =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shape_unnest" -> (shapeUnnest _),
+    "shape_pivot" -> (shapePivot _),
+    "shape_topn_distinct" -> (shapeTopnDistinct _),
+    "shape_limit_offset" -> (shapeLimitOffset _),
+    "shape_sample" -> (shapeSample _),
+    "shape_values" -> (shapeValues _),
+    "shape_range" -> (shapeRange _),
+    "shape_json" -> (shapeJson _),
+    "shape_distinct" -> (shapeDistinct _))
+
+  val oracle: Map[String, String] = Map(
+    "shape_unnest" -> shapeUnnestSql,
+    "shape_pivot" -> shapePivotSql,
+    "shape_topn_distinct" -> shapeTopnDistinctSql,
+    "shape_limit_offset" -> shapeLimitOffsetSql,
+    "shape_values" -> shapeValuesSql,
+    "shape_range" -> shapeRangeSql,
+    "shape_json" -> shapeJsonSql,
+    "shape_distinct" -> shapeDistinctSql)
+}

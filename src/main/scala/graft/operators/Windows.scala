@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** The reference's full window-function surface (reference
+  * `src/execution/operator/aggregate/physical_window.cpp`, expression kinds
+  * `src/include/duckdb/common/enums/expression_type.hpp:89-102`, frames
+  * `window_expression.hpp:16-27`): ranking, distribution, lead/lag,
+  * first/last/nth, windowed aggregates over ROWS and RANGE frames.
+  *
+  * Determinism discipline: ranking windows order by a unique tie-break key;
+  * windowed sums go through DECIMAL so frame evaluation is exact and
+  * identical across engines and partitionings.
+  */
+object Windows {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** row_number / rank / dense_rank per partition; top-5 per nation. */
+  def winRank(s: SparkSession, dir: String): DataFrame = {
+    val byBal = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc)
+    val byBalKey = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.t(s, dir, "customer")
+      .withColumn("rn", row_number().over(byBalKey))
+      .withColumn("rnk", rank().over(byBal))
+      .withColumn("drnk", dense_rank().over(byBal))
+      .filter(col("rn") <= 5)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        col("rn"), col("rnk"), col("drnk"))
+  }
+
+  val winRankSql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+      |    rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+      |    dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+      |  FROM customer) t
+      |WHERE rn <= 5""".stripMargin
+
+  /** Running total + moving aggregate over a ROWS frame. */
+  def winRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val moving = w.rowsBetween(-3, 0)
+    Tables.t(s, dir, "orders").filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(running).cast("double").as("run_total"),
+        count(lit(1)).over(moving).as("mov_n"),
+        (sum(dec(col("o_totalprice"))).over(moving).cast("double") /
+          count(lit(1)).over(moving)).as("mov_avg"))
+  }
+
+  val winRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+      |  count(*) OVER w3 AS mov_n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+      |    / count(*) OVER w3 AS mov_avg
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** lead / lag with per-user event-time ordering (µs-exact gaps). */
+  def winLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"))
+  }
+
+  val winLeadLagSql: String =
+    """SELECT user_id, event_id,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(event_type, 1) OVER w AS next_type,
+      |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** RANGE frame over a numeric ordering (value-based frame bounds). */
+  def winRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rangeBetween(-5, 0)
+    Tables.t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"),
+        count(lit(1)).over(w).as("n_in_range"),
+        sum(dec(col("l_quantity"))).over(w).cast("double").as("qty_in_range"))
+  }
+
+  val winRangeSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      |  count(*) OVER w AS n_in_range,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS qty_in_range
+      |FROM lineitem WHERE l_orderkey < 1000
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+      |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Distribution functions: ntile / percent_rank / cume_dist. */
+  def winDist(s: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val byBal = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+    Tables.t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(byKey).as("quartile"),
+        round(percent_rank().over(byBal), 6).as("pr"),
+        round(cume_dist().over(byBal), 6).as("cd"))
+  }
+
+  val winDistSql: String =
+    """SELECT c_nationkey, c_custkey,
+      |  ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS quartile,
+      |  round(percent_rank() OVER wb, 6) AS pr,
+      |  round(cume_dist() OVER wb, 6) AS cd
+      |FROM customer
+      |WINDOW wb AS (PARTITION BY c_nationkey ORDER BY c_acctbal)""".stripMargin
+
+  /** first_value / last_value / nth_value over an unbounded frame. */
+  def winFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        first(col("c_name")).over(w).as("richest"),
+        last(col("c_name")).over(w).as("poorest"),
+        nth_value(col("c_name"), 2).over(w).as("second"))
+  }
+
+  val winFirstLastSql: String =
+    """SELECT c_nationkey, c_custkey,
+      |  first_value(c_name) OVER w AS richest,
+      |  last_value(c_name) OVER w AS poorest,
+      |  nth_value(c_name, 2) OVER w AS second
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> (winRank _),
+    "win_running" -> (winRunning _),
+    "win_leadlag" -> (winLeadLag _),
+    "win_range" -> (winRange _),
+    "win_dist" -> (winDist _),
+    "win_firstlast" -> (winFirstLast _))
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" -> winRankSql,
+    "win_running" -> winRunningSql,
+    "win_leadlag" -> winLeadLagSql,
+    "win_range" -> winRangeSql,
+    "win_dist" -> winDistSql,
+    "win_firstlast" -> winFirstLastSql)
+}
