@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Aggregates.queries ++
       operators.Windows.queries ++
       operators.SetOps.queries ++
-      operators.Shaping.queries
+      operators.Shaping.queries ++
+      functions.FunctionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Aggregates.oracle ++
       operators.Windows.oracle ++
       operators.SetOps.oracle ++
-      operators.Shaping.oracle
+      operators.Shaping.oracle ++
+      functions.FunctionQueries.oracle
 }

@@ -1,0 +1,275 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{GraftFunctions => G}
+
+/** Scalar/function-surface queries covering the reference's function
+  * library by category (reference `src/core_functions/scalar/` — string,
+  * math, date, generic; `extension/json/`; the §2.7 gap list implemented as
+  * custom expressions in this package). Every query is oracle-checked.
+  */
+object FunctionQueries {
+
+  /** String functions (reference `src/core_functions/scalar/string/`). */
+  def fnString(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer").filter(col("c_custkey") < 50)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("pre"),
+        length(col("c_name")).cast("long").as("len"),
+        reverse(col("c_name")).as("rev"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("pad"),
+        regexp_replace(col("c_name"), "Customer", "C").as("rep"),
+        concat(col("c_name"), lit("_"), col("c_mktsegment")).as("cat"),
+        instr(col("c_name"), "#").cast("long").as("pos"),
+        element_at(split(col("c_name"), "#"), 2).as("part2"),
+        col("c_name").startsWith("Customer").as("sw"),
+        col("c_name").endsWith("5").as("ew"))
+
+  val fnStringSql: String =
+    """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+      |  substr(c_name, 1, 8) AS pre, CAST(length(c_name) AS BIGINT) AS len,
+      |  reverse(c_name) AS rev,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+      |  replace(c_name, 'Customer', 'C') AS rep,
+      |  concat(c_name, '_', c_mktsegment) AS cat,
+      |  CAST(strpos(c_name, '#') AS BIGINT) AS pos,
+      |  split_part(c_name, '#', 2) AS part2,
+      |  starts_with(c_name, 'Customer') AS sw,
+      |  ends_with(c_name, '5') AS ew
+      |FROM customer WHERE c_custkey < 50""".stripMargin
+
+  /** Math functions (reference `src/core_functions/scalar/math/numeric.cpp`).
+    * Transcendentals rounded — libm vs JVM may differ in the last ulp. */
+  def fnMath(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("ab"),
+        ceil(col("l_extendedprice") / 1000).cast("double").as("ce"),
+        floor(col("l_discount") * 100).cast("double").as("fl"),
+        round(col("l_quantity") / 2.0, 1).as("half"),
+        round(sqrt(col("l_quantity")), 6).as("sq"),
+        round(log(col("l_extendedprice")), 6).as("lg"),
+        round(pow(col("l_quantity"), 1.5), 6).as("pw"),
+        signum(col("l_discount") - 0.05).cast("int").as("sg"),
+        (col("l_orderkey") % 97).as("md"),
+        greatest(col("l_quantity"), lit(30.0)).as("gr"),
+        least(col("l_tax"), col("l_discount")).as("le"))
+
+  val fnMathSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_quantity - 25) AS ab,
+      |  CAST(ceil(l_extendedprice / 1000) AS DOUBLE) AS ce,
+      |  CAST(floor(l_discount * 100) AS DOUBLE) AS fl,
+      |  round(l_quantity / 2.0, 1) AS half,
+      |  round(sqrt(l_quantity), 6) AS sq,
+      |  round(ln(l_extendedprice), 6) AS lg,
+      |  round(pow(l_quantity, 1.5), 6) AS pw,
+      |  CAST(sign(l_discount - 0.05) AS INTEGER) AS sg,
+      |  l_orderkey % 97 AS md,
+      |  greatest(l_quantity, 30.0) AS gr,
+      |  least(l_tax, l_discount) AS le
+      |FROM lineitem WHERE l_orderkey < 200""".stripMargin
+
+  /** Date/time functions (reference `src/core_functions/scalar/date/`). */
+  def fnDate(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders").filter(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        (weekday(col("o_orderdate")) + 1).as("isodw"),
+        date_trunc("month", col("o_orderdate")).as("mstart"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+          .cast("long").as("days_since"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        last_day(col("o_orderdate")).as("eom"),
+        (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("plus3"))
+
+  val fnDateSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS y,
+      |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |  CAST(day(o_orderdate) AS INTEGER) AS d,
+      |  CAST(isodow(o_orderdate) AS INTEGER) AS isodw,
+      |  date_trunc('month', o_orderdate) AS mstart,
+      |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+      |  epoch_us(o_orderdate) AS us,
+      |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+      |  o_orderdate + INTERVAL 3 DAY AS plus3
+      |FROM orders WHERE o_orderkey < 200""".stripMargin
+
+  /** time_bucket: sub-month width on event time (custom composition,
+    * reference `time_bucket.cpp`). */
+  def fnTimeBucket(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(G.time_bucket("6 hours", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+
+  val fnTimeBucketSql: String =
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** time_bucket: calendar-month width. */
+  def fnTimeBucketMonth(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .groupBy(G.time_bucket("3 months", col("o_orderdate")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  val fnTimeBucketMonthSql: String =
+    """SELECT time_bucket(INTERVAL '3 months', o_orderdate) AS bucket,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** LIKE / regex (reference RE2-backed `regexp_*`, LIKE rewrite
+    * `src/optimizer/rule/like_optimizations.cpp` — Catalyst's
+    * LikeSimplification is the analog). Patterns restricted to the
+    * Java/RE2-common subset. */
+  def fnLikeRegex(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "part").filter(col("p_partkey") < 500)
+      .select(
+        col("p_partkey"),
+        col("p_name").like("%wi%").as("has_wi"),
+        col("p_name").startsWith("red").as("is_red"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+        col("p_name").rlike("^(red|blue) ").as("primary_color"))
+
+  val fnLikeRegexSql: String =
+    """SELECT p_partkey,
+      |  p_name LIKE '%wi%' AS has_wi,
+      |  starts_with(p_name, 'red') AS is_red,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+      |  regexp_matches(p_name, '^(red|blue) ') AS primary_color
+      |FROM part WHERE p_partkey < 500""".stripMargin
+
+  /** CASE / CAST / COALESCE / NULLIF (reference
+    * `src/execution/expression_executor/execute_case.cpp`, casts
+    * `src/function/cast/`). Double→int casts go through floor() — the
+    * engines disagree on bare cast rounding (truncate vs round). */
+  def fnCaseCast(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders").filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        col("o_orderkey").cast("string").as("key_str"),
+        lit("42").cast("int").as("answer"))
+
+  val fnCaseCastSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 300000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  CAST(o_orderkey AS VARCHAR) AS key_str,
+      |  CAST('42' AS INTEGER) AS answer
+      |FROM orders WHERE o_orderkey < 300""".stripMargin
+
+  /** Cryptographic digests (reference `md5.cpp`, `sha256.cpp`). */
+  def fnHash(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer").filter(col("c_custkey") < 100)
+      .select(
+        col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("m"),
+        sha2(col("c_name").cast("binary"), 256).as("s256"))
+
+  val fnHashSql: String =
+    """SELECT c_custkey, md5(c_name) AS m, sha256(c_name) AS s256
+      |FROM customer WHERE c_custkey < 100""".stripMargin
+
+  /** String-similarity metrics — built-in levenshtein + the custom
+    * expressions (verified against the reference semantics). */
+  def fnStrsim(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer").filter(col("c_custkey") < 200)
+      .select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000100")).cast("long").as("lev"),
+        round(G.jaccard(col("c_name"), lit("Customer#000000100")), 6).as("jac"),
+        round(G.jaro_winkler_similarity(col("c_name"), lit("Customer#000000100")), 6).as("jw"),
+        G.damerau_levenshtein(col("c_mktsegment"), lit("MACHINES")).as("dl"),
+        G.hamming(substring(col("c_name"), 1, 8), lit("Customer")).as("ham"))
+
+  val fnStrsimSql: String =
+    """SELECT c_custkey,
+      |  levenshtein(c_name, 'Customer#000000100') AS lev,
+      |  round(jaccard(c_name, 'Customer#000000100'), 6) AS jac,
+      |  round(jaro_winkler_similarity(c_name, 'Customer#000000100'), 6) AS jw,
+      |  damerau_levenshtein(c_mktsegment, 'MACHINES') AS dl,
+      |  hamming(substr(c_name, 1, 8), 'Customer') AS ham
+      |FROM customer WHERE c_custkey < 200""".stripMargin
+
+  /** Vector similarity between consecutive embeddings — custom codegen
+    * expressions, expected bit-identical to the oracle (float32 math). */
+  def fnVector(s: SparkSession, dir: String): DataFrame = {
+    val e1 = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("emb1"))
+    val e2 = Tables.t(s, dir, "embeddings")
+      .select((col("vec_id") - 1).as("vid2"), col("embedding").as("emb2"))
+    e1.join(e2, col("vec_id") === col("vid2"))
+      .select(
+        col("vec_id"),
+        G.list_cosine_similarity(col("emb1"), col("emb2")).as("cos"),
+        G.list_inner_product(col("emb1"), col("emb2")).as("ip"),
+        G.list_distance(col("emb1"), col("emb2")).as("dist"))
+  }
+
+  val fnVectorSql: String =
+    """SELECT a.vec_id,
+      |  list_cosine_similarity(a.embedding, b.embedding) AS cos,
+      |  list_inner_product(a.embedding, b.embedding) AS ip,
+      |  list_distance(a.embedding, b.embedding) AS dist
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin
+
+  /** Shannon entropy via the custom Aggregator (reference `entropy.cpp`). */
+  def aggEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(G.entropy(col("l_quantity").cast("long").cast("string")), 6).as("ent"),
+        count(lit(1)).as("n"))
+
+  val aggEntropySql: String =
+    """SELECT l_returnflag, round(entropy(CAST(l_quantity AS BIGINT)), 6) AS ent,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> (fnString _),
+    "fn_math" -> (fnMath _),
+    "fn_date" -> (fnDate _),
+    "fn_time_bucket" -> (fnTimeBucket _),
+    "fn_time_bucket_month" -> (fnTimeBucketMonth _),
+    "fn_like_regex" -> (fnLikeRegex _),
+    "fn_case_cast" -> (fnCaseCast _),
+    "fn_hash" -> (fnHash _),
+    "fn_strsim" -> (fnStrsim _),
+    "fn_vector" -> (fnVector _),
+    "agg_entropy" -> (aggEntropy _))
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" -> fnStringSql,
+    "fn_math" -> fnMathSql,
+    "fn_date" -> fnDateSql,
+    "fn_time_bucket" -> fnTimeBucketSql,
+    "fn_time_bucket_month" -> fnTimeBucketMonthSql,
+    "fn_like_regex" -> fnLikeRegexSql,
+    "fn_case_cast" -> fnCaseCastSql,
+    "fn_hash" -> fnHashSql,
+    "fn_strsim" -> fnStrsimSql,
+    "fn_vector" -> fnVectorSql,
+    "agg_entropy" -> aggEntropySql)
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.functions.udaf
+
+/** Public function surface of the engine — Column wrappers over the custom
+  * Catalyst expressions plus SQL registration, mirroring how the reference
+  * registers its scalar library in one function list
+  * (reference `src/core_functions/function_list.cpp`).
+  */
+object GraftFunctions {
+
+  private def col2(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
+    Bridge.column(f(Bridge.expression(a), Bridge.expression(b)))
+
+  // ---- vector similarity (ARRAY<FLOAT>) ----
+  def list_inner_product(a: Column, b: Column): Column = col2(ListInnerProduct)(a, b)
+  def list_cosine_similarity(a: Column, b: Column): Column = col2(ListCosineSimilarity)(a, b)
+  def list_distance(a: Column, b: Column): Column = col2(ListDistance)(a, b)
+
+  // ---- string similarity ----
+  def jaccard(a: Column, b: Column): Column = col2(JaccardSimilarity)(a, b)
+  def jaro_winkler_similarity(a: Column, b: Column): Column = col2(JaroWinklerSimilarity)(a, b)
+  def damerau_levenshtein(a: Column, b: Column): Column = col2(DamerauLevenshtein)(a, b)
+  def hamming(a: Column, b: Column): Column = col2(HammingDistance)(a, b)
+
+  // ---- time ----
+  def time_bucket(width: String, ts: Column): Column =
+    TimeFunctions.timeBucket(width, ts)
+
+  // ---- custom aggregates ----
+  def entropy(c: Column): Column =
+    udaf(new GraftAggregators.EntropyAggregator).apply(c)
+  def histogram_map(c: Column): Column =
+    udaf(new GraftAggregators.HistogramAggregator).apply(c)
+
+  /** Register the custom scalar functions for `spark.sql` use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("list_inner_product",
+      es => ListInnerProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("list_cosine_similarity",
+      es => ListCosineSimilarity(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("list_distance",
+      es => ListDistance(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("jaccard",
+      es => JaccardSimilarity(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler_similarity",
+      es => JaroWinklerSimilarity(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("damerau_levenshtein",
+      es => DamerauLevenshtein(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hamming",
+      es => HammingDistance(es.head, es(1)), "built-in")
+  }
+}
