@@ -22,7 +22,11 @@ object SparkEntry {
       operators.Windows.queries ++
       operators.SetOps.queries ++
       operators.Shaping.queries ++
-      functions.FunctionQueries.queries
+      functions.FunctionQueries.queries ++
+      pipeline.Dedup.queries ++
+      pipeline.Similarity.queries ++
+      pipeline.TextAnalysis.queries ++
+      pipeline.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +37,9 @@ object SparkEntry {
       operators.Windows.oracle ++
       operators.SetOps.oracle ++
       operators.Shaping.oracle ++
-      functions.FunctionQueries.oracle
+      functions.FunctionQueries.oracle ++
+      pipeline.Dedup.oracle ++
+      pipeline.Similarity.oracle ++
+      pipeline.TextAnalysis.oracle ++
+      pipeline.Multimodal.oracle
 }

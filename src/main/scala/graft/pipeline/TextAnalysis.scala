@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data curation: quality statistics,
+  * token counting, language identification, and document fingerprinting —
+  * all pure column expressions (codegen'd, partition-local, shuffle-free
+  * until the final aggregation), which is what keeps them viable over
+  * billions of documents.
+  */
+object TextAnalysis {
+
+  private def words(text: Column): Column = split(Dedup.normalized(text), " ")
+
+  /** Per-document quality statistics (oracle-checked). */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(words(col("text"))).cast("long").as("n_words"),
+      size(array_distinct(words(col("text")))).cast("long").as("n_distinct"),
+      round(expr("aggregate(transform(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), w -> length(w)), 0, (acc, x) -> acc + x)")
+        .cast("double") / size(words(col("text"))), 6).as("avg_word_len"),
+      round(size(array_intersect(words(col("text")),
+        lit(stop.toArray))).cast("double") /
+        size(array_distinct(words(col("text")))), 6).as("stop_distinct_ratio"),
+      round(size(filter(words(col("text")),
+        w => w.isin(stop.map(lit(_)): _*))).cast("double") /
+        size(words(col("text"))), 6).as("stop_ratio"))
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS n_distinct,
+      |  round(CAST(list_aggregate(list_transform(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), w -> length(w)), 'sum') AS DOUBLE)
+      |    / len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')), 6) AS avg_word_len,
+      |  round(CAST(len(list_intersect(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')),
+      |    ['the','a','of','and','to','in','is'])) AS DOUBLE)
+      |    / len(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), 6) AS stop_distinct_ratio,
+      |  round(CAST(len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |    w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+      |    / len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')), 6) AS stop_ratio
+      |FROM documents""".stripMargin
+
+  /** BPE-ish regex token count + whitespace token count (oracle-checked). */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("n_tokens"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"))
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens
+      |FROM documents""".stripMargin
+
+  /** Stopword-profile language ID: score each candidate language by hits
+    * in its stopword list, argmax with deterministic tie-break. Rows-only
+    * (the heuristic is ours, not SQL-standard). */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "他", "这", "中"))
+
+  def detectLanguage(text: Column): Column = {
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(size(filter(words(text), w => w.isin(stops.map(lit(_)): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, lang): greatest() on structs orders lexicographically
+    greatest(scored: _*).getField("lang")
+  }
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"), col("lang").as("labeled"),
+      detectLanguage(col("text")).as("predicted"))
+
+  /** Canonical document fingerprint: md5 over the sorted distinct word set
+    * (oracle-checked); pairs with equal fingerprints are permutation dups. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(concat_ws(" ",
+        array_sort(array_distinct(words(col("text"))))).cast("binary")).as("fp"))
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ')) AS fp
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_tokens" -> (textTokens _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql)
+}

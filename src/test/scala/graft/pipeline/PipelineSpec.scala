@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash-LSH candidates recover the exact ngram-jaccard pairs") {
+    // LSH is approximate on candidates but verification is exact, so at a
+    // high threshold the pair sets must agree with full blocking.
+    val viaMinhash = Dedup.dedupMinhash(spark, sf("sf0.001"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaNgram = Dedup.dedupNgram(spark, sf("sf0.001"))
+      .filter($"jaccard" >= 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaNgram.subsetOf(viaMinhash) && viaMinhash == viaNgram)
+  }
+
+  test("exact dedup counts duplicates of normalized text") {
+    val df = Seq(
+      (1L, "Hello  World", "s"), (2L, "hello world", "s"),
+      (3L, "other", "s")).toDF("doc_id", "text", "source")
+    df.createOrReplaceTempView("x")
+    val r = df.groupBy($"source")
+      .agg(countDistinct(md5(Dedup.normalized($"text").cast("binary"))).as("u"))
+      .head
+    assert(r.getLong(1) == 2L) // two normalized-distinct texts
+  }
+
+  test("simhash of identical docs is identical; permuted docs close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "dog lazy the over jumps fox brown quick the")).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(df, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    // bag-of-words simhash ignores order entirely → permutation identical
+    assert(sigs(1L) == sigs(3L))
+  }
+
+  test("embedding near-dup threshold is exclusive and symmetric-free") {
+    val pairs = Dedup.dedupEmbedding(spark, sf("sf0.001")).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getFloat(2) > 0.45f))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force topK is ordered and excludes the query") {
+    val top = Similarity.annTopk(spark, sf("sf0.001")).collect()
+    assert(top.length == 10)
+    assert(top.forall(_.getLong(0) != 0L))
+    val sims = top.map(_.getFloat(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("identical vectors share an LSH bucket") {
+    val e = graft.Tables.t(spark, sf("sf0.001"), "embeddings").limit(20)
+    val dup = e.union(e) // every vector twice
+    val planes = Similarity.hyperplanes(spark, 8, 64)
+    val b = Similarity.lshBuckets(dup, planes, 8)
+      .groupBy($"vec_id").agg(countDistinct($"bucket").as("n"))
+    assert(b.filter($"n" > 1).count() == 0)
+  }
+
+  test("hyperplanes are deterministic for a fixed seed") {
+    val a = Similarity.hyperplanes(spark, 4, 8).collect().toSeq
+    val b = Similarity.hyperplanes(spark, 4, 8).collect().toSeq
+    assert(a.toSet == b.toSet)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stats on a crafted document") {
+    val df = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_t")
+    val r = df.select(
+      size(split(Dedup.normalized($"text"), " ")).as("n_words"),
+      size(array_distinct(split(Dedup.normalized($"text"), " "))).as("n_distinct"))
+      .head
+    assert(r.getInt(0) == 5 && r.getInt(1) == 4)
+  }
+
+  test("language ID picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "el perro de la casa que en un jardin"),
+      (2L, "the cat is in the house and it is warm"),
+      (3L, "der hund und die katze von dem haus")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.detectLanguage($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "es" && got(2L) == "en" && got(3L) == "de")
+  }
+
+  test("fingerprint is order-invariant and content-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma alpha beta"), (3L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+      md5(concat_ws(" ", array_sort(array_distinct(
+        split(Dedup.normalized($"text"), " ")))).cast("binary")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeStub preserves rows, derives md5 checksum, feature shape") {
+    val docs = graft.Tables.t(spark, sf("sf0.001"), "documents").limit(25)
+    val out = Multimodal.decodeStub(Multimodal.asMedia(docs))
+    assert(out.count() == 25)
+    val r = out.head
+    assert(r.getAs[String]("checksum").length == 32)
+    assert(r.getAs[scala.collection.Seq[Float]]("features").length == 4)
+    // checksum equals Spark's own md5 of the payload (cross-check the stub)
+    val j = out.select($"doc_id", $"checksum")
+      .join(docs.select($"doc_id", md5($"text".cast("binary")).as("want")), "doc_id")
+    assert(j.filter($"checksum" =!= $"want").count() == 0)
+  }
+
+  test("binary payload round-trips through shuffle repartitioning") {
+    val docs = graft.Tables.t(spark, sf("sf0.001"), "documents").limit(50)
+    val media = Multimodal.asMedia(docs).repartition(7, $"doc_id")
+    assert(media.rdd.getNumPartitions == 7)
+    val out = Multimodal.decodeStub(media)
+    assert(out.agg(sum($"n_bytes")).head.getLong(0) ==
+      docs.agg(sum(length($"text"))).head.getLong(0))
+  }
+}
