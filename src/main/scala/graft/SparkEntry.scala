@@ -26,7 +26,8 @@ object SparkEntry {
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++
-      pipeline.Multimodal.queries
+      pipeline.Multimodal.queries ++
+      compaction.CompactionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
       pipeline.TextAnalysis.oracle ++
-      pipeline.Multimodal.oracle
+      pipeline.Multimodal.oracle ++
+      compaction.CompactionQueries.oracle
 }

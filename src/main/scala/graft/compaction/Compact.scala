@@ -1,0 +1,67 @@
+package graft.compaction
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DataFrame-level chunk compaction — the Spark re-expression of the
+  * reference's `CompactingPhysicalOperator` (reference
+  * `src/include/duckdb/execution/physical_operator.hpp:221-245`,
+  * `src/execution/physical_operator.cpp:238-311`: buffer output chunks
+  * smaller than `compact_threshold` = 128 of 2048 and merge before pushing
+  * downstream).
+  *
+  * In Spark the analog pathology is partition-fragment proliferation after
+  * selective filters/joins; the analog mechanisms are:
+  *  - AQE partition coalescing (runtime, between stages) — the default-on
+  *    "dynamic compaction";
+  *  - explicit size-targeted `coalesce`/`repartition` — "manual
+  *    compaction" for within-stage fragment cleanup;
+  * both preserve semantics exactly (pure re-bucketing of rows).
+  */
+object Compact {
+
+  /** Reference ratio: threshold 128 of a 2048-row vector → 1/16. */
+  val ThresholdFraction: Double = 128.0 / 2048.0
+
+  /** Configure AQE so post-shuffle partitions are compacted toward
+    * `targetBytes`, with the reference's small-chunk threshold mapped onto
+    * `minPartitionSize` (partitions under 1/16 of target always merge). */
+  def enableAqeCompaction(spark: SparkSession, targetBytes: Long = 64L << 20): Unit = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", targetBytes.toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      math.max(1L, (targetBytes * ThresholdFraction).toLong).toString)
+  }
+
+  /** Optimizer-estimated size of a frame in bytes (no job run). */
+  def estimatedBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Compact a frame to ~`targetBytes` partitions using plan statistics:
+    * a narrow `coalesce` when reducing (no shuffle — the cheap path the
+    * reference's dynamic compaction corresponds to), a shuffling
+    * `repartition` only when the frame must grow parallelism. */
+  def bySize(df: DataFrame, targetBytes: Long = 64L << 20): DataFrame = {
+    val size = estimatedBytes(df)
+    val want = math.max(1, (size / BigInt(targetBytes)).toInt +
+      (if (size % BigInt(targetBytes) > 0) 1 else 0))
+    val have = df.rdd.getNumPartitions
+    if (want < have) df.coalesce(want)
+    else if (want > have * 4) df.repartition(want)
+    else df
+  }
+
+  /** Compact only if the frame's fragments are sub-threshold: the direct
+    * analog of `if (chunk.size() < compact_threshold) cache it`
+    * (reference `physical_operator.cpp:266`): partitions averaging under
+    * `ThresholdFraction × targetRows` rows are merged toward targetRows. */
+  def smallFragments(df: DataFrame, rowCount: Long, targetRows: Long = 1 << 20): DataFrame = {
+    val have = df.rdd.getNumPartitions
+    if (have == 0) return df
+    val avg = rowCount.toDouble / have
+    if (avg < targetRows * ThresholdFraction) {
+      val want = math.max(1, math.ceil(rowCount.toDouble / targetRows).toInt)
+      if (want < have) df.coalesce(want) else df
+    } else df
+  }
+}

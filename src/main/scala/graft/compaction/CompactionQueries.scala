@@ -1,0 +1,52 @@
+package graft.compaction
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Compaction as a query-visible operator: results are identical to the
+  * uncompacted plan (pure re-bucketing) — the oracle checks exactly that —
+  * while the partition layout collapses from fragment-per-input-split to
+  * size-targeted chunks.
+  */
+object CompactionQueries {
+
+  /** Selective filter (≈0.5% pass) → compact → aggregate. Oracle-equal to
+    * the plain filter+aggregate; the compaction sits between filter and
+    * aggregate exactly where the reference's CompactingPhysicalOperator
+    * sits after PhysicalFilter (reference `physical_filter.hpp:19`). */
+  def compactFilter(s: SparkSession, dir: String): DataFrame = {
+    val selective = Tables.t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 49 && col("l_discount") > 0.08)
+    val compacted = Compact.bySize(selective, targetBytes = 4L << 20)
+    compacted.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
+  }
+
+  val compactFilterSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem WHERE l_quantity > 49 AND l_discount > 0.08
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** Partition-layout evidence (rows-only: layout is engine-specific):
+    * fragment count before/after compacting the same selective filter. */
+  def compactStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val selective = Tables.t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 49 && col("l_discount") > 0.08)
+    val before = selective.rdd.getNumPartitions
+    val compacted = Compact.bySize(selective, targetBytes = 4L << 20)
+    val after = compacted.rdd.getNumPartitions
+    val rows = selective.count()
+    Seq((before, after, rows)).toDF("partitions_before", "partitions_after", "n_rows")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compact_filter" -> (compactFilter _),
+    "compact_stats" -> (compactStats _))
+
+  val oracle: Map[String, String] = Map(
+    "compact_filter" -> compactFilterSql)
+}

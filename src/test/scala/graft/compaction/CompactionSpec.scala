@@ -1,0 +1,121 @@
+package graft.compaction
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CompactTunerSpec extends SparkSpec {
+
+  test("every arm is explored once before exploitation") {
+    val t = new CompactTuner
+    val seen = (1 to t.arms.length).map { _ =>
+      val a = t.selectArm(); t.updateArm(a, 1.0); a
+    }
+    assert(seen.toSet == t.arms.indices.toSet)
+  }
+
+  test("converges to the cheapest arm under stationary costs") {
+    val t = new CompactTuner
+    // arm 2 is cheapest
+    def cost(arm: Int): Double = if (arm == 2) 1.0 else 5.0
+    (1 to 500).foreach { _ =>
+      val a = t.selectArm(); t.updateArm(a, cost(a))
+    }
+    assert(t.bestArm == 2)
+    assert(t.plays(2) > 300) // exploitation dominated
+    assert(t.targetBytes == t.arms(2))
+  }
+
+  test("reset clears state (per-query reset like the reference)") {
+    val t = new CompactTuner
+    t.updateArm(0, 1.0)
+    t.reset()
+    assert(t.plays(0) == 0L)
+  }
+}
+
+class ChunkMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("log2 bucketing") {
+    val m = new ChunkMetrics
+    assert(m.bucket(0) == 0 && m.bucket(1) == 0 && m.bucket(2) == 1)
+    assert(m.bucket(2047) == 10 && m.bucket(2048) == 11)
+  }
+
+  test("listener observes task record counts for a real job") {
+    val m = new ChunkMetrics().install(spark)
+    m.reset()
+    graft.Tables.t(spark, sf(), "lineitem").groupBy($"l_returnflag").count().collect()
+    // listener events are async; poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while (m.snapshot.values.map(_.inputRecords).sum == 0 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val snap = m.snapshot
+    assert(snap.nonEmpty)
+    assert(snap.values.map(_.inputRecords).sum > 0)
+  }
+}
+
+class CompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bySize reduces fragment count and preserves rows") {
+    val frag = spark.range(0, 10000, 1, 64).toDF("id") // 64 tiny fragments
+    val compacted = Compact.bySize(frag, targetBytes = 1L << 20)
+    assert(compacted.rdd.getNumPartitions < 64)
+    assert(compacted.count() == 10000)
+  }
+
+  test("smallFragments only fires below the threshold fraction") {
+    val df = spark.range(0, 1000, 1, 10).toDF("id")
+    // avg 100 rows/partition << 1/16 of 1M target → compacts
+    val c = Compact.smallFragments(df, rowCount = 1000, targetRows = 1 << 20)
+    assert(c.rdd.getNumPartitions == 1)
+    // already-large fragments untouched
+    val big = Compact.smallFragments(df, rowCount = 10L << 20, targetRows = 1 << 20)
+    assert(big.rdd.getNumPartitions == 10)
+  }
+
+  test("compacted query result equals uncompacted result") {
+    val a = CompactionQueries.compactFilter(spark, sf())
+      .orderBy($"l_returnflag").collect().toSeq
+    val b = graft.Tables.t(spark, sf(), "lineitem")
+      .filter($"l_quantity" > 49 && $"l_discount" > 0.08)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"l_returnflag").collect().toSeq
+    assert(a == b)
+  }
+}
+
+class SplitPipelineRuleSpec extends SparkSpec {
+
+  test("rule inserts a shuffle between chained joins when enabled") {
+    // getOrCreate() may reuse a suite-shared session whose extensions are
+    // fixed; extraOptimizations is the public per-session hook for that case.
+    val s = spark
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.SplitPipelineRule()
+    s.conf.set("spark.graft.splitPipelines", "true")
+    try {
+      val n = graft.Tables.t(s, sf(), "nation")
+      val c = graft.Tables.t(s, sf(), "customer")
+      val o = graft.Tables.t(s, sf(), "orders")
+      val chained = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+      val optimized = chained.queryExecution.optimizedPlan
+      val hasRepartition = optimized.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      }.nonEmpty
+      assert(hasRepartition)
+      // and the result is still correct
+      assert(chained.count() ==
+        o.join(c, o("o_custkey") === c("c_custkey")).count())
+    } finally {
+      s.conf.set("spark.graft.splitPipelines", "false")
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[graft.plans.SplitPipelineRule])
+    }
+  }
+}
