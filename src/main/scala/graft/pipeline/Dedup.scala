@@ -35,16 +35,16 @@ object Dedup {
       |  count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique
       |FROM documents GROUP BY source""".stripMargin
 
-  /** Word n-gram shingles of a text column (n-gram Jaccard ground set). */
-  def shingles(df: DataFrame, textCol: String, n: Int): DataFrame = {
-    val words = split(Dedup.normalized(col(textCol)), " ")
-    df.select(col("doc_id"),
-      explode(expr(
-        s"transform(sequence(1, greatest(size(split(lower(trim(regexp_replace($textCol, '\\\\s+', ' '))), ' ')) - ${n - 1}, 1)), " +
-          s"i -> concat_ws(' ', slice(split(lower(trim(regexp_replace($textCol, '\\\\s+', ' '))), ' '), i, $n)))"))
-        .as("shingle"))
+  /** Word n-gram shingles of a text column (n-gram Jaccard ground set).
+    * The word array is projected once before the lambda — re-splitting
+    * inside `transform` would tokenize the document once per shingle. */
+  def shingles(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(col("doc_id"), split(normalized(col(textCol)), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, greatest(size(w) - ${n - 1}, 1)), " +
+            s"i -> concat_ws(' ', slice(w, i, $n)))")).as("shingle"))
       .distinct()
-  }
 
   /** MinHash signatures: k independent hash functions simulated as
     * xxhash64(seed_i, shingle); one shuffle (groupBy doc). */
@@ -88,11 +88,15 @@ object Dedup {
           (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
   }
 
-  /** MinHash-LSH near-dup pipeline: shingle → sign → band → verify. */
+  /** MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
+    * 32 hashes in 8 bands of 4 rows: candidate probability ≈1 at j≥0.8,
+    * ≈1.3% at j=0.2 — false candidates are cheap (exact verification
+    * kills them), so the smaller signature wins on both the min-aggregate
+    * width and codegen size. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Tables.t(s, dir, "documents"), "text", 3)
-    val sig = minhashSignatures(sh, numHashes = 64)
-    val cand = lshCandidates(sig, numHashes = 64, bands = 16)
+    val sig = minhashSignatures(sh, numHashes = 32)
+    val cand = lshCandidates(sig, numHashes = 32, bands = 8)
     verifyJaccard(cand, sh)
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — additive scope beyond the reference
+  * (which is batch-only; its `physical_streaming_*` operators are
+  * pipelined batch, SURVEY.md §2.10): event-time windowed aggregation with
+  * watermarked late-data handling, and custom sessionization state via
+  * `flatMapGroupsWithState`. The batch `time_bucket` operator and these
+  * streaming windows share bucketing semantics, so a pipeline can be
+  * developed batch-first and switched to streaming unchanged.
+  */
+object StreamingOps {
+
+  /** events-table schema for streaming reads (ts arrives as nanos-long —
+    * same parquet quirk the batch loader handles — converted to µs). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream over the fixture dir (one file = one
+    * micro-batch in tests; in production this is a stream source like
+    * kafka with identical downstream code). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time window aggregation with a watermark: counts and
+    * value sums per (window, event_type); late rows beyond 10 minutes are
+    * dropped deterministically. */
+  def windowedCounts(events: DataFrame, width: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("total"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class SessionState(nEvents: Long, lastTs: Long)
+  case class SessionOut(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** Custom stateful sessionization: per-user running event counts with a
+    * 30-minute inactivity gap, emitted on update (mapGroupsWithState is
+    * the Spark analog of a custom stateful operator). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapMs = 30L * 60 * 1000
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            if (st.lastTs != Long.MinValue && t - st.lastTs > gapMs) {
+              out += SessionOut(user, st.nEvents, closed = true)
+              st = SessionState(0L, t)
+            }
+            st = SessionState(st.nEvents + 1, t)
+          }
+          state.update(st)
+          out += SessionOut(user, st.nEvents, closed = false)
+          out.iterator
+      }
+  }
+
+  /** Batch-equivalence helper: the same windowed aggregation phrased over
+    * a static frame (used to validate streaming results in tests). */
+  def windowedCountsBatch(events: DataFrame, width: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("total"))
+}
