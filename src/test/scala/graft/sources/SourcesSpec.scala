@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tmp = java.nio.file.Files.createTempDirectory("graft-sources").toString
+
+  test("CSV round-trip with schema inference recovers rows and types") {
+    val cust = graft.Tables.t(spark, sf(), "customer")
+    Sources.copyTo(cust, s"$tmp/cust_csv", "csv")
+    val back = Sources.readCsv(spark, s"$tmp/cust_csv")
+    assert(back.count() == cust.count())
+    val types = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("c_custkey") == LongType || types("c_custkey") == IntegerType)
+    assert(types("c_acctbal") == DoubleType)
+    assert(types("c_name") == StringType)
+    // values identical after aligning the inferred integer width
+    val a = cust.select($"c_custkey".cast("long"), $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey").collect().toSeq
+    val b = back.select($"c_custkey".cast("long"), $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey").collect().toSeq
+    assert(a == b)
+  }
+
+  test("JSON round-trip preserves values") {
+    val sup = graft.Tables.t(spark, sf(), "supplier")
+    Sources.copyTo(sup, s"$tmp/sup_json", "json")
+    val back = Sources.readJson(spark, s"$tmp/sup_json")
+    assert(back.count() == sup.count())
+    val a = sup.select($"s_suppkey", $"s_name").orderBy($"s_suppkey").collect().toSeq
+    val b = back.select($"s_suppkey", $"s_name").orderBy($"s_suppkey").collect().toSeq
+    assert(a == b)
+  }
+
+  test("glob scan unions files and exposes provenance") {
+    val r = graft.Tables.t(spark, sf(), "region")
+    Sources.copyTo(r, s"$tmp/multi/a", "json")
+    Sources.copyTo(r, s"$tmp/multi/b", "json")
+    val all = Sources.readGlob(spark, s"$tmp/multi/*/", "json")
+    assert(all.count() == 2 * r.count())
+    assert(all.select($"_file").distinct().count() >= 2)
+  }
+
+  test("parallel COPY writes one file per partition") {
+    val df = spark.range(0, 1000).repartition(4)
+    Sources.copyTo(df.toDF(), s"$tmp/par", "parquet")
+    val files = new java.io.File(s"$tmp/par").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 4)
+  }
+
+  test("df.summary provides the summary table function") {
+    val s = graft.Tables.t(spark, sf(), "lineitem")
+      .select($"l_quantity").summary("count", "min", "max")
+    val rows = s.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("count").toLong > 0)
+    assert(rows("min").toDouble >= 1.0)
+  }
+}
