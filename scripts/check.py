@@ -19,8 +19,14 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(df):
-    """DataFrame -> (sorted col names, sorted per-column value lists)."""
+def canon(df, sort_rows=True):
+    """DataFrame -> (sorted col names, per-column value lists).
+
+    sort_rows=True sorts values within each column independently (the
+    order-insensitive driver assumption); with the Verify-side canonical
+    ORDER BY in place, order-sensitive comparison (sort_rows=False) must
+    pass too — we check the stricter one.
+    """
     cols = sorted(df.columns)
     out = {}
     for c in cols:
@@ -29,7 +35,8 @@ def canon(df):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 return (0, "")
             return (1, str(v))
-        out[c] = sorted((key(v) for v in vals))
+        keyed = [key(v) for v in vals]
+        out[c] = sorted(keyed) if sort_rows else keyed
     return cols, out
 
 
@@ -55,8 +62,10 @@ def main():
             got = con.execute(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
             want = con.execute(sql).df()
-            gc, gv = canon(got)
-            wc, wv = canon(want)
+            # order-sensitive when the oracle carries the canonical ORDER BY
+            ordered = "graft_ord" in sql
+            gc, gv = canon(got, sort_rows=not ordered)
+            wc, wv = canon(want, sort_rows=not ordered)
             if gc != wc:
                 print(f"FAIL {name}: columns {gc} != {wc}")
                 n_fail += 1

@@ -9,10 +9,18 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = EngineSession.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // Canonical row order on BOTH sides (sorted column names, NULLS FIRST):
+    // makes the dump robust to order-sensitive comparison — group-by output
+    // order is engine-specific otherwise.
+    import org.apache.spark.sql.functions.col
+    val columnsByQuery = scala.collection.mutable.Map.empty[String, Seq[String]]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        columnsByQuery(name) = df.columns.toSeq
+        val sorted = df.orderBy(df.columns.sorted.map(c => col(c).asc_nulls_first): _*)
+        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -28,8 +36,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Wrap each oracle in the same canonical ORDER BY (quoted, sorted
+    // column names, NULLS FIRST — DuckDB's default is NULLS LAST).
+    def wrapped(name: String, sql: String): String =
+      columnsByQuery.get(name) match {
+        case Some(cols) =>
+          val order = cols.sorted
+            .map(c => "\"" + c + "\" ASC NULLS FIRST").mkString(", ")
+          s"SELECT * FROM ($sql) graft_ord ORDER BY $order"
+        case None => sql
+      }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(wrapped(k, v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
