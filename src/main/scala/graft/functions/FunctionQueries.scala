@@ -247,7 +247,44 @@ object FunctionQueries {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Collection functions — list/struct/map surface with scalar outputs
+    * (reference `src/core_functions/scalar/list/`, `struct/`, `map/`:
+    * list_sort, list_transform/list_filter lambdas, flatten,
+    * struct_extract, map_keys). */
+  def fnCollection(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").filter(col("doc_id") < 100)
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n"),
+        concat_ws("|", slice(col("w"), 1, 3)).as("first3"),
+        element_at(array_sort(col("w")), 1).as("smallest"),
+        size(flatten(array(col("w"), col("w")))).cast("long").as("n2"),
+        array_contains(col("w"), "spark").as("has_spark"),
+        array_max(transform(col("w"), x => length(x))).cast("long").as("max_len"),
+        size(filter(col("w"), x => length(x) > 4)).cast("long").as("n_long"),
+        element_at(map(lit("a"), lit(1), lit("b"), lit(2)), lit("a")).as("ma"),
+        size(map_keys(map(lit("a"), lit(1), lit("b"), lit(2)))).cast("long").as("n_keys"),
+        struct(col("doc_id").as("id"), col("n_chars").as("nc"))
+          .getField("nc").as("st_chars"))
+
+  val fnCollectionSql: String =
+    """SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n,
+      |  array_to_string(w[1:3], '|') AS first3,
+      |  list_sort(w)[1] AS smallest,
+      |  CAST(len(flatten([w, w])) AS BIGINT) AS n2,
+      |  list_contains(w, 'spark') AS has_spark,
+      |  CAST(list_max(list_transform(w, x -> length(x))) AS BIGINT) AS max_len,
+      |  CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long,
+      |  CAST(map(['a','b'],[1,2])['a'][1] AS INTEGER) AS ma,
+      |  CAST(len(map_keys(map(['a','b'],[1,2]))) AS BIGINT) AS n_keys,
+      |  struct_pack(id := doc_id, nc := n_chars).nc AS st_chars
+      |FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
+      |WHERE doc_id < 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_collection" -> (fnCollection _),
     "fn_string" -> (fnString _),
     "fn_math" -> (fnMath _),
     "fn_date" -> (fnDate _),
@@ -261,6 +298,7 @@ object FunctionQueries {
     "agg_entropy" -> (aggEntropy _))
 
   val oracle: Map[String, String] = Map(
+    "fn_collection" -> fnCollectionSql,
     "fn_string" -> fnStringSql,
     "fn_math" -> fnMathSql,
     "fn_date" -> fnDateSql,
