@@ -39,6 +39,17 @@ object GraftAggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** product() — multiplicative aggregate (reference
+    * `distributive/product.cpp`); exact for integral doubles. */
+  class ProductAggregator extends Aggregator[Double, Double, Double] {
+    override def zero: Double = 1.0
+    override def reduce(b: Double, v: Double): Double = b * v
+    override def merge(a: Double, b: Double): Double = a * b
+    override def finish(b: Double): Double = b
+    override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Value histogram as a sorted (value, count) association — the map-typed
     * sibling of the relational `GROUP BY value` phrasing. */
   class HistogramAggregator extends Aggregator[String, Map[String, Long], Map[String, Long]] {

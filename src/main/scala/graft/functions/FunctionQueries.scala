@@ -28,7 +28,10 @@ object FunctionQueries {
         instr(col("c_name"), "#").cast("long").as("pos"),
         element_at(split(col("c_name"), "#"), 2).as("part2"),
         col("c_name").startsWith("Customer").as("sw"),
-        col("c_name").endsWith("5").as("ew"))
+        col("c_name").endsWith("5").as("ew"),
+        format_string("%d-%s", col("c_custkey"), col("c_mktsegment")).as("fmt"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+        ascii(col("c_name")).as("cp"))
 
   val fnStringSql: String =
     """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
@@ -40,7 +43,10 @@ object FunctionQueries {
       |  CAST(strpos(c_name, '#') AS BIGINT) AS pos,
       |  split_part(c_name, '#', 2) AS part2,
       |  starts_with(c_name, 'Customer') AS sw,
-      |  ends_with(c_name, '5') AS ew
+      |  ends_with(c_name, '5') AS ew,
+      |  printf('%d-%s', c_custkey, c_mktsegment) AS fmt,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+      |  CAST(unicode(c_name) AS INTEGER) AS cp
       |FROM customer WHERE c_custkey < 50""".stripMargin
 
   /** Math functions (reference `src/core_functions/scalar/math/numeric.cpp`).
@@ -59,7 +65,12 @@ object FunctionQueries {
         signum(col("l_discount") - 0.05).cast("int").as("sg"),
         (col("l_orderkey") % 97).as("md"),
         greatest(col("l_quantity"), lit(30.0)).as("gr"),
-        least(col("l_tax"), col("l_discount")).as("le"))
+        least(col("l_tax"), col("l_discount")).as("le"),
+        col("l_orderkey").bitwiseAND(255).as("band"),
+        col("l_orderkey").bitwiseOR(16).as("bor"),
+        col("l_orderkey").bitwiseXOR(col("l_linenumber")).as("bxor"),
+        shiftleft(col("l_linenumber"), 3).cast("long").as("shl"),
+        shiftright(col("l_orderkey"), 2).as("shr"))
 
   val fnMathSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -73,7 +84,12 @@ object FunctionQueries {
       |  CAST(sign(l_discount - 0.05) AS INTEGER) AS sg,
       |  l_orderkey % 97 AS md,
       |  greatest(l_quantity, 30.0) AS gr,
-      |  least(l_tax, l_discount) AS le
+      |  least(l_tax, l_discount) AS le,
+      |  l_orderkey & 255 AS band,
+      |  l_orderkey | 16 AS bor,
+      |  xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS bxor,
+      |  CAST(l_linenumber << 3 AS BIGINT) AS shl,
+      |  l_orderkey >> 2 AS shr
       |FROM lineitem WHERE l_orderkey < 200""".stripMargin
 
   /** Date/time functions (reference `src/core_functions/scalar/date/`). */
@@ -186,10 +202,14 @@ object FunctionQueries {
       .select(
         col("c_custkey"),
         md5(col("c_name").cast("binary")).as("m"),
-        sha2(col("c_name").cast("binary"), 256).as("s256"))
+        sha2(col("c_name").cast("binary"), 256).as("s256"),
+        base64(col("c_name").cast("binary")).as("b64"),
+        upper(hex(col("c_name").cast("binary"))).as("hx"))
 
   val fnHashSql: String =
-    """SELECT c_custkey, md5(c_name) AS m, sha256(c_name) AS s256
+    """SELECT c_custkey, md5(c_name) AS m, sha256(c_name) AS s256,
+      |  to_base64(encode(c_name)) AS b64,
+      |  upper(hex(c_name)) AS hx
       |FROM customer WHERE c_custkey < 100""".stripMargin
 
   /** String-similarity metrics — built-in levenshtein + the custom

