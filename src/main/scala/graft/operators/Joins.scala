@@ -172,6 +172,17 @@ object Joins {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
+  /** Inner AS-OF: like joinAsof but clicks with no prior purchase drop out
+    * (reference `physical_asof_join.cpp` supports both inner and outer). */
+  def joinAsofInner(s: SparkSession, dir: String): DataFrame =
+    joinAsof(s, dir).filter(col("purchase_ts").isNotNull)
+
+  val joinAsofInnerSql: String =
+    """SELECT c.event_id, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
   /** IEJoin-shaped 2-predicate inequality self-join (reference
     * `physical_iejoin.cpp`). Spark plans a broadcast nested-loop; output is
     * aggregated so only the count crosses operator boundaries. */
@@ -220,6 +231,7 @@ object Joins {
     "join_single" -> (joinSingle _),
     "join_cross" -> (joinCross _),
     "join_asof" -> (joinAsof _),
+    "join_asof_inner" -> (joinAsofInner _),
     "join_range" -> (joinRange _),
     "join_positional" -> (joinPositional _))
 
@@ -233,6 +245,7 @@ object Joins {
     "join_single" -> joinSingleSql,
     "join_cross" -> joinCrossSql,
     "join_asof" -> joinAsofSql,
+    "join_asof_inner" -> joinAsofInnerSql,
     "join_range" -> joinRangeSql,
     "join_positional" -> joinPositionalSql)
 }

@@ -89,6 +89,25 @@ class CompactSpec extends SparkSpec {
   }
 }
 
+class AdaptiveCompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("closed loop: every episode sets the advisory size and records cost") {
+    val ac = new AdaptiveCompact(spark)
+    val target = ac.tune(n = 4) { s =>
+      graft.Tables.t(s, sf(), "lineitem")
+        .filter($"l_quantity" > 45)
+        .groupBy($"l_returnflag").count().collect()
+    }
+    assert(ac.history.size == 4)
+    assert(ac.history.forall(_.seconds > 0))
+    // the settled target is one of the arms and is applied to the session
+    assert(ac.tuner.arms.contains(target))
+    assert(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      == target.toString)
+  }
+}
+
 class SplitPipelineRuleSpec extends SparkSpec {
 
   test("rule inserts a shuffle between chained joins when enabled") {
