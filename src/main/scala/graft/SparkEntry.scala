@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.CoreQueries.queries ++
       operators.Joins.queries ++
+      operators.ScaleJoins.queries ++
       operators.Aggregates.queries ++
       operators.Windows.queries ++
       operators.SetOps.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.CoreQueries.oracle ++
       operators.Joins.oracle ++
+      operators.ScaleJoins.oracle ++
       operators.Aggregates.oracle ++
       operators.Windows.oracle ++
       operators.SetOps.oracle ++
