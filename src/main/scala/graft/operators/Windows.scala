@@ -148,7 +148,40 @@ object Windows {
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
 
+  /** Batch sessionization via windows: lag-gap detection + running session
+    * counter — the window-function formulation of the streaming
+    * sessionizer (graft.streaming.StreamingOps.sessionize), 30-minute
+    * inactivity gap. */
+  def winSession(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "events")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("session_id",
+        sum(when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1)
+          .otherwise(0)).over(run).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+  }
+
+  val winSessionSql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS start_ts, max(ts) AS end_ts
+      |FROM (
+      |  SELECT user_id, ts,
+      |    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |    FROM events) g) s
+      |GROUP BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_session" -> (winSession _),
     "win_rank" -> (winRank _),
     "win_running" -> (winRunning _),
     "win_leadlag" -> (winLeadLag _),
@@ -157,6 +190,7 @@ object Windows {
     "win_firstlast" -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_session" -> winSessionSql,
     "win_rank" -> winRankSql,
     "win_running" -> winRunningSql,
     "win_leadlag" -> winLeadLagSql,
