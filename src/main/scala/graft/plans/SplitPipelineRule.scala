@@ -38,6 +38,8 @@ case class SplitPipelineRule() extends Rule[LogicalPlan] with Logging {
   * GraftExtensions)` or config
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SplitPipelineRule())
+    e.injectPlannerStrategy(s => GraftIEJoinStrategy(s))
+  }
 }
