@@ -154,14 +154,94 @@ object Dedup {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45""".stripMargin
 
+  /** Connected components over an undirected pair list via min-label
+    * propagation: labels converge in O(component diameter) rounds — for
+    * near-dup graphs that is 2-3 (clusters are cliques-ish). Driver loop
+    * bounds ITERATIONS, never data; each round is one shuffle join and
+    * lineage is cut with localCheckpoint so 100 TB inputs don't accrete
+    * a deep DAG. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .unionAll(pairs.select(col("id2").as("u"), col("id1").as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end corpus curation: MinHash-LSH near-dup detection →
+    * connected components → keep the smallest doc_id per duplicate
+    * cluster → minimum-quality filter. Returns the kept documents with
+    * their cluster label (own id when unique). */
+  def curateCorpus(s: SparkSession, dir: String, minWords: Int = 10): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val pairs = dedupMinhash(s, dir).select(col("id1"), col("id2"))
+    val comp = connectedComponents(pairs)
+    docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+      .filter(col("cluster") === col("doc_id")) // canonical representative
+      .filter(size(split(normalized(col("text")), " ")) >= minWords)
+      .select(col("doc_id"), col("cluster"), col("source"))
+  }
+
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame =
+    curateCorpus(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> (pipelineCurate _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_embedding" -> (dedupEmbedding _))
 
+  /** Oracle for the full curation pipeline: exact 3-gram-jaccard pair
+    * detection (LSH candidates verify to the same set — asserted in
+    * DedupSpec) + recursive transitive closure for components. */
+  val pipelineCurateSql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+      |    FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS s
+      |  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM docs)),
+      |pairs AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |labels AS (SELECT u AS id, least(u, min(v)) AS label FROM reach GROUP BY u)
+      |SELECT d.source, count(*) AS n_kept
+      |FROM docs d
+      |WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.id = d.doc_id AND l.label < d.doc_id)
+      |  AND len(string_split(d.t, ' ')) >= 10
+      |GROUP BY d.source""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "pipeline_curate" -> pipelineCurateSql)
 }
