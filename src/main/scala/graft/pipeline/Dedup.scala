@@ -240,8 +240,27 @@ object Dedup {
       |  AND len(string_split(d.t, ' ')) >= 10
       |GROUP BY d.source""".stripMargin
 
+  /** Exact n-gram jaccard pairs — same shingle construction as the Spark
+    * side, all-pairs in SQL (fine at oracle scale; Spark blocks on shared
+    * shingles instead of enumerating pairs). */
+  val dedupNgramSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+      |    FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS s
+      |  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM docs))
+      |SELECT id1, id2, round(j, 6) AS jaccard FROM (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+      |WHERE j >= 0.6""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_ngram" -> dedupNgramSql,
     "pipeline_curate" -> pipelineCurateSql)
 }

@@ -105,8 +105,28 @@ object TextAnalysis {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _))
 
+  /** The same stopword-hit argmax (ties → lexicographically larger lang)
+    * phrased in the oracle dialect: sorted (score, lang) struct list,
+    * last element. */
+  val textLangidSql: String = {
+    val structs = langProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      val set = stops.map(w => s"'$w'").mkString("[", ",", "]")
+      s"struct_pack(s := len(list_filter(ws, x -> list_contains($set, x))), l := '$lang')"
+    }.mkString(",\n    ")
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents)
+       |SELECT doc_id, lang AS labeled,
+       |  list_sort([
+       |    $structs
+       |  ])[-1].l AS predicted
+       |FROM w""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_tokens" -> textTokensSql,
+    "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql)
 }
