@@ -70,7 +70,9 @@ object FunctionQueries {
         col("l_orderkey").bitwiseOR(16).as("bor"),
         col("l_orderkey").bitwiseXOR(col("l_linenumber")).as("bxor"),
         shiftleft(col("l_linenumber"), 3).cast("long").as("shl"),
-        shiftright(col("l_orderkey"), 2).as("shr"))
+        shiftright(col("l_orderkey"), 2).as("shr"),
+        G.gcd(col("l_orderkey"), col("l_linenumber").cast("long") * 6).as("g"),
+        G.lcm(col("l_linenumber").cast("long"), lit(4L)).as("lc"))
 
   val fnMathSql: String =
     """SELECT l_orderkey, l_linenumber,
@@ -89,7 +91,9 @@ object FunctionQueries {
       |  l_orderkey | 16 AS bor,
       |  xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS bxor,
       |  CAST(l_linenumber << 3 AS BIGINT) AS shl,
-      |  l_orderkey >> 2 AS shr
+      |  l_orderkey >> 2 AS shr,
+      |  gcd(l_orderkey, CAST(l_linenumber AS BIGINT) * 6) AS g,
+      |  lcm(CAST(l_linenumber AS BIGINT), 4) AS lc
       |FROM lineitem WHERE l_orderkey < 200""".stripMargin
 
   /** Date/time functions (reference `src/core_functions/scalar/date/`). */

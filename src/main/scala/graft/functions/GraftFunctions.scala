@@ -26,6 +26,10 @@ object GraftFunctions {
   def damerau_levenshtein(a: Column, b: Column): Column = col2(DamerauLevenshtein)(a, b)
   def hamming(a: Column, b: Column): Column = col2(HammingDistance)(a, b)
 
+  // ---- integer math ----
+  def gcd(a: Column, b: Column): Column = col2(Gcd)(a, b)
+  def lcm(a: Column, b: Column): Column = col2(Lcm)(a, b)
+
   // ---- time ----
   def time_bucket(width: String, ts: Column): Column =
     TimeFunctions.timeBucket(width, ts)
@@ -53,5 +57,9 @@ object GraftFunctions {
       es => DamerauLevenshtein(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("hamming",
       es => HammingDistance(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("gcd",
+      es => Gcd(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("lcm",
+      es => Lcm(es.head, es(1)), "built-in")
   }
 }

@@ -56,4 +56,12 @@ class StringSimilaritySpec extends SparkSpec {
     val r = spark.sql("SELECT jaccard('duck', 'luck') AS j").head.getDouble(0)
     assert(r == 0.6)
   }
+
+  test("gcd/lcm: codegen matches reference semantics") {
+    assert(one(G.gcd(lit(-4L), lit(6L))) == 2L)
+    assert(one(G.gcd(lit(0L), lit(7L))) == 7L)
+    assert(one(G.lcm(lit(4L), lit(6L))) == 12L)
+    assert(one(G.lcm(lit(0L), lit(6L))) == 0L)
+    assert(one(G.lcm(lit(-4L), lit(6L))) == 12L)
+  }
 }
