@@ -223,7 +223,7 @@ object FunctionQueries {
       .select(
         col("c_custkey"),
         levenshtein(col("c_name"), lit("Customer#000000100")).cast("long").as("lev"),
-        round(G.jaccard(col("c_name"), lit("Customer#000000100")), 6).as("jac"),
+        G.jaccard(col("c_name"), lit("Customer#000000100")).as("jac"),
         round(G.jaro_winkler_similarity(col("c_name"), lit("Customer#000000100")), 6).as("jw"),
         G.damerau_levenshtein(col("c_mktsegment"), lit("MACHINES")).as("dl"),
         G.hamming(substring(col("c_name"), 1, 8), lit("Customer")).as("ham"))
@@ -231,7 +231,7 @@ object FunctionQueries {
   val fnStrsimSql: String =
     """SELECT c_custkey,
       |  levenshtein(c_name, 'Customer#000000100') AS lev,
-      |  round(jaccard(c_name, 'Customer#000000100'), 6) AS jac,
+      |  jaccard(c_name, 'Customer#000000100') AS jac,
       |  round(jaro_winkler_similarity(c_name, 'Customer#000000100'), 6) AS jw,
       |  damerau_levenshtein(c_mktsegment, 'MACHINES') AS dl,
       |  hamming(substr(c_name, 1, 8), 'Customer') AS ham

@@ -93,7 +93,8 @@ object Aggregates {
       round(var_samp(col("l_quantity")), 6).as("var_qty"),
       round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
       round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covar_qd"),
-      round(avg(col("l_quantity")), 6).as("avg_qty"),
+      // integral sum / count: bit-identical division in both engines
+      avg(col("l_quantity")).as("avg_qty"),
       // Spark's skewness/kurtosis are population moments; the reference
       // reports bias-corrected sample statistics — convert (verified
       // identical to 1e-9 against the oracle engine).
@@ -111,7 +112,7 @@ object Aggregates {
       |  round(var_samp(l_quantity), 6) AS var_qty,
       |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
       |  round(covar_pop(l_quantity, l_discount), 6) AS covar_qd,
-      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  avg(l_quantity) AS avg_qty,
       |  round(skewness(l_quantity), 6) AS skew_s,
       |  round(kurtosis(l_quantity), 6) AS kurt_s
       |FROM lineitem GROUP BY l_returnflag""".stripMargin

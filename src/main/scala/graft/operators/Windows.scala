@@ -115,15 +115,18 @@ object Windows {
     Tables.t(s, dir, "customer")
       .select(col("c_nationkey"), col("c_custkey"),
         ntile(4).over(byKey).as("quartile"),
-        round(percent_rank().over(byBal), 6).as("pr"),
-        round(cume_dist().over(byBal), 6).as("cd"))
+        // pr/cd are exact integer ratios (k/n) — both engines produce the
+        // same IEEE double; rounding would INTRODUCE half-boundary
+        // divergence (hit at sf0.1: 333/640 = 0.5203125).
+        percent_rank().over(byBal).as("pr"),
+        cume_dist().over(byBal).as("cd"))
   }
 
   val winDistSql: String =
     """SELECT c_nationkey, c_custkey,
       |  ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS quartile,
-      |  round(percent_rank() OVER wb, 6) AS pr,
-      |  round(cume_dist() OVER wb, 6) AS cd
+      |  percent_rank() OVER wb AS pr,
+      |  cume_dist() OVER wb AS cd
       |FROM customer
       |WINDOW wb AS (PARTITION BY c_nationkey ORDER BY c_acctbal)""".stripMargin
 

@@ -73,14 +73,17 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs (verification stage): join
-    * through the shingle sets, never materializing full cross products. */
+    * through the shingle sets, never materializing full cross products.
+    * The candidate set is orders of magnitude smaller than the corpus
+    * (that is LSH's job), so it rides as the broadcast side — the shingle
+    * table is never shuffled during verification. */
   def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = pairs
+    val common = broadcast(pairs)
       .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
-    common
+    broadcast(common)
       .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
       .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
       .select(col("id1"), col("id2"),
@@ -99,7 +102,7 @@ object Dedup {
     val cand = lshCandidates(sig, numHashes = 32, bands = 8)
     verifyJaccard(cand, sh)
       .filter(col("jaccard") >= 0.5)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** 64-bit SimHash per document from word-frequency-weighted hashes. */
@@ -133,7 +136,7 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
     verifyJaccard(cand, sh)
       .filter(col("jaccard") >= 0.6)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** Embedding-cosine near-dup, exact all-pairs (oracle-checkable; the
@@ -251,7 +254,7 @@ object Dedup {
       |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
       |    FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS s
       |  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM docs))
-      |SELECT id1, id2, round(j, 6) AS jaccard FROM (
+      |SELECT id1, id2, j AS jaccard FROM (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |      / len(list_distinct(list_concat(a.s, b.s))) AS j

@@ -22,14 +22,16 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars"),
       size(words(col("text"))).cast("long").as("n_words"),
       size(array_distinct(words(col("text")))).cast("long").as("n_distinct"),
-      round(expr("aggregate(transform(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), w -> length(w)), 0, (acc, x) -> acc + x)")
-        .cast("double") / size(words(col("text"))), 6).as("avg_word_len"),
-      round(size(array_intersect(words(col("text")),
+      // exact integer ratios: identical IEEE division in both engines —
+      // no rounding (which would create half-boundary divergence)
+      (expr("aggregate(transform(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), w -> length(w)), 0, (acc, x) -> acc + x)")
+        .cast("double") / size(words(col("text")))).as("avg_word_len"),
+      (size(array_intersect(words(col("text")),
         lit(stop.toArray))).cast("double") /
-        size(array_distinct(words(col("text")))), 6).as("stop_distinct_ratio"),
-      round(size(filter(words(col("text")),
+        size(array_distinct(words(col("text"))))).as("stop_distinct_ratio"),
+      (size(filter(words(col("text")),
         w => w.isin(stop.map(lit(_)): _*))).cast("double") /
-        size(words(col("text"))), 6).as("stop_ratio"))
+        size(words(col("text")))).as("stop_ratio"))
   }
 
   val textStatsSql: String =
@@ -37,14 +39,14 @@ object TextAnalysis {
       |  CAST(length(text) AS BIGINT) AS n_chars,
       |  CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_words,
       |  CAST(len(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS n_distinct,
-      |  round(CAST(list_aggregate(list_transform(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), w -> length(w)), 'sum') AS DOUBLE)
-      |    / len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')), 6) AS avg_word_len,
-      |  round(CAST(len(list_intersect(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')),
+      |  CAST(list_aggregate(list_transform(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), w -> length(w)), 'sum') AS DOUBLE)
+      |    / len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS avg_word_len,
+      |  CAST(len(list_intersect(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')),
       |    ['the','a','of','and','to','in','is'])) AS DOUBLE)
-      |    / len(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), 6) AS stop_distinct_ratio,
-      |  round(CAST(len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |    / len(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS stop_distinct_ratio,
+      |  CAST(len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
       |    w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
-      |    / len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')), 6) AS stop_ratio
+      |    / len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS stop_ratio
       |FROM documents""".stripMargin
 
   /** BPE-ish regex token count + whitespace token count (oracle-checked). */
