@@ -72,6 +72,28 @@ class JoinEdgeSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reservoir returns exactly k distinct rows, deterministic per seed") {
+    val df = graft.Tables.t(spark, sf(), "lineitem")
+    val s1 = Sampling.reservoir(df, 100).collect()
+    val s2 = Sampling.reservoir(df, 100).collect()
+    assert(s1.length == 100)
+    assert(s1.map(_.toSeq).toSet == s2.map(_.toSeq).toSet) // same seed → same sample
+    val s3 = Sampling.reservoir(df, 100, seed = 7L).collect()
+    assert(s1.map(_.toSeq).toSet != s3.map(_.toSeq).toSet)
+    // plans as top-k, not a global sort
+    val plan = Sampling.reservoir(df, 100).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("k larger than the frame returns everything") {
+    val tiny = graft.Tables.t(spark, sf(), "region")
+    assert(Sampling.reservoir(tiny, 100).count() == tiny.count())
+  }
+}
+
 /** Window frame edges: ROWS vs RANGE × preceding/following bounds
   * (reference `window_expression.hpp:16-27`). */
 class WindowEdgeSpec extends SparkSpec {
