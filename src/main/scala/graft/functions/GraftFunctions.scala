@@ -26,6 +26,9 @@ object GraftFunctions {
   def damerau_levenshtein(a: Column, b: Column): Column = col2(DamerauLevenshtein)(a, b)
   def hamming(a: Column, b: Column): Column = col2(HammingDistance)(a, b)
 
+  def rolling_hash(c: Column): Column =
+    Bridge.column(RollingHash(Bridge.expression(c)))
+
   // ---- integer math ----
   def gcd(a: Column, b: Column): Column = col2(Gcd)(a, b)
   def lcm(a: Column, b: Column): Column = col2(Lcm)(a, b)

@@ -95,6 +95,17 @@ object TextAnalysis {
       md5(concat_ws(" ",
         array_sort(array_distinct(words(col("text"))))).cast("binary")).as("fp"))
 
+  /** Rolling-hash (Rabin-Karp) fingerprints: content hash of the raw text
+    * plus the normalized form (rows-only — wrapping 64-bit arithmetic is
+    * engine-internal by design). */
+  def textFingerprintRolling(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GraftFunctions => G}
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      G.rolling_hash(col("text")).as("rh_raw"),
+      G.rolling_hash(Dedup.normalized(col("text"))).as("rh_norm"))
+  }
+
   val textFingerprintSql: String =
     """SELECT doc_id,
       |  md5(array_to_string(list_sort(list_distinct(
@@ -105,7 +116,8 @@ object TextAnalysis {
     "text_stats" -> (textStats _),
     "text_tokens" -> (textTokens _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_fingerprint_rolling" -> (textFingerprintRolling _))
 
   /** The same stopword-hit argmax (ties → lexicographically larger lang)
     * phrased in the oracle dialect: sorted (score, lang) struct list,

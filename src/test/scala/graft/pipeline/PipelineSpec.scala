@@ -97,6 +97,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == "es" && got(2L) == "en" && got(3L) == "de")
   }
 
+  test("rolling hash: content-sensitive, equals scalar reference impl") {
+    import graft.functions.{GraftFunctions => G}
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "abc")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", G.rolling_hash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xff))
+    assert(got(1L) == ref("abc") && got(2L) == ref("abd"))
+    assert(got(1L) == got(3L) && got(1L) != got(2L))
+  }
+
   test("fingerprint is order-invariant and content-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"), (2L, "gamma alpha beta"), (3L, "alpha beta delta"))
