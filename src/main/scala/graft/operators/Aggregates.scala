@@ -182,6 +182,30 @@ object Aggregates {
       |  quantile_cont(l_quantity, 0.99) AS p99
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Discrete quantiles (reference `holistic/quantile.cpp` quantile_disc):
+    * the element at index ceil(n·p) — no interpolation, so cross-engine
+    * equality is integer-exact. p values are binary-exact (0.25/0.5/0.75)
+    * so ceil(n·p) computes identically in IEEE arithmetic. */
+  def aggQuantileDisc(s: SparkSession, dir: String): DataFrame = {
+    val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val all = Window.partitionBy(col("l_returnflag"))
+    Tables.t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(byQty))
+      .withColumn("n", count(lit(1)).over(all))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.25), col("l_quantity"))).as("qd25"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("l_quantity"))).as("qd50"),
+        max(when(col("rn") === ceil(col("n") * 0.75), col("l_quantity"))).as("qd75"))
+  }
+
+  val aggQuantileDiscSql: String =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_quantity, 0.25) AS qd25,
+      |  quantile_disc(l_quantity, 0.5) AS qd50,
+      |  quantile_disc(l_quantity, 0.75) AS qd75
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** mode() (reference `holistic/mode.cpp`) phrased deterministically on
     * both sides: highest count, ties broken by value. */
   def aggMode(s: SparkSession, dir: String): DataFrame = {
@@ -285,7 +309,8 @@ object Aggregates {
     "agg_histogram" -> (aggHistogram _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_regr" -> (aggRegr _),
-    "agg_product" -> (aggProduct _))
+    "agg_product" -> (aggProduct _),
+    "agg_quantile_disc" -> (aggQuantileDisc _))
 
   val oracle: Map[String, String] = Map(
     "agg_global" -> aggGlobalSql,
@@ -302,5 +327,6 @@ object Aggregates {
     "agg_counts" -> aggCountsSql,
     "agg_histogram" -> aggHistogramSql,
     "agg_regr" -> aggRegrSql,
-    "agg_product" -> aggProductSql)
+    "agg_product" -> aggProductSql,
+    "agg_quantile_disc" -> aggQuantileDiscSql)
 }
