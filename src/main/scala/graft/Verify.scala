@@ -18,7 +18,8 @@ object Verify {
       try {
         val df = fn(spark, sfDir)
         columnsByQuery(name) = df.columns.toSeq
-        val sorted = df.orderBy(df.columns.sorted.map(c => col(c).asc_nulls_first): _*)
+        val sorted = df.orderBy(
+          df.columns.sorted.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
         sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
