@@ -200,6 +200,36 @@ object Joins {
       |FROM supplier s1 JOIN supplier s2
       |  ON s1.s_acctbal < s2.s_acctbal AND s1.s_nationkey > s2.s_nationkey""".stripMargin
 
+  /** Equi-join NULL semantics in the gate: synthesized null keys never
+    * match under `=`, always pair under IS NOT DISTINCT FROM (Spark
+    * `<=>` ≡ Catalyst EqualNullSafe, reference INTERSECT planning
+    * `plan_set_operation.cpp:24-44` uses the same NOT DISTINCT compare). */
+  def joinNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders")
+      .select(nullif(col("o_custkey") % 13, lit(0)).as("k"))
+    val c = Tables.t(s, dir, "customer")
+      .select(nullif(col("c_custkey") % 13, lit(0)).as("k2"))
+    o.join(c, col("k") === col("k2"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("k2")).as("n_matched"),
+        count(when(col("k").isNull, 1)).as("n_null_left")).crossJoin(
+        o.join(c, col("k") <=> col("k2"))
+          .agg(count(lit(1)).as("n_nullsafe")))
+  }
+
+  val joinNullSemanticsSql: String =
+    """SELECT eq.n_rows, eq.n_matched, eq.n_null_left, ns.n_nullsafe FROM
+      |(SELECT count(*) AS n_rows, count(k2) AS n_matched,
+      |   count(CASE WHEN k IS NULL THEN 1 END) AS n_null_left
+      | FROM (SELECT nullif(o_custkey % 13, 0) AS k FROM orders) o
+      | LEFT JOIN (SELECT nullif(c_custkey % 13, 0) AS k2 FROM customer) c
+      |   ON o.k = c.k2) eq,
+      |(SELECT count(*) AS n_nullsafe
+      | FROM (SELECT nullif(o_custkey % 13, 0) AS k FROM orders) o
+      | JOIN (SELECT nullif(c_custkey % 13, 0) AS k2 FROM customer) c
+      |   ON o.k IS NOT DISTINCT FROM c.k2) ns""".stripMargin
+
   /** Positional join (reference `physical_positional_join.cpp`): align rows
     * of two relations by computed position (row_number over a total order —
     * the distribution-safe phrasing of zipWithIndex). */
@@ -230,6 +260,7 @@ object Joins {
     "join_mark" -> (joinMark _),
     "join_single" -> (joinSingle _),
     "join_cross" -> (joinCross _),
+    "join_null_semantics" -> (joinNullSemantics _),
     "join_asof" -> (joinAsof _),
     "join_asof_inner" -> (joinAsofInner _),
     "join_range" -> (joinRange _),
@@ -244,6 +275,7 @@ object Joins {
     "join_mark" -> joinMarkSql,
     "join_single" -> joinSingleSql,
     "join_cross" -> joinCrossSql,
+    "join_null_semantics" -> joinNullSemanticsSql,
     "join_asof" -> joinAsofSql,
     "join_asof_inner" -> joinAsofInnerSql,
     "join_range" -> joinRangeSql,

@@ -50,12 +50,14 @@ object Windows {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val moving = w.rowsBetween(-3, 0)
+    val ahead = w.rowsBetween(Window.currentRow, 2)
     Tables.t(s, dir, "orders").filter(col("o_custkey") < 100)
       .select(col("o_custkey"), col("o_orderkey"),
         sum(dec(col("o_totalprice"))).over(running).cast("double").as("run_total"),
         count(lit(1)).over(moving).as("mov_n"),
         (sum(dec(col("o_totalprice"))).over(moving).cast("double") /
-          count(lit(1)).over(moving)).as("mov_avg"))
+          count(lit(1)).over(moving)).as("mov_avg"),
+        sum(dec(col("o_totalprice"))).over(ahead).cast("double").as("fwd_total"))
   }
 
   val winRunningSql: String =
@@ -65,7 +67,10 @@ object Windows {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
       |  count(*) OVER w3 AS mov_n,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
-      |    / count(*) OVER w3 AS mov_avg
+      |    / count(*) OVER w3 AS mov_avg,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS DOUBLE) AS fwd_total
       |FROM orders WHERE o_custkey < 100
       |WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
