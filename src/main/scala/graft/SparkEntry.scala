@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.CoreQueries.queries ++
+      operators.TpchQueries.queries ++
       operators.Joins.queries ++
       operators.ScaleJoins.queries ++
       operators.Aggregates.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.CoreQueries.oracle ++
+      operators.TpchQueries.oracle ++
       operators.Joins.oracle ++
       operators.ScaleJoins.oracle ++
       operators.Aggregates.oracle ++

@@ -150,15 +150,62 @@ object CoreQueries {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** JOB-style deep join tree — the shape of the reference's headline
+    * benchmark (reference `benchmark/imdb/19d.benchmark`, paper
+    * `README.md:43-48`): 8 relations, two selective dimension branches
+    * (part brand 4%, building-segment EU customers ~4%), tiny aggregate
+    * output. Selective probes over a deep join cascade are exactly the
+    * small-fragment generator the reference's compaction targets; the
+    * CompactionSpec measures this query's task-size histogram via
+    * ChunkMetrics with and without AQE coalescing. */
+  def jobDeepJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val part = Tables.t(s, dir, "part").filter(col("p_brand") === "Brand#7")
+    val sup = Tables.t(s, dir, "supplier")
+    val natS = Tables.t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"))
+    val ord = Tables.t(s, dir, "orders")
+    val cust = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val natC = Tables.t(s, dir, "nation")
+    val reg = Tables.t(s, dir, "region").filter(col("r_name") === "EUROPE")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natC), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderdate")).as("first_order"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val jobDeepJoinSql: String =
+    """SELECT p_brand, count(*) AS n, min(o_orderdate) AS first_order,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem, part, supplier, nation n1, orders, customer, nation n2, region
+      |WHERE l_partkey = p_partkey AND p_brand = 'Brand#7'
+      |  AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+      |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND c_mktsegment = 'BUILDING'
+      |  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_region" -> (q5Region _),
-    "q10_returned" -> (q10Returned _))
+    "q10_returned" -> (q10Returned _),
+    "job_deep_join" -> (jobDeepJoin _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing" -> q1Sql,
     "q3_shipping" -> q3Sql,
     "q5_region" -> q5Sql,
-    "q10_returned" -> q10Sql)
+    "q10_returned" -> q10Sql,
+    "job_deep_join" -> jobDeepJoinSql)
 }
