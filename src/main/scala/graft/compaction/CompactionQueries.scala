@@ -43,10 +43,29 @@ object CompactionQueries {
     Seq((before, after, rows)).toDF("partitions_before", "partitions_after", "n_rows")
   }
 
+  /** The oracle-checkable half of compactStats: the row count (compaction
+    * is a pure re-bucketing, so it must match any engine) plus the layout
+    * invariant — compaction never increases fragment count — asserted as
+    * a boolean both engines state. */
+  def compactStatsRows(s: SparkSession, dir: String): DataFrame = {
+    val selective = Tables.t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 49 && col("l_discount") > 0.08)
+    val before = selective.rdd.getNumPartitions
+    val after = Compact.bySize(selective, targetBytes = 4L << 20).rdd.getNumPartitions
+    selective.agg(count(lit(1)).as("n_rows"))
+      .withColumn("not_fragmented", lit(after <= before))
+  }
+
+  val compactStatsRowsSql: String =
+    """SELECT count(*) AS n_rows, true AS not_fragmented
+      |FROM lineitem WHERE l_quantity > 49 AND l_discount > 0.08""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compact_filter" -> (compactFilter _),
-    "compact_stats" -> (compactStats _))
+    "compact_stats" -> (compactStats _),
+    "compact_stats_rows" -> (compactStatsRows _))
 
   val oracle: Map[String, String] = Map(
-    "compact_filter" -> compactFilterSql)
+    "compact_filter" -> compactFilterSql,
+    "compact_stats_rows" -> compactStatsRowsSql)
 }

@@ -250,13 +250,26 @@ object Aggregates {
 
   /** approx_count_distinct (HLL, reference `approx_count.cpp`) +
     * approx_percentile (t-digest-style, reference
-    * `holistic/approx_quantile.cpp`). Sketches differ across engines, so
-    * this entry has no SQL oracle (rows-only). */
+    * `holistic/approx_quantile.cpp`). Raw sketch values differ across
+    * engines, so the oracle checks the sketch CONTRACT instead: each
+    * engine's own estimate must sit within the advertised error envelope
+    * of the exact answer it computes alongside — a hard cross-engine
+    * check that still exercises the sketch path end to end. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_partkey")).as("exact_parts"),
-      approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("approx_p50"))
+      (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+        .cast("double") / countDistinct(col("l_partkey")) <= 0.05)
+        .as("approx_within_5pct"),
+      (abs(approx_percentile(col("l_quantity"), lit(0.5), lit(1000)) -
+        expr("percentile(l_quantity, 0.5)")) <= 2).as("p50_within_2"))
+
+  val aggApproxDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |  CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) AS DOUBLE)
+      |    / count(DISTINCT l_partkey) <= 0.05 AS approx_within_5pct,
+      |  abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5)) <= 2 AS p50_within_2
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Linear-regression aggregates (reference
     * `src/core_functions/aggregate/regression/` regr_*.cpp files). */
@@ -326,6 +339,7 @@ object Aggregates {
     "agg_mode" -> aggModeSql,
     "agg_counts" -> aggCountsSql,
     "agg_histogram" -> aggHistogramSql,
+    "agg_approx_distinct" -> aggApproxDistinctSql,
     "agg_regr" -> aggRegrSql,
     "agg_product" -> aggProductSql,
     "agg_quantile_disc" -> aggQuantileDiscSql)

@@ -73,6 +73,23 @@ object Shaping {
       .agg(count(lit(1)).as("n_sampled"),
         min(col("l_orderkey")).as("first_key"))
 
+  /** Deterministic 10% sample: hash-mod over the row's natural key via the
+    * shared md5-derived primitive — the reproducible, oracle-checkable
+    * sibling of Bernoulli sampling (and the form a 100 TB pipeline wants
+    * anyway: stable under retries, re-partitioning, and engine swaps). */
+  def shapeSampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .filter(
+        conv(substring(md5(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))
+          .cast("binary")), 1, 15), 16, 10).cast("long") % 10 === 0)
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("l_orderkey")).as("first_key"))
+
+  val shapeSampleHashSql: String =
+    """SELECT count(*) AS n_sampled, min(l_orderkey) AS first_key
+      |FROM lineitem
+      |WHERE CAST(('0x' || substr(md5(l_orderkey || ':' || l_linenumber),1,15)) AS BIGINT) % 10 = 0""".stripMargin
+
   /** VALUES list as a relation (reference `physical_expression_scan.cpp`). */
   def shapeValues(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -124,6 +141,7 @@ object Shaping {
     "shape_topn_distinct" -> (shapeTopnDistinct _),
     "shape_limit_offset" -> (shapeLimitOffset _),
     "shape_sample" -> (shapeSample _),
+    "shape_sample_hash" -> (shapeSampleHash _),
     "shape_values" -> (shapeValues _),
     "shape_range" -> (shapeRange _),
     "shape_json" -> (shapeJson _),
@@ -134,6 +152,7 @@ object Shaping {
     "shape_pivot" -> shapePivotSql,
     "shape_topn_distinct" -> shapeTopnDistinctSql,
     "shape_limit_offset" -> shapeLimitOffsetSql,
+    "shape_sample_hash" -> shapeSampleHashSql,
     "shape_values" -> shapeValuesSql,
     "shape_range" -> shapeRangeSql,
     "shape_json" -> shapeJsonSql,

@@ -23,6 +23,22 @@ object Dedup {
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Shared 64-bit hash primitive for the sketch operators: the top 60
+    * bits of md5(seed ':' value). Chosen over xxhash64 because the exact
+    * expression is reproducible in other engines — the DuckDB oracle
+    * computes `CAST(('0x' || substr(md5(seed || ':' || v),1,15)) AS
+    * BIGINT)` over the same parquet and hash-matches — which upgrades
+    * every sketch entry (minhash/simhash/LSH) from rows-only to
+    * hard-oracle-checked. Swapping a faster engine-specific hash back in
+    * is a one-line change; the sketch math is hash-agnostic. */
+  def hash64(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(seed), lit(":"), c).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** The DuckDB spelling of [[hash64]] for oracle construction. */
+  def hash64Sql(seed: String, v: String): String =
+    s"CAST(('0x' || substr(md5($seed || ':' || $v),1,15)) AS BIGINT)"
+
   /** Exact dedup summary per source: total vs distinct normalized hashes. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
@@ -46,14 +62,24 @@ object Dedup {
             s"i -> concat_ws(' ', slice(w, i, $n)))")).as("shingle"))
       .distinct()
 
-  /** MinHash signatures: k independent hash functions simulated as
-    * xxhash64(seed_i, shingle); one shuffle (groupBy doc). */
+  /** Universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod p over
+    * a 32-bit base hash, p = 2^61−1. One md5 per shingle (not per
+    * shingle×function — 32× less hashing on the hot path) and the a·x+b
+    * arithmetic never exceeds 2^62, so it is exact, overflow-free BIGINT
+    * math that the DuckDB oracle reproduces verbatim. */
+  private[pipeline] val mhP = 2305843009213693951L // 2^61 - 1
+  private[pipeline] def mhA(i: Int): Long = ((2654435761L * (i + 1)) % 536870911L) | 1L
+  private[pipeline] def mhB(i: Int): Long = (2246822519L * (i + 1)) % 536870911L
+
+  /** MinHash signatures: k universal-hash functions over one shared
+    * md5-derived base hash; one shuffle (groupBy doc). */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.groupBy(col("doc_id"))
+    sh.withColumn("hb", hash64(0, col("shingle")) % 4294967296L)
+      .groupBy(col("doc_id"))
       .agg(
-        min(xxhash64(lit(0), col("shingle"))).as("h0"),
+        min((lit(mhA(0)) * col("hb") + lit(mhB(0))) % mhP).as("h0"),
         (1 until numHashes).map(i =>
-          min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+          min((lit(mhA(i)) * col("hb") + lit(mhB(i))) % mhP).as(s"h$i")): _*)
 
   /** LSH banding: band r consecutive minhashes into one bucket key; docs
     * sharing any band bucket become candidate pairs. */
@@ -61,7 +87,7 @@ object Dedup {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("sig"))
+        concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("sig"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
@@ -74,16 +100,17 @@ object Dedup {
 
   /** Exact n-gram Jaccard for candidate pairs (verification stage): join
     * through the shingle sets, never materializing full cross products.
-    * The candidate set is orders of magnitude smaller than the corpus
-    * (that is LSH's job), so it rides as the broadcast side — the shingle
-    * table is never shuffled during verification. */
+    * No broadcast hints: at 100 TB the LSH candidate set is 10⁸–10⁹ rows
+    * (far past any broadcast limit), so the joins shuffle on their keys;
+    * when the candidate set IS small, AQE promotes these to broadcast
+    * joins at runtime — the right plan at both scales, chosen by size. */
   def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = broadcast(pairs)
+    val common = pairs
       .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
-    broadcast(common)
+    common
       .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
       .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
       .select(col("id1"), col("id2"),
@@ -105,16 +132,18 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** 64-bit SimHash per document from word-frequency-weighted hashes. */
+  /** 60-bit SimHash per document from word-frequency-weighted hashes
+    * (60 not 64: the oracle-reproducible [[hash64]] carries 60 random
+    * bits; SimHash locality properties only need independent bits). */
   def simhashSignatures(docs: DataFrame, textCol: String): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(normalized(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("weight"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", hash64(0, col("w")))
     words
       .select(col("doc_id"), col("weight"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
+        explode(sequence(lit(0), lit(59))).as("bit"))
       .groupBy(col("doc_id"), col("bit"))
       .agg(sum(when(expr("(h >> bit) & 1") === 1, col("weight"))
         .otherwise(-col("weight"))).as("s"))
@@ -128,10 +157,21 @@ object Dedup {
 
   /** n-gram Jaccard all-verified pairs above a threshold, using shared-
     * shingle blocking (no LSH approximation — the exact-verification
-    * sibling of dedupMinhash). */
-  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    * sibling of dedupMinhash).
+    *
+    * Blocking shingles are capped at document frequency ≤ maxDf: a hot
+    * shingle shared by 1M docs would otherwise enumerate ~10¹² candidate
+    * pairs. Dropping it from BLOCKING only (verification still uses the
+    * full shingle sets, so jaccard stays exact) cannot miss a pair above
+    * a threshold t unless ALL of the pair's shared shingles are corpus-
+    * boilerplate — standard prefix-filtering reasoning (Xiao et al.,
+    * PPJoin, WWW'08). */
+  def dedupNgram(s: SparkSession, dir: String, maxDf: Int = 100): DataFrame = {
     val sh = shingles(Tables.t(s, dir, "documents"), "text", 3)
-    val cand = sh.as("a").join(sh.as("b"),
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"))
+    val blocking = sh.join(hot, Seq("shingle"), "left_anti")
+    val cand = blocking.as("a").join(blocking.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
     verifyJaccard(cand, sh)
@@ -146,6 +186,46 @@ object Dedup {
     val a = Tables.t(s, dir, "embeddings").select(col("vec_id").as("id1"), col("embedding").as("e1"))
     val b = Tables.t(s, dir, "embeddings").select(col("vec_id").as("id2"), col("embedding").as("e2"))
     a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        G.list_cosine_similarity(col("e1"), col("e2")).as("cos"))
+      .filter(col("cos") > 0.45f)
+  }
+
+  /** Banded sign-random-projection signatures per vector: `bands` buckets
+    * of `rowsPerBand` hyperplane sign bits each (the cosine analog of
+    * MinHash banding). Candidates must share at least one band bucket. */
+  def embeddingBands(s: SparkSession, vecs: DataFrame,
+      bands: Int, rowsPerBand: Int, dim: Int = 64): DataFrame = {
+    val planes = Similarity.hyperplanes(s, bands * rowsPerBand, dim)
+    vecs.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("x") * col("w")).as("dot"))
+      .withColumn("band", (col("plane") / rowsPerBand).cast("int"))
+      .withColumn("bit", (col("plane") % rowsPerBand).cast("int"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
+        .as("sig"))
+  }
+
+  /** Embedding near-dup, LSH-bucketed — the 100 TB scale path: candidate
+    * pairs come from shared band buckets (each band join touches only
+    * same-signature groups, never all-pairs), then exact codegen cosine
+    * verifies. 4 bands × 2 planes is sized for the fixture's low 0.45
+    * threshold (recall ≈ 0.9 there); production near-dup thresholds
+    * (cos ≥ 0.9) use wider bands (e.g. 8×16) to shrink buckets —
+    * recall/bucket-size is the standard banding trade, not a code change. */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GraftFunctions => G}
+    val e = Tables.t(s, dir, "embeddings")
+    val bands = embeddingBands(s, e, bands = 4, rowsPerBand = 2)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
       .select(col("id1"), col("id2"),
         G.list_cosine_similarity(col("e1"), col("e2")).as("cos"))
       .filter(col("cos") > 0.45f)
@@ -212,8 +292,9 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_ngram" -> (dedupNgram _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_ngram" -> ((s: SparkSession, dir: String) => dedupNgram(s, dir)),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _))
 
   /** Oracle for the full curation pipeline: exact 3-gram-jaccard pair
     * detection (LSH candidates verify to the same set — asserted in
@@ -261,9 +342,61 @@ object Dedup {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
       |WHERE j >= 0.6""".stripMargin
 
+  /** Full MinHash-LSH pipeline reproduced in DuckDB over the shared
+    * [[hash64]] primitive: same shingles, same 32 min-hashes, same 8-band
+    * candidate generation, same exact-jaccard verification. */
+  val dedupMinhashSql: String = {
+    val mins = (0 until 32)
+      .map(i => s"min((${mhA(i)} * hb + ${mhB(i)}) % $mhP) AS h$i").mkString(", ")
+    val bandUnion = (0 until 8)
+      .map(b => s"SELECT doc_id, $b AS band, concat_ws('|', h${4 * b}, " +
+        s"h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS sig FROM sig")
+      .mkString(" UNION ALL ")
+    raw"""WITH docs AS (
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+       |shl AS (
+       |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+       |    FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS s
+       |  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM docs)),
+       |sh AS (SELECT doc_id, ${hash64Sql("0", "unnest(s)")} % 4294967296 AS hb FROM shl),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS ($bandUnion),
+       |cand AS (
+       |  SELECT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+       |  GROUP BY ALL)
+       |SELECT c.id1, c.id2,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+       |FROM cand c JOIN shl a ON a.doc_id = c.id1 JOIN shl b ON b.doc_id = c.id2
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin
+  }
+
+  /** SimHash reproduced in DuckDB: same normalization, word weights,
+    * hash64 bits, and sign-aggregation. */
+  val dedupSimhashSql: String =
+    raw"""WITH docs AS (
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+       |words AS (
+       |  SELECT doc_id, w, count(*) AS weight
+       |  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM docs)
+       |  WHERE w <> '' GROUP BY doc_id, w),
+       |hw AS (SELECT doc_id, weight, ${hash64Sql("0", "w")} AS h FROM words),
+       |bits AS (
+       |  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN weight ELSE -weight END) AS sb
+       |  FROM hw, (SELECT unnest(range(60)) AS bit) b
+       |  GROUP BY doc_id, bit)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_ngram" -> dedupNgramSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "pipeline_curate" -> pipelineCurateSql)
 }

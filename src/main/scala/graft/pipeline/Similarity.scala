@@ -16,14 +16,18 @@ import graft.functions.{GraftFunctions => G}
 object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: plane j, dim d ←
-    * hash(seed,j,d) mapped to [-1,1). Generated distributed (spark.range —
-    * no driver materialization), broadcast to the bucket join. */
+    * hash(seed, j·dim+d) mapped to an INTEGER weight in [-512, 512).
+    * Integer weights (a valid sign-random-projection family) keep every
+    * x·w product exactly representable in a double, so the dot-product
+    * sign — hence the bucket id — is reproducible across engines and
+    * partitionings up to a ~1e-11 accumulation envelope, which is what
+    * lets the LSH entry be oracle-checked. Generated distributed
+    * (spark.range — no driver materialization), broadcast to the join. */
   def hyperplanes(s: SparkSession, numPlanes: Int, dim: Int, seed: Int = 42): DataFrame =
     s.range(numPlanes.toLong * dim).select(
       (col("id") / dim).cast("int").as("plane"),
       (col("id") % dim).cast("int").as("d"),
-      (xxhash64(lit(seed), col("id")).cast("double") / lit(Long.MaxValue.toDouble))
-        .as("w"))
+      (Dedup.hash64(seed, col("id")) % 1024 - 512).cast("double").as("w"))
 
   /** Sign-random-projection bucket id per vector: bit j = sign(v·plane_j). */
   def lshBuckets(vecs: DataFrame, planes: DataFrame, numPlanes: Int): DataFrame = {
@@ -56,7 +60,8 @@ object Similarity {
       |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
 
   /** LSH-bucketed ANN: each of the first 5 vectors probes only its own
-    * bucket (rows-only check — bucketing is engine-specific hashing). */
+    * bucket; top-5 per probe by exact codegen cosine (bit-exact float32 on
+    * both engines, so the raw cos needs no rounding). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
     val planes = hyperplanes(s, numPlanes = 8, dim = 64)
@@ -72,7 +77,32 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
           .orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rn") <= 5)
-      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .select(col("qid"), col("vec_id"), col("cos"))
+  }
+
+  /** The whole LSH pipeline reproduced in DuckDB over the shared hash64
+    * primitive: same integer hyperplanes, dots, sign-bit buckets, probes,
+    * and exact float32 cosine. */
+  val annLshSql: String = {
+    val h = Dedup.hash64Sql("42", "(p.plane*64+d.d)")
+    s"""WITH planes AS (
+       |  SELECT p.plane, d.d, CAST(($h % 1024) - 512 AS DOUBLE) AS w
+       |  FROM (SELECT unnest(range(8)) AS plane) p, (SELECT unnest(range(64)) AS d) d),
+       |dots AS (
+       |  SELECT e.vec_id, pl.plane, sum(e.embedding[pl.d+1] * pl.w) AS dot
+       |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.plane),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
+       |probes AS (SELECT vec_id AS qid, embedding AS q, bucket FROM wb WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT p.qid, w.vec_id, list_cosine_similarity(w.embedding, p.q) AS cos,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY list_cosine_similarity(w.embedding, p.q) DESC, w.vec_id) AS rn
+       |  FROM wb w JOIN probes p USING (bucket) WHERE w.vec_id <> p.qid)
+       |SELECT qid, vec_id, cos FROM scored WHERE rn <= 5""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -80,5 +110,6 @@ object Similarity {
     "ann_lsh" -> (annLsh _))
 
   val oracle: Map[String, String] = Map(
-    "ann_topk" -> annTopkSql)
+    "ann_topk" -> annTopkSql,
+    "ann_lsh" -> annLshSql)
 }

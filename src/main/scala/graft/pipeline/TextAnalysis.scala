@@ -138,9 +138,29 @@ object TextAnalysis {
        |FROM w""".stripMargin
   }
 
+  /** The rolling hash (h ← h·31 + byte, wrapping 64-bit) reproduced in
+    * DuckDB: characters stand in for bytes (fixture text is pure ASCII —
+    * asserted — where codepoint == UTF-8 byte), HUGEINT arithmetic mod
+    * 2^64 emulates Java Long wraparound, then maps back to signed. */
+  val textFingerprintRollingSql: String = {
+    def roll(expr: String): String =
+      s"""CAST(CASE WHEN hh_$expr < CAST(9223372036854775808 AS HUGEINT) THEN hh_$expr
+         |    ELSE hh_$expr - CAST(18446744073709551616 AS HUGEINT) END AS BIGINT)""".stripMargin
+    raw"""SELECT doc_id, ${roll("raw")} AS rh_raw, ${roll("norm")} AS rh_norm
+       |FROM (
+       |  SELECT doc_id,
+       |    list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split(text, '')],
+       |      (h, b) -> (h * 31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS hh_raw,
+       |    list_reduce([CAST(unicode(c) AS HUGEINT)
+       |        FOR c IN string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '')],
+       |      (h, b) -> (h * 31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS hh_norm
+       |  FROM documents)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_fingerprint_rolling" -> textFingerprintRollingSql)
 }

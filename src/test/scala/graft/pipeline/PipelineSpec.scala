@@ -45,6 +45,46 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(r => r.getFloat(2) > 0.45f))
   }
+
+  test("minhash pipeline forces no broadcasts (100 TB posture)") {
+    // Scale posture: the candidate/verification joins must carry no
+    // broadcast hints — at 10⁸⁺ candidate pairs a forced broadcast is a
+    // driver OOM. AQE may still promote small sides at runtime (good);
+    // what we assert is that nothing is FORCED at plan time.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = Dedup.dedupMinhash(spark, sf("sf0.001"))
+    val hints = df.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    assert(hints.nonEmpty)
+    assert(hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty))
+  }
+
+  test("ngram df-cap drops boilerplate blocking but keeps true pairs") {
+    val default = Dedup.dedupNgram(spark, sf("sf0.001"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // A moderate cap must not lose any pair (the fixture's near-dups
+    // share plenty of sub-cap shingles)…
+    val capped = Dedup.dedupNgram(spark, sf("sf0.001"), maxDf = 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == default)
+    // …while an aggressive cap can only shrink the blocking (subset), and
+    // the result is still the exact-verified set over what it blocks.
+    val strict = Dedup.dedupNgram(spark, sf("sf0.001"), maxDf = 2)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.subsetOf(default))
+  }
+
+  test("embedding LSH candidates verify to a subset of exact pairs") {
+    val exact = Dedup.dedupEmbedding(spark, sf("sf0.001"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupEmbeddingLsh(spark, sf("sf0.001"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    // banding shrinks the candidate space; verification keeps it honest
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val hints = Dedup.dedupEmbeddingLsh(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    assert(hints.count(h => h.leftHint.isEmpty && h.rightHint.isEmpty) >= 2)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
