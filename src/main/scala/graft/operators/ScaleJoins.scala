@@ -46,6 +46,106 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Column inequality from its operator spelling (shared with specs). */
+  def cmp(a: Column, op: String, b: Column): Column = op match {
+    case "<" => a < b
+    case "<=" => a <= b
+    case ">" => a > b
+    case ">=" => a >= b
+  }
+
+  /** Distributed IEJoin — 2-predicate inequality join where NEITHER side
+    * broadcasts (the regime the reference handles with global sorted
+    * staging, reference `src/execution/operator/join/physical_iejoin.cpp`;
+    * algorithm: Khayyat et al., VLDB'15 §6 distributed variant).
+    *
+    * Both sides are range-partitioned on the first inequality key by
+    * quantile boundaries sampled from X; the feasible (xBlock, yBlock)
+    * pairs — triangular under opA, pruned further by per-block min/max
+    * envelopes of the SECOND key — become the shuffle key of a plain
+    * equi-join whose residual condition applies both inequalities.
+    *
+    * Scale properties: data shuffles at ≤ (feasible pairs per block)×
+    * inflation (≈ B/2 worst case, typically far less after envelope
+    * pruning); no task holds more than (|X|/B)·(|Y|/B) candidate work; the
+    * only driver-side materialization is O(B) block STATISTICS (quantile
+    * boundaries + envelopes), never data rows. Key columns must be
+    * numeric-castable (use unix_micros for timestamps) and column names on
+    * the two sides must be disjoint.
+    */
+  def ieJoinBlocked(x: DataFrame, y: DataFrame,
+      xa: String, ya: String, opA: String,
+      xb: String, yb: String, opB: String,
+      blocks: Int = 32): DataFrame = {
+    require(Set("<", "<=", ">", ">=")(opA) && Set("<", "<=", ">", ">=")(opB),
+      s"unsupported inequality ops $opA/$opB")
+    val spark = x.sparkSession
+    // 1. Shared range boundaries on the first key (sampled statistics).
+    val probs = (1 until blocks).map(_.toDouble / blocks).toArray
+    val bounds = x.select(col(xa).cast("double").as(xa))
+      .stat.approxQuantile(xa, probs, 0.001).distinct.sorted
+    def blk(c: Column): Column =
+      bounds.map(t => when(c.cast("double") >= lit(t), 1).otherwise(0))
+        .reduceOption(_ + _).getOrElse(lit(0))
+    val xB = x.withColumn("_xblk", blk(col(xa)))
+    val yB = y.withColumn("_yblk", blk(col(ya)))
+    // 2. Per-block second-key envelopes for pair pruning (O(blocks) rows).
+    def envelope(df: DataFrame, blkCol: String, key: String): Map[Int, (Double, Double)] =
+      df.groupBy(col(blkCol)).agg(
+          min(col(key).cast("double")).as("mn"), max(col(key).cast("double")).as("mx"))
+        .collect().filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+        .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val xEnv = envelope(xB, "_xblk", xb)
+    val yEnv = envelope(yB, "_yblk", yb)
+    val feasible = for {
+      (i, (xbMin, xbMax)) <- xEnv.toSeq
+      (j, (ybMin, ybMax)) <- yEnv.toSeq
+      if (opA match { case "<" | "<=" => j >= i; case _ => j <= i })
+      if (opB match {
+        case ">" => xbMax > ybMin
+        case ">=" => xbMax >= ybMin
+        case "<" => xbMin < ybMax
+        case "<=" => xbMin <= ybMax
+      })
+    } yield (i, j)
+    import spark.implicits._
+    val pairDf = feasible.toDF("_pi", "_pj")
+    // 3. Block-pair equi-join; the tiny pair list broadcasts (statistics,
+    //    not data), the Y side arrives by shuffle on its block id.
+    xB.join(broadcast(pairDf), col("_xblk") === col("_pi"))
+      .join(yB, col("_pj") === col("_yblk") &&
+        cmp(col(xa), opA, col(ya)) && cmp(col(xb), opB, col(yb)))
+      .drop("_xblk", "_yblk", "_pi", "_pj")
+  }
+
+  /** Oracle-checked distributed-IEJoin query: same-quarter order pairs
+    * where the earlier order out-prices the later one — both sides are the
+    * same fact table (nothing broadcastable at scale). */
+  def joinRangeBig(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-03-01").cast("timestamp"))
+    val x = base.select(col("o_orderpriority"),
+      unix_micros(col("o_orderdate").cast("timestamp")).cast("double").as("a1"),
+      col("o_totalprice").as("b1"))
+    val y = base.select(
+      unix_micros(col("o_orderdate").cast("timestamp")).cast("double").as("a2"),
+      col("o_totalprice").as("b2"))
+    ieJoinBlocked(x, y, "a1", "a2", "<", "b1", "b2", ">", blocks = 16)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val joinRangeBigSql: String =
+    """SELECT x.o_orderpriority, count(*) AS n_pairs
+      |FROM orders x, orders y
+      |WHERE x.o_orderdate >= TIMESTAMP '1996-01-01' AND x.o_orderdate < TIMESTAMP '1996-03-01'
+      |  AND y.o_orderdate >= TIMESTAMP '1996-01-01' AND y.o_orderdate < TIMESTAMP '1996-03-01'
+      |  AND x.o_orderdate < y.o_orderdate AND x.o_totalprice > y.o_totalprice
+      |GROUP BY x.o_orderpriority
+      |ORDER BY x.o_orderpriority""".stripMargin
+
   /** Oracle-checked band-join query: pairs of events by the same user
     * within 60 seconds of each other (distinct types) — the naive phrasing
     * is a per-user theta join; the band join keeps it shuffle-shaped. */
@@ -71,8 +171,10 @@ object ScaleJoins {
       |GROUP BY c.user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_band" -> (joinBand _))
+    "join_band" -> (joinBand _),
+    "join_range_big" -> (joinRangeBig _))
 
   val oracle: Map[String, String] = Map(
-    "join_band" -> joinBandSql)
+    "join_band" -> joinBandSql,
+    "join_range_big" -> joinRangeBigSql)
 }
