@@ -32,9 +32,53 @@ object Sources {
     }
   }
 
-  /** CSV with dialect/type sniffing (header + schema inference). */
-  def readCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+  /** CSV dialect sniffing (reference
+    * `src/execution/operator/csv_scanner/sniffer/dialect_detection.cpp`,
+    * `header_detection.cpp`): sample the first lines once, score candidate
+    * delimiters by (consistent column count across lines, columns > 1),
+    * then decide header presence by type dissonance — a first line whose
+    * fields are non-numeric while the body column is numeric is a header.
+    * The sample is a driver-side peek at a few KB (the same thing the
+    * reference's buffered sniffer does), never a data-path collect. */
+  case class CsvDialect(delimiter: String, header: Boolean)
+
+  def sniffCsv(spark: SparkSession, path: String, sampleLines: Int = 64): CsvDialect = {
+    val lines = spark.read.textFile(path).limit(sampleLines).collect().toSeq
+      .filter(_.nonEmpty)
+    val candidates = Seq(",", ";", "\t", "|")
+    def fields(l: String, d: String): Array[String] =
+      l.split(java.util.regex.Pattern.quote(d), -1)
+    val delimiter = candidates.maxBy { d =>
+      val counts = lines.map(l => fields(l, d).length)
+      if (counts.isEmpty || counts.max < 2) -1
+      // score: consistency (all lines same width) then width
+      else (if (counts.distinct.size == 1) 1000 else 0) + counts.min
+    }
+    val isNum = (s: String) => s.nonEmpty &&
+      scala.util.Try(java.lang.Double.parseDouble(s)).isSuccess
+    val header = lines match {
+      case first +: body if body.nonEmpty =>
+        val f = fields(first, delimiter)
+        val bodyNumeric = body.map(fields(_, delimiter))
+          .filter(_.length == f.length)
+          .transpose.map(_.forall(isNum))
+        // any column numeric in the body but not in line 1 → header line
+        f.zip(bodyNumeric).exists { case (h, numeric) => numeric && !isNum(h) }
+      case _ => false
+    }
+    CsvDialect(delimiter, header)
+  }
+
+  /** CSV with dialect/type sniffing: detected delimiter + header, Spark's
+    * schema inference for types (the sniffer's type-detection phase). */
+  def readCsv(spark: SparkSession, path: String): DataFrame = {
+    val d = sniffCsv(spark, path)
+    spark.read
+      .option("header", d.header.toString)
+      .option("sep", d.delimiter)
+      .option("inferSchema", "true")
+      .csv(path)
+  }
 
   /** Newline-delimited JSON with schema inference. */
   def readJson(spark: SparkSession, path: String): DataFrame =

@@ -26,6 +26,30 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("sniffer detects semicolon-delimited headerless CSV") {
+    val dir = new java.io.File(s"$tmp/semi"); dir.mkdirs()
+    val pw = new java.io.PrintWriter(s"$tmp/semi/data.csv")
+    (1 to 20).foreach(i => pw.println(s"$i;name $i;${i * 1.5}"))
+    pw.close()
+    val d = Sources.sniffCsv(spark, s"$tmp/semi")
+    assert(d.delimiter == ";" && !d.header)
+    val df = Sources.readCsv(spark, s"$tmp/semi")
+    assert(df.count() == 20 && df.columns.length == 3)
+    assert(df.schema.fields(2).dataType == DoubleType)
+  }
+
+  test("sniffer detects tab-delimited CSV with header") {
+    val dir = new java.io.File(s"$tmp/tabs"); dir.mkdirs()
+    val pw = new java.io.PrintWriter(s"$tmp/tabs/data.tsv")
+    pw.println("id\tlabel\tscore")
+    (1 to 20).foreach(i => pw.println(s"$i\tl$i\t${i * 0.5}"))
+    pw.close()
+    val d = Sources.sniffCsv(spark, s"$tmp/tabs")
+    assert(d.delimiter == "\t" && d.header)
+    val df = Sources.readCsv(spark, s"$tmp/tabs")
+    assert(df.count() == 20 && df.columns.toSeq == Seq("id", "label", "score"))
+  }
+
   test("JSON round-trip preserves values") {
     val sup = graft.Tables.t(spark, sf(), "supplier")
     Sources.copyTo(sup, s"$tmp/sup_json", "json")
