@@ -1,7 +1,12 @@
 package graft
 
-/** Dev tool: dump formatted physical plans for the headline queries and
-  * flag scale smells — missing parquet filter pushdown, full-width scans,
+/** Dev tool: EXPLAIN + EXPLAIN ANALYZE analog for the headline queries
+  * (reference `src/execution/operator/helper/physical_explain_analyze.cpp`
+  * reports per-operator runtime; Spark's runtime unit is the stage, so the
+  * analyze section reports per-stage task counts, record flow, chunk
+  * factor, and the task-size histogram collected by ChunkMetrics).
+  *
+  * Also flags static scale smells — missing parquet filter pushdown,
   * cartesian products where a broadcast was expected. Run:
   * `sbt "runMain graft.PlanCheck [sfDir] [query...]"`. */
 object PlanCheck {
@@ -9,9 +14,10 @@ object PlanCheck {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q1_pricing", "q3_shipping", "q5_region", "q10_returned",
-        "join_asof", "agg_rollup", "win_rank", "shape_unnest",
-        "ann_topk", "text_stats", "compact_filter")
+        "job_deep_join", "join_asof", "agg_rollup", "win_rank",
+        "shape_unnest", "ann_topk", "text_stats", "compact_filter")
     val spark = EngineSession.local(8)
+    val metrics = new compaction.ChunkMetrics().install(spark)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       val plan = df.queryExecution.explainString(
@@ -24,6 +30,22 @@ object PlanCheck {
           (plan.contains("PushedFilters: []") && plan.contains("Filter ")),
         "SortMergeJoin(on small input?)" -> plan.contains("SortMergeJoin"))
       smells.filter(_._2).foreach { case (s, _) => println(s"  [smell] $s") }
+
+      // -- EXPLAIN ANALYZE analog: execute and report per-stage runtime --
+      metrics.reset()
+      try {
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println("  [analyze] stage  tasks  input      shufRead   shufWrite  chunkF  task-size-histogram(log2)")
+        metrics.snapshot.toSeq.sortBy(_._1).foreach { case (sid, st) =>
+          val cf = metrics.chunkFactor(sid).map(v => f"$v%7.2f").getOrElse("      -")
+          val hist = st.histogram.zipWithIndex.filter(_._1 > 0)
+            .map { case (c, b) => s"2^$b:$c" }.mkString(" ")
+          println(f"  [analyze] $sid%5d  ${st.tasks}%5d  ${st.inputRecords}%9d  " +
+            f"${st.shuffleReadRecords}%9d  ${st.shuffleWriteRecords}%9d  $cf  $hist")
+        }
+        println(f"  [analyze] small-task fraction (<1024 rows): ${metrics.smallTaskFraction(1024)}%.3f")
+      } catch { case e: Throwable => println(s"  [analyze] failed: ${e.getMessage}") }
     }
     spark.stop()
   }
