@@ -89,6 +89,50 @@ class CompactSpec extends SparkSpec {
   }
 }
 
+class DeepJoinCompactionSpec extends SparkSpec {
+
+  /** The paper's motivating shape end to end: the selective JOB-style
+    * deep join fragments its shuffle stages into near-empty tasks; AQE
+    * partition coalescing (the always-on dynamic-compaction analog,
+    * SURVEY §4.2) must consolidate them — fewer tasks, never a larger
+    * small-task fraction, identical result. */
+  test("AQE compaction consolidates the JOB-style deep join's fragments") {
+    val m = new ChunkMetrics().install(spark)
+    def measure(): (Long, Double) = {
+      m.reset()
+      graft.operators.CoreQueries.jobDeepJoin(spark, sf("sf0.01"))
+        .write.format("noop").mode("overwrite").save()
+      val deadline = System.currentTimeMillis() + 10000
+      while (m.snapshot.values.map(_.tasks).sum == 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      Thread.sleep(500) // drain async listener events
+      (m.snapshot.values.map(_.tasks).sum, m.smallTaskFraction(1024))
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (tasksFragmented, fracFragmented) = measure()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val (tasksCompacted, fracCompacted) = measure()
+      assert(tasksCompacted < tasksFragmented,
+        s"coalescing did not reduce tasks: $tasksCompacted vs $tasksFragmented")
+      assert(fracCompacted <= fracFragmented)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("deep join result is identical under compaction") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plain = graft.operators.CoreQueries.jobDeepJoin(spark, sf("sf0.01")).collect().toSeq
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val compacted = graft.operators.CoreQueries.jobDeepJoin(spark, sf("sf0.01")).collect().toSeq
+      assert(plain == compacted && plain.nonEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}
+
 class AdaptiveCompactSpec extends SparkSpec {
   import spark.implicits._
 
