@@ -79,6 +79,20 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup — the streaming face of the pipeline's
+    * dedup_exact operator: drop rows whose normalized-content hash was
+    * already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` keys state by the hash and expires
+    * it with event time, so state is bounded at 100 TB/∞-stream scale —
+    * an unbounded `dropDuplicates` would accrete state forever). */
+  def dedupStream(docs: DataFrame, idCol: String, textCol: String,
+      horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        md5(lower(trim(regexp_replace(col(textCol), "\\s+", " "))).cast("binary")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Batch-equivalence helper: the same windowed aggregation phrased over
     * a static frame (used to validate streaming results in tests). */
   def windowedCountsBatch(events: DataFrame, width: String = "5 minutes"): DataFrame =

@@ -23,6 +23,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per normalized content hash") {
+    // memory-source stream of doc-shaped rows with planted duplicates
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    src.addData(
+      (1L, at(0), "Hello  World"), (2L, at(1), "hello world"), // dup after norm
+      (3L, at(2), "other doc"), (4L, at(3), "Hello World"))    // dup again
+    val docs = src.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupStream(docs, "doc_id", "text")
+      .writeStream.format("memory").queryName("sd").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("sd").select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept.size == 2)              // one per distinct normalized text
+      assert(kept.contains(3L))           // the unique doc survives
+      assert((kept - 3L).subsetOf(Set(1L, 2L, 4L))) // exactly one of the dups
+    } finally q.stop()
+  }
+
   test("sessionization counts per-user events with gap splits") {
     val events = Seq(
       StreamingOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
