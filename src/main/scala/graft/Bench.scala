@@ -58,7 +58,7 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // JVMs warm slower than native engines: two untimed rounds before the
     // timed best-of-N matches the oracle's warm-best-of methodology.
-    val warms = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMS", "2").toInt
+    val warms = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMS", "3").toInt
     val spark = EngineSession.local(cpus)
 
     val benchDir = stageFixtures(spark, sfDir, cpus)
