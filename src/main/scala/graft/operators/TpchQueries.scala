@@ -398,8 +398,11 @@ object TpchQueries {
         col("l_partkey") === col("sp_partkey"))
       .groupBy(col("sp_partkey"))
       .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sq"))
+    // stats has one row per FILTERED part (a small dimension subset), so
+    // it broadcasts at any scale — without the hint Catalyst estimates the
+    // aggregate's size conservatively and plans a sort-merge join.
     li.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
-      .join(stats, col("l_partkey") === col("sp_partkey"))
+      .join(broadcast(stats), col("l_partkey") === col("sp_partkey"))
       .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sq"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
         .as("avg_yearly"))
