@@ -93,6 +93,25 @@ object StreamingOps {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join — the streaming face of
+    * ScaleJoins.bandJoin: pairs rows from two streams on an equi-key
+    * within a time band. Watermarks on both sides bound the join state
+    * (Spark retains only rows inside the interval horizon), so an
+    * infinite stream holds a bounded buffer — the requirement for a
+    * stream-stream join to be runnable at all at scale. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: String, bandSeconds: Long, horizon: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", horizon)
+    val r = right.select(
+        col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+      .withWatermark("r_ts", horizon)
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $bandSeconds SECONDS") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $bandSeconds SECONDS"))
+  }
+
   /** Batch-equivalence helper: the same windowed aggregation phrased over
     * a static frame (used to validate streaming results in tests). */
   def windowedCountsBatch(events: DataFrame, width: String = "5 minutes"): DataFrame =

@@ -45,6 +45,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch band join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val errors = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    clicks.addData((1L, at(0), 100L), (1L, at(120), 101L), (2L, at(10), 102L))
+    errors.addData((1L, at(30), 200L), (1L, at(300), 201L), (2L, at(500), 202L))
+    val cl = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val er = errors.toDF().toDF("user_id", "ts", "event_id")
+    val q = StreamingOps.intervalJoin(cl, er, "user_id", bandSeconds = 60)
+      .select($"event_id", $"r_event_id")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ij").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // within 60s on the same user: click 100 ↔ error 200 only
+      assert(got == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("sessionization counts per-user events with gap splits") {
     val events = Seq(
       StreamingOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
