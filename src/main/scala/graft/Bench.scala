@@ -55,7 +55,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
     // JVMs warm slower than native engines: two untimed rounds before the
     // timed best-of-N matches the oracle's warm-best-of methodology.
     val warms = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMS", "3").toInt
