@@ -36,12 +36,12 @@ object PlanCheck {
       try {
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        println("  [analyze] stage  tasks  input      shufRead   shufWrite  chunkF  task-size-histogram(log2)")
+        println("  [analyze] stage   ms  tasks  input      shufRead   shufWrite  chunkF  task-size-histogram(log2)")
         metrics.snapshot.toSeq.sortBy(_._1).foreach { case (sid, st) =>
           val cf = metrics.chunkFactor(sid).map(v => f"$v%7.2f").getOrElse("      -")
           val hist = st.histogram.zipWithIndex.filter(_._1 > 0)
             .map { case (c, b) => s"2^$b:$c" }.mkString(" ")
-          println(f"  [analyze] $sid%5d  ${st.tasks}%5d  ${st.inputRecords}%9d  " +
+          println(f"  [analyze] $sid%5d  ${st.wallMillis}%4d  ${st.tasks}%5d  ${st.inputRecords}%9d  " +
             f"${st.shuffleReadRecords}%9d  ${st.shuffleWriteRecords}%9d  $cf  $hist")
         }
         println(f"  [analyze] small-task fraction (<1024 rows): ${metrics.smallTaskFraction(1024)}%.3f")

@@ -31,9 +31,20 @@ class ChunkMetrics extends SparkListener {
       var shuffleReadRecords: Long = 0L,
       var shuffleWriteRecords: Long = 0L,
       var shuffleWriteBytes: Long = 0L,
+      var wallMillis: Long = 0L,
       histogram: Array[Long] = new Array[Long](64))
 
   private val stages = TrieMap.empty[Int, StageStats]
+
+  override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+    val info = ev.stageInfo
+    val st = stages.getOrElseUpdate(info.stageId, StageStats())
+    st.synchronized {
+      st.wallMillis = (for {
+        s <- info.submissionTime; c <- info.completionTime
+      } yield c - s).getOrElse(0L)
+    }
+  }
 
   override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
     val m = ev.taskMetrics

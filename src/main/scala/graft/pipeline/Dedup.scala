@@ -392,9 +392,36 @@ object Dedup {
        |  CAST(sum(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin
 
+  /** The banded embedding-LSH pipeline reproduced in DuckDB: same integer
+    * hyperplanes (shared hash64 primitive), dot signs, 2-bit band
+    * signatures, candidate join, and exact float32 cosine verification. */
+  val dedupEmbeddingLshSql: String = {
+    val h = hash64Sql("42", "(p.plane*64+d.d)")
+    s"""WITH planes AS (
+       |  SELECT p.plane, d.d, CAST(($h % 1024) - 512 AS DOUBLE) AS w
+       |  FROM (SELECT unnest(range(8)) AS plane) p, (SELECT unnest(range(64)) AS d) d),
+       |dots AS (
+       |  SELECT e.vec_id, pl.plane, sum(e.embedding[pl.d+1] * pl.w) AS dot
+       |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.plane),
+       |bands AS (
+       |  SELECT vec_id, CAST(plane // 2 AS INT) AS band,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(plane % 2 AS INT)) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM dots GROUP BY vec_id, band),
+       |cand AS (
+       |  SELECT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+       |  GROUP BY ALL)
+       |SELECT c.id1, c.id2, list_cosine_similarity(a.embedding, b.embedding) AS cos
+       |FROM cand c JOIN embeddings a ON a.vec_id = c.id1
+       |            JOIN embeddings b ON b.vec_id = c.id2
+       |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
