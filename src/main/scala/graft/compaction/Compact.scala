@@ -38,17 +38,18 @@ object Compact {
     df.queryExecution.optimizedPlan.stats.sizeInBytes
 
   /** Compact a frame to ~`targetBytes` partitions using plan statistics:
-    * a narrow `coalesce` when reducing (no shuffle — the cheap path the
-    * reference's dynamic compaction corresponds to), a shuffling
-    * `repartition` only when the frame must grow parallelism. */
+    * a narrow `coalesce` (no shuffle — the cheap path the reference's
+    * dynamic compaction corresponds to). `coalesce` to a count at or above
+    * the current one is a no-op, so the current partition count is never
+    * read — no eager `.rdd` planning pass outside AQE. Compaction only
+    * ever MERGES fragments (reference semantics: buffer-and-merge small
+    * chunks); growing parallelism is the planner's job, not the
+    * compactor's. */
   def bySize(df: DataFrame, targetBytes: Long = 64L << 20): DataFrame = {
     val size = estimatedBytes(df)
     val want = math.max(1, (size / BigInt(targetBytes)).toInt +
       (if (size % BigInt(targetBytes) > 0) 1 else 0))
-    val have = df.rdd.getNumPartitions
-    if (want < have) df.coalesce(want)
-    else if (want > have * 4) df.repartition(want)
-    else df
+    df.coalesce(want)
   }
 
   /** Compact only if the frame's fragments are sub-threshold: the direct
