@@ -188,7 +188,33 @@ object Windows {
       |    FROM events) g) s
       |GROUP BY user_id, session_id""".stripMargin
 
+  /** Frame EXCLUDE CURRENT ROW (reference `window_expression.hpp`
+    * WindowExcludeMode): Spark has no EXCLUDE syntax, but for
+    * distributive aggregates it composes exactly — aggregate over the
+    * full frame minus the current row's contribution. The oracle runs
+    * DuckDB's NATIVE `EXCLUDE CURRENT ROW`, so the composition is
+    * verified against the real operator semantics, in exact DECIMAL. */
+  def winExclude(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 2)
+    Tables.t(s, dir, "events").filter(col("user_id") < 100)
+      .select(col("user_id"), col("event_id"),
+        (sum(dec(col("value"))).over(w) - dec(col("value")))
+          .cast("double").as("neighbor_sum"),
+        (count(lit(1)).over(w) - 1).as("n_neighbors"))
+  }
+
+  val winExcludeSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS neighbor_sum,
+      |  count(*) OVER w AS n_neighbors
+      |FROM events WHERE user_id < 100
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+      |             EXCLUDE CURRENT ROW)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_exclude" -> (winExclude _),
     "win_session" -> (winSession _),
     "win_rank" -> (winRank _),
     "win_running" -> (winRunning _),
@@ -198,6 +224,7 @@ object Windows {
     "win_firstlast" -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_exclude" -> winExcludeSql,
     "win_session" -> winSessionSql,
     "win_rank" -> winRankSql,
     "win_running" -> winRunningSql,
