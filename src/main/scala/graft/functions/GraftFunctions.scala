@@ -29,6 +29,12 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(c)))
 
+  /** Non-string inputs take the same to-string cast the composed concat()
+    * spelling applied (a LONG id hashes as its decimal rendering — what
+    * the DuckDB `seed || ':' || v` dialect does too). */
+  def md5_hash64(seed: Int, c: Column): Column =
+    Bridge.column(Md5Hash64(Bridge.expression(c.cast("string")), seed))
+
   // ---- integer math ----
   def gcd(a: Column, b: Column): Column = col2(Gcd)(a, b)
   def lcm(a: Column, b: Column): Column = col2(Lcm)(a, b)

@@ -32,8 +32,7 @@ object Dedup {
     * hard-oracle-checked. Swapping a faster engine-specific hash back in
     * is a one-line change; the sketch math is hash-agnostic. */
   def hash64(seed: Int, c: Column): Column =
-    conv(substring(md5(concat(lit(seed), lit(":"), c).cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.GraftFunctions.md5_hash64(seed, c)
 
   /** The DuckDB spelling of [[hash64]] for oracle construction. */
   def hash64Sql(seed: String, v: String): String =
