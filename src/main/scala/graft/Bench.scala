@@ -55,7 +55,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     // JVMs warm slower than native engines: two untimed rounds before the
     // timed best-of-N matches the oracle's warm-best-of methodology.
     val warms = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMS", "3").toInt
@@ -90,11 +90,14 @@ object Bench {
     }
 
     (1 to warms).foreach(_ => fns.foreach { case (_, fn) => once(fn) })
-    // best-of-N timed runs per query: single-shot numbers on a shared box
-    // conflate scheduler noise with engine cost.
-    val results = fns.map { case (name, fn) =>
-      name -> (1 to runs).map(_ => once(fn)).min
-    }
+    // best-of-N timed runs per query, ROUND-ROBIN interleaved: on a shared
+    // box a transient load spike spans seconds — consecutive samples of one
+    // query would all absorb it, while interleaving spreads each query's N
+    // samples across the whole bench window so the min survives the spike.
+    val best = Array.fill(fns.size)(Double.MaxValue)
+    for (_ <- 1 to runs; i <- fns.indices)
+      best(i) = math.min(best(i), once(fns(i)._2))
+    val results = fns.map(_._1).zip(best)
     // Fixed per-query floor of local mode: schedule-one-noop-job cost that
     // any query also pays; reported so per-row engine cost is legible.
     val floor = (1 to runs).map { _ =>
