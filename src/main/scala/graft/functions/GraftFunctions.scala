@@ -70,5 +70,18 @@ object GraftFunctions {
       es => Gcd(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("lcm",
       es => Lcm(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      es => RollingHash(es.head), "built-in")
+    // md5_hash64(seed, v): seed must be an integer literal (it is baked
+    // into the generated code, mirroring the Column API's Int parameter).
+    reg.createOrReplaceTempFunction("md5_hash64", es => {
+      val seed = es.head match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"md5_hash64 seed must be an integer literal, got $other")
+      }
+      Md5Hash64(org.apache.spark.sql.catalyst.expressions.Cast(
+        es(1), org.apache.spark.sql.types.StringType), seed)
+    }, "built-in")
   }
 }

@@ -19,6 +19,15 @@ class Md5Hash64Spec extends SparkSpec {
     }
   }
 
+  test("SQL registration: md5_hash64(seed, v) with literal seed") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT md5_hash64(42, 'abc') AS h, md5_hash64(0, 123) AS hn").head
+    assert(r.getLong(0) ==
+      Md5Hash64.hash(42, org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    assert(r.getLong(1) ==
+      Md5Hash64.hash(0, org.apache.spark.unsafe.types.UTF8String.fromString("123")))
+  }
+
   test("null input yields null; interpreted path matches codegen") {
     val df = Seq(Some("abc"), None).toDF("s")
     val r = df.select(GraftFunctions.md5_hash64(7, $"s").as("h")).collect()
