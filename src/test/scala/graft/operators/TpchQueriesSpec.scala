@@ -1,6 +1,36 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property check: the distributed blocked IEJoin equals the naive theta
+  * join on arbitrary data — duplicates, negatives, skew, tiny and empty
+  * sides, random op pairs — not just the deterministic spec matrix. */
+class IEJoinBlockedPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ieJoinBlocked == naive theta join on random inputs") {
+    val row = for {
+      a <- Gen.chooseNum(-50, 50)
+      b <- Gen.chooseNum(-50, 50)
+    } yield (a.toDouble, b.toDouble)
+    val side = Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, row))
+    val op = Gen.oneOf("<", "<=", ">", ">=")
+    val prop = Prop.forAll(side, side, op, op) { (xs, ys, opA, opB) =>
+      val x = xs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("xid", "a1", "b1")
+      val y = ys.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("yid", "a2", "b2")
+      val blocked = ScaleJoins.ieJoinBlocked(x, y, "a1", "a2", opA, "b1", "b2", opB, blocks = 4)
+        .select($"xid", $"yid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = x.join(y, ScaleJoins.cmp($"a1", opA, $"a2") && ScaleJoins.cmp($"b1", opB, $"b2"))
+        .select($"xid", $"yid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      blocked == naive
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
 
 class TpchQueriesSpec extends SparkSpec {
 
