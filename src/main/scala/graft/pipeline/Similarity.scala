@@ -105,11 +105,84 @@ object Similarity {
        |SELECT qid, vec_id, cos FROM scored WHERE rn <= 5""".stripMargin
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into nlist cells by nearest centroid; a probe searches only its
+    * nprobe nearest cells. At 10⁹ vectors each probe touches
+    * ~nprobe/nlist of the corpus, and the cell assignment is a one-off
+    * linear pass — the other classic scale path next to LSH. Centroids
+    * here are a deterministic subset of the corpus (vec_id < nlist),
+    * standing in for an offline k-means codebook: the codebook's origin
+    * is orthogonal to the IVF plumbing (assignment, cell join, probe
+    * ranking), which is the Spark-side deliverable — and determinism
+    * makes the whole index oracle-checkable (exact float32 cosine on
+    * both engines). */
+  def ivfCells(e: DataFrame, nlist: Int): DataFrame = {
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(G.list_cosine_similarity(col("embedding"), col("cvec")).desc, col("cid"))
+    e.join(broadcast(cents))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** IVF probe: the first 3 vectors each search their nprobe=2 nearest
+    * cells and rank candidates by exact cosine (top-5). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val cells = ivfCells(e, nlist = 16)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val probeCells = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+      .join(broadcast(cents))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(G.list_cosine_similarity(col("q"), col("cvec")).desc, col("cid"))))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("q"), col("cid"))
+    cells.join(probeCells, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        G.list_cosine_similarity(col("embedding"), col("q")).as("cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("cos"))
+  }
+
+  val annIvfSql: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      |cells AS (
+      |  SELECT vec_id, embedding, cid FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+      |    FROM embeddings e, cents c) a WHERE rn = 1),
+      |probe_cells AS (
+      |  SELECT qid, q, cid FROM (
+      |    SELECT e.vec_id AS qid, e.embedding AS q, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+      |    FROM embeddings e, cents c WHERE e.vec_id < 3) a WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.qid, s.vec_id, list_cosine_similarity(s.embedding, p.q) AS cos,
+      |    row_number() OVER (PARTITION BY p.qid
+      |      ORDER BY list_cosine_similarity(s.embedding, p.q) DESC, s.vec_id) AS rn
+      |  FROM cells s JOIN probe_cells p USING (cid) WHERE s.vec_id <> p.qid)
+      |SELECT qid, vec_id, cos FROM scored WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopk _),
-    "ann_lsh" -> (annLsh _))
+    "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _))
 
   val oracle: Map[String, String] = Map(
     "ann_topk" -> annTopkSql,
-    "ann_lsh" -> annLshSql)
+    "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql)
 }
