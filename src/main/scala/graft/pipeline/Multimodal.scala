@@ -75,9 +75,57 @@ object Multimodal {
       |  md5(text) AS checksum
       |FROM documents""".stripMargin
 
+  /** Frame sampling: chunk each payload into fixed-width frames and keep
+    * every k-th — the video/audio frame-sample stage. The chunk/explode/
+    * stride plumbing is the real deliverable (a codec swaps in at the
+    * frame-decode step); 128-byte frames at fixture scale so the explode
+    * actually fans out. Fixture text is pure ASCII (asserted in specs),
+    * so char-slices equal byte-slices and the oracle reproduces frames
+    * exactly. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), (length(col("text")) / 128).cast("int")))
+          .as("frame_idx"))
+      .filter(col("frame_idx") % 2 === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("text").substr(col("frame_idx") * 128 + 1, lit(128)).cast("binary"))
+          .as("frame_md5"),
+        length(col("text").substr(col("frame_idx") * 128 + 1, lit(128)))
+          .as("frame_len"))
+
+  val mmFrameSampleSql: String =
+    """SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  md5(substr(text, frame_idx*128+1, 128)) AS frame_md5,
+      |  CAST(length(substr(text, frame_idx*128+1, 128)) AS INTEGER) AS frame_len
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(CAST(length(text) // 128 + 1 AS BIGINT))) AS frame_idx
+      |      FROM documents)
+      |WHERE frame_idx % 2 = 0""".stripMargin
+
+  /** Resize: deterministic down-sampling of the payload onto a fixed
+    * 4-point grid (byte code at position i·n/4) — the image-resize stage
+    * with nearest-neighbor sampling standing in for the pixel kernel. */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        array((0 until 4).map(i =>
+          ascii(col("text").substr(
+            (lit(i) * length(col("text")) / 4).cast("int") + 1, lit(1)))): _*)
+          .as("resized"))
+
+  val mmResizeSql: String =
+    """SELECT doc_id,
+      |  [unicode(substr(text, CAST(i * length(text) // 4 AS BIGINT) + 1, 1)) FOR i IN range(4)] AS resized
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_features" -> (mmFeatures _))
+    "mm_features" -> (mmFeatures _),
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_resize" -> (mmResize _))
 
   val oracle: Map[String, String] = Map(
-    "mm_features" -> mmFeaturesSql)
+    "mm_features" -> mmFeaturesSql,
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_resize" -> mmResizeSql)
 }
