@@ -117,7 +117,8 @@ object TextAnalysis {
     "text_tokens" -> (textTokens _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_fingerprint_rolling" -> (textFingerprintRolling _))
+    "text_fingerprint_rolling" -> (textFingerprintRolling _),
+    "text_redact" -> (textRedact _))
 
   /** The same stopword-hit argmax (ties → lexicographically larger lang)
     * phrased in the oracle dialect: sorted (score, lang) struct list,
@@ -137,6 +138,34 @@ object TextAnalysis {
        |  ])[-1].l AS predicted
        |FROM w""".stripMargin
   }
+
+  /** PII redaction — the scrubbing stage of a training-data pipeline:
+    * emails, dotted-quad IPs, and phone-shaped digit runs are replaced
+    * with typed placeholders, and the pass is accounted for (counts per
+    * category) so the pipeline can audit what it removed. Pure codegen
+    * regexp work inside the scan's whole-stage span; the patterns stay in
+    * the RE2-compatible subset so the oracle applies them verbatim. */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("text"), lit(ip), lit(0))).as("n_ip"))
+  }
+
+  val textRedactSql: String =
+    raw"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+       |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS INTEGER) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}', 0)) AS INTEGER) AS n_ip
+       |FROM documents""".stripMargin
 
   /** The rolling hash (h ← h·31 + byte, wrapping 64-bit) reproduced in
     * DuckDB: characters stand in for bytes (fixture text is pure ASCII —
@@ -162,5 +191,6 @@ object TextAnalysis {
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_fingerprint_rolling" -> textFingerprintRollingSql)
+    "text_fingerprint_rolling" -> textFingerprintRollingSql,
+    "text_redact" -> textRedactSql)
 }
