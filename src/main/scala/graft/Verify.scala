@@ -14,7 +14,14 @@ object Verify {
     // order is engine-specific otherwise.
     import org.apache.spark.sql.functions.col
     val columnsByQuery = scala.collection.mutable.Map.empty[String, Seq[String]]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=name1,name2 restricts the dump to a subset
+    // (the driver never sets it, so the gate always runs the full map).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         columnsByQuery(name) = df.columns.toSeq

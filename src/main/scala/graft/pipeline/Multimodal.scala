@@ -105,18 +105,25 @@ object Multimodal {
 
   /** Resize: deterministic down-sampling of the payload onto a fixed
     * 4-point grid (byte code at position i·n/4) — the image-resize stage
-    * with nearest-neighbor sampling standing in for the pixel kernel. */
-  def mmResize(s: SparkSession, dir: String): DataFrame =
+    * with nearest-neighbor sampling standing in for the pixel kernel.
+    * The grid is emitted as one scalar column per sample point (p0..p3):
+    * the compare harness hashes flat columns, and a fixed-size grid is by
+    * definition a fixed-width row, so no array column is needed. */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    def p(i: Int) =
+      ascii(txt.substr((lit(i) * length(txt) / 4).cast("int") + 1, lit(1)))
+        .as(s"p$i")
     Tables.t(s, dir, "documents")
-      .select(col("doc_id"),
-        array((0 until 4).map(i =>
-          ascii(col("text").substr(
-            (lit(i) * length(col("text")) / 4).cast("int") + 1, lit(1)))): _*)
-          .as("resized"))
+      .select(col("doc_id") +: (0 until 4).map(p): _*)
+  }
 
   val mmResizeSql: String =
     """SELECT doc_id,
-      |  [unicode(substr(text, CAST(i * length(text) // 4 AS BIGINT) + 1, 1)) FOR i IN range(4)] AS resized
+      |  unicode(substr(text, CAST(0 * length(text) // 4 AS BIGINT) + 1, 1)) AS p0,
+      |  unicode(substr(text, CAST(1 * length(text) // 4 AS BIGINT) + 1, 1)) AS p1,
+      |  unicode(substr(text, CAST(2 * length(text) // 4 AS BIGINT) + 1, 1)) AS p2,
+      |  unicode(substr(text, CAST(3 * length(text) // 4 AS BIGINT) + 1, 1)) AS p3
       |FROM documents""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
