@@ -57,9 +57,17 @@ object Bench {
       val src = new java.io.File(s"$sfDir/$n.parquet")
       val srcBytes = if (src.isFile) src.length
         else Option(src.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
-      // ≈3× decompression growth, ~8 MB per file, bounded [4, 4·cpus]
+      // ≈3× decompression growth, ~8 MB per file, bounded [minParts, 4·cpus]:
+      // size alone undershoots task fan-out for the fact tables (lineitem at
+      // sf0.1 is 10.8 MB snappy → 4 files → 4 scan tasks on a 32-core box),
+      // so the floor tracks available cores (overridable for sweeps).
+      // cpus/4 measured best of {size-only, cpus/4, cpus/2} fresh-JVM at
+      // sf0.1: more files help the scan-bound queries but inflate the
+      // per-job floor (every table scan schedules that many tasks).
+      val minParts = sys.env.get("SPARK_GRAFT_BENCH_MINPARTS").map(_.toInt)
+        .getOrElse(math.max(4, cpus / 4))
       val parts = if (Tables.broadcastable(n)) 1
-        else math.max(4, math.min(4 * cpus, (3 * srcBytes / (8 << 20)).toInt))
+        else math.max(minParts, math.min(4 * cpus, (3 * srcBytes / (8 << 20)).toInt))
       val df = moneyCols.getOrElse(n, Nil).foldLeft(Tables.t(spark, sfDir, n)) {
         (d, c) => d.withColumn(c, col(c).cast("decimal(18,2)"))
       }

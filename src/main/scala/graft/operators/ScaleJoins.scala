@@ -170,11 +170,40 @@ object ScaleJoins {
       |  ON c.user_id = e.user_id AND abs(c.cx - e.ex) <= 60000000
       |GROUP BY c.user_id""".stripMargin
 
+  /** Oracle-checked salted-join query: lineitem⋈supplier through the
+    * salted recipe. The salt is plumbing, not semantics — every probe row
+    * still meets exactly its key's build rows (the build side is present
+    * in every salt replica) — so the result must equal the plain
+    * equi-join, which is precisely what the oracle asserts. */
+  def joinSkewSalt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity"))
+    val sup = Tables.t(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    saltedJoin(li, sup, "l_suppkey", salt = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val joinSkewSaltSql: String =
+    """SELECT s_nationkey, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_band" -> (joinBand _),
-    "join_range_big" -> (joinRangeBig _))
+    "join_range_big" -> (joinRangeBig _),
+    "join_skew_salt" -> (joinSkewSalt _))
 
   val oracle: Map[String, String] = Map(
     "join_band" -> joinBandSql,
-    "join_range_big" -> joinRangeBigSql)
+    "join_range_big" -> joinRangeBigSql,
+    "join_skew_salt" -> joinSkewSaltSql)
 }
