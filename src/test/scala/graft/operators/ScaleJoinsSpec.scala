@@ -64,6 +64,20 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("join_skew_salt entry equals the unsalted join on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val salted = ScaleJoins.joinSkewSalt(spark, dir).collect().toSeq
+    val li = graft.Tables.t(spark, dir, "lineitem")
+    val sup = graft.Tables.t(spark, dir, "supplier")
+    val plain = li.join(sup, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy($"s_nationkey").collect().toSeq
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
   test("saltedJoin equals plain equi-join and spreads partitions") {
     val probe = spark.range(0, 10000).select((lit(7L)).as("k"), $"id") // one hot key
     val build = Seq((7L, "hot"), (8L, "cold")).toDF("k", "v")
