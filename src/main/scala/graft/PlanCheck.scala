@@ -12,10 +12,16 @@ package graft
 object PlanCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq
+    // "all" sweeps the full query corpus (static smells only make sense
+    // there — executing 100+ entries is Verify's job, not PlanCheck's).
+    val names = if (args.length > 1 && args.tail.toSeq == Seq("all"))
+        SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.tail.toSeq
       else Seq("q1_pricing", "q3_shipping", "q5_region", "q10_returned",
         "job_deep_join", "join_asof", "agg_rollup", "win_rank",
         "shape_unnest", "ann_topk", "text_stats", "compact_filter")
+    // static mode: explain + smell-check without executing (fast full sweep)
+    val static = sys.env.get("SPARK_GRAFT_PLANCHECK_STATIC").contains("1")
     val spark = EngineSession.local(8)
     val metrics = new compaction.ChunkMetrics().install(spark)
     names.foreach { n =>
@@ -33,7 +39,7 @@ object PlanCheck {
 
       // -- EXPLAIN ANALYZE analog: execute and report per-stage runtime --
       metrics.reset()
-      try {
+      try if (!static) {
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         println("  [analyze] stage   ms  tasks  input      shufRead   shufWrite  chunkF  task-size-histogram(log2)")
