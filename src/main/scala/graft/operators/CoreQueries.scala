@@ -195,7 +195,99 @@ object CoreQueries {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** JOB-style chain join — selectivity enters at the FAR end of a
+    * 7-relation chain (supplier-side region filter), the join-order
+    * stress shape of the reference's IMDB workload (reference
+    * `benchmark/imdb` chain variants): the optimizer must
+    * push the region restriction through nation→supplier before the
+    * fact join or the intermediate explodes. Dimension chain broadcasts;
+    * the lineitem⋈orders shuffle is the only large exchange. */
+  def jobChain(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val sup = Tables.t(s, dir, "supplier")
+    val natS = Tables.t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_regionkey").as("sn_region"))
+    val regS = Tables.t(s, dir, "region").filter(col("r_name") === "AMERICA")
+    val ord = Tables.t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val cust = Tables.t(s, dir, "customer")
+    val natC = Tables.t(s, dir, "nation")
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(regS), col("sn_region") === col("r_regionkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natC), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val jobChainSql: String =
+    """SELECT n2.n_name AS n_name, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem, supplier, nation n1, region, orders, customer, nation n2
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+      |  AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+      |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND c_nationkey = n2.n_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n2.n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Bushy join — two independently-aggregated fact subtrees joined on
+    * their dimension key (customer-side revenue vs supplier-side revenue
+    * per nation). This is the shape `SplitPipelineRule` targets: the
+    * subtrees share no key, so a linear plan would re-shuffle the fact
+    * twice; aggregating each branch FIRST reduces both sides to
+    * |nation| rows before the final join. */
+  def jobBushy(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val custRev = li
+      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .as("cust_rev_d"))
+    val suppRev = li
+      .join(Tables.t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .as("supp_rev_d"))
+    custRev
+      .join(suppRev, col("nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.t(s, dir, "nation")), col("nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        col("cust_rev_d").cast("double").as("cust_rev"),
+        col("supp_rev_d").cast("double").as("supp_rev"))
+      .orderBy(col("n_name"))
+  }
+
+  val jobBushySql: String =
+    """SELECT n_name, CAST(cust_rev_d AS DOUBLE) AS cust_rev,
+      |  CAST(supp_rev_d AS DOUBLE) AS supp_rev
+      |FROM (
+      |  SELECT c_nationkey AS nationkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS cust_rev_d
+      |  FROM lineitem, orders, customer
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  GROUP BY c_nationkey) cr
+      |JOIN (
+      |  SELECT s_nationkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS supp_rev_d
+      |  FROM lineitem, supplier
+      |  WHERE l_suppkey = s_suppkey
+      |  GROUP BY s_nationkey) sr ON cr.nationkey = sr.s_nationkey
+      |JOIN nation ON cr.nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "job_chain" -> (jobChain _),
+    "job_bushy" -> (jobBushy _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_region" -> (q5Region _),
@@ -203,6 +295,8 @@ object CoreQueries {
     "job_deep_join" -> (jobDeepJoin _))
 
   val oracle: Map[String, String] = Map(
+    "job_chain" -> jobChainSql,
+    "job_bushy" -> jobBushySql,
     "q1_pricing" -> q1Sql,
     "q3_shipping" -> q3Sql,
     "q5_region" -> q5Sql,

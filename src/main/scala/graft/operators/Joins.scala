@@ -251,7 +251,25 @@ object Joins {
       |  ON r.pos = n.pos
       |WHERE n.pos <= 5""".stripMargin
 
+  /** LATERAL join — per-outer-row dependent subquery (reference
+    * `src/planner/binder/tableref/bind_joinref.cpp` LATERAL binding;
+    * DuckDB plans it as a dependent join then flattens). The canonical
+    * top-k-per-group use: for each nation, its two richest customers.
+    * Spark decorrelates the LIMIT-bearing lateral subquery into a
+    * window + filter (no per-row re-execution — the plan shape that
+    * survives 100 TB, identical to a hand-written rank filter). */
+  def joinLateral(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir, joinLateralSql)
+
+  val joinLateralSql: String =
+    """SELECT n_name, t.c_name, t.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_lateral" -> (joinLateral _),
     "join_left" -> (joinLeft _),
     "join_right" -> (joinRight _),
     "join_full" -> (joinFull _),
@@ -267,6 +285,7 @@ object Joins {
     "join_positional" -> (joinPositional _))
 
   val oracle: Map[String, String] = Map(
+    "join_lateral" -> joinLateralSql,
     "join_left" -> joinLeftSql,
     "join_right" -> joinRightSql,
     "join_full" -> joinFullSql,

@@ -127,6 +127,51 @@ object Shaping {
       |  count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  /** UNPIVOT / melt — columns→rows, the inverse of PIVOT (reference
+    * `src/planner/binder/query_node/bind_select_node.cpp` unpivot binding,
+    * `physical_pivot.cpp`): the four lineitem measures melt into
+    * (measure, value) rows, then aggregate per measure. Money totals go
+    * through DECIMAL so the melted sum is exact under any partitioning. */
+  def shapeUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .unpivot(
+        Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+
+  val shapeUnpivotSql: String =
+    """SELECT measure, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+      |      ON l_quantity, l_extendedprice, l_discount, l_tax
+      |      INTO NAME measure VALUE value) u
+      |GROUP BY measure""".stripMargin
+
+  /** DISTINCT ON — first row per key under a total order (reference
+    * `src/planner/binder/query_node/bind_select_node.cpp` DISTINCT ON →
+    * reference plans it as ordered aggregation). Spark's relational form
+    * is the row_number()=1 filter — same one-shuffle plan a 100 TB
+    * "latest record per key" pipeline wants. */
+  def shapeDistinctOn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    Tables.t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+  }
+
+  val shapeDistinctOnSql: String =
+    """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate, o_totalprice
+      |FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin
+
   /** Multi-column DISTINCT (reference `plan_distinct.cpp`). */
   def shapeDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "lineitem")
@@ -145,6 +190,8 @@ object Shaping {
     "shape_values" -> (shapeValues _),
     "shape_range" -> (shapeRange _),
     "shape_json" -> (shapeJson _),
+    "shape_unpivot" -> (shapeUnpivot _),
+    "shape_distinct_on" -> (shapeDistinctOn _),
     "shape_distinct" -> (shapeDistinct _))
 
   val oracle: Map[String, String] = Map(
@@ -156,5 +203,7 @@ object Shaping {
     "shape_values" -> shapeValuesSql,
     "shape_range" -> shapeRangeSql,
     "shape_json" -> shapeJsonSql,
+    "shape_unpivot" -> shapeUnpivotSql,
+    "shape_distinct_on" -> shapeDistinctOnSql,
     "shape_distinct" -> shapeDistinctSql)
 }

@@ -213,7 +213,30 @@ object Windows {
       |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
       |             EXCLUDE CURRENT ROW)""".stripMargin
 
+  /** QUALIFY — filter on a window result without a subquery (reference
+    * `src/planner/binder/query_node/bind_select_node.cpp` QUALIFY
+    * binding): top-3 orders per customer by price. Spark's relational
+    * form is the explicit window + filter; Catalyst folds the rank
+    * predicate into a WindowGroupLimit so each partition stops at k
+    * rows — the top-k-per-key plan that holds at any scale. */
+  def winQualify(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val winQualifySql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders
+      |QUALIFY rn <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_qualify" -> (winQualify _),
     "win_exclude" -> (winExclude _),
     "win_session" -> (winSession _),
     "win_rank" -> (winRank _),
@@ -224,6 +247,7 @@ object Windows {
     "win_firstlast" -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_qualify" -> winQualifySql,
     "win_exclude" -> winExcludeSql,
     "win_session" -> winSessionSql,
     "win_rank" -> winRankSql,

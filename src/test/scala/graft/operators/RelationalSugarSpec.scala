@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The round-4 relational-sugar surface: LATERAL, UNPIVOT, DISTINCT ON,
+  * QUALIFY, and the two extra JOB-style join shapes. Each test pins the
+  * semantic contract the oracle also checks, so a regression is caught
+  * at suite speed without the DuckDB gate. */
+class RelationalSugarSpec extends SparkSpec {
+
+  test("join_lateral equals the explicit window top-k filter") {
+    val lateral = Joins.joinLateral(spark, sf())
+    // independent phrasing: rank customers per nation, keep top 2
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val expected = graft.Tables.t(spark, sf(), "customer")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(graft.Tables.t(spark, sf(), "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"), col("c_acctbal"))
+    assert(lateral.exceptAll(expected).isEmpty && expected.exceptAll(lateral).isEmpty)
+  }
+
+  test("shape_unpivot melts 4 measures: n = |lineitem| per measure") {
+    val rows = Shaping.shapeUnpivot(spark, sf()).collect()
+    val liCount = graft.Tables.t(spark, sf(), "lineitem").count()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[Long]("n") == liCount))
+  }
+
+  test("shape_distinct_on keeps exactly one row per customer key") {
+    val df = Shaping.shapeDistinctOn(spark, sf())
+    assert(df.count() == df.select("o_custkey").distinct().count())
+  }
+
+  test("win_qualify keeps at most 3 rows per customer, ranked") {
+    val perKey = Windows.winQualify(spark, sf())
+      .groupBy("o_custkey").agg(count(lit(1)).as("k"), max("rn").as("maxrn"))
+    assert(perKey.filter(col("k") > 3 || col("maxrn") > 3).isEmpty)
+  }
+
+  test("job_bushy branch totals are consistent: cust_rev sums to lineitem revenue") {
+    // sf0.01: every nation has both customers and suppliers, so the
+    // branch join drops nothing and the branch total must equal the
+    // direct lineitem revenue (at sf0.001 supplier covers only 10 nations).
+    val total = CoreQueries.jobBushy(spark, sf("sf0.01"))
+      .agg(sum(col("cust_rev")).as("t")).collect()(0).getDouble(0)
+    val direct = graft.Tables.t(spark, sf("sf0.01"), "lineitem")
+      .agg(sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        * (lit(1).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          - col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+        .cast("double")).collect()(0).getDouble(0)
+    // every lineitem belongs to exactly one order->customer->nation chain
+    assert(math.abs(total - direct) < 1e-6 * math.abs(direct))
+  }
+
+  test("job_chain output is bounded by nation count") {
+    assert(CoreQueries.jobChain(spark, sf()).count() <= 25)
+  }
+}
