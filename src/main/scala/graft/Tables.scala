@@ -20,13 +20,26 @@ object Tables {
     * total, region/nation stay tiny (dimension-like) — always broadcast. */
   val broadcastable: Set[String] = Set("region", "nation")
 
+  /** Catalog analog: table schemas resolved once per path, then supplied
+    * to every subsequent read. Without this, each query pays a footer
+    * schema-inference Spark job PER TABLE PER EXECUTION (~30 ms each —
+    * measured via BenchExplain: 6 such stages dominated q5's wall time).
+    * The reference keeps table metadata in its catalog for the same
+    * reason (reference `src/function/table/table_scan.cpp` binds against
+    * catalog types, not per-query file sniffing). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     // rejects; read nanos as long and truncate to µs (values are µs-aligned
     // — verified — and DuckDB reads the same file as µs TIMESTAMP, so this
     // is exact oracle parity, not lossy).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     df.schema.fields.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>

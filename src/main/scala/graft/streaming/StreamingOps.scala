@@ -112,6 +112,17 @@ object StreamingOps {
         col("r_ts") <= col("ts") + expr(s"INTERVAL $bandSeconds SECONDS"))
   }
 
+  /** Stream-static enrichment join — the canonical ingest shape: an
+    * unbounded event stream joined to a bounded dimension table. The
+    * static side broadcasts (re-read per micro-batch, so dimension
+    * updates are picked up without restarting the query); no watermark
+    * is needed because the static side holds no streaming state. At
+    * 100 TB/day this is the plan that keeps the stream linear: each
+    * micro-batch is one broadcast-hash probe, never a shuffle. */
+  def enrichStream(events: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Batch-equivalence helper: the same windowed aggregation phrased over
     * a static frame (used to validate streaming results in tests). */
   def windowedCountsBatch(events: DataFrame, width: String = "5 minutes"): DataFrame =

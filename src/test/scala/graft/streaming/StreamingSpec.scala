@@ -68,6 +68,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch left join") {
+    val dim = Seq(("click", 1), ("view", 2), ("purchase", 3))
+      .toDF("et", "weight")
+    val stream = StreamingOps.eventStream(spark, sf("sf0.001"))
+    val q = StreamingOps.enrichStream(stream, dim, "event_type", "et")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enr")
+      val events = graft.Tables.t(spark, sf("sf0.001"), "events")
+      val batch = StreamingOps.enrichStream(events, dim, "event_type", "et")
+      // left join preserves every event; matches agree with the batch plan
+      assert(streamed.count() == events.count())
+      assert(streamed.filter($"weight".isNotNull).count() ==
+        batch.filter($"weight".isNotNull).count())
+      assert(streamed.filter($"weight".isNull).count() ==
+        batch.filter($"weight".isNull).count())
+    } finally q.stop()
+  }
+
   test("sessionization counts per-user events with gap splits") {
     val events = Seq(
       StreamingOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
