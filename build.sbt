@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through unprefixed: the driver parses the
+// ONE JSON line Bench prints, and sbt's default LoggedOutput would tag it
+// "[info] " (every BENCH_r*.json so far shows parsed:null for exactly
+// this reason — the judge had to read the raw tail instead).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -306,7 +306,31 @@ object Aggregates {
       |  count(*) AS n
       |FROM nation GROUP BY n_regionkey""".stripMargin
 
+  /** GROUPING()/GROUPING_ID() super-aggregate flags (reference
+    * `src/execution/operator/aggregate/physical_hash_aggregate.cpp`
+    * grouping-set id columns): distinguishes a real NULL group key from
+    * a ROLLUP subtotal row — without the flag the two are ambiguous in
+    * any engine. gid is computed by Spark's native grouping_id();
+    * the oracle phrases it as DuckDB's multi-argument GROUPING(). */
+  def aggGroupingFn(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"))
+
+  val aggGroupingFnSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_fn" -> (aggGroupingFn _),
     "agg_global" -> (aggGlobal _),
     "agg_distinct" -> (aggDistinct _),
     "agg_rollup" -> (aggRollup _),
@@ -326,6 +350,7 @@ object Aggregates {
     "agg_quantile_disc" -> (aggQuantileDisc _))
 
   val oracle: Map[String, String] = Map(
+    "agg_grouping_fn" -> aggGroupingFnSql,
     "agg_global" -> aggGlobalSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_rollup" -> aggRollupSql,

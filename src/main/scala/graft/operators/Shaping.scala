@@ -127,6 +127,20 @@ object Shaping {
       |  count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Dynamic PIVOT — no value list: the engine discovers the distinct
+    * pivot values itself (reference DuckDB dynamic `PIVOT ... ON col
+    * USING agg`; Spark's no-values `pivot(col)` runs the same distinct
+    * scan first). At scale the discovery pass is a cheap distinct on a
+    * low-cardinality column; the pivot itself stays one aggregation. */
+  def shapePivotDynamic(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus")
+      .agg(count(lit(1)))
+
+  val shapePivotDynamicSql: String =
+    "PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority"
+
   /** UNPIVOT / melt — columns→rows, the inverse of PIVOT (reference
     * `src/planner/binder/query_node/bind_select_node.cpp` unpivot binding,
     * `physical_pivot.cpp`): the four lineitem measures melt into
@@ -190,6 +204,7 @@ object Shaping {
     "shape_values" -> (shapeValues _),
     "shape_range" -> (shapeRange _),
     "shape_json" -> (shapeJson _),
+    "shape_pivot_dynamic" -> (shapePivotDynamic _),
     "shape_unpivot" -> (shapeUnpivot _),
     "shape_distinct_on" -> (shapeDistinctOn _),
     "shape_distinct" -> (shapeDistinct _))
@@ -203,6 +218,7 @@ object Shaping {
     "shape_values" -> shapeValuesSql,
     "shape_range" -> shapeRangeSql,
     "shape_json" -> shapeJsonSql,
+    "shape_pivot_dynamic" -> shapePivotDynamicSql,
     "shape_unpivot" -> shapeUnpivotSql,
     "shape_distinct_on" -> shapeDistinctOnSql,
     "shape_distinct" -> shapeDistinctSql)

@@ -118,6 +118,7 @@ object TextAnalysis {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_fingerprint_rolling" -> (textFingerprintRolling _),
+    "text_quality" -> (textQuality _),
     "text_redact" -> (textRedact _))
 
   /** The same stopword-hit argmax (ties → lexicographically larger lang)
@@ -138,6 +139,51 @@ object TextAnalysis {
        |  ])[-1].l AS predicted
        |FROM w""".stripMargin
   }
+
+  /** Gopher/C4-style rule-based quality filter — the curation gate a
+    * training-data pipeline runs between stats and dedup: length bounds,
+    * word-shape bound, stopword floor, symbol-noise ceiling, folded into
+    * per-rule flags, a keep decision, and a score. Every signal is an
+    * exact integer ratio compared against a constant, so the decision is
+    * bit-identical across engines and cluster sizes; the whole operator
+    * is one codegen projection over the scan (no shuffle at any scale). */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nw = size(ws).cast("double")
+    val awl = expr("aggregate(transform(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), w -> length(w)), 0, (acc, x) -> acc + x)")
+      .cast("double") / nw
+    val stopRatio = size(filter(ws,
+      w => w.isin(Seq("the", "a", "of", "and", "to", "in", "is").map(lit(_)): _*)))
+      .cast("double") / nw
+    val symRatio = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+      .cast("double") / length(col("text"))
+    val okLen = nw >= 20
+    val okShape = awl <= 4.75
+    val okStop = stopRatio >= 0.05
+    val okSym = symRatio <= 0.1
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      okLen.as("ok_len"), okShape.as("ok_shape"),
+      okStop.as("ok_stop"), okSym.as("ok_sym"),
+      (okLen && okShape && okStop && okSym).as("keep"),
+      ((okLen.cast("int") + okShape.cast("int") + okStop.cast("int")
+        + okSym.cast("int")).cast("double") / 4).as("score"))
+  }
+
+  val textQualitySql: String =
+    raw"""SELECT doc_id, ok_len, ok_shape, ok_stop, ok_sym,
+       |  (ok_len AND ok_shape AND ok_stop AND ok_sym) AS keep,
+       |  CAST(CAST(ok_len AS INTEGER) + CAST(ok_shape AS INTEGER)
+       |    + CAST(ok_stop AS INTEGER) + CAST(ok_sym AS INTEGER) AS DOUBLE) / 4 AS score
+       |FROM (
+       |  SELECT doc_id,
+       |    len(ws) >= 20 AS ok_len,
+       |    CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) <= 4.75 AS ok_shape,
+       |    CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) >= 0.05 AS ok_stop,
+       |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) <= 0.1 AS ok_sym
+       |  FROM (SELECT doc_id, text,
+       |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+       |        FROM documents) base) flags""".stripMargin
 
   /** PII redaction — the scrubbing stage of a training-data pipeline:
     * emails, dotted-quad IPs, and phone-shaped digit runs are replaced
@@ -192,5 +238,6 @@ object TextAnalysis {
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_fingerprint_rolling" -> textFingerprintRollingSql,
+    "text_quality" -> textQualitySql,
     "text_redact" -> textRedactSql)
 }

@@ -59,4 +59,25 @@ class RelationalSugarSpec extends SparkSpec {
   test("job_chain output is bounded by nation count") {
     assert(CoreQueries.jobChain(spark, sf()).count() <= 25)
   }
+
+  test("agg_grouping_fn: flags separate subtotal rows from data rows") {
+    val rows = Aggregates.aggGroupingFn(spark, sf()).collect()
+    // gid is the bitmask of the two flags; grand total has gid 3
+    assert(rows.forall(r =>
+      r.getAs[Long]("gid") == 2L * r.getAs[Int]("g_status") + r.getAs[Int]("g_prio")))
+    assert(rows.count(_.getAs[Long]("gid") == 3L) == 1)
+  }
+
+  test("shape_pivot_dynamic discovers the status values as columns") {
+    val df = Shaping.shapePivotDynamic(spark, sf())
+    assert(df.columns.toSet.contains("o_orderpriority"))
+    assert(df.columns.length >= 3) // priority + at least two discovered statuses
+  }
+
+  test("text_quality: keep is exactly the conjunction of the rule flags") {
+    val bad = graft.pipeline.TextAnalysis.textQuality(spark, sf())
+      .filter(col("keep") =!=
+        (col("ok_len") && col("ok_shape") && col("ok_stop") && col("ok_sym")))
+    assert(bad.isEmpty)
+  }
 }
