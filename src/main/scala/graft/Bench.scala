@@ -115,7 +115,7 @@ object Bench {
     // parquet footer caches), then timed.
     val headline = Seq(
       "q1_pricing", "q3_shipping", "q5_region", "q10_returned",
-      "join_asof", "agg_rollup", "win_rank", "shape_unnest",
+      "job_deep_join", "join_asof", "agg_rollup", "win_rank", "shape_unnest",
       "dedup_minhash", "ann_topk", "text_stats", "compact_filter")
     val fns = headline.map(n => n -> SparkEntry.queries(n))
 
