@@ -146,10 +146,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+    // Compaction metrology on the paper's motivating shape: fraction of
+    // tasks under the reference's dynamic-compaction trigger size for
+    // one instrumented (untimed) run of the JOB-style deep join
+    // (reference `src/execution/physical_operator.cpp:266` —
+    // `chunk.size() < compact_threshold`; ChunkMetrics is the
+    // ZebraProfiler analog).
+    val metrics = new compaction.ChunkMetrics().install(spark)
+    metrics.reset()
+    once(SparkEntry.queries("job_deep_join"))
+    val stf = metrics.smallTaskFraction(1024)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floor":$floor,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floor":$floor,"small_task_fraction_deep_join":$stf,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

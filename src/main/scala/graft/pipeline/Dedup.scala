@@ -326,6 +326,12 @@ object Dedup {
   /** Exact n-gram jaccard pairs — same shingle construction as the Spark
     * side, all-pairs in SQL (fine at oracle scale; Spark blocks on shared
     * shingles instead of enumerating pairs). */
+  /** Oracle note: candidate pairs are pre-filtered to those sharing at
+    * least one shingle. This blocking is LOSSLESS for the j >= 0.6
+    * output (jaccard > 0 requires a shared shingle), so the result is
+    * identical to the all-pairs form — but the oracle stays runnable at
+    * sf0.1+ where all-pairs is 12.5M list intersections (measured: the
+    * unblocked form ran for over an hour in DuckDB at sf0.1). */
   val dedupNgramSql: String =
     """WITH docs AS (
       |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
@@ -333,12 +339,16 @@ object Dedup {
       |sh AS (
       |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
       |    FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS s
-      |  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM docs))
+      |  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM docs)),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |cand AS (
+      |  SELECT DISTINCT e1.doc_id AS id1, e2.doc_id AS id2
+      |  FROM ex e1 JOIN ex e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id)
       |SELECT id1, id2, j AS jaccard FROM (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  SELECT id1, id2,
       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |      / len(list_distinct(list_concat(a.s, b.s))) AS j
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+      |  FROM cand JOIN sh a ON a.doc_id = id1 JOIN sh b ON b.doc_id = id2) p
       |WHERE j >= 0.6""".stripMargin
 
   /** Full MinHash-LSH pipeline reproduced in DuckDB over the shared
