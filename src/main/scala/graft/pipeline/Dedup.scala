@@ -297,7 +297,10 @@ object Dedup {
 
   /** Oracle for the full curation pipeline: exact 3-gram-jaccard pair
     * detection (LSH candidates verify to the same set — asserted in
-    * DedupSpec) + recursive transitive closure for components. */
+    * DedupSpec) + recursive transitive closure for components.
+    * Candidate pairs are blocked on shared shingles — lossless for the
+    * j >= 0.5 edge set (see dedupNgramSql note) and keeps the oracle
+    * runnable beyond toy scale. */
   val pipelineCurateSql: String =
     """WITH RECURSIVE docs AS (
       |  SELECT doc_id, source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
@@ -306,9 +309,13 @@ object Dedup {
       |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
       |    FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS s
       |  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM docs)),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |cand AS (
+      |  SELECT DISTINCT e1.doc_id AS u, e2.doc_id AS v
+      |  FROM ex e1 JOIN ex e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id),
       |pairs AS (
-      |  SELECT a.doc_id AS u, b.doc_id AS v
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  SELECT u, v
+      |  FROM cand JOIN sh a ON a.doc_id = u JOIN sh b ON b.doc_id = v
       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
       |edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
@@ -323,9 +330,6 @@ object Dedup {
       |  AND len(string_split(d.t, ' ')) >= 10
       |GROUP BY d.source""".stripMargin
 
-  /** Exact n-gram jaccard pairs — same shingle construction as the Spark
-    * side, all-pairs in SQL (fine at oracle scale; Spark blocks on shared
-    * shingles instead of enumerating pairs). */
   /** Oracle note: candidate pairs are pre-filtered to those sharing at
     * least one shingle. This blocking is LOSSLESS for the j >= 0.6
     * output (jaccard > 0 requires a shared shingle), so the result is
