@@ -295,30 +295,14 @@ object Dedup {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _))
 
-  /** Oracle for the full curation pipeline: exact 3-gram-jaccard pair
-    * detection (LSH candidates verify to the same set — asserted in
-    * DedupSpec) + recursive transitive closure for components.
-    * Candidate pairs are blocked on shared shingles — lossless for the
-    * j >= 0.5 edge set (see dedupNgramSql note) and keeps the oracle
-    * runnable beyond toy scale. */
+  /** Oracle for the full curation pipeline: the SAME MinHash-LSH verified
+    * pair generation the engine runs (shared CTE chain — LSH banding
+    * recall is part of the defined semantics, so the oracle includes it)
+    * + recursive transitive closure for components + the quality floor. */
   val pipelineCurateSql: String =
-    """WITH RECURSIVE docs AS (
-      |  SELECT doc_id, source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
-      |    FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS s
-      |  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM docs)),
-      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      |cand AS (
-      |  SELECT DISTINCT e1.doc_id AS u, e2.doc_id AS v
-      |  FROM ex e1 JOIN ex e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id),
-      |pairs AS (
-      |  SELECT u, v
-      |  FROM cand JOIN sh a ON a.doc_id = u JOIN sh b ON b.doc_id = v
-      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
-      |edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    s"""WITH RECURSIVE $minhashVerifiedCtes,
+      |edges AS (SELECT id1 AS u, id2 AS v FROM verified
+      |          UNION SELECT id2 AS u, id1 AS v FROM verified),
       |reach(u, v) AS (
       |  SELECT u, v FROM edges
       |  UNION
@@ -355,18 +339,23 @@ object Dedup {
       |  FROM cand JOIN sh a ON a.doc_id = id1 JOIN sh b ON b.doc_id = id2) p
       |WHERE j >= 0.6""".stripMargin
 
-  /** Full MinHash-LSH pipeline reproduced in DuckDB over the shared
-    * [[hash64]] primitive: same shingles, same 32 min-hashes, same 8-band
-    * candidate generation, same exact-jaccard verification. */
-  val dedupMinhashSql: String = {
+  /** Shared CTE chain: the full MinHash-LSH pipeline reproduced in DuckDB
+    * over the shared [[hash64]] primitive — same shingles, same 32
+    * min-hashes, same 8-band candidate generation, same exact-jaccard
+    * verification at 0.5. `verified` is the engine's near-dup edge set;
+    * both the dedup_minhash oracle and the curation oracle build on it,
+    * so the oracle checks the semantics the engine actually defines
+    * (LSH-band recall included), not a different exact-all-pairs ground
+    * truth that only coincides at small scale. */
+  private def minhashVerifiedCtes: String = {
     val mins = (0 until 32)
       .map(i => s"min((${mhA(i)} * hb + ${mhB(i)}) % $mhP) AS h$i").mkString(", ")
     val bandUnion = (0 until 8)
       .map(b => s"SELECT doc_id, $b AS band, concat_ws('|', h${4 * b}, " +
         s"h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS sig FROM sig")
       .mkString(" UNION ALL ")
-    raw"""WITH docs AS (
-       |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+    raw"""docs AS (
+       |  SELECT doc_id, source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
        |shl AS (
        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
        |    FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS s
@@ -378,14 +367,18 @@ object Dedup {
        |  SELECT x.doc_id AS id1, y.doc_id AS id2
        |  FROM banded x JOIN banded y
        |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-       |  GROUP BY ALL)
-       |SELECT c.id1, c.id2,
-       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-       |FROM cand c JOIN shl a ON a.doc_id = c.id1 JOIN shl b ON b.doc_id = c.id2
-       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin
+       |  GROUP BY ALL),
+       |verified AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+       |  FROM cand c JOIN shl a ON a.doc_id = c.id1 JOIN shl b ON b.doc_id = c.id2
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)""".stripMargin
   }
+
+  val dedupMinhashSql: String =
+    s"WITH $minhashVerifiedCtes\nSELECT id1, id2, jaccard FROM verified"
 
   /** SimHash reproduced in DuckDB: same normalization, word weights,
     * hash64 bits, and sign-aggregation. */
