@@ -123,6 +123,12 @@ object Dedup {
     * kills them), so the smaller signature wins on both the min-aggregate
     * width and codegen size. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    // The shingle table feeds four plan references (signatures + the
+    // verification joins and sizes). Measured: materializing it once
+    // via localCheckpoint (the DuckDB-CTE analog) is NOT faster here —
+    // the eager write costs as much as the recomputation it saves, and
+    // it would block lineage-based recovery at scale — so the plan
+    // stays fully declarative.
     val sh = shingles(Tables.t(s, dir, "documents"), "text", 3)
     val sig = minhashSignatures(sh, numHashes = 32)
     val cand = lshCandidates(sig, numHashes = 32, bands = 8)
