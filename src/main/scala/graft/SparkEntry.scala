@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.CoreQueries.queries ++
       operators.TpchQueries.queries ++
+      operators.TpcdsShapes.queries ++
       operators.Joins.queries ++
       operators.ScaleJoins.queries ++
       operators.Aggregates.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.CoreQueries.oracle ++
       operators.TpchQueries.oracle ++
+      operators.TpcdsShapes.oracle ++
       operators.Joins.oracle ++
       operators.ScaleJoins.oracle ++
       operators.Aggregates.oracle ++

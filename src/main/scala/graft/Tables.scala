@@ -26,7 +26,14 @@ object Tables {
     * measured via BenchExplain: 6 such stages dominated q5's wall time).
     * The reference keeps table metadata in its catalog for the same
     * reason (reference `src/function/table/table_scan.cpp` binds against
-    * catalog types, not per-query file sniffing). */
+    * catalog types, not per-query file sniffing).
+    *
+    * INVARIANT: entries are keyed by path and never invalidated, so a
+    * path must not be rewritten in-JVM with a different schema — parquet
+    * reads with an explicit stale schema return NULLs for absent columns
+    * instead of failing. Fixtures are immutable and staged dirs are fresh
+    * temp dirs, which preserves this; a test that regenerates a fixture
+    * in place must use a new path (or call `schemaCache.clear()`). */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 

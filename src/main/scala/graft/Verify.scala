@@ -54,7 +54,13 @@ object Verify {
           s"SELECT * FROM ($sql) graft_ord ORDER BY $order"
         case None => sql
       }
+    // Emit oracles only for the queries dumped THIS run: under
+    // SPARK_GRAFT_ONLY the unselected queries have no columnsByQuery
+    // entry (no ORDER BY wrapper) and possibly stale parquet in a reused
+    // outDir — emitting them would invite spurious order-dependent
+    // mismatches.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(wrapped(k, v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

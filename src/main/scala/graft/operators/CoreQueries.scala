@@ -168,13 +168,21 @@ object CoreQueries {
     val cust = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val natC = Tables.t(s, dir, "nation")
     val reg = Tables.t(s, dir, "region").filter(col("r_name") === "EUROPE")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(sup, col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
+    // Every dimension branch broadcasts — including the 4%-selective
+    // customer (EU × BUILDING) and the supplier side — and the customer
+    // branch is applied to ORDERS BEFORE the fact join, so orders enters
+    // the only remaining exchange already reduced to ~4%: one shuffle
+    // (lineitem⋈orders), not three. This is the dimension≪fact regime
+    // (JOB's); if a "dimension" ever grows to fact size, drop its
+    // broadcast() and let AQE pick the shuffle strategy.
+    val custEu = cust
       .join(broadcast(natC), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+    val ordCust = ord.join(broadcast(custEu), col("o_custkey") === col("c_custkey"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(ordCust, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"),
         min(col("o_orderdate")).as("first_order"),

@@ -38,10 +38,15 @@ object ScaleJoins {
   }
 
   /** Salted equi-join for skewed keys: build side × salt replicas, probe
-    * side scattered by deterministic hash-salt. */
+    * side scattered by deterministic hash-salt. The salt hashes the
+    * probe row's REAL columns (not `monotonically_increasing_id`, which
+    * is partition-layout-dependent: an AQE re-plan would reassign salts
+    * and change per-task balance between runs) — rows of a hot key
+    * scatter by their non-key attributes, identically on every layout. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salt: Int): DataFrame = {
-    val salted = probe.withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+    val salted = probe.withColumn("_salt",
+      pmod(xxhash64(probe.columns.toIndexedSeq.map(col): _*), lit(salt)))
     val replicated = build.withColumn("_salt", explode(array((0 until salt).map(lit(_)): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }

@@ -131,12 +131,18 @@ object Shaping {
     * pivot values itself (reference DuckDB dynamic `PIVOT ... ON col
     * USING agg`; Spark's no-values `pivot(col)` runs the same distinct
     * scan first). At scale the discovery pass is a cheap distinct on a
-    * low-cardinality column; the pivot itself stays one aggregation. */
+    * low-cardinality column; the pivot itself stays one aggregation.
+    * Missing (priority, status) combinations are pinned to 0 — Spark's
+    * pivot emits NULL for a cell with no rows while DuckDB's
+    * `PIVOT ... USING count(*)` emits 0; `na.fill(0)` makes the engine
+    * match the defined count semantics on any data, not just fixtures
+    * where every combination happens to exist. */
   def shapePivotDynamic(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus")
       .agg(count(lit(1)))
+      .na.fill(0)
 
   val shapePivotDynamicSql: String =
     "PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority"
@@ -186,6 +192,23 @@ object Shaping {
     """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate, o_totalprice
       |FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin
 
+  /** LIMIT PERCENT over a total order (reference
+    * `src/execution/operator/helper/physical_limit_percent.cpp`):
+    * semantically count-then-limit — the reference's operator also
+    * buffers to learn the total before emitting. The count job is the
+    * one unavoidable extra pass; the limit itself plans as a TopK under
+    * the total-order sort, so no full materialization at scale. */
+  def shapeLimitPercent(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.t(s, dir, "orders")
+    val n = df.count()
+    df.orderBy(col("o_orderkey"))
+      .limit((n * 7 / 100).toInt)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val shapeLimitPercentSql: String =
+    "SELECT o_orderkey, o_totalprice FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 7%) t"
+
   /** Multi-column DISTINCT (reference `plan_distinct.cpp`). */
   def shapeDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "lineitem")
@@ -207,7 +230,8 @@ object Shaping {
     "shape_pivot_dynamic" -> (shapePivotDynamic _),
     "shape_unpivot" -> (shapeUnpivot _),
     "shape_distinct_on" -> (shapeDistinctOn _),
-    "shape_distinct" -> (shapeDistinct _))
+    "shape_distinct" -> (shapeDistinct _),
+    "shape_limit_percent" -> (shapeLimitPercent _))
 
   val oracle: Map[String, String] = Map(
     "shape_unnest" -> shapeUnnestSql,
@@ -221,5 +245,6 @@ object Shaping {
     "shape_pivot_dynamic" -> shapePivotDynamicSql,
     "shape_unpivot" -> shapeUnpivotSql,
     "shape_distinct_on" -> shapeDistinctOnSql,
-    "shape_distinct" -> shapeDistinctSql)
+    "shape_distinct" -> shapeDistinctSql,
+    "shape_limit_percent" -> shapeLimitPercentSql)
 }

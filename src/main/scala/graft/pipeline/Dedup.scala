@@ -242,6 +242,39 @@ object Dedup {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45""".stripMargin
 
+  /** The PRODUCTION banding config (8 bands × 16 planes — the one sized
+    * for cos ≥ 0.9 near-dup thresholds at 10⁹ vectors), oracle-checked
+    * at the signature level: per band, vector count, distinct-signature
+    * count, and signature checksum. The fixture has no cos ≥ 0.9 pairs
+    * (max pair cosine ≈ 0.51), so a pair-level wide query would be
+    * vacuously empty; the signature summary instead pins every one of
+    * the 128 plane dots, sign bits, and 16-bit band packings against
+    * DuckDB — any banding-math error at the wide config changes the
+    * checksums. Proves the 4×2-oracled math is config-general. */
+  def dedupEmbeddingLshWide(s: SparkSession, dir: String): DataFrame =
+    embeddingBands(s, Tables.t(s, dir, "embeddings"), bands = 8, rowsPerBand = 16)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("sig")).as("n_sigs"),
+        sum(col("sig")).as("sig_sum"))
+
+  val dedupEmbeddingLshWideSql: String = {
+    val h = hash64Sql("42", "(p.plane*64+d.d)")
+    s"""WITH planes AS (
+       |  SELECT p.plane, d.d, CAST(($h % 1024) - 512 AS DOUBLE) AS w
+       |  FROM (SELECT unnest(range(128)) AS plane) p, (SELECT unnest(range(64)) AS d) d),
+       |dots AS (
+       |  SELECT e.vec_id, pl.plane, sum(e.embedding[pl.d+1] * pl.w) AS dot
+       |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.plane),
+       |bands AS (
+       |  SELECT vec_id, CAST(plane // 16 AS INT) AS band,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(plane % 16 AS INT)) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM dots GROUP BY vec_id, band)
+       |SELECT band, count(*) AS n_vecs, count(DISTINCT sig) AS n_sigs,
+       |  CAST(sum(sig) AS BIGINT) AS sig_sum
+       |FROM bands GROUP BY band""".stripMargin
+  }
+
   /** Connected components over an undirected pair list via min-label
     * propagation: labels converge in O(component diameter) rounds — for
     * near-dup graphs that is 2-3 (clusters are cliques-ish). Driver loop
@@ -299,7 +332,8 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> ((s: SparkSession, dir: String) => dedupNgram(s, dir)),
     "dedup_embedding" -> (dedupEmbedding _),
-    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _))
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "dedup_embedding_lsh_wide" -> (dedupEmbeddingLshWide _))
 
   /** Oracle for the full curation pipeline: the SAME MinHash-LSH verified
     * pair generation the engine runs (shared CTE chain — LSH banding
@@ -434,6 +468,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
+    "dedup_embedding_lsh_wide" -> dedupEmbeddingLshWideSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -119,12 +119,18 @@ object Similarity {
   def ivfCells(e: DataFrame, nlist: Int): DataFrame = {
     val cents = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(G.list_cosine_similarity(col("embedding"), col("cvec")).desc, col("cid"))
+    // Argmin as a `min_by(struct)` aggregation, not a row_number window:
+    // the window form sorts nlist rows per vector (10⁹ × 1024-way sorts at
+    // production scale); min_by is one hash-aggregate pass with no sort.
+    // struct(-cos, cid) orders by highest cosine, then lowest cid — the
+    // same total order the window's (cos DESC, cid ASC) gave.
     e.join(broadcast(cents))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        min_by(col("cid"),
+          struct((G.list_cosine_similarity(col("embedding"), col("cvec")) * -1).as("negCos"),
+            col("cid"))).as("cid"))
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 

@@ -121,7 +121,10 @@ object StreamingOps {
     * micro-batch is one broadcast-hash probe, never a shuffle. */
   def enrichStream(events: DataFrame, dim: DataFrame, streamKey: String,
       dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+    // Qualify each side explicitly: with unqualified col(...) a shared
+    // key name (the common case for enrichment) is an ambiguous
+    // reference — AnalysisException, or worse a self-comparison.
+    events.join(broadcast(dim), events(streamKey) === dim(dimKey), "left")
 
   /** Batch-equivalence helper: the same windowed aggregation phrased over
     * a static frame (used to validate streaming results in tests). */
