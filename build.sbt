@@ -32,6 +32,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with AQE + broadcasts thrashes GC under small heaps and
-  // distorts benchmark timings; 48g is safe on the 128 GiB harness box.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+  // distorts benchmark timings; 24g is ample for sf0.1 incl. the 10×
+  // bench block on the 128 GiB harness box. The heap is PINNED
+  // (-Xms=-Xmx) and pre-touched: with a floating heap, G1 repeatedly
+  // uncommits after concurrent cycles and re-commits under load, and the
+  // kernel page-zeroing storms showed up as 30–60% SYSTEM CPU with ~0%
+  // user — allocation-heavy queries went chaotically bimodal (measured
+  // 1 s…100 s for the same warm query; /proc/stat + safepoint logs
+  // localized it to commit churn, not GC algorithm or code). Pinning +
+  // AlwaysPreTouch moves all page zeroing to JVM startup (untimed) and
+  // makes timings unimodal.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
+  // Extra JVM flags for experiments (GC A/B etc.), space-separated.
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -26,6 +26,7 @@ object SparkEntry {
       operators.SetOps.queries ++
       operators.Shaping.queries ++
       functions.FunctionQueries.queries ++
+      functions.GraftMacros.queries ++
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       operators.SetOps.oracle ++
       operators.Shaping.oracle ++
       functions.FunctionQueries.oracle ++
+      functions.GraftMacros.oracle ++
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
       pipeline.TextAnalysis.oracle ++

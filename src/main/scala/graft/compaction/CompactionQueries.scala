@@ -60,12 +60,32 @@ object CompactionQueries {
     """SELECT count(*) AS n_rows, true AS not_fragmented
       |FROM lineitem WHERE l_quantity > 49 AND l_discount > 0.08""".stripMargin
 
+  /** Compressed materialization (reference
+    * `src/optimizer/compressed_materialization.cpp`): the composite
+    * (l_partkey, l_suppkey) group key is bit-packed into ONE long before
+    * the aggregation's exchange and unpacked after — the oracle groups by
+    * the plain columns, proving the packed plan is semantically
+    * transparent. See `plans/CompressedMaterialization.scala`. */
+  def compressPackAgg(s: SparkSession, dir: String): DataFrame =
+    graft.plans.CompressedMaterialization.groupByPacked(
+      Tables.t(s, dir, "lineitem"),
+      "l_partkey", "l_suppkey",
+      Seq(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty")))
+
+  val compressPackAggSql: String =
+    """SELECT l_partkey, l_suppkey, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY l_partkey, l_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compact_filter" -> (compactFilter _),
     "compact_stats" -> (compactStats _),
-    "compact_stats_rows" -> (compactStatsRows _))
+    "compact_stats_rows" -> (compactStatsRows _),
+    "compress_pack_agg" -> (compressPackAgg _))
 
   val oracle: Map[String, String] = Map(
     "compact_filter" -> compactFilterSql,
-    "compact_stats_rows" -> compactStatsRowsSql)
+    "compact_stats_rows" -> compactStatsRowsSql,
+    "compress_pack_agg" -> compressPackAggSql)
 }

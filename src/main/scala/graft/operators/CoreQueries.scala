@@ -170,11 +170,16 @@ object CoreQueries {
     val reg = Tables.t(s, dir, "region").filter(col("r_name") === "EUROPE")
     // Every dimension branch broadcasts — including the 4%-selective
     // customer (EU × BUILDING) and the supplier side — and the customer
-    // branch is applied to ORDERS BEFORE the fact join, so orders enters
-    // the only remaining exchange already reduced to ~4%: one shuffle
-    // (lineitem⋈orders), not three. This is the dimension≪fact regime
-    // (JOB's); if a "dimension" ever grows to fact size, drop its
-    // broadcast() and let AQE pick the shuffle strategy.
+    // branch is applied to ORDERS BEFORE the fact join, reducing orders
+    // to ~0.8% (4% segment × 20% region). The reduced orders side then
+    // broadcasts too, so the whole 8-relation tree is ONE codegen pass
+    // over lineitem with zero fact shuffles (the only exchange left is
+    // the final 1-row-per-brand aggregate). This is the dimension≪fact
+    // regime (JOB's): static size estimation can't see that the
+    // orders⋈customer output is tiny, so the hint states it; under the
+    // production AQE session runtime stats reach the same plan without
+    // the hint, and if a "dimension" ever grows to fact size, drop its
+    // broadcast() and AQE picks the shuffle strategy.
     val custEu = cust
       .join(broadcast(natC), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -182,7 +187,7 @@ object CoreQueries {
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
-      .join(ordCust, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(ordCust), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"),
         min(col("o_orderdate")).as("first_order"),

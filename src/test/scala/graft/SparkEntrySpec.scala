@@ -14,10 +14,11 @@ class SparkEntrySpec extends SparkSpec {
   test("query names are unique across modules (no silent override)") {
     val all = Seq(
       operators.CoreQueries.queries, operators.TpchQueries.queries,
-      operators.Joins.queries,
+      operators.TpcdsShapes.queries, operators.Joins.queries,
       operators.ScaleJoins.queries, operators.Aggregates.queries,
       operators.Windows.queries, operators.SetOps.queries,
       operators.Shaping.queries, functions.FunctionQueries.queries,
+      functions.GraftMacros.queries,
       pipeline.Dedup.queries, pipeline.Similarity.queries,
       pipeline.TextAnalysis.queries, pipeline.Multimodal.queries,
       compaction.CompactionQueries.queries)
