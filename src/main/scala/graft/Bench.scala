@@ -141,10 +141,18 @@ object Bench {
       catch { case e: Throwable => if (strict) throw e }
       (System.nanoTime() - t0) / 1e9
     }
-    (1 to warms).foreach(_ => fns.foreach { case (_, fn) => once(fn) })
+    (1 to warms).foreach { w =>
+      fns.foreach { case (n, fn) =>
+        val t = once(fn)
+        if (t > 5) System.err.println(f"[bench]   warm$w $n took $t%.1fs")
+      }
+    }
     val best = Array.fill(fns.size)(Double.MaxValue)
-    for (_ <- 1 to runs; i <- fns.indices)
-      best(i) = math.min(best(i), once(fns(i)._2))
+    for (r <- 1 to runs; i <- fns.indices) {
+      val t = once(fns(i)._2)
+      if (t > 5) System.err.println(f"[bench]   run$r ${fns(i)._1} took $t%.1fs")
+      best(i) = math.min(best(i), t)
+    }
     fns.map(_._1).zip(best.toIndexedSeq)
   }
 
@@ -208,8 +216,16 @@ object Bench {
     // must fail the run loudly, not time an exception.
     val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")
 
+    // Progress timestamps go to STDERR (the driver parses the one
+    // stdout JSON line; these are for humans reading the log).
+    val tStart = System.nanoTime()
+    def mark(what: String): Unit =
+      System.err.println(f"[bench] +${(System.nanoTime() - tStart) / 1e9}%.0fs $what")
+    mark("staged base")
+
     // Block 1 — tuned config (headline numbers).
     val results = timeSuite(spark, benchDir, fns, warms, runs, strict)
+    mark("tuned block done")
     // Fixed per-query floor of local mode: schedule-one-noop-job cost that
     // any query also pays; reported so per-row engine cost is legible.
     val floor = (1 to runs).map { _ =>
@@ -223,13 +239,16 @@ object Bench {
     productionConf(spark, cpus)
     val resultsAqe = timeSuite(spark, benchDir, fns,
       warms = 1, runs = math.min(runs, 3), strict = strict)
+    mark("aqe block done")
 
     // Block 3 — inflated corpus under the production config: scale trend.
     val resultsSf10x = if (inflate <= 1) Nil else {
       tunedConf(spark) // staging itself shouldn't pay AQE re-plans
       val bigDir = stageFixtures(spark, sfDir, cpus, copies = inflate)
+      mark(s"staged ${inflate}x")
       productionConf(spark, cpus)
       val r = timeSuite(spark, bigDir, fns, warms = 1, runs = 2, strict = strict)
+      mark(s"${inflate}x block done")
       // tmpfs space is shared with the OS: drop the 10× stage eagerly.
       scala.reflect.io.Path(bigDir).deleteRecursively()
       r
