@@ -31,19 +31,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with AQE + broadcasts thrashes GC under small heaps and
-  // distorts benchmark timings; 24g is ample for sf0.1 incl. the 10×
-  // bench block on the 128 GiB harness box. The heap is PINNED
-  // (-Xms=-Xmx) and pre-touched: with a floating heap, G1 repeatedly
-  // uncommits after concurrent cycles and re-commits under load, and the
-  // kernel page-zeroing storms showed up as 30–60% SYSTEM CPU with ~0%
-  // user — allocation-heavy queries went chaotically bimodal (measured
-  // 1 s…100 s for the same warm query; /proc/stat + safepoint logs
-  // localized it to commit churn, not GC algorithm or code). Pinning +
-  // AlwaysPreTouch moves all page zeroing to JVM startup (untimed) and
-  // makes timings unimodal.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  "-XX:+AlwaysPreTouch",
+  // Floating heap with a ceiling for ALL forked JVMs (Test, Verify, dev
+  // runs). The pinned pre-touched 24g heap that benchmarking needs (G1
+  // commit-churn cure — see Bench.scala) is NOT applied here: in this
+  // sandbox -Xms24g + AlwaysPreTouch costs ~14 minutes of page-zeroing
+  // before main() starts, which is pure startup tax for a correctness
+  // run (it blanked the round-5 driver correctness gate). Bench instead
+  // re-execs itself into a pinned-heap child JVM (Bench.reexecPinned),
+  // so the bench keeps its unimodal timings without taxing everything
+  // else.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-Xms1g",
   // Extra JVM flags for experiments (GC A/B etc.), space-separated.
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

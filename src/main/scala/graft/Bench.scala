@@ -34,6 +34,47 @@ import org.apache.spark.sql.functions.{col, lit, translate}
   */
 object Bench {
 
+  /** Benchmark JVMs need a PINNED pre-touched heap: with a floating heap,
+    * G1 repeatedly uncommits after concurrent cycles and re-commits under
+    * load, and the kernel page-zeroing storms showed up as 30–60% SYSTEM
+    * CPU with ~0% user — allocation-heavy queries went chaotically bimodal
+    * (measured 1 s…100 s for the same warm query; /proc/stat + safepoint
+    * logs localized it to commit churn). Pinning + AlwaysPreTouch moves
+    * all page zeroing to JVM startup (untimed) and makes timings unimodal.
+    *
+    * The pin is NOT in build.sbt's javaOptions because the pre-touch costs
+    * ~14 minutes of page-zeroing in this sandbox before main() starts —
+    * pure startup tax for Test/Verify (it blanked the round-5 correctness
+    * gate). Instead Bench re-execs itself ONCE into a child JVM with the
+    * pinned heap, inheriting classpath, module opens, and stdio (the one
+    * stdout JSON line flows through unprefixed). Opt out with
+    * SPARK_GRAFT_BENCH_NO_REEXEC=1 (e.g. when launching with a hand-pinned
+    * heap already in SPARK_GRAFT_JVM_OPTS). */
+  private def reexecPinned(): Option[Int] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val mem = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEM", "24g")
+      val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq.filterNot(a =>
+          a.startsWith("-Xms") || a.startsWith("-Xmx") || a == "-XX:+AlwaysPreTouch")
+      val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ inherited ++
+        Seq(s"-Xms$mem", s"-Xmx$mem", "-XX:+AlwaysPreTouch",
+          "-cp", System.getProperty("java.class.path"), "graft.Bench")
+      System.err.println(s"[bench] re-exec into pinned $mem pre-touched JVM " +
+        "(page-zeroing happens now, untimed; can take minutes in this sandbox)")
+      val pb = new ProcessBuilder(cmd.asJava).inheritIO()
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      Some(pb.start().waitFor())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] re-exec failed (${e.getMessage}); " +
+        "running unpinned — timings may be bimodal")
+      None
+    }
+
+  /** Names of queries that threw during timing (non-strict mode only);
+    * emitted in the JSON line so a failure is visible, never a number. */
+  private val failedQueries = scala.collection.mutable.LinkedHashSet.empty[String]
+
   /** Sort keys giving zone-map pruning for the date/time-filtered scans. */
   private val sortKey = Map(
     "lineitem" -> "l_shipdate", "orders" -> "o_orderdate", "events" -> "ts")
@@ -135,22 +176,35 @@ object Bench {
   def timeSuite(spark: SparkSession, dir: String,
       fns: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
       warms: Int, runs: Int, strict: Boolean): Seq[(String, Double)] = {
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A throwing query must never be timed as a result: strict mode (the
+    // default) fails the whole bench loudly; non-strict records NaN for
+    // the query (→ null in the JSON, plus a "failed" list) so a fast
+    // failure can't masquerade as a fast time in best-of-N.
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => if (strict) throw e }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        if (strict) throw e
+        failedQueries += name
+        System.err.println(s"[bench]   $name FAILED: ${e.getMessage}")
+        Double.NaN
+      }
     }
     (1 to warms).foreach { w =>
       fns.foreach { case (n, fn) =>
-        val t = once(fn)
+        val t = once(n, fn)
         if (t > 5) System.err.println(f"[bench]   warm$w $n took $t%.1fs")
       }
     }
     val best = Array.fill(fns.size)(Double.MaxValue)
     for (r <- 1 to runs; i <- fns.indices) {
-      val t = once(fns(i)._2)
+      val t = once(fns(i)._1, fns(i)._2)
       if (t > 5) System.err.println(f"[bench]   run$r ${fns(i)._1} took $t%.1fs")
+      // math.min propagates NaN: one failed sample poisons the best, so a
+      // query that failed even once reports null, never a number.
       best(i) = math.min(best(i), t)
     }
     fns.map(_._1).zip(best.toIndexedSeq)
@@ -171,9 +225,17 @@ object Bench {
   }
 
   private def toJson(results: Seq[(String, Double)]): String =
-    results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isNaN) "null" else v.toString)
+    }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
+    // Re-exec into the pinned-heap benchmark JVM unless we already are one
+    // (see reexecPinned scaladoc). The child inherits stdio, so the JSON
+    // line below reaches the driver unprefixed either way.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_CHILD") &&
+        !sys.env.get("SPARK_GRAFT_BENCH_NO_REEXEC").contains("1"))
+      reexecPinned().foreach(sys.exit)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
@@ -212,9 +274,10 @@ object Bench {
       "dedup_minhash", "ann_topk", "text_stats", "compact_filter")
     val fns = headline.map(n => n -> SparkEntry.queries(n))
 
-    // strict mode (tuning/CI): a query failing against the staged layout
-    // must fail the run loudly, not time an exception.
-    val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")
+    // Strict is the DEFAULT: a query failing against the staged layout
+    // fails the run loudly. Non-strict (explicit opt-out) records null +
+    // a "failed" list instead of aborting the remaining blocks.
+    val strict = !sys.env.get("SPARK_GRAFT_BENCH_NONSTRICT").contains("1")
 
     // Progress timestamps go to STDERR (the driver parses the one
     // stdout JSON line; these are for humans reading the log).
@@ -242,6 +305,7 @@ object Bench {
     mark("aqe block done")
 
     // Block 3 — inflated corpus under the production config: scale trend.
+    var tunerFields = ""
     val resultsSf10x = if (inflate <= 1) Nil else {
       tunedConf(spark) // staging itself shouldn't pay AQE re-plans
       val bigDir = stageFixtures(spark, sfDir, cpus, copies = inflate)
@@ -249,6 +313,44 @@ object Bench {
       productionConf(spark, cpus)
       val r = timeSuite(spark, bigDir, fns, warms = 1, runs = 2, strict = strict)
       mark(s"${inflate}x block done")
+      // Learning-compaction convergence on REAL data: UCB1 tunes AQE's
+      // advisory partition size over episodes of the 10× deep join (the
+      // reference's negative-feedback bandit closed-loop,
+      // `negative_feedback.hpp`), then the chosen arm's small-task
+      // fraction is measured against the production default so the JSON
+      // shows what the loop actually bought.
+      val deepJoin = SparkEntry.queries("job_deep_join")
+      def runDeep(s2: SparkSession): Unit =
+        try deepJoin(s2, bigDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => if (strict) throw e }
+      def instrumentedStf(targetBytes: Long): Double = {
+        compaction.Compact.enableAqeCompaction(spark, targetBytes)
+        val m = new compaction.ChunkMetrics().install(spark)
+        m.reset()
+        runDeep(spark)
+        val deadline = System.currentTimeMillis() + 10000
+        var prev = -1L; var stable = 0
+        while (stable < 3 && System.currentTimeMillis() < deadline) {
+          val n = m.snapshot.values.map(_.tasks).sum
+          if (n == prev && n > 0) stable += 1 else { stable = 0; prev = n }
+          Thread.sleep(100)
+        }
+        spark.sparkContext.removeSparkListener(m)
+        m.smallTaskFraction(1024)
+      }
+      val ac = new compaction.AdaptiveCompact(spark)
+      val chosen = ac.tune(10)(runDeep)
+      val episodes = ac.history
+        .map(e => s"""{"arm_mb":${e.targetBytes >> 20},"sec":${"%.3f".format(e.seconds)}}""")
+        .mkString("[", ",", "]")
+      val stfDefault = instrumentedStf(64L << 20)
+      val stfTuned = instrumentedStf(chosen)
+      tunerFields =
+        s""","compact_tuner_arm_mb":${chosen >> 20}""" +
+        s""","compact_tuner_episodes":$episodes""" +
+        s""","stf_deep_join_10x_default":$stfDefault""" +
+        s""","stf_deep_join_10x_tuned":$stfTuned"""
+      mark("compact tuner done")
       // tmpfs space is shared with the OS: drop the 10× stage eagerly.
       scala.reflect.io.Path(bigDir).deleteRecursively()
       r
@@ -267,18 +369,31 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => if (strict) throw e }
     // SparkListener events arrive on an async bus: wait (bounded) until
-    // the instrumented run's task-end events have drained before reading,
-    // or the fraction silently undercounts (same guard as StarBench).
-    val drainDeadline = System.currentTimeMillis() + 5000
-    while (metrics.snapshot.isEmpty && System.currentTimeMillis() < drainDeadline)
-      Thread.sleep(50)
+    // the observed task count has been STABLE for a few polls — waiting
+    // for just the first event still undercounts when later task-end
+    // events are in flight.
+    val drainDeadline = System.currentTimeMillis() + 10000
+    var prevTasks = -1L
+    var stablePolls = 0
+    while (stablePolls < 3 && System.currentTimeMillis() < drainDeadline) {
+      val n = metrics.snapshot.values.map(_.tasks).sum
+      if (n == prevTasks && n > 0) stablePolls += 1
+      else { stablePolls = 0; prevTasks = n }
+      Thread.sleep(100)
+    }
     val stf = metrics.smallTaskFraction(1024)
 
-    val total = results.map(_._2).sum
-    val totalAqe = resultsAqe.map(_._2).sum
+    // Totals over finite values only: one failed query (NaN in non-strict
+    // mode) must not turn the whole total into invalid JSON.
+    def finiteSum(rs: Seq[(String, Double)]): Double =
+      rs.map(_._2).filterNot(_.isNaN).sum
+    val total = finiteSum(results)
+    val totalAqe = finiteSum(resultsAqe)
     val sf10xFields = if (resultsSf10x.isEmpty) "" else
-      s""","queries_sf10x":${toJson(resultsSf10x)},"total_sf10x":${resultsSf10x.map(_._2).sum},"inflate_copies":$inflate"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_aqe":${toJson(resultsAqe)},"total_aqe":$totalAqe$sf10xFields,"floor":$floor,"small_task_fraction_deep_join":$stf,"sf":"$sfDir"}""")
+      s""","queries_sf10x":${toJson(resultsSf10x)},"total_sf10x":${finiteSum(resultsSf10x)},"inflate_copies":$inflate"""
+    val failedField = if (failedQueries.isEmpty) "" else
+      failedQueries.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_aqe":${toJson(resultsAqe)},"total_aqe":$totalAqe$sf10xFields$tunerFields,"floor":$floor,"small_task_fraction_deep_join":$stf$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,8 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * CRASH-TOLERANT: oracle_sql.json is re-assembled (atomically, via temp
+  * file + move) after EVERY query dump, covering exactly the queries
+  * dumped so far — a timeout or kill partway through yields a valid
+  * partial correctness record instead of nothing (round 5's gate recorded
+  * `{}` because the JSON was only written at the very end).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -19,19 +26,9 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => only(n) }
-    selected.foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        columnsByQuery(name) = df.columns.toSeq
-        val sorted = df.orderBy(
-          df.columns.sorted.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
-        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+      (if (only.isEmpty) SparkEntry.queries
+       else SparkEntry.queries.filter { case (n, _) => only(n) })
+        .toSeq.sortBy(_._1) // deterministic order: partial runs are a prefix
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -54,15 +51,40 @@ object Verify {
           s"SELECT * FROM ($sql) graft_ord ORDER BY $order"
         case None => sql
       }
-    // Emit oracles only for the queries dumped THIS run: under
-    // SPARK_GRAFT_ONLY the unselected queries have no columnsByQuery
-    // entry (no ORDER BY wrapper) and possibly stale parquet in a reused
-    // outDir — emitting them would invite spurious order-dependent
-    // mismatches.
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => selected.contains(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(wrapped(k, v))}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Emit oracles only for queries dumped SO FAR this run: queries not
+    // yet (or never) dumped have no columnsByQuery entry (no ORDER BY
+    // wrapper) and possibly stale parquet in a reused outDir — emitting
+    // them would invite spurious order-dependent mismatches.
+    def writeOracleJson(): Unit = {
+      val json = SparkEntry.oracleSql
+        .filter { case (k, _) => columnsByQuery.contains(k) }
+        .toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(wrapped(k, v))}" }
+        .mkString("{", ",", "}")
+      val tmp = Paths.get(s"$outDir/oracle_sql.json.tmp")
+      Files.writeString(tmp, json)
+      Files.move(tmp, Paths.get(s"$outDir/oracle_sql.json"),
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val t0 = System.nanoTime()
+    var done = 0
+    selected.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val cols = df.columns.toSeq
+        val sorted = df.orderBy(
+          cols.sorted.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
+        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        columnsByQuery(name) = cols // only after a successful dump
+        writeOracleJson()
+        done += 1
+        System.err.println(
+          f"[verify] +${(System.nanoTime() - t0) / 1e9}%.0fs $done/${selected.size} $name")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

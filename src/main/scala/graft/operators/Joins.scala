@@ -230,16 +230,46 @@ object Joins {
       | JOIN (SELECT nullif(c_custkey % 13, 0) AS k2 FROM customer) c
       |   ON o.k IS NOT DISTINCT FROM c.k2) ns""".stripMargin
 
+  /** Scalable global row-number over a total order. The naive
+    * `Window.orderBy(key)` with no partition key moves the WHOLE relation
+    * to one partition (Spark even warns); this composition never does:
+    * range-partition on the key (explicit partition count, so AQE cannot
+    * re-coalesce it between the two passes), number rows WITHIN each
+    * partition, then shift by the summed counts of the partitions before
+    * it. The per-partition counts are an O(parts) statistics envelope
+    * broadcast back — never data. This is the reference's batch-index
+    * approach (reference `physical_fixed_batch_copy.cpp` assigns per-chunk
+    * batch indexes, then a global prefix over batch counts) re-expressed
+    * for Spark.
+    */
+  def globalPosition(df: DataFrame, key: org.apache.spark.sql.Column,
+      parts: Int): DataFrame = {
+    val withPid = df.repartitionByRange(parts, key.asc)
+      .withColumn("__pid", spark_partition_id())
+    // Per-partition counts → driver-side prefix sum: an O(parts)
+    // STATISTICS envelope (exactly zipWithIndex's count job), never data.
+    // Determinism: repartitionByRange with an explicit partition count
+    // samples range bounds with a fixed seed, so the count job and the
+    // numbering job below see identical partitioning.
+    val counts = withPid.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefix = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetOfPid = element_at(
+      array((0 until parts).map(p => lit(prefix(p))): _*), col("__pid") + 1)
+    val wIn = Window.partitionBy(col("__pid")).orderBy(key.asc)
+    withPid
+      .withColumn("pos", (row_number().over(wIn) + offsetOfPid).cast("int"))
+      .drop("__pid")
+  }
+
   /** Positional join (reference `physical_positional_join.cpp`): align rows
-    * of two relations by computed position (row_number over a total order —
-    * the distribution-safe phrasing of zipWithIndex). */
+    * of two relations by computed position. Positions come from
+    * `globalPosition` — the range-partitioned composition above — not a
+    * global window, so the recipe holds on large relations too. */
   def joinPositional(s: SparkSession, dir: String): DataFrame = {
-    val wR = Window.orderBy(col("r_regionkey"))
-    val wN = Window.orderBy(col("n_nationkey"))
-    val r = Tables.t(s, dir, "region")
-      .withColumn("pos", row_number().over(wR)).select(col("pos"), col("r_name"))
-    val n = Tables.t(s, dir, "nation")
-      .withColumn("pos", row_number().over(wN))
+    val r = globalPosition(Tables.t(s, dir, "region"), col("r_regionkey"), 4)
+      .select(col("pos"), col("r_name"))
+    val n = globalPosition(Tables.t(s, dir, "nation"), col("n_nationkey"), 4)
       .filter(col("pos") <= 5).select(col("pos"), col("n_name"))
     r.join(n, "pos")
   }

@@ -201,8 +201,12 @@ object Shaping {
   def shapeLimitPercent(s: SparkSession, dir: String): DataFrame = {
     val df = Tables.t(s, dir, "orders")
     val n = df.count()
+    // Mirror the reference's arithmetic exactly — it truncates the DOUBLE
+    // percent*count (reference `physical_limit_percent.cpp:119`
+    // `idx_t(percent / 100.0 * count)`), not the exact integer 7n/100;
+    // near-integral products can differ by one row between the two forms.
     df.orderBy(col("o_orderkey"))
-      .limit((n * 7 / 100).toInt)
+      .limit((7.0 / 100.0 * n).toLong.toInt)
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 

@@ -29,12 +29,26 @@ object CompressedMaterialization {
   /** Pack two int-range keys into one long: (a << 32) | (b & 0xffffffff).
     * Injective for any values in [Int.MinValue, Int.MaxValue]; inputs
     * outside 32-bit range fail loudly via the overflow-checked int cast
-    * (ANSI-off sessions get the assert_true guard instead). */
+    * (ANSI-off sessions get the assert_true guard instead).
+    *
+    * CONTRACT: both keys must be NON-NULL as well as 32-bit. A plain
+    * groupBy would place NULL keys in their own group; the packed form
+    * cannot represent them (the reference's pass side-steps this with
+    * validated range stats that reserve a sentinel slot,
+    * `compressed_materialization.cpp`; a 64-bit pack of two full 32-bit
+    * ranges has no spare bit for a NULL flag). A NULL key therefore
+    * ABORTS the query with an explicit message — never a silent
+    * misgroup. Callers with nullable keys should pre-image NULL to an
+    * out-of-domain sentinel (then both contracts hold) or use the plain
+    * groupBy. */
   def packPair(a: Column, b: Column): Column = {
     val guard = assert_true(
-      a.between(Int.MinValue.toLong, Int.MaxValue.toLong) &&
+      a.isNotNull && b.isNotNull &&
+        a.between(Int.MinValue.toLong, Int.MaxValue.toLong) &&
         b.between(Int.MinValue.toLong, Int.MaxValue.toLong),
-      lit("compressed-materialization pack: key outside 32-bit range"))
+      lit("compressed-materialization pack: key NULL or outside 32-bit " +
+        "range (pack requires non-null 32-bit keys; pre-map NULL to a " +
+        "sentinel or use plain groupBy)"))
     when(guard.isNull,
       shiftleft(a.cast("long"), 32).bitwiseOR(
         b.cast("long").bitwiseAND(lit(0xffffffffL))))

@@ -1,0 +1,51 @@
+package graft
+
+/** Adversarial-input sweep over the ENTIRE query surface — the Spark
+  * analog of the reference's sqllogictest corpus habit of probing every
+  * operator against degenerate relations (reference `test/sql/` carries
+  * 2,446 `.test` files whose most common fixtures are empty tables,
+  * single-row tables, and all-NULL groups).
+  *
+  * Every `SparkEntry.queries` entry must EXECUTE (plan + run to
+  * completion) against:
+  *   - an EMPTY corpus: every fixture table present with its real schema
+  *     but zero rows — exercises empty-input paths through joins, aggs,
+  *     windows, dedup blocking, ANN codebooks, recursive CTE seeds;
+  *   - a ONE-ROW corpus: each table exactly one row — exercises
+  *     single-row windows/frames, self-joins that find no partner,
+  *     percentiles over one value, LSH banding of one document.
+  *
+  * The assertion is "runs and returns a well-formed result", not a value
+  * check (values on degenerate corpora are pinned by the DuckDB oracle
+  * for the oracled entries at the driver gate; here we hunt crashes:
+  * head-of-empty, division by zero, index-out-of-bounds in driver-side
+  * envelopes).
+  */
+class EdgeCaseSweepSpec extends SparkSpec {
+
+  /** Empty + one-row fixture dirs derived once from the sf0.001 schemas
+    * (via Tables.t so the events TIMESTAMP(NANOS) quirk is normalized
+    * exactly as the engine reads it). Fresh temp paths per run keep the
+    * Tables schema-cache invariant (never rewrite a cached path). */
+  private lazy val dirs: (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_edge_").toString
+    val (e, o) = (s"$base/empty", s"$base/onerow")
+    Tables.names.foreach { n =>
+      val src = Tables.t(spark, sf(), n)
+      src.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$e/$n.parquet")
+      src.limit(1).coalesce(1).write.mode("overwrite").parquet(s"$o/$n.parquet")
+    }
+    (e, o)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name on empty corpus") {
+      val rows = fn(spark, dirs._1).collect()
+      assert(rows != null)
+    }
+    test(s"$name on one-row corpus") {
+      val rows = fn(spark, dirs._2).collect()
+      assert(rows != null)
+    }
+  }
+}
