@@ -31,6 +31,7 @@ object SparkEntry {
       pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++
       pipeline.Multimodal.queries ++
+      sources.DmlQueries.queries ++
       compaction.CompactionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       pipeline.Similarity.oracle ++
       pipeline.TextAnalysis.oracle ++
       pipeline.Multimodal.oracle ++
+      sources.DmlQueries.oracle ++
       compaction.CompactionQueries.oracle
 }

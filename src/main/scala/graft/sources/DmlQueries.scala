@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Oracle-checked DML faces (reference `physical_insert.cpp`,
+  * `physical_delete.cpp`, `physical_update.cpp` + MERGE-style upsert).
+  * Each entry materializes a GraftTable copy-on-write table from fixture
+  * data in a fresh temp dir, applies real write-path DML, and returns the
+  * read-back snapshot; the oracle is the equivalent pure SELECT over the
+  * untouched fixtures (INSERT ≡ UNION ALL, DELETE ≡ negated-predicate
+  * filter, UPDATE ≡ CASE projection, MERGE ≡ FULL OUTER JOIN), so DuckDB
+  * value-checks the entire post-DML table state. */
+object DmlQueries {
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_dml_").toString
+
+  /** INSERT: nation + 5 region-derived rows appended (no rewrite). */
+  def dmlInsert(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root,
+      Tables.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"))
+    GraftTable.insert(s, root, Tables.t(s, dir, "region").select(
+      (col("r_regionkey") + 100).as("n_nationkey"),
+      col("r_name").as("n_name"),
+      col("r_regionkey").as("n_regionkey")))
+    GraftTable.read(s, root)
+  }
+
+  val dmlInsertSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |UNION ALL
+      |SELECT CAST(r_regionkey + 100 AS INTEGER) AS n_nationkey,
+      |       r_name AS n_name, r_regionkey AS n_regionkey FROM region""".stripMargin
+
+  /** DELETE WHERE c_acctbal < 0 — only files holding negative balances
+    * are rewritten; the survivors are everything where the predicate is
+    * not TRUE (SQL DELETE semantics). */
+  def dmlDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root, Tables.t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    GraftTable.delete(s, root, col("c_acctbal") < 0)
+    GraftTable.read(s, root).select("c_custkey", "c_acctbal")
+  }
+
+  val dmlDeleteSql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal IS NULL OR c_acctbal >= 0""".stripMargin
+
+  /** UPDATE ... SET c_acctbal = c_acctbal + 100 WHERE segment='BUILDING';
+    * assignments see the pre-update row. */
+  def dmlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root, Tables.t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    GraftTable.update(s, root, col("c_mktsegment") === "BUILDING",
+      Map("c_acctbal" -> (col("c_acctbal") + lit(100.0d))))
+    GraftTable.read(s, root).select("c_custkey", "c_acctbal")
+  }
+
+  val dmlUpdateSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+      |       ELSE c_acctbal END AS c_acctbal
+      |FROM customer""".stripMargin
+
+  /** MERGE (upsert): source rows with keys 0,5,10,15,20 update matched
+    * nations in place (SET *), keys 200+ append — the post-merge table ≡
+    * a FULL OUTER JOIN of target and source. */
+  def dmlMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root,
+      Tables.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"))
+    val region = Tables.t(s, dir, "region")
+    val source = region.select(
+        (col("r_regionkey") * 5).as("n_nationkey"),
+        concat(lit("R_"), col("r_name")).as("n_name"),
+        col("r_regionkey").as("n_regionkey"))
+      .unionAll(region.select(
+        (col("r_regionkey") + 200).as("n_nationkey"),
+        col("r_name").as("n_name"),
+        col("r_regionkey").as("n_regionkey")))
+    GraftTable.merge(s, root, source, Seq("n_nationkey"))
+    GraftTable.read(s, root)
+  }
+
+  val dmlMergeSql: String =
+    """WITH src AS (
+      |  SELECT CAST(r_regionkey * 5 AS INTEGER) AS k,
+      |         'R_' || r_name AS nm, r_regionkey AS rk FROM region
+      |  UNION ALL
+      |  SELECT CAST(r_regionkey + 200 AS INTEGER), r_name, r_regionkey FROM region)
+      |SELECT coalesce(s.k, n.n_nationkey) AS n_nationkey,
+      |       CASE WHEN s.k IS NOT NULL THEN s.nm ELSE n.n_name END AS n_name,
+      |       CASE WHEN s.k IS NOT NULL THEN s.rk ELSE n.n_regionkey END AS n_regionkey
+      |FROM nation n FULL OUTER JOIN src s ON n.n_nationkey = s.k""".stripMargin
+
+  /** Snapshot isolation: version 1 read back AFTER a delete committed
+    * version 2 — time travel must return the pre-delete table. */
+  def dmlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root, Tables.t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    GraftTable.delete(s, root, col("c_acctbal") < 0)
+    GraftTable.read(s, root, version = Some(1)).select("c_custkey", "c_acctbal")
+  }
+
+  val dmlTimeTravelSql: String =
+    "SELECT c_custkey, c_acctbal FROM customer"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dml_insert" -> (dmlInsert _),
+    "dml_delete" -> (dmlDelete _),
+    "dml_update" -> (dmlUpdate _),
+    "dml_merge" -> (dmlMerge _),
+    "dml_time_travel" -> (dmlTimeTravel _))
+
+  val oracle: Map[String, String] = Map(
+    "dml_insert" -> dmlInsertSql,
+    "dml_delete" -> dmlDeleteSql,
+    "dml_update" -> dmlUpdateSql,
+    "dml_merge" -> dmlMergeSql,
+    "dml_time_travel" -> dmlTimeTravelSql)
+}

@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import scala.jdk.CollectionConverters._
+
+/** Mutable-table DML over parquet — INSERT / DELETE / UPDATE / MERGE
+  * (reference `src/execution/operator/persistent/physical_insert.cpp`,
+  * `physical_delete.cpp`, `physical_update.cpp`), re-expressed for Spark as
+  * a minimal MANIFEST-BASED COPY-ON-WRITE table: the lakehouse pattern
+  * (immutable data files + a versioned file manifest + an atomic current
+  * pointer) rather than the reference's MVCC row versioning, which has no
+  * Spark analog (Spark executors cannot share a transaction-local
+  * undo/redo state; files are the unit of atomicity a distributed FS
+  * actually gives you).
+  *
+  * Layout under a table root:
+  * {{{
+  *   data/<uuid>/part-*.parquet     immutable data files (never modified)
+  *   _manifests/v<N>.manifest      one data-file path per line, relative
+  *   _schema.json                  StructType of the table (create-time)
+  *   _current                      the committed version number N
+  * }}}
+  *
+  * Scale posture (the part that must survive 100 TB):
+  *  - INSERT appends new files and a new manifest — zero data rewritten.
+  *  - DELETE/UPDATE/MERGE rewrite ONLY the files that contain affected
+  *    rows: one predicate scan (with parquet filter pushdown / row-group
+  *    pruning doing the skipping) collects the distinct `input_file_name`s
+  *    — an O(#files) driver-side statistics envelope, the same thing every
+  *    production table format keeps in its transaction log — then only
+  *    those files are read back and rewritten. A point DELETE on a 100 TB
+  *    table touches the handful of files whose row groups can match.
+  *  - Old versions stay readable (time travel / snapshot isolation for
+  *    concurrent readers): `read(spark, root, Some(v))`.
+  *
+  * Single-writer contract: commits are last-writer-wins on the `_current`
+  * pointer (atomic file move). Multi-writer coordination (optimistic
+  * retry on a shared log) is a table-format concern out of scope here,
+  * exactly as MVCC is in SURVEY §2.1.
+  */
+object GraftTable {
+
+  private def abs(root: String, rel: String) = s"$root/$rel"
+
+  private def writePointer(root: String, v: Int): Unit = {
+    val tmp = Paths.get(s"$root/_current.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, Paths.get(s"$root/_current"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def currentVersion(root: String): Int =
+    Files.readString(Paths.get(s"$root/_current")).trim.toInt
+
+  def schemaOf(root: String): StructType =
+    DataType.fromJson(Files.readString(Paths.get(s"$root/_schema.json")))
+      .asInstanceOf[StructType]
+
+  private def manifest(root: String, v: Int): Seq[String] = {
+    val p = Paths.get(s"$root/_manifests/v$v.manifest")
+    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  private def commit(root: String, files: Seq[String]): Int = {
+    val v = currentVersion(root) + 1
+    val tmp = Paths.get(s"$root/_manifests/v$v.manifest.tmp")
+    Files.writeString(tmp, files.mkString("\n"))
+    Files.move(tmp, Paths.get(s"$root/_manifests/v$v.manifest"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    writePointer(root, v)
+    v
+  }
+
+  /** Write `df` as new immutable data files; returns their root-relative
+    * paths. An empty frame may legitimately produce zero files — callers
+    * handle empty manifests via the schema sidecar. */
+  private def writeFiles(df: DataFrame, root: String): Seq[String] = {
+    val rel = s"data/${java.util.UUID.randomUUID}"
+    df.write.parquet(abs(root, rel))
+    Files.list(Paths.get(abs(root, rel))).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .map(n => s"$rel/$n").toSeq.sorted
+  }
+
+  /** Create the table from `df` (version 1). */
+  def create(spark: SparkSession, root: String, df: DataFrame): Unit = {
+    Files.createDirectories(Paths.get(s"$root/_manifests"))
+    Files.writeString(Paths.get(s"$root/_schema.json"), df.schema.json)
+    writePointer(root, 0)
+    commit(root, writeFiles(df, root))
+  }
+
+  /** Read a snapshot (default: current). Old versions remain readable —
+    * data files are immutable and manifests are never rewritten. */
+  def read(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val files = manifest(root, version.getOrElse(currentVersion(root)))
+    val schema = schemaOf(root)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(abs(root, _)): _*)
+  }
+
+  /** Align `rows` to the table schema by name (missing column = error,
+    * extra columns dropped, types cast) — INSERT-by-name semantics. */
+  private def aligned(rows: DataFrame, schema: StructType): DataFrame =
+    rows.select(schema.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+
+  /** INSERT: append-only — writes the new rows' files and a manifest that
+    * is (old files ++ new files). No existing byte is rewritten. */
+  def insert(spark: SparkSession, root: String, rows: DataFrame): Unit = {
+    val old = manifest(root, currentVersion(root))
+    commit(root, old ++ writeFiles(aligned(rows, schemaOf(root)), root))
+  }
+
+  /** Root-relative paths of current files containing ≥1 row matching
+    * `pred` — ONE scan with the predicate pushed to parquet (row-group
+    * pruning skips cold files); the collect is file NAMES, never rows. */
+  private def affectedFiles(spark: SparkSession, root: String,
+      pred: Column): Seq[String] = {
+    val cur = read(spark, root)
+    if (cur.isEmpty) return Nil
+    cur.withColumn("__file", input_file_name())
+      .filter(pred)
+      .select(col("__file")).distinct().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath)
+      .map(p => p.stripPrefix(s"$root/"))
+      .toSeq.sorted
+  }
+
+  private def readFiles(spark: SparkSession, root: String,
+      files: Seq[String]): DataFrame =
+    spark.read.schema(schemaOf(root)).parquet(files.map(abs(root, _)): _*)
+
+  /** DELETE WHERE pred: rows where the predicate is TRUE are removed
+    * (NULL predicate keeps the row — SQL DELETE semantics). Only files
+    * containing matches are rewritten. */
+  def delete(spark: SparkSession, root: String, pred: Column): Unit = {
+    val hit = affectedFiles(spark, root, pred)
+    if (hit.isEmpty) return
+    val keep = manifest(root, currentVersion(root)).filterNot(hit.toSet)
+    val kept = readFiles(spark, root, hit)
+      .filter(!coalesce(pred, lit(false)))
+    commit(root, keep ++ writeFiles(kept, root))
+  }
+
+  /** UPDATE SET col = expr WHERE pred. `set` expressions see the pre-update
+    * row (SQL UPDATE semantics — all assignments evaluated against the old
+    * values). Only files containing matches are rewritten. */
+  def update(spark: SparkSession, root: String, pred: Column,
+      set: Map[String, Column]): Unit = {
+    val schema = schemaOf(root)
+    require(set.keySet.subsetOf(schema.fieldNames.toSet),
+      s"unknown columns in SET: ${set.keySet -- schema.fieldNames}")
+    val hit = affectedFiles(spark, root, pred)
+    if (hit.isEmpty) return
+    val keep = manifest(root, currentVersion(root)).filterNot(hit.toSet)
+    val p = coalesce(pred, lit(false))
+    val rewritten = readFiles(spark, root, hit).select(
+      schema.fields.toIndexedSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(p, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    commit(root, keep ++ writeFiles(rewritten, root))
+  }
+
+  /** MERGE (upsert): rows of `source` replace target rows with the same
+    * key (WHEN MATCHED THEN UPDATE SET *) and are appended otherwise
+    * (WHEN NOT MATCHED THEN INSERT *). Source keys must be unique — the
+    * standard MERGE cardinality contract; duplicate source keys would
+    * multiply target rows. Only files containing matched keys are
+    * rewritten; a pure-insert merge rewrites nothing. */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String]): Unit = {
+    val schema = schemaOf(root)
+    val src = aligned(source, schema)
+    // Key-membership is a join, not a Column predicate, so the hit set is
+    // computed directly (same shape as affectedFiles: distinct file names
+    // from one semi-join scan, an O(#files) envelope).
+    val cur = read(spark, root)
+    val hitFiles: Seq[String] =
+      if (cur.isEmpty) Nil
+      else cur.withColumn("__file", input_file_name())
+        .join(src.select(keys.map(col): _*), keys, "left_semi")
+        .select(col("__file")).distinct().collect()
+        .map(r => new java.net.URI(r.getString(0)).getPath)
+        .map(_.stripPrefix(s"$root/")).toSeq.sorted
+    val keep = manifest(root, currentVersion(root)).filterNot(hitFiles.toSet)
+    val srcTagged = src
+      .toDF(schema.fieldNames.toIndexedSeq.map(c =>
+        if (keys.contains(c)) c else s"__src_$c"): _*)
+      .withColumn("__matched", lit(true))
+    val updated =
+      if (hitFiles.isEmpty) None
+      else Some(readFiles(spark, root, hitFiles)
+        .join(srcTagged, keys, "left")
+        .select(schema.fields.toIndexedSeq.map { f =>
+          if (keys.contains(f.name)) col(f.name)
+          else when(col("__matched"), col(s"__src_${f.name}"))
+            .otherwise(col(f.name)).as(f.name)
+        }: _*))
+    // Keys absent from the hit files are absent from the table entirely
+    // (that is what made the other files unaffected), so the anti-join for
+    // inserts only needs the hit files' rows.
+    val existingKeys =
+      if (hitFiles.isEmpty) None else Some(readFiles(spark, root, hitFiles))
+    val inserts = existingKeys match {
+      case Some(t) => src.join(t.select(keys.map(col): _*), keys, "left_anti")
+      case None => src
+    }
+    val newRows = updated.map(_.unionAll(inserts)).getOrElse(inserts)
+    commit(root, keep ++ writeFiles(newRows, root))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+
+/** GraftTable copy-on-write invariants the DuckDB oracle cannot see:
+  * file-granularity rewrites (unaffected files survive by identity, not by
+  * re-copy), append-only inserts, empty-table behavior, and version
+  * immutability under successive DML. */
+class DmlSpec extends SparkSpec {
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_dml_spec_").toString
+
+  private def manifestFiles(root: String, v: Int): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$root/_manifests/v$v.manifest"))
+      .asScala.filter(_.nonEmpty).toSet
+  }
+
+  test("insert appends files without rewriting any existing file") {
+    val root = freshRoot()
+    GraftTable.create(spark, root,
+      Tables.t(spark, sf(), "nation").repartition(4))
+    val v1 = manifestFiles(root, 1)
+    GraftTable.insert(spark, root,
+      Tables.t(spark, sf(), "nation").limit(3))
+    val v2 = manifestFiles(root, 2)
+    assert(v1.subsetOf(v2), "insert must keep every existing file")
+    assert(v2.size > v1.size, "insert must add files")
+    assert(GraftTable.read(spark, root).count() ===
+      Tables.t(spark, sf(), "nation").count() + 3)
+  }
+
+  test("delete rewrites only files containing matching rows") {
+    val root = freshRoot()
+    // range-partition on the key so the narrow predicate hits ONE file
+    GraftTable.create(spark, root,
+      Tables.t(spark, sf(), "customer")
+        .select("c_custkey", "c_acctbal")
+        .repartitionByRange(4, col("c_custkey")))
+    val v1 = manifestFiles(root, 1)
+    val victim = Tables.t(spark, sf(), "customer")
+      .agg(min("c_custkey")).collect()(0).getLong(0)
+    GraftTable.delete(spark, root, col("c_custkey") === victim)
+    val v2 = manifestFiles(root, 2)
+    assert((v1 intersect v2).size === v1.size - 1,
+      s"exactly one file should be rewritten, got ${v1.size - (v1 intersect v2).size}")
+    assert(GraftTable.read(spark, root)
+      .filter(col("c_custkey") === victim).count() === 0)
+  }
+
+  test("update evaluates assignments against pre-update values") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, spark.range(10).toDF("id")
+      .select(col("id"), (col("id") * 2).as("v")))
+    // swap-style: v = v + id must read the OLD v for every row
+    GraftTable.update(spark, root, col("id") >= 5,
+      Map("v" -> (col("v") + col("id"))))
+    val got = GraftTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === (0L until 10L).map(i => (i, if (i >= 5) i * 3 else i * 2)))
+  }
+
+  test("merge updates matched keys, inserts new ones, pure-insert merge rewrites nothing") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, spark.range(5).toDF("k")
+      .select(col("k"), concat(lit("old"), col("k")).as("s")))
+    val vBefore = GraftTable.currentVersion(root)
+    val mf1 = manifestFiles(root, vBefore)
+    // pure insert: keys 100+ match nothing → zero rewrites
+    GraftTable.merge(spark, root, spark.range(2).toDF("k")
+      .select((col("k") + 100).as("k"), lit("new").as("s")), Seq("k"))
+    val mf2 = manifestFiles(root, vBefore + 1)
+    assert(mf1.subsetOf(mf2), "pure-insert merge must rewrite nothing")
+    // mixed: key 1 updates, key 200 inserts
+    GraftTable.merge(spark, root,
+      spark.createDataFrame(Seq((1L, "upd"), (200L, "ins"))).toDF("k", "s"),
+      Seq("k"))
+    val rows = GraftTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.contains((1L, "upd")) && rows.contains((200L, "ins")))
+    assert(rows.count(_._1 == 1L) === 1, "matched key must not duplicate")
+    assert(rows.size === 8)
+  }
+
+  test("time travel: every version stays readable after later DML") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, spark.range(100).toDF("id"))
+    GraftTable.delete(spark, root, col("id") < 50)
+    GraftTable.insert(spark, root, spark.range(200, 203).toDF("id"))
+    assert(GraftTable.read(spark, root, Some(1)).count() === 100)
+    assert(GraftTable.read(spark, root, Some(2)).count() === 50)
+    assert(GraftTable.read(spark, root, Some(3)).count() === 53)
+    assert(GraftTable.currentVersion(root) === 3)
+  }
+
+  test("delete to empty table keeps schema; insert refills it") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, spark.range(5).toDF("id"))
+    GraftTable.delete(spark, root, lit(true))
+    val empty = GraftTable.read(spark, root)
+    assert(empty.count() === 0)
+    assert(empty.schema.fieldNames.toSeq === Seq("id"))
+    GraftTable.insert(spark, root, spark.range(7).toDF("id"))
+    assert(GraftTable.read(spark, root).count() === 7)
+  }
+
+  test("delete with NULL predicate keeps the row (SQL semantics)") {
+    val root = freshRoot()
+    GraftTable.create(spark, root,
+      spark.createDataFrame(Seq((1, Some(5)), (2, None: Option[Int]), (3, Some(-1))))
+        .toDF("k", "v"))
+    GraftTable.delete(spark, root, col("v") < 0) // NULL < 0 is NULL → keep
+    assert(GraftTable.read(spark, root).select("k")
+      .collect().map(_.getInt(0)).toSet === Set(1, 2))
+  }
+}

@@ -21,6 +21,7 @@ class SparkEntrySpec extends SparkSpec {
       functions.GraftMacros.queries,
       pipeline.Dedup.queries, pipeline.Similarity.queries,
       pipeline.TextAnalysis.queries, pipeline.Multimodal.queries,
+      sources.DmlQueries.queries,
       compaction.CompactionQueries.queries)
     val total = all.map(_.size).sum
     assert(total == SparkEntry.queries.size,
