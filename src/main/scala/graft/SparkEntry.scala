@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Windows.queries ++
       operators.SetOps.queries ++
       operators.Shaping.queries ++
+      operators.EdgeQueries.queries ++
       functions.FunctionQueries.queries ++
       functions.GraftMacros.queries ++
       pipeline.Dedup.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       operators.Windows.oracle ++
       operators.SetOps.oracle ++
       operators.Shaping.oracle ++
+      operators.EdgeQueries.oracle ++
       functions.FunctionQueries.oracle ++
       functions.GraftMacros.oracle ++
       pipeline.Dedup.oracle ++

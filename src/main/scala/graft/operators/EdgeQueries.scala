@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Adversarial-semantics corpus — the sqllogictest habit of the reference
+  * (`/root/reference/test/sql/` probes every operator against NULL keys,
+  * all-NULL groups, empty inputs, special floats, degenerate frames) as
+  * driver-gated oracle entries. Each query pins a semantics corner the
+  * fixture-shaped entries never touch, and every one is value-compared
+  * against DuckDB at the correctness gate.
+  *
+  * Nearly all entries run the SAME SQL string through `spark.sql` and
+  * DuckDB (dialect-shared on purpose — this doubles as the SQL-string
+  * surface test); the two exceptions hold a per-dialect string for
+  * integer division (`DIV` vs `//`).
+  *
+  * Known divergence documented, not tested: CAST of a fractional number
+  * to INT rounds in DuckDB (2.7 → 3) but truncates in Spark ANSI
+  * (2.7 → 2); users must round() explicitly before casting for portable
+  * results.
+  */
+object EdgeQueries {
+
+  /** Ungrouped aggregate over ZERO rows: count 0, every other agg NULL
+    * (reference `test/sql/aggregate/aggregates/test_aggregate_types.test`
+    * empty-input blocks). */
+  val edgeAggEmptySql: String =
+    """SELECT count(*) AS n, sum(l_quantity) AS s, min(l_shipdate) AS mn,
+      |       avg(l_extendedprice) AS av
+      |FROM lineitem WHERE l_orderkey < 0""".stripMargin
+
+  /** Aggregates over an ALL-NULL column: count(col) 0 vs count(*) n,
+    * sum/min/max/avg all NULL. */
+  val edgeAggAllnullSql: String =
+    """SELECT count(x) AS n_nonnull, count(*) AS n_all, sum(x) AS s,
+      |       min(x) AS mn, max(x) AS mx, avg(x) AS av
+      |FROM (SELECT nullif(c_acctbal, c_acctbal) AS x FROM customer) t""".stripMargin
+
+  /** GROUP BY a nullable key: the NULL group exists, groups by equality
+    * (NULL keys collect into ONE group, not one group per row). */
+  val edgeGroupNullkeySql: String =
+    """SELECT nullif(c_nationkey % 5, 0) AS g, count(*) AS n,
+      |       round(sum(c_acctbal), 4) AS s
+      |FROM customer GROUP BY nullif(c_nationkey % 5, 0)""".stripMargin
+
+  /** Joins where one side is EMPTY: left join keeps every left row with
+    * NULL payload; inner join returns zero rows. */
+  val edgeJoinEmptySideSql: String =
+    """SELECT l.n_left, l.n_matched, i.n_inner FROM
+      |  (SELECT count(*) AS n_left, count(o_orderkey) AS n_matched
+      |   FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderkey < 0) o
+      |     ON c_custkey = o_custkey) l,
+      |  (SELECT count(*) AS n_inner
+      |   FROM customer JOIN (SELECT * FROM orders WHERE o_orderkey < 0) o2
+      |     ON c_custkey = o2.o_custkey) i""".stripMargin
+
+  /** Physical NULL placement in a total order, pinned via row_number with
+    * explicit NULLS FIRST (the one semantics the value-sorted oracle
+    * compare cannot see by itself). Global window is intentional: this is
+    * a semantics pin on a 100-row slice, not a data-path recipe —
+    * `Joins.globalPosition` is the scalable form. */
+  val edgeNullOrderSql: String =
+    """SELECT rn, k, c_custkey FROM (
+      |  SELECT row_number() OVER (ORDER BY k ASC NULLS FIRST, c_custkey) AS rn,
+      |         k, c_custkey
+      |  FROM (SELECT c_custkey, nullif(c_nationkey, 13) AS k FROM customer) t
+      |) w WHERE rn <= 100""".stripMargin
+
+  /** IN / NOT IN with a NULL in the list: `x NOT IN (..., NULL)` is never
+    * TRUE (NULL-propagating), `x IN (..., NULL)` still matches listed
+    * values. */
+  val edgeInNullSql: String =
+    """SELECT
+      |  count(CASE WHEN c_nationkey IN (1, 2, CAST(NULL AS INT)) THEN 1 END) AS n_in,
+      |  count(CASE WHEN c_nationkey NOT IN (1, 2, CAST(NULL AS INT)) THEN 1 END) AS n_notin,
+      |  count(*) AS n
+      |FROM customer""".stripMargin
+
+  /** A window frame entirely beyond the partition end is EMPTY → agg over
+    * it is NULL (not 0). */
+  val edgeWinEmptyFrameSql: String =
+    """SELECT c_custkey, round(sum(c_acctbal) OVER (
+      |    PARTITION BY c_nationkey ORDER BY c_custkey
+      |    ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING), 4) AS s
+      |FROM customer""".stripMargin
+
+  /** lead/lag beyond the partition edge take the explicit DEFAULT, not
+    * NULL. */
+  val edgeLeadlagDefaultSql: String =
+    """SELECT c_custkey,
+      |  lag(c_custkey, 2, -1)  OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS lg,
+      |  lead(c_custkey, 2, -1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS ld
+      |FROM customer""".stripMargin
+
+  /** least/greatest SKIP NULL arguments (return the extreme non-NULL, not
+    * NULL) in both engines. */
+  val edgeLeastGreatestSql: String =
+    """SELECT c_custkey,
+      |  least(c_acctbal, CAST(NULL AS DOUBLE)) AS l,
+      |  greatest(c_acctbal, CAST(NULL AS DOUBLE), 0.0) AS g
+      |FROM customer""".stripMargin
+
+  /** NaN / ±Infinity: NaN groups by equality, sorts GREATER than +inf,
+    * poisons sum, and wins max; min ignores it only when a smaller finite
+    * value exists. Counted per class so the compare never hashes a raw
+    * NaN. */
+  val edgeFloatSpecialSql: String =
+    """SELECT
+      |  count(CASE WHEN isnan(x) THEN 1 END) AS n_nan,
+      |  count(CASE WHEN x = CAST('Infinity' AS DOUBLE) THEN 1 END) AS n_posinf,
+      |  count(CASE WHEN x = CAST('-Infinity' AS DOUBLE) THEN 1 END) AS n_neginf,
+      |  round(max(CASE WHEN NOT isnan(x) AND x < CAST('Infinity' AS DOUBLE) THEN x END), 4) AS mx_finite,
+      |  count(CASE WHEN isnan(x + 1.0) THEN 1 END) AS n_nan_arith
+      |FROM (SELECT CASE CAST(c_custkey % 100 AS INT)
+      |               WHEN 0 THEN CAST('NaN' AS DOUBLE)
+      |               WHEN 1 THEN CAST('Infinity' AS DOUBLE)
+      |               WHEN 2 THEN CAST('-Infinity' AS DOUBLE)
+      |               ELSE c_acctbal END AS x
+      |      FROM customer) t""".stripMargin
+
+  /** Truncating integer division and C-style modulo on NEGATIVE operands
+    * (-7 div 2 = -3, -7 % 3 = -1, 7 % -3 = 1 — both engines truncate
+    * toward zero). Dialect split: Spark `DIV`, DuckDB `//`. */
+  val edgeIntdivSparkSql: String =
+    """SELECT DISTINCT k, k DIV 5 AS d, k % 5 AS m
+      |FROM (SELECT CAST(o_orderkey % 97 AS INT) - 48 AS k FROM orders) t""".stripMargin
+
+  val edgeIntdivDuckSql: String =
+    """SELECT DISTINCT k, k // 5 AS d, k % 5 AS m
+      |FROM (SELECT CAST(o_orderkey % 97 AS INT) - 48 AS k FROM orders) t""".stripMargin
+
+  /** UNION (distinct) across INT and DOUBLE branches: values coerce to
+    * DOUBLE first, then dedup — 0 and 0.0 are one row. */
+  val edgeUnionCoerceSql: String =
+    """SELECT CAST(x AS DOUBLE) AS x FROM (
+      |  SELECT r_regionkey AS x FROM region
+      |  UNION SELECT r_regionkey + 0.5 FROM region
+      |  UNION SELECT CAST(r_regionkey AS DOUBLE) FROM region) t""".stripMargin
+
+  /** Scalar subquery over an empty relation yields NULL (not an error,
+    * not zero rows). */
+  val edgeScalarSubEmptySql: String =
+    """SELECT (SELECT max(o_totalprice) FROM orders WHERE o_orderkey < 0) AS v,
+      |       count(*) AS n
+      |FROM region""".stripMargin
+
+  /** Empty string is NOT NULL: '' groups separately from NULL,
+    * length('') = 0 vs length(NULL) = NULL, and `||` propagates NULL. */
+  val edgeStringNullSql: String =
+    """SELECT s, count(*) AS n,
+      |       count(length(s)) AS n_len,
+      |       count('x' || s) AS n_concat
+      |FROM (SELECT CASE CAST(c_custkey % 3 AS INT)
+      |               WHEN 0 THEN '' WHEN 1 THEN CAST(NULL AS STRING)
+      |               ELSE 'a' END AS s
+      |      FROM customer) t
+      |GROUP BY s""".stripMargin
+
+  /** DuckDB spells STRING as VARCHAR in casts. */
+  private val edgeStringNullDuckSql: String =
+    edgeStringNullSql.replace("CAST(NULL AS STRING)", "CAST(NULL AS VARCHAR)")
+
+  private def viaSql(sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => Tables.sql(s, dir, sql)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "edge_agg_empty" -> viaSql(edgeAggEmptySql),
+    "edge_agg_allnull" -> viaSql(edgeAggAllnullSql),
+    "edge_group_nullkey" -> viaSql(edgeGroupNullkeySql),
+    "edge_join_empty_side" -> viaSql(edgeJoinEmptySideSql),
+    "edge_null_order" -> viaSql(edgeNullOrderSql),
+    "edge_in_null" -> viaSql(edgeInNullSql),
+    "edge_win_empty_frame" -> viaSql(edgeWinEmptyFrameSql),
+    "edge_leadlag_default" -> viaSql(edgeLeadlagDefaultSql),
+    "edge_least_greatest" -> viaSql(edgeLeastGreatestSql),
+    "edge_float_special" -> viaSql(edgeFloatSpecialSql),
+    "edge_intdiv_mod" -> viaSql(edgeIntdivSparkSql),
+    "edge_union_coerce" -> viaSql(edgeUnionCoerceSql),
+    "edge_scalar_sub_empty" -> viaSql(edgeScalarSubEmptySql),
+    "edge_string_null" -> viaSql(edgeStringNullSql))
+
+  val oracle: Map[String, String] = Map(
+    "edge_agg_empty" -> edgeAggEmptySql,
+    "edge_agg_allnull" -> edgeAggAllnullSql,
+    "edge_group_nullkey" -> edgeGroupNullkeySql,
+    "edge_join_empty_side" -> edgeJoinEmptySideSql,
+    "edge_null_order" -> edgeNullOrderSql,
+    "edge_in_null" -> edgeInNullSql,
+    "edge_win_empty_frame" -> edgeWinEmptyFrameSql,
+    "edge_leadlag_default" -> edgeLeadlagDefaultSql,
+    "edge_least_greatest" -> edgeLeastGreatestSql,
+    "edge_float_special" -> edgeFloatSpecialSql,
+    "edge_intdiv_mod" -> edgeIntdivDuckSql,
+    "edge_union_coerce" -> edgeUnionCoerceSql,
+    "edge_scalar_sub_empty" -> edgeScalarSubEmptySql,
+    "edge_string_null" -> edgeStringNullDuckSql)
+}

@@ -17,7 +17,8 @@ class SparkEntrySpec extends SparkSpec {
       operators.TpcdsShapes.queries, operators.Joins.queries,
       operators.ScaleJoins.queries, operators.Aggregates.queries,
       operators.Windows.queries, operators.SetOps.queries,
-      operators.Shaping.queries, functions.FunctionQueries.queries,
+      operators.Shaping.queries, operators.EdgeQueries.queries,
+      functions.FunctionQueries.queries,
       functions.GraftMacros.queries,
       pipeline.Dedup.queries, pipeline.Similarity.queries,
       pipeline.TextAnalysis.queries, pipeline.Multimodal.queries,
