@@ -26,6 +26,7 @@ object SparkEntry {
       operators.SetOps.queries ++
       operators.Shaping.queries ++
       operators.EdgeQueries.queries ++
+      sql.DuckSqlQueries.queries ++
       functions.FunctionQueries.queries ++
       functions.GraftMacros.queries ++
       pipeline.Dedup.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       operators.SetOps.oracle ++
       operators.Shaping.oracle ++
       operators.EdgeQueries.oracle ++
+      sql.DuckSqlQueries.oracle ++
       functions.FunctionQueries.oracle ++
       functions.GraftMacros.oracle ++
       pipeline.Dedup.oracle ++

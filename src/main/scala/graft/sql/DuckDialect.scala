@@ -1,0 +1,473 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** DuckDB-dialect SQL surface: a source-to-source rewriter that lets a
+  * user paste the reference engine's SQL and run it on Spark.
+  *
+  * The reference accepts the full DuckDB grammar (reference
+  * `src/parser/parser.cpp:150-168` over the libpg_query grammar); Spark's
+  * parser already covers most of it — probed on Spark 4.1.2: GROUP BY
+  * ALL / ORDER BY ALL, agg FILTER (WHERE ...), ILIKE, `expr::type`
+  * casts, and `SELECT * EXCEPT (...)` all parse natively and match
+  * DuckDB's semantics. What remains is a small dialect delta, handled
+  * here as token-level rewrites (never inside string literals, quoted
+  * identifiers, or comments):
+  *
+  *   - `a // b`            → `a DIV b`        (truncating int division)
+  *   - `* EXCLUDE (c, …)`  → `* EXCEPT (c, …)`
+  *   - `* REPLACE (e AS c)`→ `* EXCEPT (c), e AS c` (column ORDER moves
+  *     to the end — callers that need DuckDB's in-place position must
+  *     re-project; value-wise identical)
+  *   - `list_*` / `len` / `strpos` / `string_split` / `regexp_matches` /
+  *     `printf` / `epoch` → the Spark builtin of the same semantics
+  *     (rename applied only when the word is invoked as a function);
+  *     `string_split`'s literal separator is regex-escaped because
+  *     Spark's `split` takes a regex where DuckDB takes a plain string
+  *   - `read_parquet('p')` → ``parquet.`p` `` (direct-path table scan)
+  *   - `QUALIFY p`         → post-window filter via a subquery that
+  *     computes `p` as a projected column (windows can't sit in WHERE)
+  *   - `SELECT DISTINCT ON (e, …) … ORDER BY o` → `row_number() OVER
+  *     (PARTITION BY e ORDER BY o) = 1` (the same recipe
+  *     `Shaping.distinctOn` uses, reached from a SQL string)
+  *
+  * QUALIFY / DISTINCT ON are rewritten recursively inside every
+  * parenthesized subquery and CTE body (innermost first), so they
+  * compose with joins and WITH chains.
+  *
+  * Documented contracts (throw `GraftSqlException` where detectable):
+  *   - QUALIFY with SELECT DISTINCT is unsupported (the injected helper
+  *     column would change the dedup key).
+  *   - DISTINCT ON requires an ORDER BY (DuckDB keeps an arbitrary row
+  *     without one — nondeterministic, so we refuse rather than guess)
+  *     and its ORDER BY must reference FROM-visible columns, not select
+  *     aliases.
+  *   - Fractional-to-integer casts diverge by engine (DuckDB rounds,
+  *     Spark ANSI truncates) and are NOT rewritten — `round()` first for
+  *     portable results (same note as `operators/EdgeQueries`).
+  *   - DuckDB list indexing `l[1]` is 1-based, Spark's 0-based; not
+  *     rewritten (too easy to silently corrupt user intent) — use
+  *     `element_at` on the Spark side.
+  */
+object DuckDialect {
+
+  final class GraftSqlException(msg: String) extends RuntimeException(msg)
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Token kinds: 0 ws, 1 comment, 2 string literal, 3 quoted ident,
+    * 4 word, 5 number, 6 symbol. Text always round-trips verbatim. */
+  private[sql] final case class Tok(kind: Int, text: String) {
+    def isWs: Boolean = kind == 0 || kind == 1
+    def word: String = if (kind == 4) text.toLowerCase else ""
+    def is(sym: String): Boolean = kind == 6 && text == sym
+  }
+  private def ws(t: String) = Tok(0, t)
+  private def word(t: String) = Tok(4, t)
+  private def sym(t: String) = Tok(6, t)
+
+  private val multiSyms =
+    Seq("::", "//", "<=", ">=", "<>", "!=", "||", "->", "**")
+
+  private[sql] def tokenize(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql(i)
+      if (c.isWhitespace) {
+        val s = i; while (i < n && sql(i).isWhitespace) i += 1
+        out += ws(sql.substring(s, i))
+      } else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
+        val s = i; while (i < n && sql(i) != '\n') i += 1
+        out += Tok(1, sql.substring(s, i))
+      } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        val s = i; val e = sql.indexOf("*/", i + 2)
+        i = if (e < 0) n else e + 2
+        out += Tok(1, sql.substring(s, i))
+      } else if (c == '\'') {
+        val s = i; i += 1
+        while (i < n && !(sql(i) == '\'' && (i + 1 >= n || sql(i + 1) != '\''))) {
+          if (sql(i) == '\'' && i + 1 < n && sql(i + 1) == '\'') i += 2 else i += 1
+        }
+        i = math.min(i + 1, n)
+        out += Tok(2, sql.substring(s, i))
+      } else if (c == '"' || c == '`') {
+        val q = c; val s = i; i += 1
+        while (i < n && sql(i) != q) i += 1
+        i = math.min(i + 1, n)
+        out += Tok(3, sql.substring(s, i))
+      } else if (c.isLetter || c == '_') {
+        val s = i
+        while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
+        out += Tok(4, sql.substring(s, i))
+      } else if (c.isDigit) {
+        val s = i
+        while (i < n && (sql(i).isDigit || sql(i) == '.')) i += 1
+        out += Tok(5, sql.substring(s, i))
+      } else {
+        multiSyms.find(m => sql.startsWith(m, i)) match {
+          case Some(m) => out += sym(m); i += m.length
+          case None    => out += sym(c.toString); i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def render(toks: Seq[Tok]): String = toks.map(_.text).mkString
+
+  private def nextIdx(toks: Vector[Tok], from: Int): Int = {
+    var j = from + 1
+    while (j < toks.length && toks(j).isWs) j += 1
+    j
+  }
+  private def prevIdx(toks: Vector[Tok], from: Int): Int = {
+    var j = from - 1
+    while (j >= 0 && toks(j).isWs) j -= 1
+    j
+  }
+
+  /** Index of the `)` matching the `(` at `open` (same vector). */
+  private def matching(toks: Vector[Tok], open: Int): Int = {
+    var d = 0; var j = open
+    while (j < toks.length) {
+      if (toks(j).is("(")) d += 1
+      else if (toks(j).is(")")) { d -= 1; if (d == 0) return j }
+      j += 1
+    }
+    throw new GraftSqlException("unbalanced parentheses in SQL")
+  }
+
+  // ------------------------------------------------------- flat rewrites
+
+  /** `//` → ` DIV ` (DuckDB truncating integer division; both engines
+    * truncate toward zero on negatives — pinned by `edge_intdiv_mod`). */
+  private def rewriteIntDiv(toks: Vector[Tok]): Vector[Tok] =
+    toks.map(t => if (t.is("//")) word(" DIV ") else t)
+
+  /** Function renames, applied only when invoked as `name(`. */
+  private val fnRename = Map(
+    "list_value" -> "array",
+    "list_pack" -> "array",
+    "list_contains" -> "array_contains",
+    "list_has" -> "array_contains",
+    "list_position" -> "array_position",
+    "list_transform" -> "transform",
+    "list_apply" -> "transform",
+    "list_filter" -> "filter",
+    "list_distinct" -> "array_distinct",
+    "array_length" -> "size",
+    "len" -> "length",
+    "strpos" -> "instr",
+    "regexp_matches" -> "regexp_like",
+    "printf" -> "format_string",
+    "epoch" -> "unix_timestamp",
+    "str_split" -> "split",
+    "string_split" -> "split",
+    "string_to_array" -> "split")
+
+  /** Separator-taking splits whose second argument is a plain string in
+    * DuckDB but a regex in Spark: the literal gets regex-escaped. */
+  private val plainSepFns = Set("str_split", "string_split", "string_to_array")
+
+  private def regexEscapeLiteral(lit: String): String = {
+    // lit includes the surrounding quotes; escape Java-regex metachars in
+    // the body. Spark SQL string literals are backslash-escaped, so one
+    // regex-level backslash is two characters in the literal.
+    val body = lit.substring(1, lit.length - 1)
+    val meta = ".[]{}()*+?^$|\\"
+    val escaped = body.flatMap { ch =>
+      if (meta.indexOf(ch) >= 0) "\\\\" + ch else ch.toString
+    }
+    "'" + escaped + "'"
+  }
+
+  private def rewriteFunctions(toks: Vector[Tok]): Vector[Tok] = {
+    val out = toks.toBuffer
+    var i = 0
+    while (i < out.length) {
+      val t = out(i)
+      // Bare VARCHAR type name (no length): Spark requires VARCHAR(n),
+      // DuckDB treats bare VARCHAR as unbounded — map to STRING unless a
+      // parenthesized length follows. (TEXT is NOT mapped: `text` is a
+      // live column name in the documents fixture, and DuckDB users cast
+      // with ::VARCHAR overwhelmingly.)
+      if (t.kind == 4 && t.word == "varchar" &&
+          !(nextIdx(out.toVector, i) < out.length && out(nextIdx(out.toVector, i)).is("("))) {
+        out(i) = word("STRING")
+      } else if (t.kind == 4 && fnRename.contains(t.word)) {
+        val j = nextIdx(out.toVector, i)
+        if (j < out.length && out(j).is("(")) {
+          val orig = t.word
+          out(i) = word(fnRename(orig))
+          if (plainSepFns(orig)) {
+            // regex-escape a literal separator (second argument)
+            val v = out.toVector
+            val close = matching(v, j)
+            var d = 0; var k = j; var commaAt = -1
+            while (k < close && commaAt < 0) {
+              if (v(k).is("(")) d += 1
+              else if (v(k).is(")")) d -= 1
+              else if (v(k).is(",") && d == 1) commaAt = k
+              k += 1
+            }
+            if (commaAt >= 0) {
+              val a = nextIdx(v, commaAt)
+              if (a < close && v(a).kind == 2 && nextIdx(v, a) == close)
+                out(a) = Tok(2, regexEscapeLiteral(v(a).text))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    out.toVector
+  }
+
+  /** `* EXCLUDE (…)` → `* EXCEPT (…)` (Spark's spelling, same meaning). */
+  private def rewriteExclude(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.map { case (t, i) =>
+      if (t.kind == 4 && t.word == "exclude" &&
+          prevIdx(toks, i) >= 0 && toks(prevIdx(toks, i)).is("*"))
+        word("EXCEPT")
+      else t
+    }
+
+  /** `* REPLACE (e1 AS c1, …)` → `* EXCEPT (c1, …), e1 AS c1, …`. */
+  private def rewriteReplace(toks: Vector[Tok]): Vector[Tok] = {
+    var v = toks
+    var i = 0
+    while (i < v.length) {
+      val t = v(i)
+      val p = prevIdx(v, i)
+      if (t.kind == 4 && t.word == "replace" && p >= 0 && v(p).is("*")) {
+        val open = nextIdx(v, i)
+        if (open >= v.length || !v(open).is("("))
+          throw new GraftSqlException("* REPLACE must be followed by (expr AS col, ...)")
+        val close = matching(v, open)
+        // split items at depth-1 commas
+        val items = Vector.newBuilder[Vector[Tok]]
+        var d = 0; var s = open + 1; var k = open
+        while (k <= close) {
+          if (v(k).is("(")) d += 1
+          else if (v(k).is(")")) { d -= 1; if (d == 0) { items += v.slice(s, k) } }
+          else if (v(k).is(",") && d == 1) { items += v.slice(s, k); s = k + 1 }
+          k += 1
+        }
+        val parsed = items.result().map { item =>
+          val asAt = item.lastIndexWhere(x => x.kind == 4 && x.word == "as")
+          if (asAt < 0)
+            throw new GraftSqlException("* REPLACE items must be `expr AS col`")
+          val col = item.drop(asAt + 1).filterNot(_.isWs)
+          if (col.length != 1)
+            throw new GraftSqlException("* REPLACE target must be a single column name")
+          (item.take(asAt), col.head)
+        }
+        val cols = parsed.map(_._2)
+        val repl = Vector.newBuilder[Tok]
+        repl += word("EXCEPT"); repl += ws(" "); repl += sym("(")
+        cols.zipWithIndex.foreach { case (c, ix) =>
+          if (ix > 0) { repl += sym(","); repl += ws(" ") }
+          repl += c
+        }
+        repl += sym(")")
+        parsed.foreach { case (expr, c) =>
+          repl += sym(","); repl += ws(" ")
+          repl ++= expr
+          repl += ws(" "); repl += word("AS"); repl += ws(" "); repl += c
+        }
+        v = v.take(i) ++ repl.result() ++ v.drop(close + 1)
+      }
+      i += 1
+    }
+    v
+  }
+
+  /** `read_parquet('p')` → ``parquet.`p` `` — Spark's direct-path scan
+    * keeps pushdown/pruning (same DataSource as the catalog reads). */
+  private def rewriteReadParquet(toks: Vector[Tok]): Vector[Tok] = {
+    var v = toks
+    var i = 0
+    while (i < v.length) {
+      if (v(i).kind == 4 && v(i).word == "read_parquet") {
+        val open = nextIdx(v, i)
+        if (open < v.length && v(open).is("(")) {
+          val close = matching(v, open)
+          val args = v.slice(open + 1, close).filterNot(_.isWs)
+          if (args.length == 1 && args.head.kind == 2) {
+            val path = args.head.text.substring(1, args.head.text.length - 1)
+            v = v.take(i) ++ Vector(word("parquet"), sym("."), Tok(3, "`" + path + "`")) ++ v.drop(close + 1)
+          }
+        }
+      }
+      i += 1
+    }
+    v
+  }
+
+  // ------------------------------------------------- block-scoped rewrites
+
+  /** Depth-0 positions (relative to `toks`) of word `w` in the block. */
+  private def depth0Word(toks: Vector[Tok], w: String): Vector[Int] = {
+    val out = Vector.newBuilder[Int]
+    var d = 0; var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("(")) d += 1
+      else if (toks(i).is(")")) d -= 1
+      else if (d == 0 && toks(i).kind == 4 && toks(i).word == w) out += i
+      i += 1
+    }
+    out.result()
+  }
+
+  /** First depth-0 occurrence of any of `ws` at or after `from`; -1 if none. */
+  private def firstDepth0(toks: Vector[Tok], from: Int, words: Set[String]): Int = {
+    var d = 0; var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("(")) d += 1
+      else if (toks(i).is(")")) d -= 1
+      else if (i >= from && d == 0 && toks(i).kind == 4 && words(toks(i).word)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** QUALIFY → subquery + WHERE over a projected predicate column. */
+  private def rewriteQualify(block: Vector[Tok]): Vector[Tok] = {
+    val qAt = firstDepth0(block, 0, Set("qualify"))
+    if (qAt < 0) return block
+    val selAt = firstDepth0(block, 0, Set("select"))
+    if (selAt < 0 || selAt > qAt)
+      throw new GraftSqlException("QUALIFY outside a SELECT block")
+    val afterSel = nextIdx(block, selAt)
+    if (afterSel < block.length && block(afterSel).word == "distinct")
+      throw new GraftSqlException(
+        "QUALIFY with SELECT DISTINCT is unsupported (helper column would join the dedup key); dedup in an outer query")
+    val fromAt = firstDepth0(block, selAt, Set("from"))
+    if (fromAt < 0 || fromAt > qAt)
+      throw new GraftSqlException("QUALIFY requires a FROM clause")
+    val groupAt = firstDepth0(block, fromAt, Set("group"))
+    if (groupAt >= 0 && groupAt < qAt) {
+      val after = nextIdx(block, nextIdx(block, groupAt)) // GROUP BY <tok>
+      if (after < block.length && block(after).word == "all")
+        throw new GraftSqlException(
+          "QUALIFY with GROUP BY ALL is unsupported (the injected predicate column would change the inferred grouping); spell the GROUP BY keys explicitly")
+    }
+    val tailAt = {
+      val t = firstDepth0(block, qAt, Set("order", "limit", "offset"))
+      if (t < 0) block.length else t
+    }
+    val head = block.slice(selAt + 1, fromAt)   // select list
+    val mid = block.slice(fromAt, qAt)          // FROM … WHERE … GROUP … HAVING
+    val pred = block.slice(qAt + 1, tailAt)
+    val tail = block.slice(tailAt, block.length)
+    val prefix = block.take(selAt)              // e.g. WITH … AS (…) before main SELECT
+    val b = Vector.newBuilder[Tok]
+    b ++= prefix
+    b ++= Seq(word("SELECT"), ws(" "), sym("*"), ws(" "), word("EXCEPT"),
+      sym("("), word("__graft_q"), sym(")"), ws(" "), word("FROM"), ws(" "), sym("("),
+      word("SELECT"), ws(" "))
+    b ++= head
+    b ++= Seq(sym(","), ws(" "), sym("("))
+    b ++= pred
+    b ++= Seq(sym(")"), ws(" "), word("AS"), ws(" "), word("__graft_q"), ws(" "))
+    b ++= mid
+    b ++= Seq(sym(")"), ws(" "), word("graft_qualify"), ws(" "),
+      word("WHERE"), ws(" "), word("__graft_q"), ws(" "))
+    b ++= tail
+    b.result()
+  }
+
+  /** DISTINCT ON (…) → row_number() = 1 over the DISTINCT ON partition,
+    * ordered by the query's ORDER BY (which also fixes WHICH row
+    * survives — exactly DuckDB's rule, reference
+    * `src/parser/transform/statement/transform_select_node.cpp`). */
+  private def rewriteDistinctOn(block: Vector[Tok]): Vector[Tok] = {
+    val selAt = firstDepth0(block, 0, Set("select"))
+    if (selAt < 0) return block
+    val dAt = nextIdx(block, selAt)
+    if (dAt >= block.length || block(dAt).word != "distinct") return block
+    val onAt = nextIdx(block, dAt)
+    if (onAt >= block.length || block(onAt).word != "on") return block
+    val open = nextIdx(block, onAt)
+    if (open >= block.length || !block(open).is("("))
+      throw new GraftSqlException("DISTINCT ON must be followed by (exprs)")
+    val close = matching(block, open)
+    val keys = block.slice(open + 1, close)
+    val fromAt = firstDepth0(block, close, Set("from"))
+    if (fromAt < 0) throw new GraftSqlException("DISTINCT ON requires a FROM clause")
+    val orderAt = firstDepth0(block, fromAt, Set("order"))
+    if (orderAt < 0)
+      throw new GraftSqlException(
+        "DISTINCT ON without ORDER BY keeps an arbitrary row (nondeterministic); add ORDER BY")
+    val byAt = nextIdx(block, orderAt)
+    val limitAt = {
+      val t = firstDepth0(block, byAt, Set("limit", "offset"))
+      if (t < 0) block.length else t
+    }
+    val selList = block.slice(close + 1, fromAt)
+    val mid = block.slice(fromAt, orderAt)      // FROM … WHERE …
+    val order = block.slice(byAt + 1, limitAt)  // order keys
+    val limitTail = block.slice(limitAt, block.length)
+    val prefix = block.take(selAt)
+    val b = Vector.newBuilder[Tok]
+    b ++= prefix
+    b ++= Seq(word("SELECT"), ws(" "))
+    b ++= selList
+    b ++= Seq(word("FROM"), ws(" "), sym("("), word("SELECT"), ws(" "), sym("*"),
+      sym(","), ws(" "), word("row_number"), sym("("), sym(")"), ws(" "),
+      word("OVER"), ws(" "), sym("("), word("PARTITION"), ws(" "), word("BY"), ws(" "))
+    b ++= keys
+    b ++= Seq(ws(" "), word("ORDER"), ws(" "), word("BY"), ws(" "))
+    b ++= order
+    b ++= Seq(sym(")"), ws(" "), word("AS"), ws(" "), word("__graft_rn"), ws(" "))
+    b ++= mid
+    b ++= Seq(sym(")"), ws(" "), word("graft_don"), ws(" "), word("WHERE"), ws(" "),
+      word("__graft_rn"), ws(" "), sym("="), ws(" "), Tok(5, "1"), ws(" "),
+      word("ORDER"), ws(" "), word("BY"), ws(" "))
+    b ++= order
+    b += ws(" ")
+    b ++= limitTail
+    b.result()
+  }
+
+  /** Recursively rewrite parenthesized subregions (innermost first), then
+    * apply the block-scoped passes to this block's depth-0 clauses. */
+  private def rewriteBlocks(toks: Vector[Tok]): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("(")) {
+        val close = matching(toks, i)
+        out += sym("(")
+        out ++= rewriteBlocks(toks.slice(i + 1, close))
+        out += sym(")")
+        i = close + 1
+      } else {
+        out += toks(i)
+        i += 1
+      }
+    }
+    rewriteDistinctOn(rewriteQualify(out.result()))
+  }
+
+  // --------------------------------------------------------------- public
+
+  /** DuckDB SQL → Spark SQL. Deterministic, token-level, literal-safe. */
+  def translate(duckSql: String): String = {
+    var toks = tokenize(duckSql)
+    toks = rewriteIntDiv(toks)
+    toks = rewriteFunctions(toks)
+    toks = rewriteExclude(toks)
+    toks = rewriteReplace(toks)
+    toks = rewriteReadParquet(toks)
+    toks = rewriteBlocks(toks)
+    render(toks)
+  }
+
+  /** Translate and run against the fixture catalog at `dir`. */
+  def run(spark: SparkSession, dir: String, duckSql: String): DataFrame =
+    Tables.sql(spark, dir, translate(duckSql))
+}

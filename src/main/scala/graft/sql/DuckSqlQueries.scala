@@ -1,0 +1,129 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-gated entries for the DuckDB-dialect surface: each `queries`
+  * entry runs the RAW DuckDB SQL through `DuckDialect.run` (translate →
+  * spark.sql), and the oracle is that same raw string handed to DuckDB —
+  * so the correctness gate checks the translation end-to-end, value for
+  * value, not just "it parses".
+  *
+  * Constructs that Spark 4 parses natively (GROUP BY/ORDER BY ALL,
+  * FILTER clause, ILIKE, `::` casts) appear alongside the rewritten ones
+  * on purpose: the entries double as a regression net for the
+  * passthrough claim in the DuckDialect scaladoc.
+  */
+object DuckSqlQueries {
+
+  /** QUALIFY → windowed top-k per group, the dominant real-world use
+    * (reference grammar: third_party/libpg_query qualify clause). */
+  val qualifySql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal
+      |FROM customer
+      |QUALIFY row_number() OVER (PARTITION BY c_nationkey
+      |                           ORDER BY c_acctbal DESC, c_custkey) <= 3""".stripMargin
+
+  /** QUALIFY inside a CTE body, composed with a join + GROUP BY ALL in
+    * the outer query — proves the block-recursive rewrite. */
+  val qualifyCteSql: String =
+    """WITH top_cust AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal
+      |  FROM customer
+      |  QUALIFY rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) = 1
+      |)
+      |SELECT n_name, count(*) AS n, round(sum(c_acctbal), 2) AS s
+      |FROM top_cust JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ALL ORDER BY ALL""".stripMargin
+
+  /** DISTINCT ON: first row per group under the query's ORDER BY. */
+  val distinctOnSql: String =
+    """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+      |FROM customer
+      |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin
+
+  /** `//` division + `::` casts + GROUP/ORDER BY ALL in one statement.
+    * (No fractional→int casts: those round in DuckDB and truncate in
+    * Spark ANSI — documented divergence, see DuckDialect scaladoc.) */
+  val intdivCastSql: String =
+    """SELECT o_orderkey // 1000 AS bucket, count(*) AS n,
+      |       min(o_orderkey::VARCHAR) AS mn
+      |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin
+
+  /** `* EXCLUDE` star modifier (→ Spark `* EXCEPT`). */
+  val excludeSql: String =
+    """SELECT * EXCLUDE (c_name, c_mktsegment)
+      |FROM customer WHERE c_custkey <= 100""".stripMargin
+
+  /** `* REPLACE` star modifier (column values replaced in place; the
+    * rewrite moves replaced columns to the end — value-identical, and
+    * the gate compares by sorted column name). */
+  val replaceSql: String =
+    """SELECT * REPLACE (upper(n_name) AS n_name, n_regionkey * 10 AS n_regionkey)
+      |FROM nation""".stripMargin
+
+  /** DuckDB spellings of list/string functions → Spark builtins:
+    * list_value/list_contains/len/strpos/string_split (with the
+    * plain-separator vs regex-separator fix: '_' is inert but '.' would
+    * not be — the rewriter escapes either way). */
+  val funcsSql: String =
+    """SELECT n_nationkey,
+      |       list_contains(list_value(0, 2, 4), n_regionkey) AS has_key,
+      |       len(n_name) AS name_len,
+      |       strpos(n_name, '_') AS pos_u,
+      |       array_length(string_split(n_name, '_')) AS n_parts
+      |FROM nation""".stripMargin
+
+  /** Higher-order list lambdas: list_filter/list_transform → filter/
+    * transform (arrow syntax is shared). Results kept scalar so the
+    * gate's value compare stays type-stable across engines. */
+  val lambdaSql: String =
+    """SELECT n_nationkey,
+      |       array_length(list_filter(list_value(1, 2, 3, 4), x -> x > n_regionkey)) AS n_gt,
+      |       list_contains(list_transform(list_value(1, 2, 3), x -> x * 2), n_regionkey) AS has_dbl
+      |FROM nation""".stripMargin
+
+  /** Native-passthrough block: FILTER clause + ILIKE, no rewrites fire. */
+  val filterIlikeSql: String =
+    """SELECT count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      |       count(*) AS n
+      |FROM orders""".stripMargin
+
+  /** `read_parquet(path)` table function → Spark's direct-path scan.
+    * The Spark side scans the same file the catalog view wraps, so the
+    * fixture-view oracle is the exact same relation. */
+  private def readParquetSql(dir: String): String =
+    s"""SELECT count(*) AS n, min(n_name) AS mn, max(n_regionkey) AS mx
+       |FROM read_parquet('$dir/nation.parquet')""".stripMargin
+
+  val readParquetOracleSql: String =
+    """SELECT count(*) AS n, min(n_name) AS mn, max(n_regionkey) AS mx
+      |FROM nation""".stripMargin
+
+  private def via(sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => DuckDialect.run(s, dir, sql)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ducksql_qualify" -> via(qualifySql),
+    "ducksql_qualify_cte" -> via(qualifyCteSql),
+    "ducksql_distinct_on" -> via(distinctOnSql),
+    "ducksql_intdiv_cast" -> via(intdivCastSql),
+    "ducksql_exclude" -> via(excludeSql),
+    "ducksql_replace" -> via(replaceSql),
+    "ducksql_funcs" -> via(funcsSql),
+    "ducksql_lambda" -> via(lambdaSql),
+    "ducksql_filter_ilike" -> via(filterIlikeSql),
+    "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
+
+  val oracle: Map[String, String] = Map(
+    "ducksql_qualify" -> qualifySql,
+    "ducksql_qualify_cte" -> qualifyCteSql,
+    "ducksql_distinct_on" -> distinctOnSql,
+    "ducksql_intdiv_cast" -> intdivCastSql,
+    "ducksql_exclude" -> excludeSql,
+    "ducksql_replace" -> replaceSql,
+    "ducksql_funcs" -> funcsSql,
+    "ducksql_lambda" -> lambdaSql,
+    "ducksql_filter_ilike" -> filterIlikeSql,
+    "ducksql_read_parquet" -> readParquetOracleSql)
+}

@@ -18,6 +18,7 @@ class SparkEntrySpec extends SparkSpec {
       operators.ScaleJoins.queries, operators.Aggregates.queries,
       operators.Windows.queries, operators.SetOps.queries,
       operators.Shaping.queries, operators.EdgeQueries.queries,
+      sql.DuckSqlQueries.queries,
       functions.FunctionQueries.queries,
       functions.GraftMacros.queries,
       pipeline.Dedup.queries, pipeline.Similarity.queries,

@@ -1,0 +1,106 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+import DuckDialect.{translate, GraftSqlException}
+
+/** String-level contract of the DuckDB→Spark dialect rewriter. The
+  * value-level contract (translated SQL ≡ DuckDB on the same relations)
+  * is pinned by the 10 `ducksql_*` entries at the driver's oracle gate;
+  * here we pin the REWRITES themselves: what changes, what must never
+  * change (literals, quoted identifiers, comments), and what is refused
+  * loudly instead of translated wrong.
+  */
+class DuckDialectSpec extends AnyFunSuite {
+
+  private def norm(s: String) = s.replaceAll("\\s+", " ").trim
+
+  test("// becomes DIV, but never inside a string literal or comment") {
+    assert(norm(translate("SELECT a // b FROM t")) == "SELECT a DIV b FROM t")
+    assert(translate("SELECT 'a // b' AS s FROM t").contains("'a // b'"))
+    assert(translate("SELECT a FROM t -- c // d").contains("-- c // d"))
+    assert(translate("SELECT a /* x // y */ FROM t").contains("/* x // y */"))
+  }
+
+  test("function renames fire only at call sites") {
+    assert(norm(translate("SELECT len(s) FROM t")) == "SELECT length(s) FROM t")
+    // `len` as a plain identifier (column named len) is left alone
+    assert(norm(translate("SELECT len FROM t")) == "SELECT len FROM t")
+    assert(translate("SELECT list_contains(list_value(1,2), x) FROM t")
+      .contains("array_contains(array(1,2), x)"))
+    assert(translate("SELECT strpos(a, 'x') FROM t").contains("instr(a, 'x')"))
+    assert(translate("SELECT regexp_matches(a, 'p') FROM t").contains("regexp_like(a, 'p')"))
+  }
+
+  test("string_split's literal separator is regex-escaped for Spark's split") {
+    // '.' is a plain character to DuckDB but a regex metachar to Spark
+    assert(translate("SELECT string_split(a, '.') FROM t").contains("split(a, '\\\\.')"))
+    // inert separators pass through unchanged
+    assert(translate("SELECT string_split(a, '_') FROM t").contains("split(a, '_')"))
+    // non-literal separator: left for the engine (documented contract)
+    assert(translate("SELECT string_split(a, sep) FROM t").contains("split(a, sep)"))
+  }
+
+  test("star EXCLUDE becomes star EXCEPT; scalar replace() is untouched") {
+    assert(norm(translate("SELECT * EXCLUDE (a, b) FROM t")) == "SELECT * EXCEPT (a, b) FROM t")
+    assert(translate("SELECT replace(s, 'a', 'b') FROM t").contains("replace(s, 'a', 'b')"))
+  }
+
+  test("star REPLACE expands to EXCEPT plus re-projections") {
+    val out = norm(translate("SELECT * REPLACE (x + 1 AS x, upper(y) AS y) FROM t"))
+    assert(out.contains("* EXCEPT (x, y)"))
+    assert(out.contains("x + 1 AS x"))
+    assert(out.contains("upper(y) AS y"))
+  }
+
+  test("bare VARCHAR maps to STRING; VARCHAR(n) is preserved") {
+    assert(translate("SELECT a::VARCHAR FROM t").contains("::STRING"))
+    assert(translate("SELECT CAST(a AS VARCHAR(10)) FROM t").contains("VARCHAR(10)"))
+  }
+
+  test("read_parquet('p') becomes a direct-path parquet scan") {
+    assert(translate("SELECT * FROM read_parquet('/d/x.parquet')")
+      .contains("parquet.`/d/x.parquet`"))
+  }
+
+  test("QUALIFY lifts the predicate into a subquery column + WHERE") {
+    val out = norm(translate(
+      "SELECT a, b FROM t QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a LIMIT 5"))
+    assert(out.contains("SELECT * EXCEPT(__graft_q) FROM (SELECT a, b , ("))
+    assert(out.contains(") AS __graft_q FROM t ) graft_qualify WHERE __graft_q"))
+    assert(out.endsWith("ORDER BY a LIMIT 5"))
+  }
+
+  test("QUALIFY rewrites inside CTE bodies and subqueries (innermost first)") {
+    val out = translate(
+      "WITH c AS (SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) = 1) SELECT * FROM c")
+    assert(out.contains("graft_qualify"))
+    assert(out.toLowerCase.indexOf("qualify") > 0) // only the alias survives
+    assert(!out.matches("(?is).*\\bQUALIFY\\b.*"))
+  }
+
+  test("DISTINCT ON becomes row_number() = 1 over the ORDER BY") {
+    val out = norm(translate(
+      "SELECT DISTINCT ON (g) g, v FROM t ORDER BY g, v DESC"))
+    assert(out.contains("row_number() OVER (PARTITION BY g ORDER BY g, v DESC) AS __graft_rn"))
+    assert(out.contains("WHERE __graft_rn = 1 ORDER BY g, v DESC"))
+  }
+
+  test("refusals: the constructs we cannot translate faithfully") {
+    intercept[GraftSqlException](translate(
+      "SELECT DISTINCT ON (g) g, v FROM t")) // no ORDER BY → nondeterministic
+    intercept[GraftSqlException](translate(
+      "SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"))
+    intercept[GraftSqlException](translate(
+      "SELECT g, count(*) FROM t GROUP BY ALL QUALIFY rank() OVER (ORDER BY g) = 1"))
+    intercept[GraftSqlException](translate("SELECT * REPLACE (x + 1) FROM t"))
+  }
+
+  test("native passthrough: constructs Spark 4 already parses are untouched") {
+    for (sqlStr <- Seq(
+      "SELECT a, count(*) FROM t GROUP BY ALL ORDER BY ALL",
+      "SELECT count(*) FILTER (WHERE a > 0) AS n FROM t",
+      "SELECT a FROM t WHERE a ILIKE '%x%'",
+      "SELECT a::INT FROM t"))
+      assert(norm(translate(sqlStr)) == norm(sqlStr))
+  }
+}
