@@ -161,6 +161,111 @@ object EdgeQueries {
   private val edgeStringNullDuckSql: String =
     edgeStringNullSql.replace("CAST(NULL AS STRING)", "CAST(NULL AS VARCHAR)")
 
+  // ----- batch 2 (round 6): rounding, calendar, frames, multisets -----
+  //
+  // Further divergences probed and DOCUMENTED (not tested):
+  //   - substring(s, 0, n): DuckDB treats position 0 as consuming part of
+  //     the length window ('ab'), Spark clamps to position 1 and returns
+  //     the full n chars ('abc'); 1-based positions agree — use those.
+  //   - corr/regr over a zero-variance column: DuckDB returns NULL, Spark
+  //     under ANSI raises DIVIDE_BY_ZERO; single-row inputs return NULL
+  //     on both (pinned below).
+  //   - `^` is bitwise XOR in Spark but POWER in DuckDB; `xor(a,b)` /
+  //     `**` are the portable spellings of each.
+
+  /** round() ties go AWAY FROM ZERO on both engines (not banker's
+    * rounding), incl. on DOUBLE where the FP value is exact (k + 0.5). */
+  val edgeRoundHalfSql: String =
+    """SELECT DISTINCT k,
+      |       round(k + 0.5) AS r_pos, round(-(k + 0.5)) AS r_neg,
+      |       round(CAST(k + 0.5 AS DOUBLE)) AS r_dbl
+      |FROM (SELECT CAST(o_orderkey % 10 AS INT) AS k FROM orders) t""".stripMargin
+
+  /** Calendar arithmetic: adding a month CLAMPS to month end (Jan 31 +
+    * 1 month = Feb 28/29), last_day, leap years. Results cast to DATE on
+    * both sides (DuckDB yields TIMESTAMP for date+interval). */
+  val edgeMonthClampSql: String =
+    """SELECT d, CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_m, last_day(d) AS ld
+      |FROM (SELECT DISTINCT last_day(CAST(l_shipdate AS DATE)) AS d
+      |      FROM lineitem WHERE l_orderkey <= 2000) t""".stripMargin
+
+  /** EXTRACT field semantics: ISO week (Jan 1 can be week 52/53 of the
+    * prior ISO year), quarter, day-of-year incl. leap years. */
+  val edgeExtractSql: String =
+    """SELECT d, extract(week FROM d) AS wk, extract(quarter FROM d) AS qtr,
+      |       extract(doy FROM d) AS doy, extract(month FROM d) AS mth
+      |FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d
+      |      FROM lineitem WHERE l_orderkey <= 400) t""".stripMargin
+
+  /** String-edge surface where the engines agree: negative substring
+    * positions count from the end, zero-length substring is '', lpad
+    * TRUNCATES when the target is shorter, rpad cycles a multi-char pad,
+    * repeat(s, 0) = ''. (substring position 0 diverges — see above.) */
+  val edgeSubstrPadSql: String =
+    """SELECT c_custkey,
+      |       substring(c_name, -3) AS tail3, substring(c_name, 2, 0) AS zero_len,
+      |       lpad(c_name, 4, 'x') AS pad_trunc, rpad(c_name, 15, 'xy') AS pad_cycle,
+      |       repeat(c_name, 0) AS rep0, reverse(c_name) AS rev
+      |FROM customer WHERE c_custkey <= 200""".stripMargin
+
+  /** Default string collation is BINARY (codepoint) on both engines:
+    * uppercase sorts before lowercase, '_' (0x5F) between them. */
+  val edgeCollateSql: String =
+    """SELECT min(s) AS mn, max(s) AS mx, count(DISTINCT s) AS n_distinct
+      |FROM (SELECT CASE CAST(c_custkey % 3 AS INT)
+      |               WHEN 0 THEN upper(c_name) WHEN 1 THEN lower(c_name)
+      |               ELSE '_' || c_name END AS s
+      |      FROM customer) t""".stripMargin
+
+  /** Unicode strings are codepoint-counted (not bytes) by length(), and
+    * case-mapped beyond ASCII by upper(). */
+  val edgeUnicodeSql: String =
+    """SELECT length('héllo') AS len_e, upper('héllo') AS up_e,
+      |       length('日本語') AS len_cjk, reverse('héllo') AS rev_e,
+      |       count(*) AS n
+      |FROM region""".stripMargin
+
+  /** Sample statistics over a SINGLE row are NULL (stddev_samp,
+    * var_samp, corr, covar_samp — n-1 denominator), while population
+    * forms are 0. */
+  val edgeStatsOneRowSql: String =
+    """SELECT stddev_samp(c_acctbal) AS sd_s, var_samp(c_acctbal) AS var_s,
+      |       corr(c_acctbal, c_custkey) AS r,
+      |       covar_samp(c_acctbal, c_custkey) AS cov_s,
+      |       stddev_pop(c_acctbal) AS sd_p, var_pop(c_acctbal) AS var_p
+      |FROM customer WHERE c_custkey = 1""".stripMargin
+
+  /** INTERSECT ALL / EXCEPT ALL multiset semantics: min / difference of
+    * multiplicities, not set semantics. */
+  val edgeMultisetSql: String =
+    """SELECT 'intersect' AS op, count(*) AS n FROM (
+      |  SELECT n_regionkey AS k FROM nation
+      |  INTERSECT ALL
+      |  SELECT CAST(c_custkey % 5 AS INT) FROM customer WHERE c_custkey <= 12) t
+      |UNION ALL
+      |SELECT 'except' AS op, count(*) AS n FROM (
+      |  SELECT n_regionkey AS k FROM nation
+      |  EXCEPT ALL
+      |  SELECT CAST(c_custkey % 5 AS INT) FROM customer WHERE c_custkey <= 12) t2""".stripMargin
+
+  /** RANGE frames operate on PEER GROUPS: every row with an equal order
+    * key sees the same aggregate (vs ROWS, which splits peers). */
+  val edgeRangePeersSql: String =
+    """SELECT c_custkey,
+      |       round(sum(c_acctbal) OVER (
+      |         ORDER BY c_nationkey RANGE BETWEEN CURRENT ROW AND CURRENT ROW), 4) AS peer_sum,
+      |       round(sum(c_acctbal) OVER (
+      |         ORDER BY c_nationkey
+      |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_peers
+      |FROM customer WHERE c_custkey <= 300""".stripMargin
+
+  /** ROLLUP over a NULLABLE key: grouping() distinguishes the total row
+    * from the genuine-NULL data group (both display as NULL keys). */
+  val edgeRollupNullSql: String =
+    """SELECT nullif(c_nationkey, 13) AS g, grouping(nullif(c_nationkey, 13)) AS is_total,
+      |       count(*) AS n
+      |FROM customer GROUP BY ROLLUP(nullif(c_nationkey, 13))""".stripMargin
+
   private def viaSql(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => Tables.sql(s, dir, sql)
 
@@ -178,7 +283,17 @@ object EdgeQueries {
     "edge_intdiv_mod" -> viaSql(edgeIntdivSparkSql),
     "edge_union_coerce" -> viaSql(edgeUnionCoerceSql),
     "edge_scalar_sub_empty" -> viaSql(edgeScalarSubEmptySql),
-    "edge_string_null" -> viaSql(edgeStringNullSql))
+    "edge_string_null" -> viaSql(edgeStringNullSql),
+    "edge_round_half" -> viaSql(edgeRoundHalfSql),
+    "edge_month_clamp" -> viaSql(edgeMonthClampSql),
+    "edge_extract" -> viaSql(edgeExtractSql),
+    "edge_substr_pad" -> viaSql(edgeSubstrPadSql),
+    "edge_collate" -> viaSql(edgeCollateSql),
+    "edge_unicode" -> viaSql(edgeUnicodeSql),
+    "edge_stats_one_row" -> viaSql(edgeStatsOneRowSql),
+    "edge_multiset" -> viaSql(edgeMultisetSql),
+    "edge_range_peers" -> viaSql(edgeRangePeersSql),
+    "edge_rollup_null" -> viaSql(edgeRollupNullSql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -194,5 +309,15 @@ object EdgeQueries {
     "edge_intdiv_mod" -> edgeIntdivDuckSql,
     "edge_union_coerce" -> edgeUnionCoerceSql,
     "edge_scalar_sub_empty" -> edgeScalarSubEmptySql,
-    "edge_string_null" -> edgeStringNullDuckSql)
+    "edge_string_null" -> edgeStringNullDuckSql,
+    "edge_round_half" -> edgeRoundHalfSql,
+    "edge_month_clamp" -> edgeMonthClampSql,
+    "edge_extract" -> edgeExtractSql,
+    "edge_substr_pad" -> edgeSubstrPadSql,
+    "edge_collate" -> edgeCollateSql,
+    "edge_unicode" -> edgeUnicodeSql,
+    "edge_stats_one_row" -> edgeStatsOneRowSql,
+    "edge_multiset" -> edgeMultisetSql,
+    "edge_range_peers" -> edgeRangePeersSql,
+    "edge_rollup_null" -> edgeRollupNullSql)
 }
