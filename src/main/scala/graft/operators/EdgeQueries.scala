@@ -259,6 +259,19 @@ object EdgeQueries {
       |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_peers
       |FROM customer WHERE c_custkey <= 300""".stripMargin
 
+  /** TRY_CAST failure modes return NULL instead of raising on both
+    * engines: numeric overflow (int → TINYINT, 1e40 → BIGINT),
+    * unparseable strings, and impossible calendar dates; valid inputs
+    * pass through. (try_cast('2.5' AS INT) DIVERGES — DuckDB rounds to
+    * 3, Spark ANSI yields NULL — documented, not tested.) */
+  val edgeTryCastSql: String =
+    """SELECT try_cast(300 AS TINYINT) AS ov_tiny,
+      |       try_cast('abc' AS INTEGER) AS bad_str,
+      |       try_cast('123' AS INTEGER) AS good_str,
+      |       try_cast(1e40 AS BIGINT) AS ov_big,
+      |       try_cast('2024-02-30' AS DATE) AS bad_date,
+      |       try_cast('2024-02-29' AS DATE) AS leap_ok""".stripMargin
+
   /** ROLLUP over a NULLABLE key: grouping() distinguishes the total row
     * from the genuine-NULL data group (both display as NULL keys). */
   val edgeRollupNullSql: String =
@@ -293,7 +306,8 @@ object EdgeQueries {
     "edge_stats_one_row" -> viaSql(edgeStatsOneRowSql),
     "edge_multiset" -> viaSql(edgeMultisetSql),
     "edge_range_peers" -> viaSql(edgeRangePeersSql),
-    "edge_rollup_null" -> viaSql(edgeRollupNullSql))
+    "edge_rollup_null" -> viaSql(edgeRollupNullSql),
+    "edge_try_cast" -> viaSql(edgeTryCastSql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -319,5 +333,6 @@ object EdgeQueries {
     "edge_stats_one_row" -> edgeStatsOneRowSql,
     "edge_multiset" -> edgeMultisetSql,
     "edge_range_peers" -> edgeRangePeersSql,
-    "edge_rollup_null" -> edgeRollupNullSql)
+    "edge_rollup_null" -> edgeRollupNullSql,
+    "edge_try_cast" -> edgeTryCastSql)
 }

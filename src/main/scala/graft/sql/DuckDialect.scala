@@ -307,6 +307,134 @@ object DuckDialect {
     v
   }
 
+  /** `a ASOF [LEFT] JOIN b ON eq… AND ineq` → `a [LEFT] JOIN LATERAL
+    * (SELECT b.* FROM b WHERE eq… AND ineq ORDER BY <right-side expr>
+    * DESC|ASC LIMIT 1) b` — Spark 4 decorrelates lateral subqueries
+    * with ORDER BY + LIMIT (probed), giving exact as-of semantics: the
+    * nearest right row per left row under the inequality.
+    *
+    * COMPATIBILITY SURFACE, not the scale path: `Joins.joinAsof`'s
+    * union+window recipe is the plan you want on big inputs (one shuffle,
+    * no per-row subquery); this rewrite exists so pasted DuckDB ASOF SQL
+    * runs correctly. Contract: exactly one inequality conjunct in ON,
+    * with the right table's side qualified by its alias; ASOF RIGHT/FULL
+    * are refused (DuckDB supports them; a faithful lateral form needs
+    * the mirrored query — use the DataFrame recipe). */
+  private def rewriteAsof(toks: Vector[Tok]): Vector[Tok] = {
+    var v = toks
+    var i = 0
+    while (i < v.length) {
+      if (v(i).kind == 4 && v(i).word == "asof") {
+        var j = nextIdx(v, i)
+        var left = false
+        if (j < v.length && (v(j).word == "left" || v(j).word == "inner")) {
+          left = v(j).word == "left"; j = nextIdx(v, j)
+        } else if (j < v.length && (v(j).word == "right" || v(j).word == "full")) {
+          throw new GraftSqlException(
+            "ASOF RIGHT/FULL JOIN is not translated; use the Joins.joinAsof DataFrame recipe")
+        }
+        if (j >= v.length || v(j).word != "join")
+          throw new GraftSqlException("ASOF must be followed by [LEFT|INNER] JOIN")
+        // right-side relation: `( … ) [AS] alias` or `name [[AS] alias]`
+        var k = nextIdx(v, j)
+        val refStart = k
+        var alias: Tok = null
+        if (v(k).is("(")) {
+          k = matching(v, k)
+          var a = nextIdx(v, k)
+          if (a < v.length && v(a).word == "as") a = nextIdx(v, a)
+          if (a >= v.length || v(a).kind != 4)
+            throw new GraftSqlException("ASOF JOIN subquery right side needs an alias")
+          alias = v(a); k = a
+        } else if (v(k).kind == 4) {
+          alias = v(k)
+          var a = nextIdx(v, k)
+          if (a < v.length && v(a).word == "as") {
+            a = nextIdx(v, a); alias = v(a); k = a
+          } else if (a < v.length && v(a).kind == 4 && v(a).word != "on") {
+            alias = v(a); k = a
+          }
+        } else throw new GraftSqlException("unsupported ASOF JOIN right side")
+        val refEnd = k + 1 // exclusive
+        val onAt = nextIdx(v, k)
+        if (onAt >= v.length || v(onAt).word != "on")
+          throw new GraftSqlException("ASOF JOIN requires an ON clause")
+        // condition span: to the next depth-0 clause/join keyword, comma,
+        // or the `)` closing our enclosing scope
+        val term = Set("where", "group", "having", "order", "limit", "offset",
+          "union", "intersect", "except", "qualify", "window",
+          "join", "inner", "left", "right", "full", "cross", "asof")
+        var d = 0; var e = onAt + 1; var stop = -1
+        while (e < v.length && stop < 0) {
+          val t = v(e)
+          if (t.is("(")) d += 1
+          else if (t.is(")")) { d -= 1; if (d < 0) stop = e }
+          else if (d == 0 && ((t.kind == 4 && term(t.word)) || t.is(","))) stop = e
+          if (stop < 0) e += 1
+        }
+        val condEnd = if (stop < 0) v.length else stop
+        val cond = v.slice(onAt + 1, condEnd)
+        // locate THE inequality conjunct (split at depth-0 ANDs)
+        val conjuncts = {
+          val out = Vector.newBuilder[Vector[Tok]]
+          var cd = 0; var s = 0
+          for (x <- cond.indices) {
+            if (cond(x).is("(")) cd += 1
+            else if (cond(x).is(")")) cd -= 1
+            else if (cd == 0 && cond(x).kind == 4 && cond(x).word == "and") {
+              out += cond.slice(s, x); s = x + 1
+            }
+          }
+          out += cond.slice(s, cond.length)
+          out.result()
+        }
+        val ineqOps = Set(">=", "<=", ">", "<")
+        def splitIneq(c: Vector[Tok]): Option[(Vector[Tok], String, Vector[Tok])] = {
+          var cd = 0
+          for (x <- c.indices) {
+            if (c(x).is("(")) cd += 1
+            else if (c(x).is(")")) cd -= 1
+            else if (cd == 0 && c(x).kind == 6 && ineqOps(c(x).text))
+              return Some((c.take(x), c(x).text, c.drop(x + 1)))
+          }
+          None
+        }
+        val ineqs = conjuncts.flatMap(splitIneq(_).toSeq)
+        if (ineqs.length != 1)
+          throw new GraftSqlException(
+            s"ASOF JOIN ON must contain exactly one inequality conjunct (found ${ineqs.length})")
+        val (lhs, op, rhs) = ineqs.head
+        def refsAlias(ts: Vector[Tok]): Boolean =
+          ts.indices.exists(x => ts(x).kind == 4 && ts(x).word == alias.word &&
+            nextIdx(ts, x) < ts.length && ts(nextIdx(ts, x)).is("."))
+        val (ord, ordOnLhs) =
+          (refsAlias(lhs), refsAlias(rhs)) match {
+            case (true, false) => (lhs, true)
+            case (false, true) => (rhs, false)
+            case _ => throw new GraftSqlException(
+              s"ASOF inequality must reference the right table (${alias.text}) on exactly one side, alias-qualified")
+          }
+        val desc = (ordOnLhs && (op == "<=" || op == "<")) ||
+          (!ordOnLhs && (op == ">=" || op == ">"))
+        val b = Vector.newBuilder[Tok]
+        if (left) { b += word("LEFT"); b += ws(" ") }
+        b ++= Seq(word("JOIN"), ws(" "), word("LATERAL"), ws(" "), sym("("),
+          word("SELECT"), ws(" "), alias, sym("."), sym("*"), ws(" "),
+          word("FROM"), ws(" "))
+        b ++= v.slice(refStart, refEnd)
+        b += ws(" "); b += word("WHERE"); b += ws(" ")
+        b ++= cond
+        b ++= Seq(ws(" "), word("ORDER"), ws(" "), word("BY"), ws(" "))
+        b ++= ord
+        b += ws(" "); b += word(if (desc) "DESC" else "ASC")
+        b ++= Seq(ws(" "), word("LIMIT"), ws(" "), Tok(5, "1"), sym(")"), ws(" "), alias)
+        v = v.take(i) ++ b.result() ++ v.drop(condEnd)
+      }
+      i += 1
+    }
+    v
+  }
+
   // ------------------------------------------------- block-scoped rewrites
 
   /** Depth-0 positions (relative to `toks`) of word `w` in the block. */
@@ -463,6 +591,7 @@ object DuckDialect {
     toks = rewriteExclude(toks)
     toks = rewriteReplace(toks)
     toks = rewriteReadParquet(toks)
+    toks = rewriteAsof(toks)
     toks = rewriteBlocks(toks)
     render(toks)
   }

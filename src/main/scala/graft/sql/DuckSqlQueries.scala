@@ -100,6 +100,14 @@ object DuckSqlQueries {
     """SELECT count(*) AS n, min(n_name) AS mn, max(n_regionkey) AS mx
       |FROM nation""".stripMargin
 
+  /** ASOF JOIN strings: the exact oracle SQL the `join_asof` /
+    * `join_asof_inner` DataFrame recipes are checked against, now run
+    * through the translator on the Spark side too — so the engine
+    * accepts the reference's own ASOF syntax and the three forms
+    * (DataFrame recipe, translated SQL, DuckDB) must all agree. */
+  val asofLeftSql: String = graft.operators.Joins.joinAsofSql
+  val asofInnerSql: String = graft.operators.Joins.joinAsofInnerSql
+
   private def via(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => DuckDialect.run(s, dir, sql)
 
@@ -113,6 +121,8 @@ object DuckSqlQueries {
     "ducksql_funcs" -> via(funcsSql),
     "ducksql_lambda" -> via(lambdaSql),
     "ducksql_filter_ilike" -> via(filterIlikeSql),
+    "ducksql_asof" -> via(asofLeftSql),
+    "ducksql_asof_inner" -> via(asofInnerSql),
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
   val oracle: Map[String, String] = Map(
@@ -125,5 +135,7 @@ object DuckSqlQueries {
     "ducksql_funcs" -> funcsSql,
     "ducksql_lambda" -> lambdaSql,
     "ducksql_filter_ilike" -> filterIlikeSql,
+    "ducksql_asof" -> asofLeftSql,
+    "ducksql_asof_inner" -> asofInnerSql,
     "ducksql_read_parquet" -> readParquetOracleSql)
 }

@@ -85,6 +85,30 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(out.contains("WHERE __graft_rn = 1 ORDER BY g, v DESC"))
   }
 
+  test("ASOF JOIN becomes a LATERAL nearest-row subquery") {
+    val out = norm(translate(
+      "SELECT a.x, p.y FROM a ASOF JOIN prices p ON a.k = p.k AND a.t >= p.t"))
+    assert(out.contains("JOIN LATERAL (SELECT p.* FROM prices p WHERE a.k = p.k AND a.t >= p.t ORDER BY p.t DESC LIMIT 1) p"))
+    // LEFT variant keeps unmatched left rows; <= flips the order direction
+    val l = norm(translate(
+      "SELECT * FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.t <= b.t"))
+    assert(l.contains("LEFT JOIN LATERAL"))
+    assert(l.contains("ORDER BY b.t ASC LIMIT 1"))
+    // subquery right side with alias (the reference's own oracle shape)
+    val s = norm(translate(
+      "SELECT c.id, p.ts FROM c ASOF LEFT JOIN (SELECT * FROM ev WHERE k = 1) p ON c.u = p.u AND c.ts >= p.ts"))
+    assert(s.contains("LEFT JOIN LATERAL (SELECT p.* FROM (SELECT * FROM ev WHERE k = 1) p WHERE"))
+  }
+
+  test("ASOF refusals: RIGHT/FULL, zero or two inequalities, unqualified sides") {
+    intercept[GraftSqlException](translate(
+      "SELECT * FROM a ASOF RIGHT JOIN b ON a.k = b.k AND a.t >= b.t"))
+    intercept[GraftSqlException](translate(
+      "SELECT * FROM a ASOF JOIN b ON a.k = b.k"))
+    intercept[GraftSqlException](translate(
+      "SELECT * FROM a ASOF JOIN b ON a.t >= b.t AND a.s < b.s"))
+  }
+
   test("refusals: the constructs we cannot translate faithfully") {
     intercept[GraftSqlException](translate(
       "SELECT DISTINCT ON (g) g, v FROM t")) // no ORDER BY → nondeterministic

@@ -1,0 +1,53 @@
+package graft.sql
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.parser.ParseException
+
+/** The session-level fallback: wraps the real session parser (the same
+  * delegation `GraftExtensions.injectParser` installs) and checks the
+  * three-way contract — native SQL parses natively, DuckDB-dialect SQL
+  * parses via translation, garbage still throws the ORIGINAL
+  * ParseException. Value-level correctness of translated plans is pinned
+  * by the `ducksql_*` oracle entries (which execute through
+  * `EngineSession`, where this parser is installed for real).
+  */
+class DuckFallbackParserSpec extends SparkSpec {
+
+  private lazy val parser =
+    new DuckFallbackParser(spark.sessionState.sqlParser)
+
+  test("native Spark SQL parses unchanged") {
+    parser.parsePlan("SELECT a, count(*) FROM t GROUP BY a")
+  }
+
+  test("DuckDB-dialect statements parse via the translation fallback") {
+    parser.parsePlan(
+      "SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1")
+    parser.parsePlan(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC")
+    parser.parsePlan("SELECT * EXCLUDE (a) FROM t")
+    parser.parsePlan("SELECT * REPLACE (a + 1 AS a) FROM t")
+    parser.parsePlan("SELECT a // 2 AS h, a::VARCHAR AS s FROM t")
+    parser.parsePlan(
+      "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+  }
+
+  test("garbage still raises ParseException (not a translator error)") {
+    intercept[ParseException](parser.parsePlan("SELEKT oops FRUM t"))
+    intercept[ParseException](parser.parsePlan("SELECT 1 +"))
+  }
+
+  test("a session with GraftExtensions executes DuckDB-dialect SQL end-to-end") {
+    // The suite-shared session has no extensions; drive the injected-parser
+    // path through a plan parsed by the fallback and executed via the
+    // ducksql surface instead: translate + spark.sql ≡ what the injected
+    // parser does on ParseException.
+    import spark.implicits._
+    Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDF("k", "v")
+      .createOrReplaceTempView("fb_t")
+    val rows = spark.sql(DuckDialect.translate(
+      "SELECT k, v FROM fb_t QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1 ORDER BY k"))
+      .collect()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1))).toSeq == Seq((1, 20.0), (2, 5.0)))
+  }
+}
