@@ -272,6 +272,26 @@ object EdgeQueries {
       |       try_cast('2024-02-30' AS DATE) AS bad_date,
       |       try_cast('2024-02-29' AS DATE) AS leap_ok""".stripMargin
 
+  /** Named WINDOW clause: one definition shared by several window
+    * functions (shared grammar on both engines). */
+  val edgeWindowClauseSql: String =
+    """SELECT c_custkey, rank() OVER w AS rnk,
+      |       round(sum(c_acctbal) OVER w, 4) AS run_s
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)""".stripMargin
+
+  /** Ordinal GROUP BY / ORDER BY positions plus HAVING on an aggregate
+    * not in the select list. */
+  val edgeOrdinalSql: String =
+    """SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 4) AS s
+      |FROM customer
+      |GROUP BY 1 HAVING min(c_custkey) > 0 ORDER BY 1""".stripMargin
+
+  /** HAVING without GROUP BY filters the single global-aggregate row
+    * (returns it, or zero rows — never an error). */
+  val edgeHavingGlobalSql: String =
+    """SELECT count(*) AS n_pass FROM customer HAVING count(*) > 10""".stripMargin
+
   /** ROLLUP over a NULLABLE key: grouping() distinguishes the total row
     * from the genuine-NULL data group (both display as NULL keys). */
   val edgeRollupNullSql: String =
@@ -307,7 +327,10 @@ object EdgeQueries {
     "edge_multiset" -> viaSql(edgeMultisetSql),
     "edge_range_peers" -> viaSql(edgeRangePeersSql),
     "edge_rollup_null" -> viaSql(edgeRollupNullSql),
-    "edge_try_cast" -> viaSql(edgeTryCastSql))
+    "edge_try_cast" -> viaSql(edgeTryCastSql),
+    "edge_window_clause" -> viaSql(edgeWindowClauseSql),
+    "edge_ordinal" -> viaSql(edgeOrdinalSql),
+    "edge_having_global" -> viaSql(edgeHavingGlobalSql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -334,5 +357,8 @@ object EdgeQueries {
     "edge_multiset" -> edgeMultisetSql,
     "edge_range_peers" -> edgeRangePeersSql,
     "edge_rollup_null" -> edgeRollupNullSql,
-    "edge_try_cast" -> edgeTryCastSql)
+    "edge_try_cast" -> edgeTryCastSql,
+    "edge_window_clause" -> edgeWindowClauseSql,
+    "edge_ordinal" -> edgeOrdinalSql,
+    "edge_having_global" -> edgeHavingGlobalSql)
 }
