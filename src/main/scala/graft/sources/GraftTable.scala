@@ -59,19 +59,40 @@ object GraftTable {
     DataType.fromJson(Files.readString(Paths.get(s"$root/_schema.json")))
       .asInstanceOf[StructType]
 
-  private def manifest(root: String, v: Int): Seq[String] = {
-    val p = Paths.get(s"$root/_manifests/v$v.manifest")
-    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
-  }
+  private def manifestLines(root: String, v: Int): Seq[String] =
+    Files.readAllLines(Paths.get(s"$root/_manifests/v$v.manifest"))
+      .asScala.toSeq.filter(_.nonEmpty)
 
-  private def commit(root: String, files: Seq[String]): Int = {
+  private def manifest(root: String, v: Int): Seq[String] =
+    manifestLines(root, v).filterNot(_.startsWith("#"))
+
+  /** Commit a new version. `txn` stamps the manifest with a streaming
+    * transaction marker (`# txn <name> <id>`) IN the same atomic file
+    * move as the file list — so "batch applied" and "batch recorded" are
+    * one write, the property idempotent micro-batch replay needs (the
+    * same reason production table formats put txn app-ids in the commit
+    * log itself, not a sidecar). */
+  private def commit(root: String, files: Seq[String],
+      txn: Option[(String, Long)] = None): Int = {
     val v = currentVersion(root) + 1
+    val header = txn.map { case (n, id) => s"# txn $n $id" }.toSeq
     val tmp = Paths.get(s"$root/_manifests/v$v.manifest.tmp")
-    Files.writeString(tmp, files.mkString("\n"))
+    Files.writeString(tmp, (header ++ files).mkString("\n"))
     Files.move(tmp, Paths.get(s"$root/_manifests/v$v.manifest"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     writePointer(root, v)
     v
+  }
+
+  /** Latest committed batch id for a named streaming transaction, scanning
+    * manifests newest-first (O(#versions) driver-side file reads — the
+    * table's own transaction log, not data). */
+  def lastTxn(root: String, name: String): Option[Long] = {
+    val prefix = s"# txn $name "
+    (currentVersion(root) to 1 by -1).iterator
+      .flatMap(v => manifestLines(root, v).find(_.startsWith(prefix)))
+      .map(_.stripPrefix(prefix).trim.toLong)
+      .nextOption()
   }
 
   /** Write `df` as new immutable data files; returns their root-relative
@@ -112,10 +133,12 @@ object GraftTable {
       col(f.name).cast(f.dataType).as(f.name)): _*)
 
   /** INSERT: append-only — writes the new rows' files and a manifest that
-    * is (old files ++ new files). No existing byte is rewritten. */
-  def insert(spark: SparkSession, root: String, rows: DataFrame): Unit = {
+    * is (old files ++ new files). No existing byte is rewritten. `txn`
+    * marks the commit for idempotent streaming replay (see commit). */
+  def insert(spark: SparkSession, root: String, rows: DataFrame,
+      txn: Option[(String, Long)] = None): Unit = {
     val old = manifest(root, currentVersion(root))
-    commit(root, old ++ writeFiles(aligned(rows, schemaOf(root)), root))
+    commit(root, old ++ writeFiles(aligned(rows, schemaOf(root)), root), txn)
   }
 
   /** Root-relative paths of current files containing ≥1 row matching
@@ -178,7 +201,7 @@ object GraftTable {
     * multiply target rows. Only files containing matched keys are
     * rewritten; a pure-insert merge rewrites nothing. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], txn: Option[(String, Long)] = None): Unit = {
     val schema = schemaOf(root)
     val src = aligned(source, schema)
     // Key-membership is a join, not a Column predicate, so the hit set is
@@ -216,6 +239,6 @@ object GraftTable {
       case None => src
     }
     val newRows = updated.map(_.unionAll(inserts)).getOrElse(inserts)
-    commit(root, keep ++ writeFiles(newRows, root))
+    commit(root, keep ++ writeFiles(newRows, root), txn)
   }
 }

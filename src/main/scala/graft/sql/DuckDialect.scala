@@ -535,7 +535,14 @@ object DuckDialect {
       val t = firstDepth0(block, byAt, Set("limit", "offset"))
       if (t < 0) block.length else t
     }
-    val selList = block.slice(close + 1, fromAt)
+    val selListRaw = block.slice(close + 1, fromAt)
+    // `DISTINCT ON (k) *` — a bare star would re-expose the helper row
+    // number from the subquery; exclude it explicitly.
+    val selList: Vector[Tok] =
+      if (selListRaw.filterNot(_.isWs).map(_.text) == Vector("*"))
+        Vector(sym("*"), ws(" "), word("EXCEPT"), sym("("),
+          word("__graft_rn"), sym(")"), ws(" "))
+      else selListRaw
     val mid = block.slice(fromAt, orderAt)      // FROM … WHERE …
     val order = block.slice(byAt + 1, limitAt)  // order keys
     val limitTail = block.slice(limitAt, block.length)

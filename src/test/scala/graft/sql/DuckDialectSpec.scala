@@ -109,6 +109,11 @@ class DuckDialectSpec extends AnyFunSuite {
       "SELECT * FROM a ASOF JOIN b ON a.t >= b.t AND a.s < b.s"))
   }
 
+  test("DISTINCT ON with a bare star hides the helper row number") {
+    val out = norm(translate("SELECT DISTINCT ON (g) * FROM t ORDER BY g, v"))
+    assert(out.startsWith("SELECT * EXCEPT(__graft_rn) FROM"))
+  }
+
   test("refusals: the constructs we cannot translate faithfully") {
     intercept[GraftSqlException](translate(
       "SELECT DISTINCT ON (g) g, v FROM t")) // no ORDER BY → nondeterministic
