@@ -292,6 +292,18 @@ object EdgeQueries {
   val edgeHavingGlobalSql: String =
     """SELECT count(*) AS n_pass FROM customer HAVING count(*) > 10""".stripMargin
 
+  /** Aggregate-surface spellings shared verbatim by both engines:
+    * DISTINCT sum/avg, count_if, bool_and/bool_or, interpolating exact
+    * median over an even count, and `position(sub IN str)`. */
+  val edgeAggMiscSql: String =
+    """SELECT CAST(sum(DISTINCT c_nationkey) AS BIGINT) AS s_dist,
+      |       avg(DISTINCT c_nationkey) AS a_dist,
+      |       CAST(count_if(c_nationkey > 10) AS BIGINT) AS n_if,
+      |       bool_and(c_acctbal > -1000) AS b_and, bool_or(c_acctbal > 9000) AS b_or,
+      |       median(CAST(c_nationkey AS DOUBLE)) AS med,
+      |       position('ll' IN 'hello') AS pos
+      |FROM customer""".stripMargin
+
   /** ROLLUP over a NULLABLE key: grouping() distinguishes the total row
     * from the genuine-NULL data group (both display as NULL keys). */
   val edgeRollupNullSql: String =
@@ -330,7 +342,8 @@ object EdgeQueries {
     "edge_try_cast" -> viaSql(edgeTryCastSql),
     "edge_window_clause" -> viaSql(edgeWindowClauseSql),
     "edge_ordinal" -> viaSql(edgeOrdinalSql),
-    "edge_having_global" -> viaSql(edgeHavingGlobalSql))
+    "edge_having_global" -> viaSql(edgeHavingGlobalSql),
+    "edge_agg_misc" -> viaSql(edgeAggMiscSql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -360,5 +373,6 @@ object EdgeQueries {
     "edge_try_cast" -> edgeTryCastSql,
     "edge_window_clause" -> edgeWindowClauseSql,
     "edge_ordinal" -> edgeOrdinalSql,
-    "edge_having_global" -> edgeHavingGlobalSql)
+    "edge_having_global" -> edgeHavingGlobalSql,
+    "edge_agg_misc" -> edgeAggMiscSql)
 }

@@ -111,17 +111,41 @@ object DmlQueries {
   val dmlTimeTravelSql: String =
     "SELECT c_custkey, c_acctbal FROM customer"
 
+  /** CDC: row-level changes between the pre- and post-UPDATE versions.
+    * The engine computes them purely from the manifest diff (only
+    * rewritten files are read; identical rewritten rows cancel under
+    * EXCEPT ALL), so the visible delta is exactly the updated rows:
+    * delete(old values) + insert(new values). */
+  def dmlChanges(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root, Tables.t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    GraftTable.update(s, root, col("c_mktsegment") === "BUILDING",
+      Map("c_acctbal" -> (col("c_acctbal") + lit(100.0d))))
+    GraftTable.changes(s, root, 1, 2)
+      .select("change_type", "c_custkey", "c_acctbal")
+  }
+
+  val dmlChangesSql: String =
+    """SELECT 'insert' AS change_type, c_custkey, c_acctbal + 100.0 AS c_acctbal
+      |FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION ALL
+      |SELECT 'delete' AS change_type, c_custkey, c_acctbal
+      |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dml_insert" -> (dmlInsert _),
     "dml_delete" -> (dmlDelete _),
     "dml_update" -> (dmlUpdate _),
     "dml_merge" -> (dmlMerge _),
-    "dml_time_travel" -> (dmlTimeTravel _))
+    "dml_time_travel" -> (dmlTimeTravel _),
+    "dml_changes" -> (dmlChanges _))
 
   val oracle: Map[String, String] = Map(
     "dml_insert" -> dmlInsertSql,
     "dml_delete" -> dmlDeleteSql,
     "dml_update" -> dmlUpdateSql,
     "dml_merge" -> dmlMergeSql,
-    "dml_time_travel" -> dmlTimeTravelSql)
+    "dml_time_travel" -> dmlTimeTravelSql,
+    "dml_changes" -> dmlChangesSql)
 }

@@ -126,6 +126,32 @@ object GraftTable {
     else spark.read.schema(schema).parquet(files.map(abs(root, _)): _*)
   }
 
+  /** CDC between two versions — the `table_changes` face of the
+    * copy-on-write design. Because data files are immutable, the delta
+    * lives entirely in the manifest difference: files present in both
+    * versions are NEVER read. Net row-level changes come from EXCEPT ALL
+    * over the differing files only (multiset semantics: rows rewritten
+    * byte-identically cancel; an UPDATE surfaces as delete(old) +
+    * insert(new)). Output = table columns + `change_type`
+    * ('insert' | 'delete'). On a 100 TB table a point update's CDC reads
+    * the handful of rewritten files, nothing else. */
+  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
+    val before = manifest(root, fromV)
+    val after = manifest(root, toV)
+    val added = after.filterNot(before.toSet)
+    val removed = before.filterNot(after.toSet)
+    val schema = schemaOf(root)
+    def readOrEmpty(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readFiles(spark, root, files)
+    val ins = readOrEmpty(added).exceptAll(readOrEmpty(removed))
+      .withColumn("change_type", lit("insert"))
+    val del = readOrEmpty(removed).exceptAll(readOrEmpty(added))
+      .withColumn("change_type", lit("delete"))
+    ins.unionAll(del)
+  }
+
   /** Align `rows` to the table schema by name (missing column = error,
     * extra columns dropped, types cast) — INSERT-by-name semantics. */
   private def aligned(rows: DataFrame, schema: StructType): DataFrame =
@@ -165,7 +191,9 @@ object GraftTable {
     * containing matches are rewritten. */
   def delete(spark: SparkSession, root: String, pred: Column): Unit = {
     val hit = affectedFiles(spark, root, pred)
-    if (hit.isEmpty) return
+    // no matches: still commit the (identical) manifest — every DML call
+    // is one version, so time travel and changes() stay well-defined
+    if (hit.isEmpty) { commit(root, manifest(root, currentVersion(root))); return }
     val keep = manifest(root, currentVersion(root)).filterNot(hit.toSet)
     val kept = readFiles(spark, root, hit)
       .filter(!coalesce(pred, lit(false)))
@@ -181,7 +209,7 @@ object GraftTable {
     require(set.keySet.subsetOf(schema.fieldNames.toSet),
       s"unknown columns in SET: ${set.keySet -- schema.fieldNames}")
     val hit = affectedFiles(spark, root, pred)
-    if (hit.isEmpty) return
+    if (hit.isEmpty) { commit(root, manifest(root, currentVersion(root))); return }
     val keep = manifest(root, currentVersion(root)).filterNot(hit.toSet)
     val p = coalesce(pred, lit(false))
     val rewritten = readFiles(spark, root, hit).select(

@@ -116,4 +116,22 @@ class DmlSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).select("k")
       .collect().map(_.getInt(0)).toSet === Set(1, 2))
   }
+
+  test("changes() reports the net row delta between versions") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, spark.range(10).toDF("id")) // v1
+    GraftTable.insert(spark, root, spark.range(100, 103).toDF("id")) // v2
+    GraftTable.delete(spark, root, col("id") < 2) // v3
+    def delta(a: Int, b: Int): Set[(Long, String)] =
+      GraftTable.changes(spark, root, a, b)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(delta(1, 2) === (100L to 102L).map((_, "insert")).toSet)
+    assert(delta(2, 3) === Set((0L, "delete"), (1L, "delete")))
+    // across both versions, and the identity delta
+    assert(delta(1, 3) ===
+      ((100L to 102L).map((_, "insert")) ++ Seq((0L, "delete"), (1L, "delete"))).toSet)
+    assert(delta(3, 3) === Set.empty)
+    // reversed range: inserts and deletes swap roles
+    assert(delta(2, 1) === (100L to 102L).map((_, "delete")).toSet)
+  }
 }
