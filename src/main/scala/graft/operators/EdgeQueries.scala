@@ -304,6 +304,27 @@ object EdgeQueries {
       |       position('ll' IN 'hello') AS pos
       |FROM customer""".stripMargin
 
+  /** NULL-aware subquery semantics: `NOT IN (subquery)` with a NULL in
+    * the subquery result matches NOTHING (Spark plans the null-aware
+    * anti join for exactly this), `IN` still matches non-NULL members,
+    * EXISTS over an empty relation is FALSE everywhere, and correlated
+    * EXISTS filters per-row. */
+  val edgeSubqueryNullSql: String =
+    """SELECT
+      | (SELECT count(*) FROM customer
+      |  WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 2) FROM nation)) AS n_notin_null,
+      | (SELECT count(*) FROM customer
+      |  WHERE c_nationkey IN (SELECT nullif(n_nationkey, 2) FROM nation)) AS n_in_null,
+      | (SELECT count(*) FROM customer
+      |  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey >= 20)) AS n_notin_clean,
+      | (SELECT count(*) FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM nation WHERE n_nationkey < 0)) AS n_exists_empty,
+      | (SELECT count(*) FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey < 0)) AS n_notexists_empty,
+      | (SELECT count(*) FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM nation n
+      |                WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey = 0)) AS n_exists_corr""".stripMargin
+
   /** ROLLUP over a NULLABLE key: grouping() distinguishes the total row
     * from the genuine-NULL data group (both display as NULL keys). */
   val edgeRollupNullSql: String =
@@ -343,7 +364,8 @@ object EdgeQueries {
     "edge_window_clause" -> viaSql(edgeWindowClauseSql),
     "edge_ordinal" -> viaSql(edgeOrdinalSql),
     "edge_having_global" -> viaSql(edgeHavingGlobalSql),
-    "edge_agg_misc" -> viaSql(edgeAggMiscSql))
+    "edge_agg_misc" -> viaSql(edgeAggMiscSql),
+    "edge_subquery_null" -> viaSql(edgeSubqueryNullSql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -374,5 +396,6 @@ object EdgeQueries {
     "edge_window_clause" -> edgeWindowClauseSql,
     "edge_ordinal" -> edgeOrdinalSql,
     "edge_having_global" -> edgeHavingGlobalSql,
-    "edge_agg_misc" -> edgeAggMiscSql)
+    "edge_agg_misc" -> edgeAggMiscSql,
+    "edge_subquery_null" -> edgeSubqueryNullSql)
 }
