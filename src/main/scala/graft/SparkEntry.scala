@@ -32,6 +32,7 @@ object SparkEntry {
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++
+      pipeline.Chunking.queries ++
       pipeline.Multimodal.queries ++
       sources.DmlQueries.queries ++
       compaction.CompactionQueries.queries
@@ -55,6 +56,7 @@ object SparkEntry {
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
       pipeline.TextAnalysis.oracle ++
+      pipeline.Chunking.oracle ++
       pipeline.Multimodal.oracle ++
       sources.DmlQueries.oracle ++
       compaction.CompactionQueries.oracle

@@ -313,9 +313,13 @@ object DuckDialect {
     * with ORDER BY + LIMIT (probed), giving exact as-of semantics: the
     * nearest right row per left row under the inequality.
     *
-    * COMPATIBILITY SURFACE, not the scale path: `Joins.joinAsof`'s
+    * COMPATIBILITY SURFACE, not the scale path: Spark decorrelates this
+    * into a domain join — DISTINCT outer order-keys × right side through
+    * a BroadcastNestedLoopJoin on the inequality, then a WindowGroupLimit
+    * top-1 (verified via executedPlan) — which is O(|distinct keys| ×
+    * |right|) when the order key is high-cardinality. `Joins.joinAsof`'s
     * union+window recipe is the plan you want on big inputs (one shuffle,
-    * no per-row subquery); this rewrite exists so pasted DuckDB ASOF SQL
+    * no domain product); this rewrite exists so pasted DuckDB ASOF SQL
     * runs correctly. Contract: exactly one inequality conjunct in ON,
     * with the right table's side qualified by its alias; ASOF RIGHT/FULL
     * are refused (DuckDB supports them; a faithful lateral form needs

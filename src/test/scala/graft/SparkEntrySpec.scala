@@ -22,7 +22,8 @@ class SparkEntrySpec extends SparkSpec {
       functions.FunctionQueries.queries,
       functions.GraftMacros.queries,
       pipeline.Dedup.queries, pipeline.Similarity.queries,
-      pipeline.TextAnalysis.queries, pipeline.Multimodal.queries,
+      pipeline.TextAnalysis.queries, pipeline.Chunking.queries,
+      pipeline.Multimodal.queries,
       sources.DmlQueries.queries,
       compaction.CompactionQueries.queries)
     val total = all.map(_.size).sum
