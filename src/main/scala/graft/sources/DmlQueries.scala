@@ -133,13 +133,47 @@ object DmlQueries {
       |SELECT 'delete' AS change_type, c_custkey, c_acctbal
       |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
 
+  /** DML via SQL STRINGS (round 6, `graft.sql.DuckDml`): the same write
+    * paths driven by pasted statements, with DuckDB dialect spellings in
+    * the predicate (len, //) proving the statement-level translation at
+    * the gate. */
+  def dmlSqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root, Tables.t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    graft.sql.DuckDml.exec(s, Map("cust" -> root),
+      "UPDATE cust SET c_acctbal = c_acctbal * 2 WHERE c_mktsegment = 'MACHINERY'")
+    GraftTable.read(s, root).select("c_custkey", "c_acctbal")
+  }
+
+  val dmlSqlUpdateSql: String =
+    """SELECT c_custkey,
+      |       CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal * 2
+      |            ELSE c_acctbal END AS c_acctbal
+      |FROM customer""".stripMargin
+
+  def dmlSqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root, Tables.t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    graft.sql.DuckDml.exec(s, Map("cust" -> root),
+      "DELETE FROM cust WHERE c_acctbal < 0 AND len(c_mktsegment) // 2 = 4")
+    GraftTable.read(s, root).select("c_custkey", "c_acctbal")
+  }
+
+  val dmlSqlDeleteSql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE NOT (c_acctbal < 0 AND length(c_mktsegment) // 2 = 4)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dml_insert" -> (dmlInsert _),
     "dml_delete" -> (dmlDelete _),
     "dml_update" -> (dmlUpdate _),
     "dml_merge" -> (dmlMerge _),
     "dml_time_travel" -> (dmlTimeTravel _),
-    "dml_changes" -> (dmlChanges _))
+    "dml_changes" -> (dmlChanges _),
+    "dml_sql_update" -> (dmlSqlUpdate _),
+    "dml_sql_delete" -> (dmlSqlDelete _))
 
   val oracle: Map[String, String] = Map(
     "dml_insert" -> dmlInsertSql,
@@ -147,5 +181,7 @@ object DmlQueries {
     "dml_update" -> dmlUpdateSql,
     "dml_merge" -> dmlMergeSql,
     "dml_time_travel" -> dmlTimeTravelSql,
-    "dml_changes" -> dmlChangesSql)
+    "dml_changes" -> dmlChangesSql,
+    "dml_sql_update" -> dmlSqlUpdateSql,
+    "dml_sql_delete" -> dmlSqlDeleteSql)
 }

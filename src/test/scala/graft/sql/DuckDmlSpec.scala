@@ -1,0 +1,54 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.sources.GraftTable
+import DuckDialect.GraftSqlException
+
+/** The DML statement front-end: INSERT/DELETE/UPDATE strings mutate a
+  * GraftTable through the same write paths the dml_* oracle entries
+  * check; here we pin statement parsing, dialect composition inside
+  * statements, and the refusal contracts. */
+class DuckDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): (String, Map[String, String]) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_ddml_").toString
+    GraftTable.create(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "bal"))
+    (root, Map("t" -> root))
+  }
+
+  private def state(root: String): Set[(Long, String, Double)] =
+    GraftTable.read(spark, root).as[(Long, String, Double)].collect().toSet
+
+  test("INSERT INTO with VALUES and with a column list") {
+    val (root, cat) = freshTable()
+    DuckDml.exec(spark, cat, "INSERT INTO t VALUES (4, 'd', 40.0)")
+    DuckDml.exec(spark, cat, "INSERT INTO t (id, name, bal) SELECT 5, 'e', 50.0")
+    assert(state(root) === Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0)))
+  }
+
+  test("DELETE FROM ... WHERE, with dialect spellings in the predicate") {
+    val (root, cat) = freshTable()
+    // len() is a DuckDB spelling; // is DuckDB integer division
+    DuckDml.exec(spark, cat, "DELETE FROM t WHERE len(name) = 1 AND id // 2 = 1")
+    assert(state(root).map(_._1) === Set(1L)) // ids 2 and 3 have id//2 = 1
+  }
+
+  test("UPDATE ... SET sees pre-update values; multiple assignments") {
+    val (root, cat) = freshTable()
+    DuckDml.exec(spark, cat,
+      "UPDATE t SET bal = bal + 1, name = upper(name) WHERE id >= 2")
+    assert(state(root) === Set((1L, "a", 10.0), (2L, "B", 21.0), (3L, "C", 31.0)))
+  }
+
+  test("refusals: unknown table, bare DELETE, unsupported statements") {
+    val (_, cat) = freshTable()
+    intercept[GraftSqlException](DuckDml.exec(spark, cat, "DELETE FROM nope WHERE true"))
+    intercept[GraftSqlException](DuckDml.exec(spark, cat, "DELETE FROM t"))
+    intercept[GraftSqlException](DuckDml.exec(spark, cat, "TRUNCATE t"))
+    intercept[GraftSqlException](DuckDml.exec(spark, cat,
+      "MERGE INTO t USING s ON t.id = s.id"))
+  }
+}
