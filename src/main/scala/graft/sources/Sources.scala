@@ -32,6 +32,24 @@ object Sources {
     }
   }
 
+  /** Partitioned COPY TO (reference `COPY … (PARTITION_BY col)`,
+    * `src/execution/operator/persistent/physical_copy_to_file.cpp`
+    * partition_output path): hive-style directory layout
+    * `col=value/part-*.parquet`. The payoff at scale is on the READ side:
+    * a filter on the partition column becomes a PartitionFilter — whole
+    * directories are skipped before any file is opened. Keep partition
+    * columns low-cardinality (each value is a directory). */
+  def copyToPartitioned(df: DataFrame, path: String, format: String,
+      partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode("overwrite").partitionBy(partitionCols: _*)
+    format match {
+      case "csv" => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case "parquet" => w.parquet(path)
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+  }
+
   /** CSV dialect sniffing (reference
     * `src/execution/operator/csv_scanner/sniffer/dialect_detection.cpp`,
     * `header_detection.cpp`): sample the first lines once, score candidate

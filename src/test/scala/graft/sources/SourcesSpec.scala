@@ -77,6 +77,22 @@ class SourcesSpec extends SparkSpec {
     assert(files == 4)
   }
 
+  test("partitioned COPY writes hive layout and reads back with partition pruning") {
+    val cust = graft.Tables.t(spark, sf(), "customer")
+    Sources.copyToPartitioned(cust, s"$tmp/partit", "parquet", Seq("c_mktsegment"))
+    val dirs = new java.io.File(s"$tmp/partit").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("c_mktsegment=")))
+    val back = spark.read.parquet(s"$tmp/partit")
+    assert(back.count() == cust.count())
+    // a filter on the partition column must prune at planning time
+    val plan = back.filter($"c_mktsegment" === "BUILDING")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(c_mktsegment"))
+    assert(back.filter($"c_mktsegment" === "BUILDING").count() ==
+      cust.filter($"c_mktsegment" === "BUILDING").count())
+  }
+
   test("df.summary provides the summary table function") {
     val s = graft.Tables.t(spark, sf(), "lineitem")
       .select($"l_quantity").summary("count", "min", "max")
