@@ -180,7 +180,74 @@ object TpcdsShapes {
       |FROM stats WHERE price * cnt * 10 > s * 13
       |GROUP BY p_type""".stripMargin
 
+  /** q88-shape: N independent scalar aggregates over the SAME fact with
+    * disjoint filters, cross-joined into one row (TPC-DS q88 counts
+    * store_sales across eight time-band/demographic slices). Planner
+    * stress: scalar-subquery results as a single-row product; each band
+    * is its own pushed-filter scan and the joins are trivially
+    * broadcast (1 row each). */
+  def dsMultiCount(s: SparkSession, dir: String): DataFrame = {
+    def band(name: String, lo: Int, hi: Int): DataFrame =
+      Tables.t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= lo && col("l_quantity") <= hi)
+        .agg(count(lit(1)).as(name))
+    band("n1", 1, 10)
+      .crossJoin(band("n2", 11, 20))
+      .crossJoin(band("n3", 21, 35))
+      .crossJoin(band("n4", 36, 50))
+  }
+
+  val dsMultiCountSql: String =
+    """SELECT
+      | (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) AS n1,
+      | (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) AS n2,
+      | (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 35) AS n3,
+      | (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 36 AND 50) AS n4""".stripMargin
+
+  /** q73-shape: per-key fact counts filtered to a HAVING band, then
+    * joined back to the dimension (TPC-DS q73 finds customers with 1-5
+    * store visits). The aggregate runs BEFORE the join, so the join input
+    * is the band survivors, not the raw fact. */
+  def dsHavingBand(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 12 && col("cnt") <= 16)
+    counts.join(Tables.t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("cnt"))
+  }
+
+  val dsHavingBandSql: String =
+    """SELECT c_custkey, c_mktsegment, cnt
+      |FROM (SELECT o_custkey, count(*) AS cnt FROM orders
+      |      GROUP BY o_custkey HAVING count(*) BETWEEN 12 AND 16) t
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** q14-shape: the key set INTERSECTed across two channel predicates
+    * feeds a semi-join back into the fact aggregate (TPC-DS q14's
+    * cross_items: items sold in store AND catalog AND web). */
+  def dsIntersectItems(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val both = li.filter(col("l_quantity") > 45).select(col("l_partkey"))
+      .intersect(li.filter(dec(col("l_extendedprice")) < 5000)
+        .select(col("l_partkey")))
+    li.join(both, Seq("l_partkey"), "left_semi")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+  }
+
+  val dsIntersectItemsSql: String =
+    """SELECT count(*) AS n, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem WHERE l_partkey IN (
+      |  SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+      |  INTERSECT
+      |  SELECT l_partkey FROM lineitem
+      |  WHERE CAST(l_extendedprice AS DECIMAL(18,2)) < 5000)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_multi_count" -> (dsMultiCount _),
+    "ds_having_band" -> (dsHavingBand _),
+    "ds_intersect_items" -> (dsIntersectItems _),
     "ds_window_rollup" -> (dsWindowRollup _),
     "ds_cte_reuse" -> (dsCteReuse _),
     "ds_two_fact" -> (dsTwoFact _),
@@ -188,6 +255,9 @@ object TpcdsShapes {
     "ds_avg_band" -> (dsAvgBand _))
 
   val oracle: Map[String, String] = Map(
+    "ds_multi_count" -> dsMultiCountSql,
+    "ds_having_band" -> dsHavingBandSql,
+    "ds_intersect_items" -> dsIntersectItemsSql,
     "ds_window_rollup" -> dsWindowRollupSql,
     "ds_cte_reuse" -> dsCteReuseSql,
     "ds_two_fact" -> dsTwoFactSql,

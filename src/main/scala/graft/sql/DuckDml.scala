@@ -33,7 +33,24 @@ object DuckDml {
     def root(name: Tok): String = tables.getOrElse(name.text.toLowerCase,
       throw new GraftSqlException(
         s"unknown table '${name.text}' — register its GraftTable root in the catalog map"))
+    def sourceQuery(fromTok: Int): DataFrame = {
+      val src = DuckDialect.translate(rest(sql, toks, fromTok))
+      tables.get("__dir") match {
+        case Some(dir) => graft.Tables.sql(spark, dir, src)
+        case None => spark.sql(src)
+      }
+    }
     w(0) match {
+      case "create" =>
+        // CREATE TABLE <name> AS <query> — materializes version 1 at the
+        // catalog root registered for <name>
+        if (w(1) != "table") throw new GraftSqlException("CREATE must be CREATE TABLE")
+        val r = root(toks(2))
+        if (w(3) != "as")
+          throw new GraftSqlException(
+            "only CREATE TABLE … AS SELECT is supported (schema-only CREATE needs a typed API: GraftTable.create)")
+        GraftTable.create(spark, r, sourceQuery(4))
+        r
       case "insert" =>
         if (w(1) != "into") throw new GraftSqlException("INSERT must be INSERT INTO")
         val r = root(toks(2))
@@ -48,11 +65,7 @@ object DuckDml {
         // remainder is the source query (VALUES … or SELECT …),
         // dialect-translated; fixture views are registered only when the
         // caller provides the reserved "__dir" catalog key
-        val src = DuckDialect.translate(rest(sql, toks, i))
-        val df0 = tables.get("__dir") match {
-          case Some(dir) => graft.Tables.sql(spark, dir, src)
-          case None => spark.sql(src)
-        }
+        val df0 = sourceQuery(i)
         // SQL INSERT is positional: with no column list the source maps
         // to the full table schema in order; with one, to those columns
         val target =

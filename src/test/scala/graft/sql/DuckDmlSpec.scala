@@ -43,6 +43,16 @@ class DuckDmlSpec extends SparkSpec {
     assert(state(root) === Set((1L, "a", 10.0), (2L, "B", 21.0), (3L, "C", 31.0)))
   }
 
+  test("CREATE TABLE AS materializes version 1 at the registered root") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ddml_ctas_").toString
+    val cat = Map("t2" -> root)
+    DuckDml.exec(spark, cat, "CREATE TABLE t2 AS SELECT 1 AS id, 'x' AS name")
+    assert(GraftTable.currentVersion(root) === 1)
+    assert(GraftTable.read(spark, root).collect().length === 1)
+    DuckDml.exec(spark, cat, "INSERT INTO t2 VALUES (2, 'y')")
+    assert(GraftTable.read(spark, root).count() === 2)
+  }
+
   test("refusals: unknown table, bare DELETE, unsupported statements") {
     val (_, cat) = freshTable()
     intercept[GraftSqlException](DuckDml.exec(spark, cat, "DELETE FROM nope WHERE true"))
