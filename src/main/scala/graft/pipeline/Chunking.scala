@@ -58,9 +58,50 @@ object Chunking {
       |       CAST(len(t[(chunk_id*6+1):(chunk_id*6+8)]) AS BIGINT) AS n_tokens
       |FROM idx""".stripMargin
 
+  /** Sequence packing: assign chunks to fixed-token-budget packs by the
+    * streaming rule pack = floor(tokens_before / budget) within a hash
+    * bucket — the deterministic, shuffle-bounded approximation of greedy
+    * bin packing every large training pipeline uses (true greedy needs a
+    * running reset, which is sequential; the cumulative-floor rule
+    * overflows a pack by at most one chunk and parallelizes per bucket).
+    * Buckets (doc_id % nBuckets) are the scale unit: each is one window
+    * partition, so parallelism = nBuckets regardless of corpus size. */
+  def pack(chunks: DataFrame, budget: Int, nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("bucket", col("doc_id") % nBuckets)
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+      .groupBy(col("bucket"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("tok"))
+  }
+
+  /** Driver-gate entry: pack the text_chunk output, budget 64 tokens,
+    * 32 buckets. */
+  def textPack(s: SparkSession, dir: String): DataFrame =
+    pack(textChunk(s, dir), budget = 64, nBuckets = 32)
+
+  val textPackSql: String =
+    s"""WITH chunks AS (${textChunkSql.replace("\n", "\n")}),
+       |packed AS (
+       |  SELECT doc_id % 32 AS bucket, doc_id, chunk_id, n_tokens,
+       |         CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 32
+       |              ORDER BY doc_id, chunk_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              - n_tokens) / 64) AS BIGINT) AS pack_id
+       |  FROM chunks)
+       |SELECT bucket, pack_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tok
+       |FROM packed GROUP BY bucket, pack_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_chunk" -> (textChunk _))
+    "text_chunk" -> (textChunk _),
+    "text_pack" -> (textPack _))
 
   val oracle: Map[String, String] = Map(
-    "text_chunk" -> textChunkSql)
+    "text_chunk" -> textChunkSql,
+    "text_pack" -> textPackSql)
 }
