@@ -285,6 +285,30 @@ object DuckDialect {
     v
   }
 
+  /** `f(x IGNORE NULLS)` / `f(x RESPECT NULLS)` → `f(x) IGNORE NULLS` —
+    * DuckDB puts the null-treatment clause inside the window function's
+    * argument list, Spark after it. */
+  private def rewriteIgnoreNulls(toks: Vector[Tok]): Vector[Tok] = {
+    var v = toks
+    var i = 0
+    while (i < v.length) {
+      if (v(i).kind == 4 && (v(i).word == "ignore" || v(i).word == "respect")) {
+        val n = nextIdx(v, i)
+        if (n < v.length && v(n).word == "nulls") {
+          val close = nextIdx(v, n)
+          if (close < v.length && v(close).is(")")) {
+            val kw = if (v(i).word == "ignore") "IGNORE" else "RESPECT"
+            v = v.take(i).dropRight(0) ++ v.slice(close, close + 1) ++
+              Vector(ws(" "), word(kw), ws(" "), word("NULLS")) ++ v.drop(close + 1)
+            // note: tokens between i and close (the removed words + ws) are dropped
+          }
+        }
+      }
+      i += 1
+    }
+    v
+  }
+
   /** `read_parquet('p')` → ``parquet.`p` `` — Spark's direct-path scan
     * keeps pushdown/pruning (same DataSource as the catalog reads). */
   private def rewriteReadParquet(toks: Vector[Tok]): Vector[Tok] = {
@@ -602,6 +626,7 @@ object DuckDialect {
     toks = rewriteExclude(toks)
     toks = rewriteReplace(toks)
     toks = rewriteReadParquet(toks)
+    toks = rewriteIgnoreNulls(toks)
     toks = rewriteAsof(toks)
     toks = rewriteBlocks(toks)
     render(toks)

@@ -100,6 +100,20 @@ object DuckSqlQueries {
     """SELECT count(*) AS n, min(n_name) AS mn, max(n_regionkey) AS mx
       |FROM nation""".stripMargin
 
+  /** Window null treatment, DuckDB spelling (clause inside the argument
+    * list — the translator moves it after the call for Spark): last
+    * non-NULL value carried forward (the gap-fill idiom), first/nth over
+    * frames that start with NULLs. */
+  val ignoreNullsSql: String =
+    """SELECT c_custkey,
+      |  last_value(x IGNORE NULLS) OVER (ORDER BY c_custkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      |  first_value(x IGNORE NULLS) OVER (PARTITION BY c_nationkey
+      |    ORDER BY c_custkey) AS first_nn
+      |FROM (SELECT c_custkey, c_nationkey,
+      |        CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END AS x
+      |      FROM customer) t""".stripMargin
+
   /** ASOF JOIN strings: the exact oracle SQL the `join_asof` /
     * `join_asof_inner` DataFrame recipes are checked against, now run
     * through the translator on the Spark side too — so the engine
@@ -121,6 +135,7 @@ object DuckSqlQueries {
     "ducksql_funcs" -> via(funcsSql),
     "ducksql_lambda" -> via(lambdaSql),
     "ducksql_filter_ilike" -> via(filterIlikeSql),
+    "ducksql_ignore_nulls" -> via(ignoreNullsSql),
     "ducksql_asof" -> via(asofLeftSql),
     "ducksql_asof_inner" -> via(asofInnerSql),
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
@@ -135,6 +150,7 @@ object DuckSqlQueries {
     "ducksql_funcs" -> funcsSql,
     "ducksql_lambda" -> lambdaSql,
     "ducksql_filter_ilike" -> filterIlikeSql,
+    "ducksql_ignore_nulls" -> ignoreNullsSql,
     "ducksql_asof" -> asofLeftSql,
     "ducksql_asof_inner" -> asofInnerSql,
     "ducksql_read_parquet" -> readParquetOracleSql)

@@ -85,6 +85,16 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(out.contains("WHERE __graft_rn = 1 ORDER BY g, v DESC"))
   }
 
+  test("IGNORE/RESPECT NULLS moves from inside the argument list to after the call") {
+    assert(norm(translate("SELECT last_value(x IGNORE NULLS) OVER (ORDER BY k) FROM t"))
+      == "SELECT last_value(x ) IGNORE NULLS OVER (ORDER BY k) FROM t")
+    assert(translate("SELECT nth_value(x, 2 RESPECT NULLS) OVER (ORDER BY k) FROM t")
+      .contains(") RESPECT NULLS OVER"))
+    // Spark-style (already outside) is untouched
+    assert(norm(translate("SELECT last_value(x) IGNORE NULLS OVER (ORDER BY k) FROM t"))
+      == "SELECT last_value(x) IGNORE NULLS OVER (ORDER BY k) FROM t")
+  }
+
   test("ASOF JOIN becomes a LATERAL nearest-row subquery") {
     val out = norm(translate(
       "SELECT a.x, p.y FROM a ASOF JOIN prices p ON a.k = p.k AND a.t >= p.t"))
