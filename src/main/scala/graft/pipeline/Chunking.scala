@@ -97,11 +97,52 @@ object Chunking {
        |       CAST(sum(n_tokens) AS BIGINT) AS tok
        |FROM packed GROUP BY bucket, pack_id""".stripMargin
 
+  /** End-to-end prepare: quality floor (≥10 tokens, the same floor
+    * `pipeline_curate` applies) → chunk → pack → per-bucket capacity
+    * summary. One entry proving the training-data stages COMPOSE in a
+    * single shuffle-bounded plan: filter and chunking are codegen
+    * projections, packing is one window per bucket, the summary is one
+    * aggregation. */
+  def pipelinePrepare(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+      .filter(org.apache.spark.sql.functions.size(split(col("text"), " ")) >= 10)
+    pack(chunk(docs, "text", size = 8, stride = 6), budget = 64, nBuckets = 32)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("n_chunks")).as("n_chunks"),
+        sum(col("tok")).as("tok"))
+  }
+
+  val pipelinePrepareSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10
+      |), idx AS (
+      |  SELECT doc_id, t,
+      |         unnest(generate_series(0, CAST(floor((len(t) - 1) / 6) AS BIGINT))) AS chunk_id
+      |  FROM toks
+      |), chunks AS (
+      |  SELECT doc_id, chunk_id,
+      |         CAST(len(t[(chunk_id*6+1):(chunk_id*6+8)]) AS BIGINT) AS n_tokens
+      |  FROM idx
+      |), packed AS (
+      |  SELECT doc_id % 32 AS bucket, n_tokens,
+      |         CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 32
+      |              ORDER BY doc_id, chunk_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              - n_tokens) / 64) AS BIGINT) AS pack_id
+      |  FROM chunks)
+      |SELECT bucket, CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+      |       CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(n_tokens) AS BIGINT) AS tok
+      |FROM packed GROUP BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk" -> (textChunk _),
-    "text_pack" -> (textPack _))
+    "text_pack" -> (textPack _),
+    "pipeline_prepare" -> (pipelinePrepare _))
 
   val oracle: Map[String, String] = Map(
     "text_chunk" -> textChunkSql,
-    "text_pack" -> textPackSql)
+    "text_pack" -> textPackSql,
+    "pipeline_prepare" -> pipelinePrepareSql)
 }
