@@ -181,21 +181,25 @@ object Bench {
     // the query (→ null in the JSON, plus a "failed" list) so a fast
     // failure can't masquerade as a fast time in best-of-N.
     def once(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        timed: Boolean = true): Double = {
       val t0 = System.nanoTime()
       try {
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         if (strict) throw e
-        failedQueries += name
+        // only TIMED-run failures join the failed list: a warm-up-only
+        // failure with all timed runs green would otherwise report both a
+        // valid number and a "failed" flag for the same query
+        if (timed) failedQueries += name
         System.err.println(s"[bench]   $name FAILED: ${e.getMessage}")
         Double.NaN
       }
     }
     (1 to warms).foreach { w =>
       fns.foreach { case (n, fn) =>
-        val t = once(n, fn)
+        val t = once(n, fn, timed = false)
         if (t > 5) System.err.println(f"[bench]   warm$w $n took $t%.1fs")
       }
     }

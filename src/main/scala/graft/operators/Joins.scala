@@ -244,22 +244,21 @@ object Joins {
     */
   def globalPosition(df: DataFrame, key: org.apache.spark.sql.Column,
       parts: Int): DataFrame = {
-    val withPid = df.repartitionByRange(parts, key.asc)
-      .withColumn("__pid", spark_partition_id())
-    // Per-partition counts → driver-side prefix sum: an O(parts)
-    // STATISTICS envelope (exactly zipWithIndex's count job), never data.
-    // Determinism: repartitionByRange with an explicit partition count
-    // samples range bounds with a fixed seed, so the count job and the
-    // numbering job below see identical partitioning.
-    val counts = withPid.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val prefix = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offsetOfPid = element_at(
-      array((0 until parts).map(p => lit(prefix(p))): _*), col("__pid") + 1)
-    val wIn = Window.partitionBy(col("__pid")).orderBy(key.asc)
-    withPid
-      .withColumn("pos", (row_number().over(wIn) + offsetOfPid).cast("int"))
-      .drop("__pid")
+    val spark = df.sparkSession
+    // ONE range shuffle, then zipWithIndex: its internal count job and the
+    // numbering job run on the SAME RDD lineage, so the sampled range
+    // bounds are computed once and the shuffle output is reused — two
+    // separate DataFrame executions would re-sample bounds (the sampler
+    // seeds on rdd.id) and could disagree on boundary keys, silently
+    // misnumbering rows. The count pass is an O(parts) statistics
+    // envelope, never data. pos stays LONG: positions past 2^31 are the
+    // point of a scalable recipe.
+    val sorted = df.repartitionByRange(parts, key.asc).sortWithinPartitions(key.asc)
+    val schema = sorted.schema.add("pos", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Positional join (reference `physical_positional_join.cpp`): align rows

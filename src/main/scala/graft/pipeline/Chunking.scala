@@ -85,7 +85,7 @@ object Chunking {
     pack(textChunk(s, dir), budget = 64, nBuckets = 32)
 
   val textPackSql: String =
-    s"""WITH chunks AS (${textChunkSql.replace("\n", "\n")}),
+    s"""WITH chunks AS ($textChunkSql),
        |packed AS (
        |  SELECT doc_id % 32 AS bucket, doc_id, chunk_id, n_tokens,
        |         CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 32

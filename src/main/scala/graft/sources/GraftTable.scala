@@ -101,10 +101,26 @@ object GraftTable {
   private def writeFiles(df: DataFrame, root: String): Seq[String] = {
     val rel = s"data/${java.util.UUID.randomUUID}"
     df.write.parquet(abs(root, rel))
-    Files.list(Paths.get(abs(root, rel))).iterator().asScala
+    val stream = Files.list(Paths.get(abs(root, rel)))
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .map(n => s"$rel/$n").toSeq.sorted
+    finally stream.close()
+  }
+
+  /** Scan-reported file URI → root-relative manifest path. The scan
+    * reports CANONICAL absolute paths, so the root is canonicalized too
+    * before stripping (a relative root, trailing slash, or symlinked tmp
+    * dir would otherwise silently fail to strip and poison the manifest
+    * with absolute paths); a path outside the root is a hard error. */
+  private def relativize(root: String, fileUri: String): String = {
+    val canonicalRoot = new java.io.File(root).getCanonicalPath.stripSuffix("/")
+    val p = new java.io.File(new java.net.URI(fileUri).getPath).getCanonicalPath
+    if (!p.startsWith(canonicalRoot + "/"))
+      throw new IllegalStateException(
+        s"scan file '$p' is not under table root '$canonicalRoot'")
+    p.stripPrefix(canonicalRoot + "/")
   }
 
   /** Create the table from `df` (version 1). */
@@ -177,8 +193,7 @@ object GraftTable {
     cur.withColumn("__file", input_file_name())
       .filter(pred)
       .select(col("__file")).distinct().collect()
-      .map(r => new java.net.URI(r.getString(0)).getPath)
-      .map(p => p.stripPrefix(s"$root/"))
+      .map(r => relativize(root, r.getString(0)))
       .toSeq.sorted
   }
 
@@ -232,6 +247,15 @@ object GraftTable {
       keys: Seq[String], txn: Option[(String, Long)] = None): Unit = {
     val schema = schemaOf(root)
     val src = aligned(source, schema)
+    // MERGE cardinality contract, enforced loudly: a duplicate source key
+    // would silently multiply matched target rows through the left join
+    // below. One aggregate over the (small) source side.
+    val dup = src.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"MERGE source has duplicate keys (e.g. ${dup.head.toSeq.init.mkString(",")}); " +
+          "deduplicate per key first (e.g. dropDuplicates or a last-event-wins window)")
     // Key-membership is a join, not a Column predicate, so the hit set is
     // computed directly (same shape as affectedFiles: distinct file names
     // from one semi-join scan, an O(#files) envelope).
@@ -241,8 +265,7 @@ object GraftTable {
       else cur.withColumn("__file", input_file_name())
         .join(src.select(keys.map(col): _*), keys, "left_semi")
         .select(col("__file")).distinct().collect()
-        .map(r => new java.net.URI(r.getString(0)).getPath)
-        .map(_.stripPrefix(s"$root/")).toSeq.sorted
+        .map(r => relativize(root, r.getString(0))).toSeq.sorted
     val keep = manifest(root, currentVersion(root)).filterNot(hitFiles.toSet)
     val srcTagged = src
       .toDF(schema.fieldNames.toIndexedSeq.map(c =>

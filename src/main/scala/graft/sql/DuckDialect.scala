@@ -226,14 +226,25 @@ object DuckDialect {
     out.toVector
   }
 
-  /** `* EXCLUDE (…)` → `* EXCEPT (…)` (Spark's spelling, same meaning). */
-  private def rewriteExclude(toks: Vector[Tok]): Vector[Tok] =
-    toks.zipWithIndex.map { case (t, i) =>
-      if (t.kind == 4 && t.word == "exclude" &&
-          prevIdx(toks, i) >= 0 && toks(prevIdx(toks, i)).is("*"))
-        word("EXCEPT")
-      else t
+  /** `* EXCLUDE (…)` → `* EXCEPT (…)`; DuckDB also allows the
+    * single-column paren-less form `* EXCLUDE col` — Spark requires the
+    * parens, so they are added. */
+  private def rewriteExclude(toks: Vector[Tok]): Vector[Tok] = {
+    var v = toks
+    var i = 0
+    while (i < v.length) {
+      val p = prevIdx(v, i)
+      if (v(i).kind == 4 && v(i).word == "exclude" && p >= 0 && v(p).is("*")) {
+        val n = nextIdx(v, i)
+        if (n < v.length && v(n).is("(")) v = v.updated(i, word("EXCEPT"))
+        else if (n < v.length && (v(n).kind == 4 || v(n).kind == 3))
+          v = v.take(i) ++ Vector(word("EXCEPT"), sym("("), v(n), sym(")")) ++ v.drop(n + 1)
+        else v = v.updated(i, word("EXCEPT"))
+      }
+      i += 1
     }
+    v
+  }
 
   /** `* REPLACE (e1 AS c1, …)` → `* EXCEPT (c1, …), e1 AS c1, …`. */
   private def rewriteReplace(toks: Vector[Tok]): Vector[Tok] = {
@@ -512,7 +523,10 @@ object DuckDialect {
           "QUALIFY with GROUP BY ALL is unsupported (the injected predicate column would change the inferred grouping); spell the GROUP BY keys explicitly")
     }
     val tailAt = {
-      val t = firstDepth0(block, qAt, Set("order", "limit", "offset"))
+      // set operations end the QUALIFY branch too — the predicate must
+      // not swallow a following UNION/INTERSECT/EXCEPT branch
+      val t = firstDepth0(block, qAt,
+        Set("order", "limit", "offset", "union", "intersect", "except"))
       if (t < 0) block.length else t
     }
     val head = block.slice(selAt + 1, fromAt)   // select list

@@ -67,13 +67,19 @@ object DuckDml {
         // caller provides the reserved "__dir" catalog key
         val df0 = sourceQuery(i)
         // SQL INSERT is positional: with no column list the source maps
-        // to the full table schema in order; with one, to those columns
-        val target =
-          if (cols.isEmpty) GraftTable.schemaOf(r).fieldNames.toSeq else cols
+        // to the full table schema in order; with one, to those columns —
+        // and unlisted table columns are NULL-filled (SQL semantics)
+        val schema = GraftTable.schemaOf(r)
+        val target = if (cols.isEmpty) schema.fieldNames.toSeq else cols
         if (df0.columns.length != target.length)
           throw new GraftSqlException(
             s"INSERT arity mismatch: ${df0.columns.length} source columns for ${target.length} target columns")
-        GraftTable.insert(spark, r, df0.toDF(target: _*))
+        val named = df0.toDF(target: _*)
+        val filled = schema.fieldNames.filterNot(target.contains)
+          .foldLeft(named)((d, c) => d.withColumn(c,
+            org.apache.spark.sql.functions.lit(null)
+              .cast(schema(c).dataType)))
+        GraftTable.insert(spark, r, filled)
         r
       case "delete" =>
         if (w(1) != "from") throw new GraftSqlException("DELETE must be DELETE FROM")

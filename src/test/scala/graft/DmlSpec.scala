@@ -117,6 +117,16 @@ class DmlSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet === Set(1, 2))
   }
 
+  test("merge refuses duplicate source keys loudly (cardinality contract)") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, spark.range(5).toDF("id"))
+    val dup = spark.createDataFrame(Seq((1L, 1), (1L, 2))).toDF("id", "v")
+      .select(col("id"))
+    val e = intercept[IllegalArgumentException](
+      GraftTable.merge(spark, root, dup, Seq("id")))
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
   test("changes() reports the net row delta between versions") {
     val root = freshRoot()
     GraftTable.create(spark, root, spark.range(10).toDF("id")) // v1

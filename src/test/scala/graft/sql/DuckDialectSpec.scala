@@ -43,6 +43,15 @@ class DuckDialectSpec extends AnyFunSuite {
   test("star EXCLUDE becomes star EXCEPT; scalar replace() is untouched") {
     assert(norm(translate("SELECT * EXCLUDE (a, b) FROM t")) == "SELECT * EXCEPT (a, b) FROM t")
     assert(translate("SELECT replace(s, 'a', 'b') FROM t").contains("replace(s, 'a', 'b')"))
+    // paren-less single-column EXCLUDE (valid DuckDB) gains the parens
+    assert(norm(translate("SELECT * EXCLUDE city FROM t")) == "SELECT * EXCEPT(city) FROM t")
+  }
+
+  test("QUALIFY followed by a set operation keeps the other branch intact") {
+    val out = norm(translate(
+      "SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1 UNION ALL SELECT b FROM u"))
+    assert(out.contains("WHERE __graft_q UNION ALL SELECT b FROM u"))
+    assert(!out.contains("UNION ALL SELECT b FROM u ) AS __graft_q"))
   }
 
   test("star REPLACE expands to EXCEPT plus re-projections") {

@@ -29,6 +29,14 @@ class DuckDmlSpec extends SparkSpec {
       (4L, "d", 40.0), (5L, "e", 50.0)))
   }
 
+  test("INSERT with a partial column list NULL-fills the unlisted columns") {
+    val (root, cat) = freshTable()
+    DuckDml.exec(spark, cat, "INSERT INTO t (id, name) VALUES (9, 'z')")
+    val row = GraftTable.read(spark, root).filter($"id" === 9).collect().head
+    assert(row.getString(1) === "z")
+    assert(row.isNullAt(2))
+  }
+
   test("DELETE FROM ... WHERE, with dialect spellings in the predicate") {
     val (root, cat) = freshTable()
     // len() is a DuckDB spelling; // is DuckDB integer division
