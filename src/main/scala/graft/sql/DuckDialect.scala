@@ -158,6 +158,15 @@ object DuckDialect {
     "list_apply" -> "transform",
     "list_filter" -> "filter",
     "list_distinct" -> "array_distinct",
+    // list_sort → array_sort (both default ASC NULLS LAST; Spark's
+    // sort_array would put NULLs first). NOT mapped: list_slice (DuckDB
+    // is begin/end-inclusive, Spark slice is start/length), list_prepend
+    // (argument order reversed), list_reverse_sort (needs an extra arg).
+    "list_sort" -> "array_sort",
+    "array_to_string" -> "array_join",
+    "list_append" -> "array_append",
+    "list_max" -> "array_max",
+    "list_min" -> "array_min",
     "array_length" -> "size",
     "len" -> "length",
     "strpos" -> "instr",

@@ -29,6 +29,10 @@ class DuckDialectSpec extends AnyFunSuite {
       .contains("array_contains(array(1,2), x)"))
     assert(translate("SELECT strpos(a, 'x') FROM t").contains("instr(a, 'x')"))
     assert(translate("SELECT regexp_matches(a, 'p') FROM t").contains("regexp_like(a, 'p')"))
+    assert(translate("SELECT list_sort(l), array_to_string(l, '-'), list_max(l) FROM t")
+      .contains("array_sort(l), array_join(l, '-'), array_max(l)"))
+    // incompatible conventions stay untouched (documented, not guessed)
+    assert(translate("SELECT list_slice(l, 2, 3) FROM t").contains("list_slice(l, 2, 3)"))
   }
 
   test("string_split's literal separator is regex-escaped for Spark's split") {
