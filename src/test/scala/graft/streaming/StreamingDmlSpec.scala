@@ -49,6 +49,25 @@ class StreamingDmlSpec extends SparkSpec {
     assert(GraftTable.lastTxn(root, "other").isEmpty)
   }
 
+  test("chunking is stream-transparent (stateless projection chain)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    src.addData((1L, "a b c d e f g h i j"), (2L, "k l m"))
+    val q = graft.pipeline.Chunking.chunk(
+        src.toDF().toDF("doc_id", "text"), "text", size = 4, stride = 3)
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunks")
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      val batch = graft.pipeline.Chunking.chunk(
+          Seq((1L, "a b c d e f g h i j"), (2L, "k l m")).toDF("doc_id", "text"),
+          "text", size = 4, stride = 3)
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming upsert sink merges each micro-batch on the key") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = tmp("graft_sdml_ups")
