@@ -253,7 +253,10 @@ object Joins {
     // misnumbering rows. The count pass is an O(parts) statistics
     // envelope, never data. pos stays LONG: positions past 2^31 are the
     // point of a scalable recipe.
-    val sorted = df.repartitionByRange(parts, key.asc).sortWithinPartitions(key.asc)
+    // replace (not duplicate) a pre-existing pos column, matching the old
+    // withColumn semantics
+    val base = if (df.columns.contains("pos")) df.drop("pos") else df
+    val sorted = base.repartitionByRange(parts, key.asc).sortWithinPartitions(key.asc)
     val schema = sorted.schema.add("pos", org.apache.spark.sql.types.LongType,
       nullable = false)
     val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>

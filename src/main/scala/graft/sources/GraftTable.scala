@@ -246,12 +246,26 @@ object GraftTable {
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String], txn: Option[(String, Long)] = None): Unit = {
     val schema = schemaOf(root)
+    // The source is evaluated several times below (dup check, hit-file
+    // semi-join, matched rewrite, insert anti-join) — cache it for the
+    // duration of the merge so an expensive source query (or a streaming
+    // micro-batch) runs once.
     val src = aligned(source, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeImpl(spark, root, schema, src, keys, txn)
+    finally src.unpersist(blocking = false)
+  }
+
+  private def mergeImpl(spark: SparkSession, root: String,
+      schema: StructType, src: DataFrame, keys: Seq[String],
+      txn: Option[(String, Long)]): Unit = {
     // MERGE cardinality contract, enforced loudly: a duplicate source key
     // would silently multiply matched target rows through the left join
-    // below. One aggregate over the (small) source side.
-    val dup = src.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
+    // below. Aggregate aliased to a reserved name so a key column named
+    // "count" cannot collide.
+    val dup = src.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .filter(col("__graft_cnt") > 1).limit(1).collect()
     if (dup.nonEmpty)
       throw new IllegalArgumentException(
         s"MERGE source has duplicate keys (e.g. ${dup.head.toSeq.init.mkString(",")}); " +

@@ -514,8 +514,11 @@ object DuckDialect {
   private def rewriteQualify(block: Vector[Tok]): Vector[Tok] = {
     val qAt = firstDepth0(block, 0, Set("qualify"))
     if (qAt < 0) return block
-    val selAt = firstDepth0(block, 0, Set("select"))
-    if (selAt < 0 || selAt > qAt)
+    // QUALIFY binds to ITS set-operation branch: rewrite from the LAST
+    // depth-0 SELECT before it, so earlier UNION/INTERSECT/EXCEPT
+    // branches pass through untouched in the prefix.
+    val selAt = depth0Word(block, "select").filter(_ < qAt).lastOption.getOrElse(-1)
+    if (selAt < 0)
       throw new GraftSqlException("QUALIFY outside a SELECT block")
     val afterSel = nextIdx(block, selAt)
     if (afterSel < block.length && block(afterSel).word == "distinct")

@@ -68,9 +68,16 @@ object DuckDml {
         val df0 = sourceQuery(i)
         // SQL INSERT is positional: with no column list the source maps
         // to the full table schema in order; with one, to those columns —
-        // and unlisted table columns are NULL-filled (SQL semantics)
+        // and unlisted table columns are NULL-filled (SQL semantics).
+        // The list is validated (a typo must be loud, not a silent NULL)
+        // and canonicalized case-insensitively (SQL identifiers are).
         val schema = GraftTable.schemaOf(r)
-        val target = if (cols.isEmpty) schema.fieldNames.toSeq else cols
+        val canon = schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+        val target =
+          if (cols.isEmpty) schema.fieldNames.toSeq
+          else cols.map(c => canon.getOrElse(c.toLowerCase,
+            throw new GraftSqlException(
+              s"unknown column '$c' in INSERT column list (table has ${schema.fieldNames.mkString(", ")})")))
         if (df0.columns.length != target.length)
           throw new GraftSqlException(
             s"INSERT arity mismatch: ${df0.columns.length} source columns for ${target.length} target columns")

@@ -127,6 +127,17 @@ class DmlSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate keys"))
   }
 
+  test("merge works when a key column is literally named 'count'") {
+    val root = freshRoot()
+    GraftTable.create(spark, root,
+      spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("count", "v"))
+    GraftTable.merge(spark, root,
+      spark.createDataFrame(Seq((2L, "B"), (3L, "c"))).toDF("count", "v"),
+      Seq("count"))
+    assert(GraftTable.read(spark, root).collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet === Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("changes() reports the net row delta between versions") {
     val root = freshRoot()
     GraftTable.create(spark, root, spark.range(10).toDF("id")) // v1

@@ -58,6 +58,13 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(!out.contains("UNION ALL SELECT b FROM u ) AS __graft_q"))
   }
 
+  test("QUALIFY in a LATER set-operation branch rewrites only that branch") {
+    val out = norm(translate(
+      "SELECT a FROM t UNION ALL SELECT b FROM u QUALIFY row_number() OVER (ORDER BY b) = 1"))
+    assert(out.startsWith("SELECT a FROM t UNION ALL SELECT * EXCEPT(__graft_q) FROM (SELECT b , ("))
+    assert(out.contains(") AS __graft_q FROM u ) graft_qualify WHERE __graft_q"))
+  }
+
   test("star REPLACE expands to EXCEPT plus re-projections") {
     val out = norm(translate("SELECT * REPLACE (x + 1 AS x, upper(y) AS y) FROM t"))
     assert(out.contains("* EXCEPT (x, y)"))

@@ -37,6 +37,16 @@ class DuckDmlSpec extends SparkSpec {
     assert(row.isNullAt(2))
   }
 
+  test("INSERT column list is case-insensitive and typos are refused") {
+    val (root, cat) = freshTable()
+    DuckDml.exec(spark, cat, "INSERT INTO t (ID, NAME) VALUES (8, 'y')")
+    val row = GraftTable.read(spark, root).filter($"id" === 8).collect().head
+    assert(row.getString(1) === "y" && row.isNullAt(2))
+    val e = intercept[GraftSqlException](
+      DuckDml.exec(spark, cat, "INSERT INTO t (id, nmae) VALUES (9, 'z')"))
+    assert(e.getMessage.contains("unknown column 'nmae'"))
+  }
+
   test("DELETE FROM ... WHERE, with dialect spellings in the predicate") {
     val (root, cat) = freshTable()
     // len() is a DuckDB spelling; // is DuckDB integer division
