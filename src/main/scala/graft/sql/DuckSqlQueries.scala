@@ -100,6 +100,19 @@ object DuckSqlQueries {
     """SELECT count(*) AS n, min(n_name) AS mn, max(n_regionkey) AS mx
       |FROM nation""".stripMargin
 
+  /** The list-function renames added late in round 6, oracle-pinned:
+    * list_sort (ASC NULLS LAST on both engines → array_sort, NOT
+    * sort_array), array_to_string → array_join, list_append/max/min.
+    * Results kept scalar (joined strings / maxima) so the gate's value
+    * compare stays type-stable. */
+  val listFuncsSql: String =
+    """SELECT n_nationkey,
+      |  array_to_string(list_sort(list_value(3, n_regionkey, 1)), '-') AS sorted_str,
+      |  list_max(list_value(n_nationkey, n_regionkey)) AS mx,
+      |  list_min(list_value(n_nationkey, n_regionkey)) AS mn,
+      |  array_to_string(list_append(list_value(1, 2), n_regionkey), ',') AS appended
+      |FROM nation""".stripMargin
+
   /** Window null treatment, DuckDB spelling (clause inside the argument
     * list — the translator moves it after the call for Spark): last
     * non-NULL value carried forward (the gap-fill idiom), first/nth over
@@ -135,6 +148,7 @@ object DuckSqlQueries {
     "ducksql_funcs" -> via(funcsSql),
     "ducksql_lambda" -> via(lambdaSql),
     "ducksql_filter_ilike" -> via(filterIlikeSql),
+    "ducksql_list_funcs" -> via(listFuncsSql),
     "ducksql_ignore_nulls" -> via(ignoreNullsSql),
     "ducksql_asof" -> via(asofLeftSql),
     "ducksql_asof_inner" -> via(asofInnerSql),
@@ -150,6 +164,7 @@ object DuckSqlQueries {
     "ducksql_funcs" -> funcsSql,
     "ducksql_lambda" -> lambdaSql,
     "ducksql_filter_ilike" -> filterIlikeSql,
+    "ducksql_list_funcs" -> listFuncsSql,
     "ducksql_ignore_nulls" -> ignoreNullsSql,
     "ducksql_asof" -> asofLeftSql,
     "ducksql_asof_inner" -> asofInnerSql,
