@@ -32,6 +32,14 @@ class DuckFallbackParserSpec extends SparkSpec {
       "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
   }
 
+  test("every raw ducksql corpus string parses through the fallback") {
+    // the whole dialect corpus (QUALIFY, DISTINCT ON, ASOF, EXCLUDE,
+    // REPLACE, IGNORE NULLS, //, ::VARCHAR, list functions) must reach a
+    // plan — natively or via translation — with no exception
+    for ((name, raw) <- DuckSqlQueries.oracle.toSeq.sortBy(_._1))
+      withClue(name)(parser.parsePlan(raw))
+  }
+
   test("garbage still raises ParseException (not a translator error)") {
     intercept[ParseException](parser.parsePlan("SELEKT oops FRUM t"))
     intercept[ParseException](parser.parsePlan("SELECT 1 +"))
