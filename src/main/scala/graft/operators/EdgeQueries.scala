@@ -325,6 +325,28 @@ object EdgeQueries {
       |  WHERE EXISTS (SELECT 1 FROM nation n
       |                WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey = 0)) AS n_exists_corr""".stripMargin
 
+  /** Calendar/string misc pins: date_trunc week (Monday start) and
+    * quarter boundaries (cast to DATE — Spark's date_trunc yields
+    * TIMESTAMP, DuckDB DATE), make_date incl. leap day, concat_ws
+    * skipping NULLs (all-NULL → ''), greatest over all NULL arguments,
+    * and byte-vs-codepoint length on unicode (octet_length / strlen). */
+  val edgeMisc2Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(date_trunc('week', CAST(l_shipdate AS DATE)) AS DATE) AS wk,
+      |  CAST(date_trunc('quarter', CAST(l_shipdate AS DATE)) AS DATE) AS qtr,
+      |  make_date(2024, CAST(l_orderkey % 12 + 1 AS INT), 28) AS md,
+      |  make_date(2024, 2, 29) AS leap,
+      |  concat_ws('-', l_returnflag, CAST(NULL AS STRING), l_linestatus) AS joined,
+      |  concat_ws('-', CAST(NULL AS STRING), CAST(NULL AS STRING)) AS joined_empty,
+      |  greatest(CAST(NULL AS INT), CAST(NULL AS INT)) AS g_null,
+      |  octet_length('héllo') AS blen
+      |FROM lineitem WHERE l_orderkey <= 200""".stripMargin
+
+  private val edgeMisc2DuckSql: String =
+    edgeMisc2Sql
+      .replace("CAST(NULL AS STRING)", "CAST(NULL AS VARCHAR)")
+      .replace("octet_length('héllo')", "strlen('héllo')")
+
   /** ROLLUP over a NULLABLE key: grouping() distinguishes the total row
     * from the genuine-NULL data group (both display as NULL keys). */
   val edgeRollupNullSql: String =
@@ -365,7 +387,8 @@ object EdgeQueries {
     "edge_ordinal" -> viaSql(edgeOrdinalSql),
     "edge_having_global" -> viaSql(edgeHavingGlobalSql),
     "edge_agg_misc" -> viaSql(edgeAggMiscSql),
-    "edge_subquery_null" -> viaSql(edgeSubqueryNullSql))
+    "edge_subquery_null" -> viaSql(edgeSubqueryNullSql),
+    "edge_misc2" -> viaSql(edgeMisc2Sql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -397,5 +420,6 @@ object EdgeQueries {
     "edge_ordinal" -> edgeOrdinalSql,
     "edge_having_global" -> edgeHavingGlobalSql,
     "edge_agg_misc" -> edgeAggMiscSql,
-    "edge_subquery_null" -> edgeSubqueryNullSql)
+    "edge_subquery_null" -> edgeSubqueryNullSql,
+    "edge_misc2" -> edgeMisc2DuckSql)
 }
