@@ -174,10 +174,14 @@ object EdgeQueries {
   //     `**` are the portable spellings of each.
 
   /** round() ties go AWAY FROM ZERO on both engines (not banker's
-    * rounding), incl. on DOUBLE where the FP value is exact (k + 0.5). */
+    * rounding), incl. on DOUBLE where the FP value is exact (k + 0.5).
+    * r_pos/r_neg are pinned to BIGINT: the decimal results are value-equal
+    * across engines but render differently ("1" vs "1.0") in hash
+    * canonicalizers, the same trap as HUGEINT→float. */
   val edgeRoundHalfSql: String =
     """SELECT DISTINCT k,
-      |       round(k + 0.5) AS r_pos, round(-(k + 0.5)) AS r_neg,
+      |       CAST(round(k + 0.5) AS BIGINT) AS r_pos,
+      |       CAST(round(-(k + 0.5)) AS BIGINT) AS r_neg,
       |       round(CAST(k + 0.5 AS DOUBLE)) AS r_dbl
       |FROM (SELECT CAST(o_orderkey % 10 AS INT) AS k FROM orders) t""".stripMargin
 

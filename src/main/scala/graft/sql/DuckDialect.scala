@@ -46,9 +46,25 @@ import graft.Tables
   *   - Fractional-to-integer casts diverge by engine (DuckDB rounds,
   *     Spark ANSI truncates) and are NOT rewritten — `round()` first for
   *     portable results (same note as `operators/EdgeQueries`).
-  *   - DuckDB list indexing `l[1]` is 1-based, Spark's 0-based; not
-  *     rewritten (too easy to silently corrupt user intent) — use
-  *     `element_at` on the Spark side.
+  *   - `//` on FRACTIONAL operands also diverges: DuckDB floor-divides
+  *     and returns DOUBLE, Spark's DIV truncates toward zero and returns
+  *     BIGINT — negative fractional quotients differ by one. The rewrite
+  *     is correct for integer operands only (pinned by
+  *     `edge_intdiv_mod`); use `floor(a / b)` for portable fractional
+  *     floor division.
+  *   - DuckDB list indexing `l[1]` is 1-based, Spark's 0-based — a
+  *     positional subscript pasted from DuckDB would RUN and silently
+  *     return the wrong element, so the translator THROWS on any
+  *     subscript whose index is not a single string literal, pointing at
+  *     `element_at` (1-based on Spark too). String-literal subscripts
+  *     (`m['key']` map access) pass through: key-based, both engines
+  *     agree.
+  *   - QUALIFY predicates may reference select-list aliases (the
+  *     dominant DuckDB idiom `… AS rn … QUALIFY rn = 1`): alias
+  *     definitions are inlined into the predicate before it is projected,
+  *     because Spark's lateral column alias resolution does not reach
+  *     window expressions. One level of inlining — an alias whose
+  *     definition references another select alias is not resolved.
   */
 object DuckDialect {
 
@@ -153,7 +169,7 @@ object DuckDialect {
     "list_pack" -> "array",
     "list_contains" -> "array_contains",
     "list_has" -> "array_contains",
-    "list_position" -> "array_position",
+    // list_position/list_indexof are handled separately (null-safe wrap)
     "list_transform" -> "transform",
     "list_apply" -> "transform",
     "list_filter" -> "filter",
@@ -184,11 +200,15 @@ object DuckDialect {
   private def regexEscapeLiteral(lit: String): String = {
     // lit includes the surrounding quotes; escape Java-regex metachars in
     // the body. Spark SQL string literals are backslash-escaped, so one
-    // regex-level backslash is two characters in the literal.
+    // regex-level backslash is two characters in the literal. A literal
+    // backslash separator therefore needs FOUR literal characters: the
+    // regex escape (\\) with each backslash literal-escaped again.
     val body = lit.substring(1, lit.length - 1)
-    val meta = ".[]{}()*+?^$|\\"
+    val meta = ".[]{}()*+?^$|"
     val escaped = body.flatMap { ch =>
-      if (meta.indexOf(ch) >= 0) "\\\\" + ch else ch.toString
+      if (ch == '\\') "\\\\\\\\"
+      else if (meta.indexOf(ch) >= 0) "\\\\" + ch
+      else ch.toString
     }
     "'" + escaped + "'"
   }
@@ -206,6 +226,17 @@ object DuckDialect {
       if (t.kind == 4 && t.word == "varchar" &&
           !(nextIdx(out.toVector, i) < out.length && out(nextIdx(out.toVector, i)).is("("))) {
         out(i) = word("STRING")
+      } else if (t.kind == 4 && (t.word == "list_position" || t.word == "list_indexof")) {
+        // DuckDB's list_position returns NULL when the element is absent;
+        // Spark's array_position returns 0 — a plain rename would turn
+        // NULL-on-miss into 0 silently. Wrap: nullif(array_position(l, e), 0).
+        val j = nextIdx(out.toVector, i)
+        if (j < out.length && out(j).is("(")) {
+          val close = matching(out.toVector, j)
+          out(i) = word("nullif")
+          out.insertAll(i + 1, Seq(sym("("), word("array_position")))
+          out.insertAll(close + 3, Seq(sym(","), ws(" "), Tok(5, "0"), sym(")")))
+        }
       } else if (t.kind == 4 && fnRename.contains(t.word)) {
         val j = nextIdx(out.toVector, i)
         if (j < out.length && out(j).is("(")) {
@@ -233,6 +264,42 @@ object DuckDialect {
       i += 1
     }
     out.toVector
+  }
+
+  /** DuckDB positional subscripts are 1-based (`l[1]` is the FIRST
+    * element; `l[1:2]` slices); Spark's bracket subscript is 0-based, so
+    * a pasted DuckDB subscript would RUN and return the wrong element
+    * with no warning — previously the translator's only silent-corruption
+    * path. Refuse loudly instead, except the two agreeing forms: a single
+    * string-literal index (`m['key']` map access — key-based, identical
+    * semantics) and the `ARRAY[…]` constructor (not a subscript). */
+  private def refuseListSubscripts(toks: Vector[Tok]): Vector[Tok] = {
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("[")) {
+        val p = prevIdx(toks, i)
+        val isSubscript = p >= 0 && toks(p).word != "array" &&
+          (toks(p).kind == 3 || toks(p).kind == 4 || toks(p).is(")") || toks(p).is("]"))
+        if (isSubscript) {
+          var d = 0; var j = i; var close = -1
+          while (j < toks.length && close < 0) {
+            if (toks(j).is("[")) d += 1
+            else if (toks(j).is("]")) { d -= 1; if (d == 0) close = j }
+            j += 1
+          }
+          if (close < 0) throw new GraftSqlException("unbalanced [ ] in SQL")
+          val inner = toks.slice(i + 1, close).filterNot(_.isWs)
+          val isMapKey = inner.length == 1 && inner.head.kind == 2
+          if (!isMapKey)
+            throw new GraftSqlException(
+              "DuckDB positional list subscripts are 1-based but Spark's are 0-based; " +
+                s"refusing `${render(toks.slice(p, close + 1)).trim}` — use element_at(list, n) " +
+                "(1-based on Spark too); string-keyed map subscripts pass through")
+        }
+      }
+      i += 1
+    }
+    toks
   }
 
   /** `* EXCLUDE (…)` → `* EXCEPT (…)`; DuckDB also allows the
@@ -543,7 +610,61 @@ object DuckDialect {
     }
     val head = block.slice(selAt + 1, fromAt)   // select list
     val mid = block.slice(fromAt, qAt)          // FROM … WHERE … GROUP … HAVING
-    val pred = block.slice(qAt + 1, tailAt)
+    val pred = {
+      // The dominant DuckDB idiom references a select-list alias
+      // (`… row_number() OVER (…) AS rn … QUALIFY rn = 1`). Spark's
+      // lateral column alias resolution does not reach window-expression
+      // aliases, so inline each alias's defining expression into the
+      // predicate before projecting it. One level: aliases defined in
+      // terms of OTHER select aliases stay unresolved (Spark then reports
+      // the unresolved column, which is loud, not silent).
+      val items = {
+        val out = Vector.newBuilder[Vector[Tok]]
+        var d = 0; var s = 0
+        for (x <- head.indices) {
+          if (head(x).is("(")) d += 1
+          else if (head(x).is(")")) d -= 1
+          else if (d == 0 && head(x).is(",")) { out += head.slice(s, x); s = x + 1 }
+        }
+        out += head.slice(s, head.length)
+        out.result()
+      }
+      val aliasDef: Map[String, Vector[Tok]] = items.flatMap { item =>
+        var d = 0; var asAt = -1
+        for (x <- item.indices) {
+          if (item(x).is("(")) d += 1
+          else if (item(x).is(")")) d -= 1
+          else if (d == 0 && item(x).kind == 4 && item(x).word == "as") asAt = x
+        }
+        if (asAt < 0) None
+        else item.drop(asAt + 1).filterNot(_.isWs) match {
+          case Vector(a) if a.kind == 4 => Some(a.word -> item.take(asAt))
+          case Vector(a) if a.kind == 3 =>
+            Some(a.text.substring(1, a.text.length - 1).toLowerCase -> item.take(asAt))
+          case _ => None
+        }
+      }.toMap
+      val raw = block.slice(qAt + 1, tailAt)
+      if (aliasDef.isEmpty) raw
+      else {
+        val b2 = Vector.newBuilder[Tok]
+        for (x <- raw.indices) {
+          val t = raw(x)
+          val name =
+            if (t.kind == 4) t.word
+            else if (t.kind == 3) t.text.substring(1, t.text.length - 1).toLowerCase
+            else ""
+          val prev = prevIdx(raw, x)
+          val nxt = nextIdx(raw, x)
+          val isColRef = name.nonEmpty && aliasDef.contains(name) &&
+            !(prev >= 0 && raw(prev).is(".")) &&
+            !(nxt < raw.length && (raw(nxt).is("(") || raw(nxt).is(".")))
+          if (isColRef) { b2 += sym("("); b2 ++= aliasDef(name); b2 += sym(")") }
+          else b2 += t
+        }
+        b2.result()
+      }
+    }
     val tail = block.slice(tailAt, block.length)
     val prefix = block.take(selAt)              // e.g. WITH … AS (…) before main SELECT
     val b = Vector.newBuilder[Tok]
@@ -647,6 +768,7 @@ object DuckDialect {
   /** DuckDB SQL → Spark SQL. Deterministic, token-level, literal-safe. */
   def translate(duckSql: String): String = {
     var toks = tokenize(duckSql)
+    toks = refuseListSubscripts(toks)
     toks = rewriteIntDiv(toks)
     toks = rewriteFunctions(toks)
     toks = rewriteExclude(toks)

@@ -103,6 +103,11 @@ object DuckDml {
         val setAt = indexOfWord(full, "set")
         val whereAt = indexOfWord(full, "where")
         val assignSpan = full.slice(setAt + 1, if (whereAt < 0) full.length else whereAt)
+        // SET targets canonicalize case-insensitively through the table
+        // schema, same as the INSERT column list (SQL identifiers are
+        // case-insensitive; GraftTable.update requires exact field names)
+        val schema = GraftTable.schemaOf(r)
+        val canon = schema.fieldNames.map(f => f.toLowerCase -> f).toMap
         val assigns = splitTop(assignSpan, ",").map { item =>
           val eq = topIndexOf(item, "=")
           if (eq < 0) throw new GraftSqlException("UPDATE SET items must be col = expr")
@@ -110,7 +115,10 @@ object DuckDml {
             case Vector(t) if t.kind == 4 || t.kind == 3 => t.text.stripPrefix("\"").stripSuffix("\"")
             case _ => throw new GraftSqlException("UPDATE SET target must be a single column")
           }
-          colName -> expr(DuckDialect.translate(
+          val target = canon.getOrElse(colName.toLowerCase,
+            throw new GraftSqlException(
+              s"unknown column '$colName' in UPDATE SET (table has ${schema.fieldNames.mkString(", ")})"))
+          target -> expr(DuckDialect.translate(
             item.drop(eq + 1).map(_.text).mkString))
         }.toMap
         val pred =

@@ -127,6 +127,29 @@ object DuckSqlQueries {
       |        CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END AS x
       |      FROM customer) t""".stripMargin
 
+  /** list_position NULL-on-miss semantics: DuckDB returns NULL when the
+    * element is absent, Spark's array_position returns 0 — the translator
+    * wraps the rename in nullif(…, 0) so a miss stays NULL. `pos` covers
+    * hits (regionkey 0/2/4) AND misses (1/3); `miss` never hits. Both
+    * sides cast to BIGINT (DuckDB's list_position is INT32, Spark's
+    * array_position is INT64). */
+  val listPositionSql: String =
+    """SELECT n_nationkey,
+      |  CAST(list_position(list_value(0, 2, 4), n_regionkey) AS BIGINT) AS pos,
+      |  CAST(list_position(list_value(7, 8), n_regionkey) AS BIGINT) AS miss
+      |FROM nation""".stripMargin
+
+  /** QUALIFY referencing a select-list ALIAS — the dominant DuckDB idiom
+    * (`… AS rn … QUALIFY rn <= 2`). The translator inlines the alias's
+    * defining expression into the predicate (Spark's lateral alias
+    * resolution does not reach window expressions). */
+  val qualifyAliasSql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  row_number() OVER (PARTITION BY c_nationkey
+      |                     ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |FROM customer
+      |QUALIFY rn <= 2""".stripMargin
+
   /** ASOF JOIN strings: the exact oracle SQL the `join_asof` /
     * `join_asof_inner` DataFrame recipes are checked against, now run
     * through the translator on the Spark side too — so the engine
@@ -152,6 +175,8 @@ object DuckSqlQueries {
     "ducksql_ignore_nulls" -> via(ignoreNullsSql),
     "ducksql_asof" -> via(asofLeftSql),
     "ducksql_asof_inner" -> via(asofInnerSql),
+    "ducksql_list_position" -> via(listPositionSql),
+    "ducksql_qualify_alias" -> via(qualifyAliasSql),
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
   val oracle: Map[String, String] = Map(
@@ -168,5 +193,7 @@ object DuckSqlQueries {
     "ducksql_ignore_nulls" -> ignoreNullsSql,
     "ducksql_asof" -> asofLeftSql,
     "ducksql_asof_inner" -> asofInnerSql,
+    "ducksql_list_position" -> listPositionSql,
+    "ducksql_qualify_alias" -> qualifyAliasSql,
     "ducksql_read_parquet" -> readParquetOracleSql)
 }

@@ -154,6 +154,52 @@ class DuckDialectSpec extends AnyFunSuite {
     intercept[GraftSqlException](translate("SELECT * REPLACE (x + 1) FROM t"))
   }
 
+  test("positional list subscripts are refused loudly (1-based vs 0-based)") {
+    // l[1] pasted from DuckDB would RUN on Spark with 0-based semantics
+    // and silently return the wrong element — must throw instead
+    val e = intercept[GraftSqlException](translate("SELECT l[1] FROM t"))
+    assert(e.getMessage.contains("element_at"))
+    intercept[GraftSqlException](translate("SELECT t.l[1] FROM t"))     // qualified
+    intercept[GraftSqlException](translate("SELECT l[i] FROM t"))       // expr index
+    intercept[GraftSqlException](translate("SELECT l[1:2] FROM t"))     // slice
+    intercept[GraftSqlException](translate("SELECT split(s, ',')[1] FROM t")) // call result
+    // string-keyed map access agrees on both engines → passes through
+    assert(translate("SELECT m['key'] FROM t").contains("m['key']"))
+    // ARRAY[…] constructor is not a subscript
+    assert(translate("SELECT ARRAY[1, 2] FROM t").contains("ARRAY[1, 2]"))
+    // brackets inside string literals are inert
+    assert(translate("SELECT 'a[1]' FROM t").contains("'a[1]'"))
+  }
+
+  test("list_position maps null-safely: miss stays NULL, not 0") {
+    val out = norm(translate("SELECT list_position(l, e) FROM t"))
+    assert(out == "SELECT nullif(array_position(l, e), 0) FROM t")
+    assert(norm(translate("SELECT list_indexof(list_value(1, 2), x) FROM t"))
+      == "SELECT nullif(array_position(array(1, 2), x), 0) FROM t")
+    // as a plain identifier it is left alone
+    assert(norm(translate("SELECT list_position FROM t")) == "SELECT list_position FROM t")
+  }
+
+  test("QUALIFY inlines select-list aliases into the predicate") {
+    val out = norm(translate(
+      "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t QUALIFY rn = 1"))
+    assert(out.contains("WHERE __graft_q"))
+    // the predicate column holds the inlined window expression — the
+    // window expr appears twice (alias definition + inlined predicate)
+    // and the predicate no longer references `rn`
+    assert("row_number\\(\\) OVER \\(ORDER BY b\\)".r.findAllIn(out).length == 2)
+    assert(!out.contains("rn = 1"))
+    // non-alias references are untouched; alias-as-function-name is not inlined
+    val keep = norm(translate(
+      "SELECT a, b AS c FROM t QUALIFY row_number() OVER (ORDER BY c(a)) = 1"))
+    assert(keep.contains("c(a)"))
+  }
+
+  test("backslash separator escapes to a 4-character literal (regex + string escape)") {
+    // regex \\ (escaped backslash) spelled in a Spark string literal is \\\\
+    assert(translate("SELECT string_split(a, '\\') FROM t").contains("split(a, '\\\\\\\\')"))
+  }
+
   test("native passthrough: constructs Spark 4 already parses are untouched") {
     for (sqlStr <- Seq(
       "SELECT a, count(*) FROM t GROUP BY ALL ORDER BY ALL",
