@@ -38,22 +38,32 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects; read nanos as long and truncate to µs (values are µs-aligned
-    // — verified — and DuckDB reads the same file as µs TIMESTAMP, so this
-    // is exact oracle parity, not lossy).
+    // The fixture's `events.ts` encoding has varied across driver versions;
+    // normalize every historical shape to a session-zone TIMESTAMP here, in
+    // ONE place, so downstream operators (`unix_micros`, sub-month
+    // `time_bucket`, window ranges) see a single type:
+    //  - TIMESTAMP(NANOS): Spark's reader rejects it; read nanos as long
+    //    and truncate to µs (values are µs-aligned — verified — and DuckDB
+    //    reads the same file as µs TIMESTAMP, so this is exact parity).
+    //  - TIMESTAMP_MICROS with isAdjustedToUTC=0: Spark reads TIMESTAMP_NTZ;
+    //    the session zone is UTC (EngineSession), so casting to TIMESTAMP
+    //    maps each wall-clock value to the identical instant DuckDB reads.
+    //  - plain TIMESTAMP: pass through.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path,
       p => spark.read.parquet(p).schema)
     val df = spark.read.schema(schema).parquet(path)
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -67,6 +67,23 @@ object Verify {
         StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
     }
+    // Gate integrity: a thrown query must surface as a FAILED row, never a
+    // vanished one (round 7: four regressions silently dropped out of the
+    // correctness record because failures were only logged to stderr).
+    // errors.json maps query name → exception message and is re-written
+    // atomically after every failure, same crash-tolerance as oracle_sql.
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    def writeErrorsJson(): Unit = {
+      val json = errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      val tmp = Paths.get(s"$outDir/errors.json.tmp")
+      Files.writeString(tmp, json)
+      Files.move(tmp, Paths.get(s"$outDir/errors.json"),
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    writeErrorsJson() // always present, even when empty: absence ≠ success
     val t0 = System.nanoTime()
     var done = 0
     selected.foreach { case (name, fn) =>
@@ -82,9 +99,15 @@ object Verify {
         System.err.println(
           f"[verify] +${(System.nanoTime() - t0) / 1e9}%.0fs $done/${selected.size} $name")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg.take(500)
+        writeErrorsJson()
+        System.err.println(s"[verify] $name FAILED: $msg")
       }
     }
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} FAILED: ${errors.keys.toSeq.sorted.mkString(", ")}")
     spark.stop()
   }
 }

@@ -244,7 +244,147 @@ object TpcdsShapes {
       |  SELECT l_partkey FROM lineitem
       |  WHERE CAST(l_extendedprice AS DECIMAL(18,2)) < 5000)""".stripMargin
 
+  /** q10/q35-shape: demographic rollup of customers gated by
+    * EXISTS(orders) AND (EXISTS(purchases) OR EXISTS(clicks)). The AND'd
+    * EXISTS is a LEFT SEMI join; the OR of two EXISTS decorrelates to
+    * MARK joins (left join on the distinct key set + flag — the same
+    * recipe as `Joins.markJoin`), because a semi-join can't express a
+    * disjunction across two subqueries without losing which side
+    * matched. Both mark-side key sets are distinct-projected (tiny) and
+    * broadcast under AQE; the fact scan never shuffles. */
+  def dsCorrelatedExists(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    def marks(kind: String, flag: String): DataFrame =
+      ev.filter(col("event_type") === kind)
+        .select(col("user_id").as("c_custkey")).distinct()
+        .withColumn(flag, lit(true))
+    Tables.t(s, dir, "customer")
+      .join(Tables.t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .join(marks("purchase", "has_p"), Seq("c_custkey"), "left")
+      .join(marks("click", "has_k"), Seq("c_custkey"), "left")
+      .filter(coalesce(col("has_p"), lit(false)) ||
+        coalesce(col("has_k"), lit(false)))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("c_acctbal"))).cast("double").as("bal"))
+  }
+
+  val dsCorrelatedExistsSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND (EXISTS (SELECT 1 FROM events
+      |               WHERE user_id = c_custkey AND event_type = 'purchase')
+      |    OR EXISTS (SELECT 1 FROM events
+      |               WHERE user_id = c_custkey AND event_type = 'click'))
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** q78-shape: channel union → per-(channel, month) aggregate → ranking
+    * window WITHIN each channel, keeping the top months. Distinct from
+    * `dsChannelUnion` by the post-aggregate window stage (TPC-DS q78
+    * ranks cross-channel ratios the same way): the window partitions by
+    * channel, so it reuses the aggregate's hash partitioning — Spark
+    * plans ONE exchange for both when keys align (agg on
+    * (channel, month) then window on channel needs a re-partition; at
+    * scale the window input is already the aggregate's small output, not
+    * the fact). */
+  def dsUnionWindow(s: SparkSession, dir: String): DataFrame = {
+    val chan = Tables.t(s, dir, "orders").select(
+        lit("store").as("channel"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        col("o_totalprice").as("amount"))
+      .unionByName(Tables.t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(lit("web").as("channel"),
+          to_date(date_trunc("month", col("ts"))).as("month"),
+          col("value").as("amount")))
+    val tot = chan.groupBy(col("channel"), col("month"))
+      .agg(sum(dec(col("amount"))).cast("double").as("total"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("channel"))
+      .orderBy(col("total").desc_nulls_last, col("month").asc_nulls_first)
+    tot.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+  }
+
+  val dsUnionWindowSql: String =
+    """WITH chan AS (
+      |  SELECT 'store' AS channel,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         o_totalprice AS amount FROM orders
+      |  UNION ALL
+      |  SELECT 'web' AS channel, CAST(date_trunc('month', ts) AS DATE) AS month,
+      |         value AS amount FROM events WHERE event_type = 'purchase'),
+      |tot AS (
+      |  SELECT channel, month,
+      |         CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |         count(*) AS n
+      |  FROM chan GROUP BY channel, month)
+      |SELECT channel, month, total, n, rk FROM (
+      |  SELECT *, rank() OVER (PARTITION BY channel
+      |    ORDER BY total DESC NULLS LAST, month ASC NULLS FIRST) AS rk
+      |  FROM tot) t
+      |WHERE rk <= 3""".stripMargin
+
+  /** q77-shape: ROLLUP over a JOINED star (not a bare fact): customer →
+    * nation → region dims broadcast onto the probe, then
+    * ROLLUP(region, nation) produces per-nation, per-region, and grand
+    * totals in one aggregate (TPC-DS q77 rolls up channel totals the
+    * same way). One broadcast join pass + one rollup shuffle. */
+  def dsRollupJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer")
+      .join(broadcast(Tables.t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("bal"))
+
+  val dsRollupJoinSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** q38-shape: a THREE-way INTERSECT chain of key sets (customers active
+    * in each of three consecutive years — fixture dates span 1995-2001)
+    * feeding a count — TPC-DS q38's tri-channel intersect. Each leg is
+    * its own pushed-filter scan; INTERSECT plans as distinct + joins on
+    * the (small) key sets, never on the fact. */
+  def dsIntersectChain(s: SparkSession, dir: String): DataFrame = {
+    def active(y: Int): DataFrame =
+      Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_date(lit(f"$y%04d-01-01")) &&
+          col("o_orderdate") < to_date(lit(f"${y + 1}%04d-01-01")))
+        .select(col("o_custkey"))
+    active(1996).intersect(active(1997)).intersect(active(1998))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val dsIntersectChainSql: String =
+    """SELECT count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01') t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_correlated_exists" -> (dsCorrelatedExists _),
+    "ds_union_window" -> (dsUnionWindow _),
+    "ds_rollup_join" -> (dsRollupJoin _),
+    "ds_intersect_chain" -> (dsIntersectChain _),
     "ds_multi_count" -> (dsMultiCount _),
     "ds_having_band" -> (dsHavingBand _),
     "ds_intersect_items" -> (dsIntersectItems _),
@@ -255,6 +395,10 @@ object TpcdsShapes {
     "ds_avg_band" -> (dsAvgBand _))
 
   val oracle: Map[String, String] = Map(
+    "ds_correlated_exists" -> dsCorrelatedExistsSql,
+    "ds_union_window" -> dsUnionWindowSql,
+    "ds_rollup_join" -> dsRollupJoinSql,
+    "ds_intersect_chain" -> dsIntersectChainSql,
     "ds_multi_count" -> dsMultiCountSql,
     "ds_having_band" -> dsHavingBandSql,
     "ds_intersect_items" -> dsIntersectItemsSql,

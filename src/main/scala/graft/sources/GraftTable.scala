@@ -19,20 +19,34 @@ import scala.jdk.CollectionConverters._
   * Layout under a table root:
   * {{{
   *   data/<uuid>/part-*.parquet     immutable data files (never modified)
-  *   _manifests/v<N>.manifest      one data-file path per line, relative
+  *   _manifests/v<N>.manifest      one data-file entry per line: the
+  *                                 relative path, then optional
+  *                                 TAB-separated `col=min,max` stats
+  *                                 fields (URL-encoded); legacy
+  *                                 path-only lines remain readable
   *   _schema.json                  StructType of the table (create-time)
   *   _current                      the committed version number N
   * }}}
   *
   * Scale posture (the part that must survive 100 TB):
   *  - INSERT appends new files and a new manifest — zero data rewritten.
+  *  - Every commit records per-file MIN/MAX stats for the table's
+  *    atomic comparable columns in the manifest line itself (the same
+  *    data-skipping envelope Iceberg/Delta keep in their logs; reference
+  *    analog: per-row-group zone maps,
+  *    `src/storage/statistics/numeric_stats.cpp`). Collecting them is
+  *    one distributed scan of ONLY the freshly written files, amortized
+  *    into the write.
   *  - DELETE/UPDATE/MERGE rewrite ONLY the files that contain affected
-  *    rows: one predicate scan (with parquet filter pushdown / row-group
-  *    pruning doing the skipping) collects the distinct `input_file_name`s
-  *    — an O(#files) driver-side statistics envelope, the same thing every
-  *    production table format keeps in its transaction log — then only
-  *    those files are read back and rewritten. A point DELETE on a 100 TB
-  *    table touches the handful of files whose row groups can match.
+  *    rows, found in two pruning layers: (1) MANIFEST pruning — the
+  *    predicate's `col (=,<,<=,>,>=,IN) literal` conjuncts (and MERGE's
+  *    source-key min/max range) are intersected with each file's stats
+  *    envelope on the driver, dropping files that cannot match WITHOUT
+  *    opening them — at 10⁶ files a point DELETE plans against the
+  *    manifest, not the filesystem; then (2) one predicate scan of the
+  *    surviving candidates (parquet pushdown / row-group pruning skips
+  *    within them) collects the distinct `input_file_name`s; only those
+  *    are read back and rewritten.
   *  - Old versions stay readable (time travel / snapshot isolation for
   *    concurrent readers): `read(spark, root, Some(v))`.
   *
@@ -63,8 +77,227 @@ object GraftTable {
     Files.readAllLines(Paths.get(s"$root/_manifests/v$v.manifest"))
       .asScala.toSeq.filter(_.nonEmpty)
 
+  /** Data-file entries of a manifest: full lines (path + optional stats
+    * fields), comments stripped. */
   private def manifest(root: String, v: Int): Seq[String] =
     manifestLines(root, v).filterNot(_.startsWith("#"))
+
+  /** Root-relative data-file path of a manifest entry line. */
+  private def entryPath(line: String): String = line.takeWhile(_ != '\t')
+
+  // ------------------------------------------------- file-stats envelope
+  //
+  // Stat values live in a two-family comparable domain: NUMBERS (all
+  // numerics, plus date→epoch-day, timestamp→epoch-µs, boolean→0/1,
+  // compared as BigDecimal) and STRINGS (compared by UTF-8 byte order —
+  // matching Spark's UTF8String binary comparison, NOT Java's UTF-16
+  // code-unit order, which diverges on supplementary characters).
+
+  private[sources] sealed trait SV { def cmp(o: SV): Int }
+  private[sources] final case class NumV(v: BigDecimal) extends SV {
+    def cmp(o: SV): Int = v.compare(o.asInstanceOf[NumV].v)
+  }
+  private[sources] final case class StrV(v: String) extends SV {
+    def cmp(o: SV): Int = {
+      val a = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = o.asInstanceOf[StrV].v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+  private def sameFamily(a: SV, b: SV): Boolean =
+    (a, b) match { case (_: NumV, _: NumV) => true; case (_: StrV, _: StrV) => true; case _ => false }
+
+  import org.apache.spark.sql.types.{BooleanType, DateType, NumericType,
+    StringType, TimestampNTZType, TimestampType}
+
+  private def statEligible(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType |
+         TimestampNTZType | BooleanType => true
+    case _ => false
+  }
+
+  /** Canonical string encoding of an EXTERNAL (collected) value; None for
+    * non-comparable values (NaN/Infinity poison interval math). */
+  private def encodeExternal(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some(s)
+    case b: Boolean => Some(if (b) "1" else "0")
+    case d: Double if d.isNaN || d.isInfinite => None
+    case f: Float if f.isNaN || f.isInfinite => None
+    case t: java.sql.Timestamp =>
+      Some((t.getTime / 1000 * 1000000L + t.getNanos / 1000).toString)
+    case i: java.time.Instant =>
+      Some((i.getEpochSecond * 1000000L + i.getNano / 1000).toString)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+    case d: java.time.LocalDateTime =>
+      Some((d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        d.getNano / 1000).toString)
+    case n: java.math.BigDecimal => Some(n.toPlainString)
+    case n: BigDecimal => Some(n.bigDecimal.toPlainString)
+    case n: Number => Some(n.toString)
+    case _ => None
+  }
+
+  /** Decode a stored stat string into the comparable domain of `dt`. */
+  private def decodeStat(s: String, dt: DataType): Option[SV] = dt match {
+    case StringType => Some(StrV(s))
+    case _ => try Some(NumV(BigDecimal(s))) catch { case _: NumberFormatException => None }
+  }
+
+  /** Catalyst literal (INTERNAL representation: UTF8String, µs longs,
+    * epoch days) → comparable domain. */
+  private def encodeLiteral(
+      lit: org.apache.spark.sql.catalyst.expressions.Literal): Option[SV] = {
+    if (lit.value == null) return None
+    lit.dataType match {
+      case StringType => Some(StrV(lit.value.toString))
+      case BooleanType => Some(NumV(if (lit.value == true) 1 else 0))
+      case DateType | TimestampType | TimestampNTZType =>
+        Some(NumV(BigDecimal(lit.value.toString))) // Int days / Long µs
+      case _: NumericType => lit.value match {
+        case d: org.apache.spark.sql.types.Decimal => Some(NumV(d.toBigDecimal))
+        case d: Double if d.isNaN || d.isInfinite => None
+        case f: Float if f.isNaN || f.isInfinite => None
+        case n => try Some(NumV(BigDecimal(n.toString)))
+          catch { case _: NumberFormatException => None }
+      }
+      case _ => None
+    }
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Parse an entry line's stats fields: col → (minStr, maxStr). */
+  private def entryStats(line: String): Map[String, (String, String)] =
+    line.split('\t').toSeq.drop(1).flatMap { f =>
+      val eq = f.indexOf('=')
+      if (eq < 0) None
+      else {
+        val c = f.indexOf(',', eq)
+        if (c < 0) None
+        else Some(dec(f.substring(0, eq)) ->
+          (dec(f.substring(eq + 1, c)), dec(f.substring(c + 1))))
+      }
+    }.toMap
+
+  /** One closed/open interval constraint on a column; a file whose
+    * [min,max] envelope is disjoint from EVERY constraint's interval
+    * cannot contain a matching row. */
+  private[sources] final case class Constraint(col: String,
+      lo: Option[SV], loInc: Boolean, hi: Option[SV], hiInc: Boolean)
+
+  /** Extract sound pruning constraints from a predicate: top-level AND
+    * conjuncts of the shape `col (=,==,<=>,<,<=,>,>=) literal` or
+    * `col IN (literals)`. Anything else (OR, functions, casts, column-to-
+    * column) contributes nothing — conservative, never unsound. The
+    * constraints are null-rejecting by construction (`c = 5` can't match
+    * a null), so files whose min/max don't cover the interval are safe to
+    * skip even when they hold nulls; `c <=> NULL` yields no constraint.
+    *
+    * The tree comes from `Bridge.catalystExpression`, which leaves
+    * comparison operators as `UnresolvedFunction("=", …)` nodes (no
+    * analyzer pass) — matching is on operator NAME, with both argument
+    * orders accepted. */
+  private[sources] def extractConstraints(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Constraint] = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    def name(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // (attr, literal-value, flipped?) for a binary comparison's args
+    def sides(args: Seq[Expression]): Option[(String, SV, Boolean)] = args match {
+      case Seq(a, l: Literal) =>
+        (name(a), encodeLiteral(l)) match {
+          case (Some(n), Some(v)) => Some((n, v, false)); case _ => None
+        }
+      case Seq(l: Literal, a) =>
+        (name(a), encodeLiteral(l)) match {
+          case (Some(n), Some(v)) => Some((n, v, true)); case _ => None
+        }
+      case _ => None
+    }
+    e match {
+      case UnresolvedFunction(fn, args, false, _, _, _, _) =>
+        fn.map(_.toLowerCase).mkString(".") match {
+          case "and" => args.flatMap(extractConstraints)
+          case "=" | "==" | "<=>" => sides(args).map { case (n, v, _) =>
+            Constraint(n, Some(v), true, Some(v), true) }.toSeq
+          case ">" => sides(args).map { case (n, v, flip) =>
+            if (!flip) Constraint(n, Some(v), false, None, true)   // col > v
+            else Constraint(n, None, true, Some(v), false) }.toSeq // v > col
+          case ">=" => sides(args).map { case (n, v, flip) =>
+            if (!flip) Constraint(n, Some(v), true, None, true)
+            else Constraint(n, None, true, Some(v), true) }.toSeq
+          case "<" => sides(args).map { case (n, v, flip) =>
+            if (!flip) Constraint(n, None, true, Some(v), false)
+            else Constraint(n, Some(v), false, None, true) }.toSeq
+          case "<=" => sides(args).map { case (n, v, flip) =>
+            if (!flip) Constraint(n, None, true, Some(v), true)
+            else Constraint(n, Some(v), true, None, true) }.toSeq
+          case "in" if args.length >= 2 &&
+              args.tail.forall { case l: Literal => l.value != null; case _ => false } =>
+            val vs = args.tail.map { case l: Literal => encodeLiteral(l) }
+            (name(args.head), vs) match {
+              case (Some(n), svOpts) if svOpts.forall(_.isDefined) =>
+                val svs = svOpts.map(_.get)
+                if (svs.sliding(2).exists {
+                  case Seq(x, y) => !sameFamily(x, y); case _ => false }) Nil
+                else Seq(Constraint(n,
+                  Some(svs.reduce((x, y) => if (x.cmp(y) <= 0) x else y)), true,
+                  Some(svs.reduce((x, y) => if (x.cmp(y) >= 0) x else y)), true))
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+  }
+
+  /** Can the file behind `line` possibly hold a row matching every
+    * constraint? Missing stats (legacy line, all-null file, family
+    * mismatch) → must keep. */
+  private def canMatch(line: String, cs: Seq[Constraint],
+      schema: StructType): Boolean = {
+    if (cs.isEmpty) return true
+    val stats = entryStats(line)
+    cs.forall { c =>
+      (stats.get(c.col), schema.fields.find(_.name == c.col)) match {
+        case (Some((mnS, mxS)), Some(f)) =>
+          (decodeStat(mnS, f.dataType), decodeStat(mxS, f.dataType)) match {
+            case (Some(mn), Some(mx))
+                if c.lo.forall(sameFamily(_, mn)) && c.hi.forall(sameFamily(_, mx)) =>
+              val okHi = c.hi.forall(h =>
+                { val d = mn.cmp(h); d < 0 || (d == 0 && c.hiInc) })
+              val okLo = c.lo.forall(l =>
+                { val d = mx.cmp(l); d > 0 || (d == 0 && c.loInc) })
+              okHi && okLo
+            case _ => true
+          }
+        case _ => true
+      }
+    }
+  }
+
+  /** Manifest entries of the current version that survive stats pruning
+    * against `pred` — the driver-side skip layer (exposed for tests). */
+  private[sources] def candidateEntries(root: String, pred: Column): Seq[String] = {
+    val cs = extractConstraints(org.apache.spark.sql.graft.Bridge.catalystExpression(pred))
+    val schema = schemaOf(root)
+    manifest(root, currentVersion(root)).filter(canMatch(_, cs, schema))
+  }
 
   /** Commit a new version. `txn` stamps the manifest with a streaming
     * transaction marker (`# txn <name> <id>`) IN the same atomic file
@@ -95,18 +328,50 @@ object GraftTable {
       .nextOption()
   }
 
-  /** Write `df` as new immutable data files; returns their root-relative
-    * paths. An empty frame may legitimately produce zero files — callers
-    * handle empty manifests via the schema sidecar. */
+  /** Write `df` as new immutable data files; returns their MANIFEST
+    * ENTRY LINES (path + per-file min/max stats fields). An empty frame
+    * may legitimately produce zero files — callers handle empty manifests
+    * via the schema sidecar. */
   private def writeFiles(df: DataFrame, root: String): Seq[String] = {
     val rel = s"data/${java.util.UUID.randomUUID}"
     df.write.parquet(abs(root, rel))
     val stream = Files.list(Paths.get(abs(root, rel)))
-    try stream.iterator().asScala
+    val paths = try stream.iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .map(n => s"$rel/$n").toSeq.sorted
     finally stream.close()
+    if (paths.isEmpty) paths else statsLines(df.sparkSession, root, paths, df.schema)
+  }
+
+  /** Per-file min/max stats for the eligible columns, folded into the
+    * manifest entry lines — one distributed scan of ONLY the freshly
+    * written files (the collect is #files × #cols scalars, a metadata
+    * envelope, never rows). A column that is all-null in a file (or
+    * non-comparable: NaN/±Inf) simply omits its field — readers treat
+    * absence as "must keep". */
+  private def statsLines(spark: SparkSession, root: String,
+      relFiles: Seq[String], schema: StructType): Seq[String] = {
+    val cols = schema.fields.toSeq.filter(f => statEligible(f.dataType))
+    if (cols.isEmpty) return relFiles
+    val aggs = cols.flatMap(f =>
+      Seq(min(col(f.name)).as(s"__mn_${f.name}"),
+          max(col(f.name)).as(s"__mx_${f.name}")))
+    val rows = spark.read.schema(schema).parquet(relFiles.map(abs(root, _)): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byPath = rows.map { r =>
+      val p = relativize(root, r.getString(0))
+      val fields = cols.zipWithIndex.flatMap { case (f, ix) =>
+        (encodeExternal(r.get(1 + ix * 2)), encodeExternal(r.get(2 + ix * 2))) match {
+          case (Some(a), Some(b)) => Some(s"${enc(f.name)}=${enc(a)},${enc(b)}")
+          case _ => None
+        }
+      }
+      p -> (if (fields.isEmpty) p else (p +: fields).mkString("\t"))
+    }.toMap
+    relFiles.map(p => byPath.getOrElse(p, p))
   }
 
   /** Scan-reported file URI → root-relative manifest path. The scan
@@ -135,7 +400,7 @@ object GraftTable {
     * data files are immutable and manifests are never rewritten. */
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
-    val files = manifest(root, version.getOrElse(currentVersion(root)))
+    val files = manifest(root, version.getOrElse(currentVersion(root))).map(entryPath)
     val schema = schemaOf(root)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -184,22 +449,28 @@ object GraftTable {
   }
 
   /** Root-relative paths of current files containing ≥1 row matching
-    * `pred` — ONE scan with the predicate pushed to parquet (row-group
-    * pruning skips cold files); the collect is file NAMES, never rows. */
+    * `pred`. Two layers: manifest stats pruning drops files whose
+    * min/max envelope cannot satisfy the predicate's literal conjuncts
+    * (driver-side, no file opened); then ONE scan of the survivors with
+    * the predicate pushed to parquet (row-group pruning skips within);
+    * the collect is file NAMES, never rows. */
   private def affectedFiles(spark: SparkSession, root: String,
       pred: Column): Seq[String] = {
-    val cur = read(spark, root)
-    if (cur.isEmpty) return Nil
-    cur.withColumn("__file", input_file_name())
+    val candidates = candidateEntries(root, pred).map(entryPath)
+    if (candidates.isEmpty) return Nil
+    readFiles(spark, root, candidates)
+      .withColumn("__file", input_file_name())
       .filter(pred)
       .select(col("__file")).distinct().collect()
       .map(r => relativize(root, r.getString(0)))
       .toSeq.sorted
   }
 
+  /** Read specific files/entry lines of the table (stats fields, if any,
+    * are stripped). */
   private def readFiles(spark: SparkSession, root: String,
       files: Seq[String]): DataFrame =
-    spark.read.schema(schemaOf(root)).parquet(files.map(abs(root, _)): _*)
+    spark.read.schema(schemaOf(root)).parquet(files.map(f => abs(root, entryPath(f))): _*)
 
   /** DELETE WHERE pred: rows where the predicate is TRUE are removed
     * (NULL predicate keeps the row — SQL DELETE semantics). Only files
@@ -209,7 +480,9 @@ object GraftTable {
     // no matches: still commit the (identical) manifest — every DML call
     // is one version, so time travel and changes() stay well-defined
     if (hit.isEmpty) { commit(root, manifest(root, currentVersion(root))); return }
-    val keep = manifest(root, currentVersion(root)).filterNot(hit.toSet)
+    val hitSet = hit.toSet
+    val keep = manifest(root, currentVersion(root))
+      .filterNot(l => hitSet(entryPath(l)))
     val kept = readFiles(spark, root, hit)
       .filter(!coalesce(pred, lit(false)))
     commit(root, keep ++ writeFiles(kept, root))
@@ -225,7 +498,9 @@ object GraftTable {
       s"unknown columns in SET: ${set.keySet -- schema.fieldNames}")
     val hit = affectedFiles(spark, root, pred)
     if (hit.isEmpty) { commit(root, manifest(root, currentVersion(root))); return }
-    val keep = manifest(root, currentVersion(root)).filterNot(hit.toSet)
+    val hitSet = hit.toSet
+    val keep = manifest(root, currentVersion(root))
+      .filterNot(l => hitSet(entryPath(l)))
     val p = coalesce(pred, lit(false))
     val rewritten = readFiles(spark, root, hit).select(
       schema.fields.toIndexedSeq.map { f =>
@@ -272,15 +547,40 @@ object GraftTable {
           "deduplicate per key first (e.g. dropDuplicates or a last-event-wins window)")
     // Key-membership is a join, not a Column predicate, so the hit set is
     // computed directly (same shape as affectedFiles: distinct file names
-    // from one semi-join scan, an O(#files) envelope).
-    val cur = read(spark, root)
+    // from one semi-join scan, an O(#files) envelope). Before the scan,
+    // the SOURCE's key min/max (one tiny agg over the cached source)
+    // prunes target files via the manifest stats — a time-ordered upsert
+    // against a time-partitioned table touches only the recent files'
+    // envelopes, never the archive.
+    val entries = manifest(root, currentVersion(root))
+    val statKeys = schema.fields.toSeq
+      .filter(f => keys.contains(f.name) && statEligible(f.dataType))
+    val keyRange: Seq[Constraint] =
+      if (statKeys.isEmpty || entries.isEmpty) Nil
+      else {
+        val aggs = statKeys.flatMap(f =>
+          Seq(min(col(f.name)).as(s"__mn_${f.name}"),
+              max(col(f.name)).as(s"__mx_${f.name}")))
+        val r = src.agg(aggs.head, aggs.tail: _*).collect().head
+        statKeys.zipWithIndex.flatMap { case (f, ix) =>
+          (encodeExternal(r.get(ix * 2)).flatMap(decodeStat(_, f.dataType)),
+           encodeExternal(r.get(ix * 2 + 1)).flatMap(decodeStat(_, f.dataType))) match {
+            case (Some(lo), Some(hi)) =>
+              Some(Constraint(f.name, Some(lo), true, Some(hi), true))
+            case _ => None
+          }
+        }
+      }
+    val candidates = entries.filter(canMatch(_, keyRange, schema)).map(entryPath)
     val hitFiles: Seq[String] =
-      if (cur.isEmpty) Nil
-      else cur.withColumn("__file", input_file_name())
+      if (candidates.isEmpty) Nil
+      else readFiles(spark, root, candidates)
+        .withColumn("__file", input_file_name())
         .join(src.select(keys.map(col): _*), keys, "left_semi")
         .select(col("__file")).distinct().collect()
         .map(r => relativize(root, r.getString(0))).toSeq.sorted
-    val keep = manifest(root, currentVersion(root)).filterNot(hitFiles.toSet)
+    val hitSet = hitFiles.toSet
+    val keep = entries.filterNot(l => hitSet(entryPath(l)))
     val srcTagged = src
       .toDF(schema.fieldNames.toIndexedSeq.map(c =>
         if (keys.contains(c)) c else s"__src_$c"): _*)

@@ -48,17 +48,24 @@ import graft.Tables
   *     portable results (same note as `operators/EdgeQueries`).
   *   - `//` on FRACTIONAL operands also diverges: DuckDB floor-divides
   *     and returns DOUBLE, Spark's DIV truncates toward zero and returns
-  *     BIGINT — negative fractional quotients differ by one. The rewrite
-  *     is correct for integer operands only (pinned by
-  *     `edge_intdiv_mod`); use `floor(a / b)` for portable fractional
-  *     floor division.
+  *     BIGINT — negative fractional quotients differ by one. A
+  *     fractional numeric LITERAL operand is detectable at token level
+  *     and REFUSED (pointer: `floor(a / b)`); identifier operands pass
+  *     through under the integer-only contract (pinned by
+  *     `edge_intdiv_mod`).
+  *   - Bracket list literals `[1, 2, 3]` and the `ARRAY[…]` constructor
+  *     → Spark's `array(…)` constructor (nested literals included).
   *   - DuckDB list indexing `l[1]` is 1-based, Spark's 0-based — a
   *     positional subscript pasted from DuckDB would RUN and silently
   *     return the wrong element, so the translator THROWS on any
   *     subscript whose index is not a single string literal, pointing at
   *     `element_at` (1-based on Spark too). String-literal subscripts
   *     (`m['key']` map access) pass through: key-based, both engines
-  *     agree.
+  *     agree. SCOPE: this interception exists on the `translate` surface
+  *     only — SQL that is ALSO valid Spark syntax and reaches the
+  *     injected session parser (`DuckFallbackParser`) without needing
+  *     translation executes with Spark semantics; see that class's
+  *     scaladoc.
   *   - QUALIFY predicates may reference select-list aliases (the
   *     dominant DuckDB idiom `… AS rn … QUALIFY rn = 1`): alias
   *     definitions are inlined into the predicate before it is projected,
@@ -159,9 +166,30 @@ object DuckDialect {
   // ------------------------------------------------------- flat rewrites
 
   /** `//` → ` DIV ` (DuckDB truncating integer division; both engines
-    * truncate toward zero on negatives — pinned by `edge_intdiv_mod`). */
-  private def rewriteIntDiv(toks: Vector[Tok]): Vector[Tok] =
-    toks.map(t => if (t.is("//")) word(" DIV ") else t)
+    * truncate toward zero on negatives — pinned by `edge_intdiv_mod`).
+    * The rewrite is only correct for INTEGER operands: on fractional
+    * operands DuckDB floor-divides returning DOUBLE while Spark's DIV
+    * truncates toward zero returning BIGINT — negative quotients differ
+    * by one. A fractional NUMERIC LITERAL on either side is detectable
+    * at token level, so that case is refused loudly (pointer:
+    * `floor(a / b)`); identifier operands can't be type-checked here and
+    * pass through under the documented integer-only contract. */
+  private def rewriteIntDiv(toks: Vector[Tok]): Vector[Tok] = {
+    toks.zipWithIndex.map { case (t, i) =>
+      if (t.is("//")) {
+        val p = prevIdx(toks, i); val n = nextIdx(toks, i)
+        def fractional(j: Int): Boolean =
+          j >= 0 && j < toks.length && toks(j).kind == 5 &&
+            toks(j).text.contains(".")
+        if (fractional(p) || fractional(n))
+          throw new GraftSqlException(
+            "`//` on fractional operands diverges by engine (DuckDB floor-divides " +
+              "returning DOUBLE; Spark DIV truncates toward zero returning BIGINT) — " +
+              "use floor(a / b) for portable fractional floor division")
+        word(" DIV ")
+      } else t
+    }
+  }
 
   /** Function renames, applied only when invoked as `name(`. */
   private val fnRename = Map(
@@ -169,7 +197,17 @@ object DuckDialect {
     "list_pack" -> "array",
     "list_contains" -> "array_contains",
     "list_has" -> "array_contains",
-    // list_position/list_indexof are handled separately (null-safe wrap)
+    // list_position/list_indexof → array_position: at DuckDB 1.0.0 (the
+    // oracle's version) the semantics MATCH Spark's exactly — 1-based,
+    // 0 on miss, NULL on NULL input (verified against the oracle:
+    // `SELECT list_position([0,2,4], 1)` → 0). NULL-on-miss behavior
+    // belongs to other DuckDB versions only, and the reference's 0.9
+    // snapshot has no list_position at all
+    // (reference `src/core_functions/scalar/list/` lacks it); result is
+    // INT on Spark vs BIGINT on DuckDB — the verify gate compares values,
+    // not widths.
+    "list_position" -> "array_position",
+    "list_indexof" -> "array_position",
     "list_transform" -> "transform",
     "list_apply" -> "transform",
     "list_filter" -> "filter",
@@ -226,17 +264,6 @@ object DuckDialect {
       if (t.kind == 4 && t.word == "varchar" &&
           !(nextIdx(out.toVector, i) < out.length && out(nextIdx(out.toVector, i)).is("("))) {
         out(i) = word("STRING")
-      } else if (t.kind == 4 && (t.word == "list_position" || t.word == "list_indexof")) {
-        // DuckDB's list_position returns NULL when the element is absent;
-        // Spark's array_position returns 0 — a plain rename would turn
-        // NULL-on-miss into 0 silently. Wrap: nullif(array_position(l, e), 0).
-        val j = nextIdx(out.toVector, i)
-        if (j < out.length && out(j).is("(")) {
-          val close = matching(out.toVector, j)
-          out(i) = word("nullif")
-          out.insertAll(i + 1, Seq(sym("("), word("array_position")))
-          out.insertAll(close + 3, Seq(sym(","), ws(" "), Tok(5, "0"), sym(")")))
-        }
       } else if (t.kind == 4 && fnRename.contains(t.word)) {
         val j = nextIdx(out.toVector, i)
         if (j < out.length && out(j).is("(")) {
@@ -266,40 +293,88 @@ object DuckDialect {
     out.toVector
   }
 
-  /** DuckDB positional subscripts are 1-based (`l[1]` is the FIRST
-    * element; `l[1:2]` slices); Spark's bracket subscript is 0-based, so
-    * a pasted DuckDB subscript would RUN and return the wrong element
-    * with no warning — previously the translator's only silent-corruption
-    * path. Refuse loudly instead, except the two agreeing forms: a single
-    * string-literal index (`m['key']` map access — key-based, identical
-    * semantics) and the `ARRAY[…]` constructor (not a subscript). */
-  private def refuseListSubscripts(toks: Vector[Tok]): Vector[Tok] = {
+  /** SQL keywords that can directly precede an expression: a `[` after
+    * one of these is a bracket LIST LITERAL (`SELECT [1,2,3]`), never a
+    * subscript — identifiers can't be unquoted keywords. */
+  private val exprLeadKeywords = Set(
+    "select", "where", "when", "then", "else", "and", "or", "not", "in",
+    "as", "on", "having", "by", "all", "distinct", "case", "end", "between",
+    "like", "ilike", "is", "limit", "offset", "values", "set", "returning",
+    "union", "intersect", "except", "array")
+
+  /** Bracket handling, one pass, two behaviors (scope: the TRANSLATE
+    * surface only — see DuckFallbackParser for the injected-parser
+    * caveat):
+    *
+    *  - LIST LITERALS — a `[` at expression-lead position (start of
+    *    statement, after `(`/`,`/an operator symbol, or after an
+    *    expression-leading keyword, incl. the `ARRAY[…]` spelled
+    *    constructor) → rewritten to Spark's `array(…)` constructor
+    *    (DuckDB `[1,2,3]` and `ARRAY[1,2,3]` are both exactly that,
+    *    reference third_party/libpg_query a_expr list rules). Nested
+    *    literals rewrite naturally: after the outer `[` becomes
+    *    `array(`, an inner `[` sits after `(` or `,` — literal position
+    *    again.
+    *
+    *  - POSITIONAL SUBSCRIPTS — DuckDB subscripts are 1-based (`l[1]` is
+    *    the FIRST element; `l[1:2]` slices); Spark's bracket subscript
+    *    is 0-based, so a pasted DuckDB subscript would RUN and return
+    *    the wrong element with no warning — previously the translator's
+    *    only silent-corruption path. Refuse loudly instead, except the
+    *    agreeing form: a single string-literal index (`m['key']` map
+    *    access — key-based, identical semantics on both engines).
+    */
+  private def rewriteBrackets(toks: Vector[Tok]): Vector[Tok] = {
+    val out = toks.toBuffer
     var i = 0
-    while (i < toks.length) {
-      if (toks(i).is("[")) {
-        val p = prevIdx(toks, i)
-        val isSubscript = p >= 0 && toks(p).word != "array" &&
-          (toks(p).kind == 3 || toks(p).kind == 4 || toks(p).is(")") || toks(p).is("]"))
-        if (isSubscript) {
+    while (i < out.length) {
+      if (out(i).is("[")) {
+        val v = out.toVector
+        val p = prevIdx(v, i)
+        val isLiteral = p < 0 || out(p).is("(") || out(p).is("[") ||
+          out(p).is(",") ||
+          (out(p).kind == 6 && !out(p).is(")") && !out(p).is("]")) ||
+          exprLeadKeywords(out(p).word)
+        val isSubscript = !isLiteral && p >= 0 &&
+          (out(p).kind == 3 || out(p).kind == 4 || out(p).is(")") || out(p).is("]"))
+        if (isLiteral) {
           var d = 0; var j = i; var close = -1
-          while (j < toks.length && close < 0) {
-            if (toks(j).is("[")) d += 1
-            else if (toks(j).is("]")) { d -= 1; if (d == 0) close = j }
+          while (j < out.length && close < 0) {
+            if (out(j).is("[")) d += 1
+            else if (out(j).is("]")) { d -= 1; if (d == 0) close = j }
             j += 1
           }
           if (close < 0) throw new GraftSqlException("unbalanced [ ] in SQL")
-          val inner = toks.slice(i + 1, close).filterNot(_.isWs)
+          out(close) = sym(")")
+          if (p >= 0 && out(p).word == "array") {
+            out(i) = sym("(")      // ARRAY[…] → array(…): keep the word,
+            out(p) = word("array") // normalize case for readability
+          } else {
+            out(i) = sym("(")
+            out.insert(i, word("array"))
+          }
+          // do NOT advance past i: the inserted tokens shift indices and
+          // the next iteration re-examines from the constructor onward.
+        } else if (isSubscript) {
+          var d = 0; var j = i; var close = -1
+          while (j < out.length && close < 0) {
+            if (out(j).is("[")) d += 1
+            else if (out(j).is("]")) { d -= 1; if (d == 0) close = j }
+            j += 1
+          }
+          if (close < 0) throw new GraftSqlException("unbalanced [ ] in SQL")
+          val inner = v.slice(i + 1, close).filterNot(_.isWs)
           val isMapKey = inner.length == 1 && inner.head.kind == 2
           if (!isMapKey)
             throw new GraftSqlException(
               "DuckDB positional list subscripts are 1-based but Spark's are 0-based; " +
-                s"refusing `${render(toks.slice(p, close + 1)).trim}` — use element_at(list, n) " +
+                s"refusing `${render(v.slice(p, close + 1)).trim}` — use element_at(list, n) " +
                 "(1-based on Spark too); string-keyed map subscripts pass through")
         }
       }
       i += 1
     }
-    toks
+    out.toVector
   }
 
   /** `* EXCLUDE (…)` → `* EXCEPT (…)`; DuckDB also allows the
@@ -768,7 +843,7 @@ object DuckDialect {
   /** DuckDB SQL → Spark SQL. Deterministic, token-level, literal-safe. */
   def translate(duckSql: String): String = {
     var toks = tokenize(duckSql)
-    toks = refuseListSubscripts(toks)
+    toks = rewriteBrackets(toks)
     toks = rewriteIntDiv(toks)
     toks = rewriteFunctions(toks)
     toks = rewriteExclude(toks)

@@ -25,6 +25,16 @@ import scala.util.control.NonFatal
   * `list_*`) parses fine natively and fails later in analysis, so it is
   * NOT rescued — use `DuckDialect.run`/`translate` explicitly for full
   * translation of function spellings.
+  *
+  * CONTRACT — syntax valid in BOTH dialects executes with SPARK
+  * semantics on this path: the native parse succeeds, so the translator
+  * (and its divergence guards) never runs. The notable trap is bracket
+  * subscripts — `l[1]` is the first element in DuckDB but the SECOND in
+  * Spark — which `DuckDialect.translate` refuses but this fallback
+  * cannot intercept without breaking native Spark SQL. Same for
+  * fractional `//` (never reaches here when `/` parses) and
+  * fractional→int cast rounding. Users pasting DuckDB verbatim should
+  * go through `DuckDialect.run`/`translate`, which guards all of these.
   */
 class DuckFallbackParser(delegate: ParserInterface) extends ParserInterface {
 

@@ -127,12 +127,13 @@ object DuckSqlQueries {
       |        CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END AS x
       |      FROM customer) t""".stripMargin
 
-  /** list_position NULL-on-miss semantics: DuckDB returns NULL when the
-    * element is absent, Spark's array_position returns 0 — the translator
-    * wraps the rename in nullif(…, 0) so a miss stays NULL. `pos` covers
-    * hits (regionkey 0/2/4) AND misses (1/3); `miss` never hits. Both
-    * sides cast to BIGINT (DuckDB's list_position is INT32, Spark's
-    * array_position is INT64). */
+  /** list_position → array_position plain rename: at DuckDB 1.0.0 (the
+    * oracle) semantics match Spark exactly — 1-based, 0 on miss, NULL on
+    * NULL input (verified: `SELECT list_position([0,2,4], 1)` → 0;
+    * NULL-on-miss belongs to other DuckDB versions). `pos` covers hits
+    * (regionkey 0/2/4) AND misses (1/3); `miss` never hits, pinning the
+    * 0-on-miss behavior end-to-end against the oracle. Both sides cast
+    * to BIGINT (result widths differ). */
   val listPositionSql: String =
     """SELECT n_nationkey,
       |  CAST(list_position(list_value(0, 2, 4), n_regionkey) AS BIGINT) AS pos,

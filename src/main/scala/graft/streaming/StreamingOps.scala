@@ -15,26 +15,33 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events-table schema for streaming reads (ts arrives as nanos-long —
-    * same parquet quirk the batch loader handles — converted to µs). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events-table schema for streaming reads, resolved from the actual
+    * fixture file (streaming sources require an explicit schema; the
+    * fixture's `ts` physical type has varied across driver versions —
+    * nanos-long, µs TIMESTAMP_NTZ, µs TIMESTAMP — so sniff, don't
+    * hard-code). */
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
 
   /** File-based event stream over the fixture dir (one file = one
     * micro-batch in tests; in production this is a stream source like
-    * kafka with identical downstream code). */
+    * kafka with identical downstream code). `ts` is normalized to a
+    * session-zone TIMESTAMP exactly as the batch loader (`Tables.t`)
+    * does, so batch-first pipelines switch to streaming unchanged. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val raw = spark.readStream
+      .schema(eventsRawSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling event-time window aggregation with a watermark: counts and

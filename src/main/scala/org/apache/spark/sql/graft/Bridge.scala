@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly CONVERTED Catalyst tree for a Column. `expression` wraps the
+    * Column's node lazily (`ColumnNodeExpression`), which pattern-matchers
+    * can't see through; this runs the classic converter so `===`/`&&`/
+    * `isin` surface as real `EqualTo`/`And`/`In` nodes (still unresolved
+    * attributes — no analyzer pass). */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

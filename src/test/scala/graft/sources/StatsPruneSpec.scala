@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Manifest file-stats pruning: DML must plan against the per-file
+  * min/max envelope in the manifest (driver-side, zero files opened)
+  * before any scan — the property that keeps a point DELETE on a
+  * 10⁶-file table from reading the whole table. */
+class StatsPruneSpec extends SparkSpec {
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_prune_spec_").toString
+
+  private def manifestLines(root: String, v: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$root/_manifests/v$v.manifest"))
+      .asScala.toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
+  /** 4 files with disjoint c_custkey ranges via range partitioning. */
+  private def rangedTable(): String = {
+    val root = freshRoot()
+    GraftTable.create(spark, root,
+      graft.Tables.t(spark, sf(), "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .repartitionByRange(4, col("c_custkey")))
+    root
+  }
+
+  test("manifest entries carry min/max stats fields for eligible columns") {
+    val root = rangedTable()
+    val lines = manifestLines(root, 1)
+    assert(lines.size === 4)
+    assert(lines.forall(_.contains("\tc_custkey=")),
+      "every entry should carry c_custkey stats")
+    assert(lines.forall(_.contains("\tc_name=")),
+      "string columns are stats-eligible too")
+  }
+
+  test("point-predicate candidates: only the stats-matching file survives") {
+    val root = rangedTable()
+    val victim = graft.Tables.t(spark, sf(), "customer")
+      .agg(min("c_custkey")).collect()(0).getLong(0)
+    val cands = GraftTable.candidateEntries(root, col("c_custkey") === victim)
+    assert(cands.size === 1,
+      s"a point predicate must prune to one file, got ${cands.size}")
+    // an out-of-range predicate prunes EVERYTHING — no scan will run
+    val none = GraftTable.candidateEntries(root, col("c_custkey") === -1L)
+    assert(none.isEmpty)
+    // a range predicate keeps only overlapping files
+    val half = GraftTable.candidateEntries(root, col("c_custkey") <= victim)
+    assert(half.size === 1)
+    // IN-lists prune by their [min,max] envelope
+    val in2 = GraftTable.candidateEntries(root,
+      col("c_custkey").isin(victim, victim + 1))
+    assert(in2.size <= 2)
+  }
+
+  test("opaque predicates disable pruning, never drop files (soundness)") {
+    val root = rangedTable()
+    val all = manifestLines(root, 1).size
+    // column-to-column and OR shapes contribute no constraints
+    assert(GraftTable.candidateEntries(root,
+      col("c_custkey") === col("c_acctbal")).size === all)
+    assert(GraftTable.candidateEntries(root,
+      (col("c_custkey") === 1L) || (col("c_acctbal") > 0)).size === all)
+    // conjunct composition: the prunable half still prunes
+    val victim = graft.Tables.t(spark, sf(), "customer")
+      .agg(min("c_custkey")).collect()(0).getLong(0)
+    assert(GraftTable.candidateEntries(root,
+      (col("c_custkey") === victim) && (col("c_name") =!= lit("x"))).size === 1)
+  }
+
+  test("legacy stats-less manifests keep every file as a candidate") {
+    val root = rangedTable()
+    // strip the stats fields in place — simulates a pre-stats manifest
+    val p = java.nio.file.Paths.get(s"$root/_manifests/v1.manifest")
+    val stripped = manifestLines(root, 1).map(_.takeWhile(_ != '\t'))
+    java.nio.file.Files.writeString(p, stripped.mkString("\n"))
+    assert(GraftTable.candidateEntries(root,
+      col("c_custkey") === -1L).size === stripped.size)
+    // and reads still work
+    assert(GraftTable.read(spark, root).count() ===
+      graft.Tables.t(spark, sf(), "customer").count())
+  }
+
+  test("delete end-to-end: correct result AND single-file rewrite") {
+    val root = rangedTable()
+    val before = manifestLines(root, 1).toSet
+    val victim = graft.Tables.t(spark, sf(), "customer")
+      .agg(min("c_custkey")).collect()(0).getLong(0)
+    GraftTable.delete(spark, root, col("c_custkey") === victim)
+    val after = manifestLines(root, 2).toSet
+    assert((before intersect after).size === before.size - 1,
+      "exactly one file rewritten")
+    assert(GraftTable.read(spark, root)
+      .filter(col("c_custkey") === victim).count() === 0)
+    // rewritten file carries fresh stats
+    assert((after -- before).forall(_.contains("\tc_custkey=")))
+  }
+
+  test("merge prunes target files by the source's key range") {
+    val root = rangedTable()
+    val before = manifestLines(root, 1).toSet
+    val victim = graft.Tables.t(spark, sf(), "customer")
+      .agg(min("c_custkey")).collect()(0).getLong(0)
+    // source touches only the lowest key → only its file may be rewritten
+    val src = spark.range(1).select(
+      lit(victim).as("c_custkey"),
+      lit("UPDATED").as("c_name"),
+      lit(0.0).as("c_acctbal"))
+    GraftTable.merge(spark, root, src, Seq("c_custkey"))
+    val after = manifestLines(root, 2).toSet
+    assert((before intersect after).size === before.size - 1,
+      "merge must rewrite only the key-range-matching file")
+    val got = GraftTable.read(spark, root)
+      .filter(col("c_custkey") === victim).select("c_name").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("UPDATED"))
+  }
+}

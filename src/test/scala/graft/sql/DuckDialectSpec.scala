@@ -165,19 +165,48 @@ class DuckDialectSpec extends AnyFunSuite {
     intercept[GraftSqlException](translate("SELECT split(s, ',')[1] FROM t")) // call result
     // string-keyed map access agrees on both engines → passes through
     assert(translate("SELECT m['key'] FROM t").contains("m['key']"))
-    // ARRAY[…] constructor is not a subscript
-    assert(translate("SELECT ARRAY[1, 2] FROM t").contains("ARRAY[1, 2]"))
     // brackets inside string literals are inert
     assert(translate("SELECT 'a[1]' FROM t").contains("'a[1]'"))
   }
 
-  test("list_position maps null-safely: miss stays NULL, not 0") {
+  test("bracket list literals translate to array(…) constructors") {
+    // a `[` at expression-lead position is a DuckDB list literal, not a
+    // subscript — previously refused with a misleading subscript message
+    assert(norm(translate("SELECT [1, 2, 3] FROM t")) ==
+      "SELECT array(1, 2, 3) FROM t")
+    assert(norm(translate("SELECT ARRAY[1, 2] FROM t")) ==
+      "SELECT array(1, 2) FROM t")
+    // after a comma / operator / open paren
+    assert(norm(translate("SELECT a, [1, 2] FROM t")) ==
+      "SELECT a, array(1, 2) FROM t")
+    assert(norm(translate("SELECT size([1, 2]) FROM t")) ==
+      "SELECT size(array(1, 2)) FROM t")
+    // nested literals
+    assert(norm(translate("SELECT [[1, 2], [3]] FROM t")) ==
+      "SELECT array(array(1, 2), array(3)) FROM t")
+    // a literal may feed a function rename in the same statement
+    assert(norm(translate("SELECT list_contains([1, 2], x) FROM t")) ==
+      "SELECT array_contains(array(1, 2), x) FROM t")
+    // …while a subscript ON a literal is still a refused subscript
+    intercept[GraftSqlException](translate("SELECT ([1, 2])[1] FROM t"))
+  }
+
+  test("list_position is a plain rename: DuckDB 1.0.0 matches Spark (0 on miss)") {
     val out = norm(translate("SELECT list_position(l, e) FROM t"))
-    assert(out == "SELECT nullif(array_position(l, e), 0) FROM t")
+    assert(out == "SELECT array_position(l, e) FROM t")
     assert(norm(translate("SELECT list_indexof(list_value(1, 2), x) FROM t"))
-      == "SELECT nullif(array_position(array(1, 2), x), 0) FROM t")
+      == "SELECT array_position(array(1, 2), x) FROM t")
     // as a plain identifier it is left alone
     assert(norm(translate("SELECT list_position FROM t")) == "SELECT list_position FROM t")
+  }
+
+  test("`//` with a fractional literal operand is refused (floor vs truncate)") {
+    val e = intercept[GraftSqlException](translate("SELECT a // 2.5 FROM t"))
+    assert(e.getMessage.contains("floor(a / b)"))
+    intercept[GraftSqlException](translate("SELECT 7.5 // b FROM t"))
+    // integer literals and identifiers still rewrite
+    assert(norm(translate("SELECT a // 2 FROM t")).contains("DIV"))
+    assert(norm(translate("SELECT a // b FROM t")).contains("DIV"))
   }
 
   test("QUALIFY inlines select-list aliases into the predicate") {
