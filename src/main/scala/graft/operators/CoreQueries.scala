@@ -298,7 +298,134 @@ object CoreQueries {
       |JOIN nation ON cr.nationkey = n_nationkey
       |ORDER BY n_name""".stripMargin
 
+  /** Fact⋈fact⋈fact with NO broadcastable side — the regime JOB enters
+    * when "dimensions" grow to fact size (reference
+    * `benchmark/imdb` cast_info⋈title⋈name joins). Both
+    * joins are explicitly hinted to SHUFFLE strategies (merge for
+    * lineitem⋈orders — both huge, sort amortizes; shuffle_hash for
+    * ⋈customer — build side is the smaller fact): at 100 TB none of
+    * these sides fits an executor, so the plan must survive WITHOUT a
+    * broadcast, shuffling each side exactly once on its join key. */
+  def jobFactFact(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(cust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val jobFactFactSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem, orders, customer
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** ANTI join UNDER an outer join — JOB's negated-subquery-plus-
+    * enrichment shape: customers with NO 1998 order (anti), LEFT-
+    * enriched with their event activity. The anti prunes before the
+    * outer join, so the enrichment side joins against the reduced set;
+    * the events branch pre-aggregates to one row per user BEFORE the
+    * join (map-side reduction — never join a raw fact to a raw fact for
+    * a per-key total). */
+  def jobAntiOuter(s: SparkSession, dir: String): DataFrame = {
+    val active98 = Tables.t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val evAgg = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ev_n"),
+        sum(dec(col("value"))).cast("double").as("ev_total"))
+    Tables.t(s, dir, "customer")
+      .join(active98, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(evAgg, col("c_custkey") === col("user_id"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("ev_n"), lit(0L)).as("ev_n"),
+        coalesce(col("ev_total"), lit(0.0)).as("ev_total"))
+  }
+
+  val jobAntiOuterSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  coalesce(ev_n, 0) AS ev_n, coalesce(ev_total, 0.0) AS ev_total
+      |FROM customer
+      |LEFT JOIN (SELECT user_id, count(*) AS ev_n,
+      |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ev_total
+      |           FROM events GROUP BY user_id) e ON c_custkey = user_id
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '1998-01-01'
+      |    AND o_orderdate < TIMESTAMP '1999-01-01')""".stripMargin
+
+  /** 10-relation chain — JOB's longest chains (10+ relations,
+    * reference `benchmark/imdb`, the 29a-c family) with selectivity at BOTH
+    * far ends (part brand on the supplier side, region on the customer
+    * side) plus a pre-aggregated tenth relation (events per user). Every
+    * reduced dimension broadcasts; lineitem⋈orders is the single large
+    * exchange; the events branch aggregates to ≤|users| rows before
+    * joining. */
+  def jobLongChain(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val part = Tables.t(s, dir, "part").filter(col("p_brand") === "Brand#3")
+    val sup = Tables.t(s, dir, "supplier")
+    val natS = Tables.t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_regionkey").as("sn_region"))
+    val regS = Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .select(col("r_regionkey").as("sr_key"))
+    val ord = Tables.t(s, dir, "orders")
+    val cust = Tables.t(s, dir, "customer")
+    val natC = Tables.t(s, dir, "nation")
+    val regC = Tables.t(s, dir, "region").filter(col("r_name") === "AMERICA")
+    val evAgg = Tables.t(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("ev_n"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(regS), col("sn_region") === col("sr_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natC), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(regC), col("n_regionkey") === col("r_regionkey"))
+      .join(evAgg, col("c_custkey") === col("user_id"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        sum(coalesce(col("ev_n"), lit(0L))).as("ev_weight"))
+      .orderBy(col("n_name"))
+  }
+
+  val jobLongChainSql: String =
+    """SELECT n2.n_name AS n_name, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(sum(coalesce(ev_n, 0)) AS BIGINT) AS ev_weight
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN region r1 ON n1.n_regionkey = r1.r_regionkey AND r1.r_name = 'ASIA'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'AMERICA'
+      |LEFT JOIN (SELECT user_id, count(*) AS ev_n FROM events GROUP BY user_id) e
+      |  ON c_custkey = user_id
+      |GROUP BY n2.n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "job_fact_fact" -> (jobFactFact _),
+    "job_anti_outer" -> (jobAntiOuter _),
+    "job_long_chain" -> (jobLongChain _),
     "job_chain" -> (jobChain _),
     "job_bushy" -> (jobBushy _),
     "q1_pricing" -> (q1Pricing _),
@@ -308,6 +435,9 @@ object CoreQueries {
     "job_deep_join" -> (jobDeepJoin _))
 
   val oracle: Map[String, String] = Map(
+    "job_fact_fact" -> jobFactFactSql,
+    "job_anti_outer" -> jobAntiOuterSql,
+    "job_long_chain" -> jobLongChainSql,
     "job_chain" -> jobChainSql,
     "job_bushy" -> jobBushySql,
     "q1_pricing" -> q1Sql,

@@ -54,4 +54,38 @@ class TpchQueriesSpec extends SparkSpec {
       assert(TpchQueries.queries(name)(spark, sf("sf0.001")).count() == 1, name)
     }
   }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("job_fact_fact: both joins shuffle — no broadcast survives the hints") {
+    val p = plan(CoreQueries.jobFactFact(spark, sf()))
+    assert(p.contains("SortMergeJoin"), "lineitem⋈orders must sort-merge")
+    assert(p.contains("ShuffledHashJoin"), "⋈customer must shuffle-hash")
+    assert(!p.contains("BroadcastHashJoin"),
+      "a broadcast here would OOM at fact scale — the hints must hold")
+  }
+
+  test("job_long_chain: dims broadcast, exactly one large exchange regime") {
+    val p = plan(CoreQueries.jobLongChain(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), "reduced dims must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    val rows = CoreQueries.jobLongChain(spark, sf()).collect()
+    assert(rows.length <= 25) // at most one row per nation
+  }
+
+  test("job_anti_outer: anti prunes before the outer enrichment") {
+    val p = plan(CoreQueries.jobAntiOuter(spark, sf()))
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as anti join")
+    val df = CoreQueries.jobAntiOuter(spark, sf())
+    // no surviving customer may hold a 1998 order
+    import org.apache.spark.sql.functions._
+    val bad = df.join(
+      graft.Tables.t(spark, sf(), "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+      col("c_custkey") === col("o_custkey"), "inner").count()
+    assert(bad == 0)
+  }
 }
