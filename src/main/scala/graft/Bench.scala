@@ -318,20 +318,47 @@ object Bench {
       val r = timeSuite(spark, bigDir, fns, warms = 1, runs = 2, strict = strict)
       mark(s"${inflate}x block done")
       // Learning-compaction convergence on REAL data: UCB1 tunes AQE's
-      // advisory partition size over episodes of the 10× deep join (the
-      // reference's negative-feedback bandit closed-loop,
-      // `negative_feedback.hpp`), then the chosen arm's small-task
-      // fraction is measured against the production default so the JSON
-      // shows what the loop actually bought.
-      val deepJoin = SparkEntry.queries("job_deep_join")
-      def runDeep(s2: SparkSession): Unit =
-        try deepJoin(s2, bigDir).write.format("noop").mode("overwrite").save()
+      // advisory partition size over episodes of a FRAGMENT-FLOOD
+      // workload (the reference's negative-feedback bandit closed-loop,
+      // `negative_feedback.hpp`). Round-7 verdict: the 10× deep join's
+      // exchanges are tiny (a few output rows), so every arm coalesced
+      // them identically and episodes were flat — the bandit never had a
+      // decision to make. This workload gives it one: a fact-sized
+      // composite-key aggregate whose shuffle is hundreds of MB at 10×,
+      // so the advisory size DIRECTLY sets post-AQE task count (1024 MB
+      // → ~1 task, serializing a 32-core box; 32 MB → ~10-way parallel).
+      // The chosen arm's wall-clock AND small-task fraction are measured
+      // against the production default so the JSON shows what the loop
+      // actually bought.
+      def flood(s2: SparkSession): Unit = {
+        import org.apache.spark.sql.functions._
+        val li = Tables.t(s2, bigDir, "lineitem")
+        try li
+          .groupBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_extendedprice")).as("v"), count(lit(1)).as("n"))
+          .filter(col("n") >= 1)
+          .groupBy(pmod(col("l_orderkey"), lit(4096)).as("b"))
+          .agg(sum(col("v")).as("tv"), count(lit(1)).as("tn"))
+          .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => if (strict) throw e }
-      def instrumentedStf(targetBytes: Long): Double = {
-        compaction.Compact.enableAqeCompaction(spark, targetBytes)
+      }
+      def instrumented(targetBytes: Option[Long]): (Double, Double) = {
+        targetBytes match {
+          case Some(b) => compaction.Compact.enableAqeCompaction(spark, b, bindTarget = true)
+          case None => // the REAL production default, parallelism-first AQE
+            productionConf(spark, cpus)
+            spark.conf.set(
+              "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+            spark.conf.set(
+              "spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L << 20).toString)
+            spark.conf.set(
+              "spark.sql.adaptive.coalescePartitions.minPartitionSize", (1L << 20).toString)
+        }
         val m = new compaction.ChunkMetrics().install(spark)
         m.reset()
-        runDeep(spark)
+        val t0 = System.nanoTime()
+        flood(spark)
+        val secs = (System.nanoTime() - t0) / 1e9
         val deadline = System.currentTimeMillis() + 10000
         var prev = -1L; var stable = 0
         while (stable < 3 && System.currentTimeMillis() < deadline) {
@@ -340,20 +367,23 @@ object Bench {
           Thread.sleep(100)
         }
         spark.sparkContext.removeSparkListener(m)
-        m.smallTaskFraction(1024)
+        (secs, m.smallTaskFraction(1024))
       }
       val ac = new compaction.AdaptiveCompact(spark)
-      val chosen = ac.tune(10)(runDeep)
+      flood(spark) // one untimed warm pass: JIT + page cache settle
+      val chosen = ac.tune(12)(flood)
       val episodes = ac.history
         .map(e => s"""{"arm_mb":${e.targetBytes >> 20},"sec":${"%.3f".format(e.seconds)}}""")
         .mkString("[", ",", "]")
-      val stfDefault = instrumentedStf(64L << 20)
-      val stfTuned = instrumentedStf(chosen)
+      val (secDefault, stfDefault) = instrumented(None)
+      val (secTuned, stfTuned) = instrumented(Some(chosen))
       tunerFields =
         s""","compact_tuner_arm_mb":${chosen >> 20}""" +
         s""","compact_tuner_episodes":$episodes""" +
-        s""","stf_deep_join_10x_default":$stfDefault""" +
-        s""","stf_deep_join_10x_tuned":$stfTuned"""
+        s""","flood_10x_default_sec":${"%.3f".format(secDefault)}""" +
+        s""","flood_10x_tuned_sec":${"%.3f".format(secTuned)}""" +
+        s""","stf_flood_10x_default":$stfDefault""" +
+        s""","stf_flood_10x_tuned":$stfTuned"""
       mark("compact tuner done")
       // tmpfs space is shared with the OS: drop the 10× stage eagerly.
       scala.reflect.io.Path(bigDir).deleteRecursively()

@@ -15,7 +15,10 @@ object BenchExplain {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val benchDir = Bench.stageFixtures(spark, sfDir, cpus)
+    // SPARK_GRAFT_BENCH_COPIES=10 profiles against the inflated corpus —
+    // the same layout Bench's queries_sf10x block times.
+    val copies = sys.env.getOrElse("SPARK_GRAFT_BENCH_COPIES", "1").toInt
+    val benchDir = Bench.stageFixtures(spark, sfDir, cpus, copies)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     spark.conf.set("spark.sql.files.openCostInBytes", "8m")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 << 20).toString)

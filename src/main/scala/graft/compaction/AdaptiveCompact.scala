@@ -23,7 +23,7 @@ class AdaptiveCompact(spark: SparkSession, val tuner: CompactTuner = new Compact
   def episode(work: SparkSession => Unit): Episode = {
     val arm = tuner.selectArm()
     val target = tuner.arms(arm)
-    Compact.enableAqeCompaction(spark, target)
+    Compact.enableAqeCompaction(spark, target, bindTarget = true)
     val t0 = System.nanoTime()
     work(spark)
     val secs = (System.nanoTime() - t0) / 1e9
@@ -37,7 +37,7 @@ class AdaptiveCompact(spark: SparkSession, val tuner: CompactTuner = new Compact
   def tune(n: Int)(work: SparkSession => Unit): Long = {
     (1 to n).foreach(_ => episode(work))
     val best = tuner.targetBytes
-    Compact.enableAqeCompaction(spark, best)
+    Compact.enableAqeCompaction(spark, best, bindTarget = true)
     best
   }
 

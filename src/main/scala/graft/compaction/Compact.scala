@@ -24,10 +24,24 @@ object Compact {
 
   /** Configure AQE so post-shuffle partitions are compacted toward
     * `targetBytes`, with the reference's small-chunk threshold mapped onto
-    * `minPartitionSize` (partitions under 1/16 of target always merge). */
-  def enableAqeCompaction(spark: SparkSession, targetBytes: Long = 64L << 20): Unit = {
+    * `minPartitionSize` (partitions under 1/16 of target always merge).
+    *
+    * `bindTarget` controls `parallelismFirst`: Spark's default (true)
+    * coalesces only down to `minPartitionSize` to maximize parallelism,
+    * silently IGNORING the advisory size — with it on, every tuner arm
+    * produced byte-identical plans (round-7 flat episodes). Pass
+    * `bindTarget = true` when the size target must actually bind (the
+    * tuner's arms, size-targeted output files). It stays FALSE for the
+    * always-on session default: parallelism-first is measurably the
+    * right production posture for compute-heavy stages (round-8: forcing
+    * the 64 MB target session-wide coalesced dedup_minhash's 2.6M-row
+    * exchanges onto 1-2 cores and cost +25% on the 10× bench). */
+  def enableAqeCompaction(spark: SparkSession, targetBytes: Long = 64L << 20,
+      bindTarget: Boolean = false): Unit = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      if (bindTarget) "false" else "true")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", targetBytes.toString)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
       math.max(1L, (targetBytes * ThresholdFraction).toLong).toString)

@@ -61,6 +61,37 @@ object Dedup {
             s"i -> concat_ws(' ', slice(w, i, $n)))")).as("shingle"))
       .distinct()
 
+  /** Shingle sets by 60-bit HASH identity: (doc_id, h) distinct, where
+    * h = [[hash64]](shingle). The shingle STRING never leaves the map
+    * side — every downstream exchange and join carries two longs instead
+    * of a ~25-byte string. Collision risk is within-doc-pair only
+    * (what jaccard compares): P ≈ |s1|·|s2| / 2^60 — negligible at any
+    * corpus size, and the DuckDB oracle hashes the same distinct string
+    * sets, so both sides see identical collision behavior.
+    *
+    * Two deliberate plan choices, measured at the 10× bench scale
+    * (round-8: 6.35 s → see BENCH_r08):
+    *  - the raw docs are ROUND-ROBIN repartitioned to the session's
+    *    default parallelism first: the staged corpus arrives in few
+    *    CPU-bound-oversized files (8 tasks on a 32-core box), and
+    *    normalize+split+shingle+md5 is the pipeline's dominant compute —
+    *    one cheap raw-text shuffle unlocks full-width execution. On a
+    *    real cluster with right-sized input splits the exchange merges
+    *    equal-width partitions and costs one linear pass.
+    *  - the distinct sits HERE, below one exchange that every consumer
+    *    (signatures via the [[minhashSignaturesHashed]] barrier, both
+    *    verification joins, the size aggregate) reuses — the heavy text
+    *    compute runs ONCE per query, not once per consumer. */
+  def shingleHashes(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(normalized(col(textCol)), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, greatest(size(w) - ${n - 1}, 1)), " +
+            s"i -> concat_ws(' ', slice(w, i, $n)))")).as("shingle"))
+      .select(col("doc_id"), hash64(0, col("shingle")).as("h"))
+      .distinct()
+
   /** Universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod p over
     * a 32-bit base hash, p = 2^61−1. One md5 per shingle (not per
     * shingle×function — 32× less hashing on the hot path) and the a·x+b
@@ -79,6 +110,33 @@ object Dedup {
         min((lit(mhA(0)) * col("hb") + lit(mhB(0))) % mhP).as("h0"),
         (1 until numHashes).map(i =>
           min((lit(mhA(i)) * col("hb") + lit(mhB(i))) % mhP).as(s"h$i")): _*)
+
+  /** [[minhashSignatures]] over hash-identity shingles ([[shingleHashes]]
+    * output), plus the shingle-set SIZE (`n_sh` — jaccard verification
+    * needs it) in the same aggregate.
+    *
+    * The `repartition(doc_id)` is a deliberate OPTIMIZER BARRIER, not a
+    * partitioning nicety. `min` is duplicate-insensitive, so Catalyst's
+    * RemoveRedundantAggregates collapses the distinct below directly
+    * into the signature aggregate and re-plans a SECOND full corpus scan
+    * + text-processing pass (measured: the duplicated scan stages
+    * dominated the 10× bench at ~2.3 s each). Carrying `count` in the
+    * aggregate is NOT enough to stop that: each downstream consumer
+    * prunes the columns it doesn't use, and the pruned min-only variant
+    * collapses again (verified in the physical plan). With the barrier,
+    * every pruned variant still reads the SAME materialized distinct
+    * exchange as the verification joins; the barrier itself re-shuffles
+    * only (doc_id, h) longs, and groupBy(doc_id) then runs exchange-free
+    * on the aligned partitioning. */
+  def minhashSignaturesHashed(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.repartition(col("doc_id"))
+      .withColumn("hb", col("h") % 4294967296L)
+      .groupBy(col("doc_id"))
+      .agg(
+        min((lit(mhA(0)) * col("hb") + lit(mhB(0))) % mhP).as("h0"),
+        (1 until numHashes).map(i =>
+          min((lit(mhA(i)) * col("hb") + lit(mhB(i))) % mhP).as(s"h$i")
+        ) :+ count(lit(1)).as("n_sh"): _*)
 
   /** LSH banding: band r consecutive minhashes into one bucket key; docs
     * sharing any band bucket become candidate pairs. */
@@ -117,22 +175,47 @@ object Dedup {
           (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
   }
 
+  /** Exact jaccard verification over HASH-identity shingle sets
+    * ([[shingleHashes]] output) — same join/aggregate shape as
+    * [[verifyJaccard]], but every key is a long, and the set sizes come
+    * from `sizes` (the signature aggregate's n_sh — a 1-row-per-doc
+    * frame) instead of a third read of the shingle exchange. The only
+    * consumers of `sh`'s distinct exchange are the two membership joins;
+    * the corpus text is read and shingled exactly once per query. */
+  def verifyJaccardHashed(pairs: DataFrame, sh: DataFrame,
+      sizes: DataFrame): DataFrame = {
+    val common = pairs
+      .join(sh.select(col("doc_id").as("id1"), col("h")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
+  }
+
   /** MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
     * 32 hashes in 8 bands of 4 rows: candidate probability ≈1 at j≥0.8,
     * ≈1.3% at j=0.2 — false candidates are cheap (exact verification
     * kills them), so the smaller signature wins on both the min-aggregate
-    * width and codegen size. */
+    * width and codegen size.
+    *
+    * Round-8 plan surgery (before: 6.35 s at the 10× bench; the two
+    * corpus-scan stages were 2.4 s each at 8-way parallelism): shingle
+    * identity is the 60-bit hash ([[shingleHashes]] — strings never
+    * shuffle), the raw docs repartition to full width before the
+    * CPU-bound shingling, and the signature aggregate consumes the same
+    * materialized distinct exchange as verification (the
+    * [[minhashSignaturesHashed]] barrier) instead of re-scanning the
+    * corpus. localCheckpoint remains rejected for the sharing job — the
+    * exchange-reuse plan stays declarative and lineage-recoverable. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    // The shingle table feeds four plan references (signatures + the
-    // verification joins and sizes). Measured: materializing it once
-    // via localCheckpoint (the DuckDB-CTE analog) is NOT faster here —
-    // the eager write costs as much as the recomputation it saves, and
-    // it would block lineage-based recovery at scale — so the plan
-    // stays fully declarative.
-    val sh = shingles(Tables.t(s, dir, "documents"), "text", 3)
-    val sig = minhashSignatures(sh, numHashes = 32)
+    val sh = shingleHashes(Tables.t(s, dir, "documents"), "text", 3)
+    val sig = minhashSignaturesHashed(sh, numHashes = 32)
     val cand = lshCandidates(sig, numHashes = 32, bands = 8)
-    verifyJaccard(cand, sh)
+    verifyJaccardHashed(cand, sh, sig.select(col("doc_id"), col("n_sh")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"), col("jaccard"))
   }

@@ -293,6 +293,51 @@ object DuckDialect {
     out.toVector
   }
 
+  /** Loud refusals for the DuckDB grammar tail this translator does not
+    * cover (reference parser surface:
+    * `src/parser/transform/expression`, `.../statement`): each construct
+    * would otherwise fall through to a bare Spark ParseException (or,
+    * worse, parse with different semantics). The contract is FAIL
+    * LOUDLY, NEVER SILENTLY WRONG — every message names the construct
+    * and the Spark-side alternative. */
+  private def refuseUnsupported(toks: Vector[Tok]): Vector[Tok] = {
+    val first = toks.find(!_.isWs).map(_.word).getOrElse("")
+    if (first == "summarize")
+      throw new GraftSqlException(
+        "SUMMARIZE is unsupported — use describe()/summary() on the DataFrame, " +
+          "or aggregate explicitly (count/min/max/avg per column)")
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.is("{"))
+        throw new GraftSqlException(
+          "struct/map literals `{'k': v}` are unsupported — use " +
+            "named_struct('k', v) or map('k', v)")
+      if (t.kind == 4 && t.word == "by") {
+        val p = prevIdx(toks, i); val n = nextIdx(toks, i)
+        val prevW = if (p >= 0) toks(p).word else ""
+        val prevPrevW = {
+          val pp = if (p >= 0) prevIdx(toks, p) else -1
+          if (pp >= 0) toks(pp).word else ""
+        }
+        if (n < toks.length && toks(n).word == "name" &&
+            (prevW == "union" || prevW == "intersect" || prevW == "except" ||
+              (prevW == "all" && (prevPrevW == "union" || prevPrevW == "intersect" ||
+                prevPrevW == "except"))))
+          throw new GraftSqlException(
+            "UNION/INTERSECT/EXCEPT BY NAME is unsupported in SQL — project both " +
+              "sides to the same column order, or use unionByName on DataFrames")
+      }
+      if (t.kind == 4 && t.word == "returning" &&
+          (first == "insert" || first == "update" || first == "delete"))
+        throw new GraftSqlException(
+          "INSERT/UPDATE/DELETE ... RETURNING is unsupported — run the DML, then " +
+            "read the table (GraftTable.read / changes) for the affected rows")
+      i += 1
+    }
+    toks
+  }
+
   /** SQL keywords that can directly precede an expression: a `[` after
     * one of these is a bracket LIST LITERAL (`SELECT [1,2,3]`), never a
     * subscript — identifiers can't be unquoted keywords. */
@@ -345,6 +390,18 @@ object DuckDialect {
             j += 1
           }
           if (close < 0) throw new GraftSqlException("unbalanced [ ] in SQL")
+          // list COMPREHENSION `[expr FOR x IN list]` is not a literal we
+          // can translate structurally — refuse with the Spark recipe
+          var d2 = 0; var k = i
+          while (k < close) {
+            if (out(k).is("[") || out(k).is("(")) d2 += 1
+            else if (out(k).is("]") || out(k).is(")")) d2 -= 1
+            else if (d2 == 1 && out(k).word == "for")
+              throw new GraftSqlException(
+                "list comprehensions `[e FOR x IN l]` are unsupported — use " +
+                  "transform(l, x -> e) (with filter(l, p) for the IF clause)")
+            k += 1
+          }
           out(close) = sym(")")
           if (p >= 0 && out(p).word == "array") {
             out(i) = sym("(")      // ARRAY[…] → array(…): keep the word,
@@ -843,6 +900,7 @@ object DuckDialect {
   /** DuckDB SQL → Spark SQL. Deterministic, token-level, literal-safe. */
   def translate(duckSql: String): String = {
     var toks = tokenize(duckSql)
+    toks = refuseUnsupported(toks)
     toks = rewriteBrackets(toks)
     toks = rewriteIntDiv(toks)
     toks = rewriteFunctions(toks)

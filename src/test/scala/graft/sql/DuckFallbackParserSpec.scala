@@ -45,6 +45,36 @@ class DuckFallbackParserSpec extends SparkSpec {
     intercept[ParseException](parser.parsePlan("SELECT 1 +"))
   }
 
+  test("grammar-tail constructs refuse loudly with the documented message") {
+    import DuckDialect.{translate, GraftSqlException}
+    // every refusal is the TYPED exception, names the construct, and
+    // points at the Spark-side alternative — the "fail loudly, never
+    // silently wrong" contract for the untranslated grammar tail
+    def refusal(sql: String, mustMention: String*): Unit = {
+      val e = intercept[GraftSqlException](translate(sql))
+      mustMention.foreach(m => assert(e.getMessage.contains(m),
+        s"message for `$sql` should mention `$m`, got: ${e.getMessage}"))
+    }
+    refusal("SELECT {'a': 1} AS s FROM t", "struct/map literals", "named_struct")
+    refusal("SELECT map {'k': 2} FROM t", "struct/map literals", "map(")
+    refusal("SUMMARIZE t", "SUMMARIZE", "summary()")
+    refusal("SELECT a, b FROM t UNION BY NAME SELECT b, a FROM u",
+      "BY NAME", "unionByName")
+    refusal("SELECT a FROM t INTERSECT ALL BY NAME SELECT a FROM u", "BY NAME")
+    refusal("INSERT INTO t VALUES (1) RETURNING *", "RETURNING", "GraftTable")
+    refusal("DELETE FROM t WHERE a = 1 RETURNING a", "RETURNING")
+    refusal("SELECT [x FOR x IN l] FROM t", "list comprehensions", "transform(")
+    refusal("SELECT l[1] FROM t", "element_at")
+    refusal("SELECT a // 2.5 FROM t", "floor(a / b)")
+    refusal("SELECT DISTINCT ON (g) g FROM t", "ORDER BY")
+    // refused constructs never slip through the session fallback as
+    // silently-different SQL: the fallback rethrows the ORIGINAL parse
+    // error instead (native Spark diagnostics, no translator artifact)
+    intercept[ParseException](parser.parsePlan("SUMMARIZE t"))
+    intercept[ParseException](
+      parser.parsePlan("SELECT a, b FROM t UNION BY NAME SELECT b, a FROM u"))
+  }
+
   test("a session with GraftExtensions executes DuckDB-dialect SQL end-to-end") {
     // The suite-shared session has no extensions; drive the injected-parser
     // path through a plan parsed by the fallback and executed via the
