@@ -55,6 +55,12 @@ import graft.Tables
   *     `edge_intdiv_mod`).
   *   - Bracket list literals `[1, 2, 3]` and the `ARRAY[…]` constructor
   *     → Spark's `array(…)` constructor (nested literals included).
+  *   - Struct literals `{'a': e}` → `named_struct('a', e)`; map literals
+  *     `MAP {'k': v}` → `map('k', v)`. Struct field access (`s.a`)
+  *     agrees verbatim; map subscript `m['k']` is VERSION-dependent on
+  *     the DuckDB side (scalar on Spark; a single-element LIST on
+  *     DuckDB ≤1.0, scalar from 1.1) — the subscript still passes
+  *     through because refusing would break the dominant modern usage.
   *   - DuckDB list indexing `l[1]` is 1-based, Spark's 0-based — a
   *     positional subscript pasted from DuckDB would RUN and silently
   *     return the wrong element, so the translator THROWS on any
@@ -309,10 +315,6 @@ object DuckDialect {
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
-      if (t.is("{"))
-        throw new GraftSqlException(
-          "struct/map literals `{'k': v}` are unsupported — use " +
-            "named_struct('k', v) or map('k', v)")
       if (t.kind == 4 && t.word == "by") {
         val p = prevIdx(toks, i); val n = nextIdx(toks, i)
         val prevW = if (p >= 0) toks(p).word else ""
@@ -336,6 +338,75 @@ object DuckDialect {
       i += 1
     }
     toks
+  }
+
+  /** DuckDB struct and map literals → Spark constructors (reference
+    * grammar: `src/parser/transform/expression/transform_constant.cpp`
+    * struct/map literal rules):
+    *
+    *   `{'a': e1, 'b': e2}`      → `named_struct('a', e1, 'b', e2)`
+    *   `MAP {'k1': v1, 'k2': v2}` → `map('k1', v1, 'k2', v2)`
+    *
+    * Field access then agrees verbatim on both engines: `s.a` for
+    * structs, `m['k']` for maps. Keys must be string literals (DuckDB's
+    * own literal form); anything else inside braces is refused loudly.
+    * Nested literals rewrite naturally — the loop re-examines inner
+    * braces after the outer rewrite. */
+  private def rewriteBraces(toks: Vector[Tok]): Vector[Tok] = {
+    val out = toks.toBuffer
+    var i = 0
+    while (i < out.length) {
+      if (out(i).is("{")) {
+        // matching close brace (nesting over every bracket family)
+        var d = 0; var j = i; var close = -1
+        while (j < out.length && close < 0) {
+          val tj = out(j)
+          if (tj.is("{") || tj.is("(") || tj.is("[")) d += 1
+          else if (tj.is("}") || tj.is(")") || tj.is("]")) { d -= 1; if (d == 0) close = j }
+          j += 1
+        }
+        if (close < 0 || !out(close).is("}"))
+          throw new GraftSqlException("unbalanced { } in SQL")
+        // validate + rewrite depth-1 `key : value` items
+        var k = i + 1; var depth = 1; var expectKey = true
+        while (k < close) {
+          val tk = out(k)
+          if (tk.is("{") || tk.is("(") || tk.is("[")) depth += 1
+          else if (tk.is("}") || tk.is(")") || tk.is("]")) depth -= 1
+          else if (depth == 1 && expectKey && !tk.isWs) {
+            if (tk.kind != 2)
+              throw new GraftSqlException(
+                "struct/map literal keys must be string literals, got " +
+                  s"`${tk.text}` — write {'key': value}")
+            expectKey = false
+          } else if (depth == 1 && tk.is(":")) {
+            out(k) = sym(",") // key : value → key , value
+            // skip the value until the next depth-1 comma
+            var v = k + 1; var dv = 1
+            while (v < close && !(dv == 1 && out(v).is(","))) {
+              if (out(v).is("{") || out(v).is("(") || out(v).is("[")) dv += 1
+              else if (out(v).is("}") || out(v).is(")") || out(v).is("]")) dv -= 1
+              v += 1
+            }
+            k = v // lands on the separating comma (or close)
+            expectKey = true
+          }
+          k += 1
+        }
+        val p = prevIdx(out.toVector, i)
+        if (p >= 0 && out(p).word == "map") {
+          out(close) = sym(")")
+          out(i) = sym("(")
+          out(p) = word("map")
+        } else {
+          out(close) = sym(")")
+          out(i) = sym("(")
+          out.insert(i, word("named_struct"))
+        }
+      }
+      i += 1
+    }
+    out.toVector
   }
 
   /** SQL keywords that can directly precede an expression: a `[` after
@@ -901,6 +972,7 @@ object DuckDialect {
   def translate(duckSql: String): String = {
     var toks = tokenize(duckSql)
     toks = refuseUnsupported(toks)
+    toks = rewriteBraces(toks)
     toks = rewriteBrackets(toks)
     toks = rewriteIntDiv(toks)
     toks = rewriteFunctions(toks)

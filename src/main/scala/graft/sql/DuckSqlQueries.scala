@@ -140,6 +140,23 @@ object DuckSqlQueries {
       |  CAST(list_position(list_value(7, 8), n_regionkey) AS BIGINT) AS miss
       |FROM nation""".stripMargin
 
+  /** Struct literal `{'k': e}` → named_struct: constructed and consumed
+    * (field access `s.nm`) in one statement, so the oracle pins VALUES
+    * through the literal, not just parseability. */
+  val structLiteralSql: String =
+    """WITH t AS (SELECT n_nationkey,
+      |             {'nm': n_name, 'rk': n_regionkey + 1} AS s FROM nation)
+      |SELECT n_nationkey, s.nm AS nm, s.rk AS rk FROM t""".stripMargin
+
+  /** Map literal `MAP {'k': v}` → map(...). Only `cardinality` is in the
+    * shared surface: map SUBSCRIPT returns a single-element list on the
+    * oracle's DuckDB 1.0.0 (scalar from 1.1) — see DuckDialect scaladoc —
+    * so the entry pins construction + size, not extraction. */
+  val mapLiteralSql: String =
+    """SELECT n_nationkey,
+      |  cardinality(MAP {'lo': n_regionkey, 'hi': n_regionkey * 2}) AS n
+      |FROM nation""".stripMargin
+
   /** QUALIFY referencing a select-list ALIAS — the dominant DuckDB idiom
     * (`… AS rn … QUALIFY rn <= 2`). The translator inlines the alias's
     * defining expression into the predicate (Spark's lateral alias
@@ -177,6 +194,8 @@ object DuckSqlQueries {
     "ducksql_asof" -> via(asofLeftSql),
     "ducksql_asof_inner" -> via(asofInnerSql),
     "ducksql_list_position" -> via(listPositionSql),
+    "ducksql_struct_literal" -> via(structLiteralSql),
+    "ducksql_map_literal" -> via(mapLiteralSql),
     "ducksql_qualify_alias" -> via(qualifyAliasSql),
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
@@ -195,6 +214,8 @@ object DuckSqlQueries {
     "ducksql_asof" -> asofLeftSql,
     "ducksql_asof_inner" -> asofInnerSql,
     "ducksql_list_position" -> listPositionSql,
+    "ducksql_struct_literal" -> structLiteralSql,
+    "ducksql_map_literal" -> mapLiteralSql,
     "ducksql_qualify_alias" -> qualifyAliasSql,
     "ducksql_read_parquet" -> readParquetOracleSql)
 }

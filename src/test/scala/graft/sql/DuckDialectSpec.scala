@@ -191,6 +191,22 @@ class DuckDialectSpec extends AnyFunSuite {
     intercept[GraftSqlException](translate("SELECT ([1, 2])[1] FROM t"))
   }
 
+  test("struct and map literals translate to named_struct / map constructors") {
+    assert(norm(translate("SELECT {'a': 1, 'b': x + 1} AS s FROM t")) ==
+      "SELECT named_struct('a', 1, 'b', x + 1) AS s FROM t")
+    assert(norm(translate("SELECT MAP {'k1': v, 'k2': 2} AS m FROM t")) ==
+      "SELECT map ('k1', v, 'k2', 2) AS m FROM t")
+    // nested: struct inside struct, list inside struct
+    assert(norm(translate("SELECT {'o': {'i': 1}} FROM t")) ==
+      "SELECT named_struct('o', named_struct('i', 1)) FROM t")
+    assert(norm(translate("SELECT {'l': [1, 2]} FROM t")) ==
+      "SELECT named_struct('l', array(1, 2)) FROM t")
+    // field access passes through untouched (both engines agree)
+    assert(translate("SELECT s.a, m['k'] FROM t").contains("s.a"))
+    // non-literal keys refuse loudly
+    intercept[GraftSqlException](translate("SELECT {a: 1} FROM t"))
+  }
+
   test("list_position is a plain rename: DuckDB 1.0.0 matches Spark (0 on miss)") {
     val out = norm(translate("SELECT list_position(l, e) FROM t"))
     assert(out == "SELECT array_position(l, e) FROM t")

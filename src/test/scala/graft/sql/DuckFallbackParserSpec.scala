@@ -55,8 +55,7 @@ class DuckFallbackParserSpec extends SparkSpec {
       mustMention.foreach(m => assert(e.getMessage.contains(m),
         s"message for `$sql` should mention `$m`, got: ${e.getMessage}"))
     }
-    refusal("SELECT {'a': 1} AS s FROM t", "struct/map literals", "named_struct")
-    refusal("SELECT map {'k': 2} FROM t", "struct/map literals", "map(")
+    refusal("SELECT {'a': x, b: 2} FROM t", "keys must be string literals")
     refusal("SUMMARIZE t", "SUMMARIZE", "summary()")
     refusal("SELECT a, b FROM t UNION BY NAME SELECT b, a FROM u",
       "BY NAME", "unionByName")
