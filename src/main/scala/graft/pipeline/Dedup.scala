@@ -255,14 +255,20 @@ object Dedup {
     * boilerplate — standard prefix-filtering reasoning (Xiao et al.,
     * PPJoin, WWW'08). */
   def dedupNgram(s: SparkSession, dir: String, maxDf: Int = 100): DataFrame = {
-    val sh = shingles(Tables.t(s, dir, "documents"), "text", 3)
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("shingle"))
-    val blocking = sh.join(hot, Seq("shingle"), "left_anti")
+    // Hash-identity shingles, as in dedupMinhash: blocking, df-capping,
+    // candidate join, and verification all key on the 60-bit hash — the
+    // shingle string never shuffles, and every consumer sits above the
+    // ONE distinct exchange (the sizes aggregate carries count, which is
+    // duplicate-sensitive, so the distinct below survives pruning).
+    val sh = shingleHashes(Tables.t(s, dir, "documents"), "text", 3)
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+    val blocking = sh.join(hot, Seq("h"), "left_anti")
     val cand = blocking.as("a").join(blocking.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
-    verifyJaccard(cand, sh)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    verifyJaccardHashed(cand, sh, sizes)
       .filter(col("jaccard") >= 0.6)
       .select(col("id1"), col("id2"), col("jaccard"))
   }

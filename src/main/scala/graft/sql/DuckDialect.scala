@@ -235,7 +235,18 @@ object DuckDialect {
     "epoch" -> "unix_timestamp",
     "str_split" -> "split",
     "string_split" -> "split",
-    "string_to_array" -> "split")
+    "string_to_array" -> "split",
+    // arg_max/arg_min ≡ max_by/min_by: both engines return the arg at the
+    // extremal value and ignore NULL ordering values (verified on the
+    // 1.0.0 oracle and Spark 4.1.2 side by side). NOT mapped:
+    // list_concat (DuckDB treats a NULL list as empty, Spark's concat
+    // returns NULL — silent divergence).
+    "arg_max" -> "max_by",
+    "argmax" -> "max_by",
+    "arg_min" -> "min_by",
+    "argmin" -> "min_by",
+    "starts_with" -> "startswith",
+    "ends_with" -> "endswith")
 
   /** Separator-taking splits whose second argument is a plain string in
     * DuckDB but a regex in Spark: the literal gets regex-escaped. */

@@ -157,6 +157,17 @@ object DuckSqlQueries {
       |  cardinality(MAP {'lo': n_regionkey, 'hi': n_regionkey * 2}) AS n
       |FROM nation""".stripMargin
 
+  /** arg_max/arg_min → max_by/min_by (NULL ordering values ignored on
+    * both engines) + starts_with/ends_with renames, exercised per group
+    * with a FILTER clause so the rename composes with native syntax. */
+  val argExtremeSql: String =
+    """SELECT n_regionkey,
+      |  arg_max(n_name, n_nationkey) AS mx,
+      |  arg_min(n_name, n_nationkey) AS mn,
+      |  count(*) FILTER (WHERE starts_with(n_name, 'NATION_1')) AS n1,
+      |  count(*) FILTER (WHERE ends_with(n_name, '3')) AS n3
+      |FROM nation GROUP BY n_regionkey""".stripMargin
+
   /** QUALIFY referencing a select-list ALIAS — the dominant DuckDB idiom
     * (`… AS rn … QUALIFY rn <= 2`). The translator inlines the alias's
     * defining expression into the predicate (Spark's lateral alias
@@ -196,6 +207,7 @@ object DuckSqlQueries {
     "ducksql_list_position" -> via(listPositionSql),
     "ducksql_struct_literal" -> via(structLiteralSql),
     "ducksql_map_literal" -> via(mapLiteralSql),
+    "ducksql_arg_extreme" -> via(argExtremeSql),
     "ducksql_qualify_alias" -> via(qualifyAliasSql),
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
@@ -216,6 +228,7 @@ object DuckSqlQueries {
     "ducksql_list_position" -> listPositionSql,
     "ducksql_struct_literal" -> structLiteralSql,
     "ducksql_map_literal" -> mapLiteralSql,
+    "ducksql_arg_extreme" -> argExtremeSql,
     "ducksql_qualify_alias" -> qualifyAliasSql,
     "ducksql_read_parquet" -> readParquetOracleSql)
 }

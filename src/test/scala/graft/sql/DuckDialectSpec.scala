@@ -207,6 +207,15 @@ class DuckDialectSpec extends AnyFunSuite {
     intercept[GraftSqlException](translate("SELECT {a: 1} FROM t"))
   }
 
+  test("arg_max/arg_min and starts_with/ends_with rename to the Spark spellings") {
+    assert(norm(translate("SELECT arg_max(a, b), argmin(a, b) FROM t GROUP BY g")) ==
+      "SELECT max_by(a, b), min_by(a, b) FROM t GROUP BY g")
+    assert(norm(translate("SELECT starts_with(s, 'x'), ends_with(s, 'y') FROM t")) ==
+      "SELECT startswith(s, 'x'), endswith(s, 'y') FROM t")
+    // as identifiers (no call parens) they are untouched
+    assert(norm(translate("SELECT arg_max FROM t")) == "SELECT arg_max FROM t")
+  }
+
   test("list_position is a plain rename: DuckDB 1.0.0 matches Spark (0 on miss)") {
     val out = norm(translate("SELECT list_position(l, e) FROM t"))
     assert(out == "SELECT array_position(l, e) FROM t")
