@@ -50,17 +50,6 @@ object Dedup {
       |  count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique
       |FROM documents GROUP BY source""".stripMargin
 
-  /** Word n-gram shingles of a text column (n-gram Jaccard ground set).
-    * The word array is projected once before the lambda — re-splitting
-    * inside `transform` would tokenize the document once per shingle. */
-  def shingles(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.select(col("doc_id"), split(normalized(col(textCol)), " ").as("w"))
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, greatest(size(w) - ${n - 1}, 1)), " +
-            s"i -> concat_ws(' ', slice(w, i, $n)))")).as("shingle"))
-      .distinct()
-
   /** Shingle sets by 60-bit HASH identity: (doc_id, h) distinct, where
     * h = [[hash64]](shingle). The shingle STRING never leaves the map
     * side — every downstream exchange and join carries two longs instead
@@ -101,19 +90,10 @@ object Dedup {
   private[pipeline] def mhA(i: Int): Long = ((2654435761L * (i + 1)) % 536870911L) | 1L
   private[pipeline] def mhB(i: Int): Long = (2246822519L * (i + 1)) % 536870911L
 
-  /** MinHash signatures: k universal-hash functions over one shared
-    * md5-derived base hash; one shuffle (groupBy doc). */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.withColumn("hb", hash64(0, col("shingle")) % 4294967296L)
-      .groupBy(col("doc_id"))
-      .agg(
-        min((lit(mhA(0)) * col("hb") + lit(mhB(0))) % mhP).as("h0"),
-        (1 until numHashes).map(i =>
-          min((lit(mhA(i)) * col("hb") + lit(mhB(i))) % mhP).as(s"h$i")): _*)
-
-  /** [[minhashSignatures]] over hash-identity shingles ([[shingleHashes]]
-    * output), plus the shingle-set SIZE (`n_sh` — jaccard verification
-    * needs it) in the same aggregate.
+  /** MinHash signatures over hash-identity shingles ([[shingleHashes]]
+    * output) — k universal-hash functions over one shared md5-derived
+    * base hash — plus the shingle-set SIZE (`n_sh` — jaccard
+    * verification needs it) in the same aggregate.
     *
     * The `repartition(doc_id)` is a deliberate OPTIMIZER BARRIER, not a
     * partitioning nicety. `min` is duplicate-insensitive, so Catalyst's
@@ -155,33 +135,17 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard for candidate pairs (verification stage): join
-    * through the shingle sets, never materializing full cross products.
-    * No broadcast hints: at 100 TB the LSH candidate set is 10⁸–10⁹ rows
-    * (far past any broadcast limit), so the joins shuffle on their keys;
-    * when the candidate set IS small, AQE promotes these to broadcast
-    * joins at runtime — the right plan at both scales, chosen by size. */
-  def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = pairs
-      .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
-      .select(col("id1"), col("id2"),
-        (col("n_common").cast("double") /
-          (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
-  }
-
-  /** Exact jaccard verification over HASH-identity shingle sets
-    * ([[shingleHashes]] output) — same join/aggregate shape as
-    * [[verifyJaccard]], but every key is a long, and the set sizes come
-    * from `sizes` (the signature aggregate's n_sh — a 1-row-per-doc
-    * frame) instead of a third read of the shingle exchange. The only
-    * consumers of `sh`'s distinct exchange are the two membership joins;
-    * the corpus text is read and shingled exactly once per query. */
+  /** Exact n-gram jaccard verification for candidate pairs over
+    * HASH-identity shingle sets ([[shingleHashes]] output): join through
+    * the shingle sets (never materializing full cross products), every
+    * key a long; the set sizes come from `sizes` (e.g. the signature
+    * aggregate's n_sh — a 1-row-per-doc frame) instead of a third read
+    * of the shingle exchange. No broadcast hints: at 100 TB the LSH
+    * candidate set is 10⁸–10⁹ rows (far past any broadcast limit), so
+    * the joins shuffle on their keys; when the candidate set IS small,
+    * AQE promotes them to broadcast joins at runtime. The only consumers
+    * of `sh`'s distinct exchange are the two membership joins; the
+    * corpus text is read and shingled exactly once per query. */
   def verifyJaccardHashed(pairs: DataFrame, sh: DataFrame,
       sizes: DataFrame): DataFrame = {
     val common = pairs

@@ -123,15 +123,28 @@ object GraftTable {
   }
 
   /** Canonical string encoding of an EXTERNAL (collected) value; None for
-    * non-comparable values (NaN/Infinity poison interval math). */
+    * non-comparable values (NaN/Infinity poison interval math).
+    *
+    * Two precision traps pinned by StatsPruneSpec:
+    *  - java.sql.Timestamp: `getTime` is SIGNED millis and `getNanos` the
+    *    POSITIVE sub-second part, so pre-1970 values need floorDiv — plain
+    *    `/1000` truncates toward zero and flips the fraction's sign
+    *    (1969-12-31T23:59:59.5 would encode as +0.5 s).
+    *  - Float: comparisons against literals happen in DOUBLE space (Spark
+    *    widens), so the stat must be the float's exact WIDENED double
+    *    expansion — Float.toString's shortest repr ("0.3") decodes to a
+    *    decimal BELOW the widened value (0.30000001…) and boundary
+    *    predicates would prune files that contain matches. */
   private def encodeExternal(v: Any): Option[String] = v match {
     case null => None
     case s: String => Some(s)
     case b: Boolean => Some(if (b) "1" else "0")
     case d: Double if d.isNaN || d.isInfinite => None
     case f: Float if f.isNaN || f.isInfinite => None
+    case f: java.lang.Float =>
+      Some(new java.math.BigDecimal(f.doubleValue).toPlainString)
     case t: java.sql.Timestamp =>
-      Some((t.getTime / 1000 * 1000000L + t.getNanos / 1000).toString)
+      Some((Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000).toString)
     case i: java.time.Instant =>
       Some((i.getEpochSecond * 1000000L + i.getNano / 1000).toString)
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
@@ -165,6 +178,8 @@ object GraftTable {
         case d: org.apache.spark.sql.types.Decimal => Some(NumV(d.toBigDecimal))
         case d: Double if d.isNaN || d.isInfinite => None
         case f: Float if f.isNaN || f.isInfinite => None
+        case f: java.lang.Float => // widen exactly, as encodeExternal does
+          Some(NumV(BigDecimal(new java.math.BigDecimal(f.doubleValue))))
         case n => try Some(NumV(BigDecimal(n.toString)))
           catch { case _: NumberFormatException => None }
       }
@@ -212,8 +227,12 @@ object GraftTable {
       e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Constraint] = {
     import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    // Only SINGLE-part names yield constraints: a struct-field reference
+    // `s.x` has nameParts ["s","x"], and keying it on "x" would let an
+    // unrelated top-level column x's stats prune files unsoundly.
     def name(x: Expression): Option[String] = x match {
-      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
       case _ => None
     }

@@ -181,13 +181,37 @@ object DuckDialect {
     * `floor(a / b)`); identifier operands can't be type-checked here and
     * pass through under the documented integer-only contract. */
   private def rewriteIntDiv(toks: Vector[Tok]): Vector[Tok] = {
+    // A fractional literal reaches the tokenizer in three spellings:
+    //   2.5   → num("2.5")                     (kind-5 with '.')
+    //   .5    → sym(".") + num("5")
+    //   1e3   → num("1") + word("e3")          (exponent ⇒ DOUBLE in SQL)
+    // All three must refuse; a bare identifier like `e3` must not.
+    val expWord = "^[eE][0-9]+$".r
+    def isNum(j: Int) = j >= 0 && j < toks.length && toks(j).kind == 5
+    def fractionalForward(j0: Int): Boolean = { // operand starting at j0
+      if (j0 >= toks.length) return false
+      if (toks(j0).is(".")) return true // .5
+      if (toks(j0).kind == 5) {
+        if (toks(j0).text.contains(".")) return true // 2.5
+        val after = j0 + 1 // exponent must be ADJACENT (no ws) to the digits
+        if (after < toks.length && toks(after).kind == 4 &&
+            expWord.matches(toks(after).text)) return true // 1e3
+      }
+      false
+    }
+    def fractionalBackward(jn: Int): Boolean = { // operand ending at jn
+      if (jn < 0) return false
+      if (toks(jn).kind == 5) {
+        if (toks(jn).text.contains(".")) return true // 2.5
+        if (jn - 1 >= 0 && toks(jn - 1).is(".")) return true // .5
+      }
+      if (toks(jn).kind == 4 && expWord.matches(toks(jn).text) &&
+          isNum(jn - 1)) return true // 1e3
+      false
+    }
     toks.zipWithIndex.map { case (t, i) =>
       if (t.is("//")) {
-        val p = prevIdx(toks, i); val n = nextIdx(toks, i)
-        def fractional(j: Int): Boolean =
-          j >= 0 && j < toks.length && toks(j).kind == 5 &&
-            toks(j).text.contains(".")
-        if (fractional(p) || fractional(n))
+        if (fractionalBackward(prevIdx(toks, i)) || fractionalForward(nextIdx(toks, i)))
           throw new GraftSqlException(
             "`//` on fractional operands diverges by engine (DuckDB floor-divides " +
               "returning DOUBLE; Spark DIV truncates toward zero returning BIGINT) — " +

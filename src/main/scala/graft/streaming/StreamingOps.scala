@@ -15,14 +15,30 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** Default events schema when no file exists yet to sniff: the current
+    * fixture shape with `ts` already a session-zone TIMESTAMP (the
+    * normalized form — `eventStream`'s type dispatch is then a no-op). */
+  val eventsDefaultSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** events-table schema for streaming reads, resolved from the actual
-    * fixture file (streaming sources require an explicit schema; the
-    * fixture's `ts` physical type has varied across driver versions —
-    * nanos-long, µs TIMESTAMP_NTZ, µs TIMESTAMP — so sniff, don't
-    * hard-code). */
+    * fixture file when one exists (streaming sources require an explicit
+    * schema; the fixture's `ts` physical type has varied across driver
+    * versions — nanos-long, µs TIMESTAMP_NTZ, µs TIMESTAMP — so sniff,
+    * don't hard-code). When the directory has no events file YET — the
+    * normal streaming-source lifecycle, where the stream is defined
+    * before the first micro-batch arrives — fall back to
+    * [[eventsDefaultSchema]] instead of throwing at definition time. */
   def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").schema
+    try spark.read.parquet(s"$dir/events.parquet").schema
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "PATH_NOT_FOUND" => eventsDefaultSchema }
   }
 
   /** File-based event stream over the fixture dir (one file = one

@@ -101,6 +101,53 @@ class StatsPruneSpec extends SparkSpec {
     assert((after -- before).forall(_.contains("\tc_custkey=")))
   }
 
+  test("pre-1970 fractional timestamps encode with floor semantics (sign-safe)") {
+    // 1969-12-31T23:59:59.5: getTime/1000 truncation would flip the
+    // fraction to +0.5s and the stats envelope would prune the file a
+    // DELETE on `ts < 1970-01-01` needs to rewrite
+    val root = freshRoot()
+    import java.sql.Timestamp
+    val rows = Seq(
+      (1L, Timestamp.valueOf("1969-12-31 23:59:59.5")),
+      (2L, Timestamp.valueOf("1970-01-01 00:00:01.25")),
+      (3L, Timestamp.valueOf("2001-06-15 12:00:00.0")))
+    import spark.implicits._
+    GraftTable.create(spark, root,
+      rows.toDF("id", "ts").repartitionByRange(3, col("ts")))
+    val cands = GraftTable.candidateEntries(root,
+      col("ts") < lit(Timestamp.valueOf("1970-01-01 00:00:00")))
+    assert(cands.size === 1, s"the pre-epoch file must survive pruning, got $cands")
+    GraftTable.delete(spark, root,
+      col("ts") < lit(Timestamp.valueOf("1970-01-01 00:00:00")))
+    assert(GraftTable.read(spark, root).count() === 2)
+  }
+
+  test("float stats use the widened-double expansion (boundary-safe)") {
+    // file max 0.3f; the predicate compares in DOUBLE space where
+    // 0.3f widens to 0.30000001…, ABOVE decimal 0.3 — shortest-repr
+    // stats ("0.3") would prune the file and strand the row
+    val root = freshRoot()
+    import spark.implicits._
+    GraftTable.create(spark, root,
+      Seq((1L, 0.1f), (2L, 0.3f)).toDF("id", "v").repartition(1))
+    val cands = GraftTable.candidateEntries(root,
+      col("v") > lit(0.3))
+    assert(cands.size === 1,
+      "0.3f widens above 0.3d — the file can match and must be kept")
+    GraftTable.delete(spark, root, col("v") > lit(0.3))
+    assert(GraftTable.read(spark, root).count() === 1)
+  }
+
+  test("struct-field predicates yield no constraint (no column-name aliasing)") {
+    import org.apache.spark.sql.graft.Bridge
+    // s.x must NOT be attributed to a top-level column named x
+    assert(GraftTable.extractConstraints(
+      Bridge.catalystExpression(col("s.x") === 5)).isEmpty)
+    // plain x still constrains
+    assert(GraftTable.extractConstraints(
+      Bridge.catalystExpression(col("x") === 5)).nonEmpty)
+  }
+
   test("merge prunes target files by the source's key range") {
     val root = rangedTable()
     val before = manifestLines(root, 1).toSet

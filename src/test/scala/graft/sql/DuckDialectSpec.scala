@@ -229,9 +229,16 @@ class DuckDialectSpec extends AnyFunSuite {
     val e = intercept[GraftSqlException](translate("SELECT a // 2.5 FROM t"))
     assert(e.getMessage.contains("floor(a / b)"))
     intercept[GraftSqlException](translate("SELECT 7.5 // b FROM t"))
-    // integer literals and identifiers still rewrite
+    // the two other fractional spellings: leading-dot and exponent
+    intercept[GraftSqlException](translate("SELECT a // .5 FROM t"))
+    intercept[GraftSqlException](translate("SELECT .5 // b FROM t"))
+    intercept[GraftSqlException](translate("SELECT a // 1e3 FROM t"))
+    intercept[GraftSqlException](translate("SELECT 1e3 // b FROM t"))
+    // integer literals and identifiers still rewrite — including an
+    // identifier that merely LOOKS like an exponent (`e3` alone)
     assert(norm(translate("SELECT a // 2 FROM t")).contains("DIV"))
     assert(norm(translate("SELECT a // b FROM t")).contains("DIV"))
+    assert(norm(translate("SELECT a // e3 FROM t")).contains("DIV"))
   }
 
   test("QUALIFY inlines select-list aliases into the predicate") {

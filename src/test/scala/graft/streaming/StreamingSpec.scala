@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("a stream can be DEFINED before the first events file exists") {
+    // the normal streaming-source lifecycle: schema resolution must not
+    // throw when the directory is still empty — the sniff falls back to
+    // the default (normalized-ts) schema
+    val empty = java.nio.file.Files.createTempDirectory("graft_stream_empty_").toString
+    val schema = StreamingOps.eventsRawSchema(spark, empty)
+    assert(schema === StreamingOps.eventsDefaultSchema)
+    val stream = StreamingOps.eventStream(spark, empty) // must not throw
+    assert(stream.isStreaming)
+    assert(stream.schema.fields.find(_.name == "ts").get.dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("streaming windowed counts equal the batch equivalent (complete mode)") {
     val stream = StreamingOps.eventStream(spark, sf("sf0.001"))
     val q = StreamingOps.windowedCounts(stream)
