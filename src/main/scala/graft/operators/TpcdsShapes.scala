@@ -380,7 +380,95 @@ object TpcdsShapes {
       |  SELECT o_custkey FROM orders
       |  WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01') t""".stripMargin
 
+  /** q51-shape: two channel series aggregated per month, FULL OUTER
+    * joined on the period key, then CUMULATIVE windows computed over the
+    * joined frame and compared (TPC-DS q51 flags days where the web
+    * cumulative overtakes the store cumulative). The outer join keeps
+    * months present in only one channel; the running sums are global
+    * windows over the tiny post-aggregate frame — the fact is reduced
+    * BEFORE any window sees it. */
+  def dsCumulCompare(s: SparkSession, dir: String): DataFrame = {
+    val store = Tables.t(s, dir, "orders").groupBy(
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(sum(dec(col("o_totalprice"))).as("store_d"))
+    val web = Tables.t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(date_trunc("month", col("ts"))).as("month"))
+      .agg(sum(dec(col("value"))).as("web_d"))
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    store.join(web, Seq("month"), "full_outer")
+      .withColumn("cum_store",
+        sum(coalesce(col("store_d"), lit(0).cast(DecimalType(18, 2)))).over(w)
+          .cast("double"))
+      .withColumn("cum_web",
+        sum(coalesce(col("web_d"), lit(0).cast(DecimalType(18, 2)))).over(w)
+          .cast("double"))
+      .filter(col("cum_web") * 100000 > col("cum_store"))
+      .select(col("month"), col("cum_store"), col("cum_web"))
+  }
+
+  val dsCumulCompareSql: String =
+    """WITH store AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS store_d
+      |  FROM orders GROUP BY month),
+      |web AS (
+      |  SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS web_d
+      |  FROM events WHERE event_type = 'purchase' GROUP BY month),
+      |joined AS (
+      |  SELECT coalesce(store.month, web.month) AS month, store_d, web_d
+      |  FROM store FULL OUTER JOIN web ON store.month = web.month),
+      |cum AS (
+      |  SELECT month,
+      |    CAST(sum(coalesce(store_d, CAST(0 AS DECIMAL(18,2)))) OVER (
+      |      ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_store,
+      |    CAST(sum(coalesce(web_d, CAST(0 AS DECIMAL(18,2)))) OVER (
+      |      ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_web
+      |  FROM joined)
+      |SELECT month, cum_store, cum_web FROM cum
+      |WHERE cum_web * 100000 > cum_store""".stripMargin
+
+  /** q75-shape: YEAR-OVER-YEAR comparison — one aggregate per (year,
+    * segment) self-joined on the shifted year key, reporting the revenue
+    * delta for segments that declined (TPC-DS q75's current-vs-prior
+    * channel totals). The self-join happens on the tiny post-aggregate
+    * frame, never fact-to-fact. */
+  def dsYearOverYear(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"), col("c_mktsegment"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_d"), count(lit(1)).as("n"))
+    val cur = rev.select(col("yr"), col("c_mktsegment"),
+      col("rev_d").as("cur_d"), col("n").as("cur_n"))
+    val prev = rev.select((col("yr") + 1).as("yr"), col("c_mktsegment"),
+      col("rev_d").as("prev_d"), col("n").as("prev_n"))
+    cur.join(prev, Seq("yr", "c_mktsegment"))
+      .filter(col("cur_d") < col("prev_d"))
+      .select(col("yr"), col("c_mktsegment"),
+        col("cur_d").cast("double").as("cur_rev"),
+        col("prev_d").cast("double").as("prev_rev"),
+        (col("prev_d") - col("cur_d")).cast("double").as("decline"))
+  }
+
+  val dsYearOverYearSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS yr, c_mktsegment,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d, count(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY yr, c_mktsegment)
+      |SELECT cur.yr AS yr, cur.c_mktsegment AS c_mktsegment,
+      |  CAST(cur.rev_d AS DOUBLE) AS cur_rev,
+      |  CAST(prev.rev_d AS DOUBLE) AS prev_rev,
+      |  CAST(prev.rev_d - cur.rev_d AS DOUBLE) AS decline
+      |FROM rev cur JOIN rev prev
+      |  ON cur.yr = prev.yr + 1 AND cur.c_mktsegment = prev.c_mktsegment
+      |WHERE cur.rev_d < prev.rev_d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_cumul_compare" -> (dsCumulCompare _),
+    "ds_year_over_year" -> (dsYearOverYear _),
     "ds_correlated_exists" -> (dsCorrelatedExists _),
     "ds_union_window" -> (dsUnionWindow _),
     "ds_rollup_join" -> (dsRollupJoin _),
@@ -395,6 +483,8 @@ object TpcdsShapes {
     "ds_avg_band" -> (dsAvgBand _))
 
   val oracle: Map[String, String] = Map(
+    "ds_cumul_compare" -> dsCumulCompareSql,
+    "ds_year_over_year" -> dsYearOverYearSql,
     "ds_correlated_exists" -> dsCorrelatedExistsSql,
     "ds_union_window" -> dsUnionWindowSql,
     "ds_rollup_join" -> dsRollupJoinSql,

@@ -51,6 +51,25 @@ class TpcdsShapesSpec extends SparkSpec {
     assert(total === graft.Tables.t(spark, sf(), "customer").count())
   }
 
+  test("cumulative-compare: full outer join survives into the plan, windows follow") {
+    val df = TpcdsShapes.dsCumulCompare(spark, sf())
+    val p = plan(df)
+    assert(p.contains("FullOuter"), "month series must full-outer join")
+    assert(p.contains("Window"))
+    // cumulative sums are monotone nondecreasing over months
+    val rows = TpcdsShapes.dsCumulCompare(spark, sf("sf0.001")).collect()
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0))
+  }
+
+  test("year-over-year: self-join happens on the post-aggregate frame") {
+    val df = TpcdsShapes.dsYearOverYear(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    val rows = df.collect()
+    // every reported row is a genuine decline
+    rows.foreach(r => assert(r.getDouble(4) > 0.0, "decline must be positive"))
+  }
+
   test("intersect-chain: date filters push to the scans; result bounded by each leg") {
     val df = TpcdsShapes.dsIntersectChain(spark, sf())
     val p = plan(df)
