@@ -109,6 +109,21 @@ object Bench {
   /** Key shift between copies: far above any fixture key at bench scales. */
   private val copyShift = 1000000000L
 
+  /** SparkListener events arrive on an async bus: wait (bounded) until
+    * the metrics' observed task count has been STABLE for a few polls —
+    * waiting for just the first event still undercounts when later
+    * task-end events are in flight. */
+  private def drainMetrics(m: compaction.ChunkMetrics,
+      timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var prev = -1L; var stable = 0
+    while (stable < 3 && System.currentTimeMillis() < deadline) {
+      val n = m.snapshot.values.map(_.tasks).sum
+      if (n == prev && n > 0) stable += 1 else { stable = 0; prev = n }
+      Thread.sleep(100)
+    }
+  }
+
   /** Re-stage fixtures into engine-native layout (untimed): ~8 MB
     * uncompressed files (one scan task each), range-sorted where a
     * natural key exists; tiny dimensions stay single-file. With
@@ -359,13 +374,7 @@ object Bench {
         val t0 = System.nanoTime()
         flood(spark)
         val secs = (System.nanoTime() - t0) / 1e9
-        val deadline = System.currentTimeMillis() + 10000
-        var prev = -1L; var stable = 0
-        while (stable < 3 && System.currentTimeMillis() < deadline) {
-          val n = m.snapshot.values.map(_.tasks).sum
-          if (n == prev && n > 0) stable += 1 else { stable = 0; prev = n }
-          Thread.sleep(100)
-        }
+        drainMetrics(m)
         spark.sparkContext.removeSparkListener(m)
         (secs, m.smallTaskFraction(1024))
       }
@@ -402,19 +411,7 @@ object Bench {
     try SparkEntry.queries("job_deep_join")(spark, benchDir)
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => if (strict) throw e }
-    // SparkListener events arrive on an async bus: wait (bounded) until
-    // the observed task count has been STABLE for a few polls — waiting
-    // for just the first event still undercounts when later task-end
-    // events are in flight.
-    val drainDeadline = System.currentTimeMillis() + 10000
-    var prevTasks = -1L
-    var stablePolls = 0
-    while (stablePolls < 3 && System.currentTimeMillis() < drainDeadline) {
-      val n = metrics.snapshot.values.map(_.tasks).sum
-      if (n == prevTasks && n > 0) stablePolls += 1
-      else { stablePolls = 0; prevTasks = n }
-      Thread.sleep(100)
-    }
+    drainMetrics(metrics)
     val stf = metrics.smallTaskFraction(1024)
 
     // Totals over finite values only: one failed query (NaN in non-strict

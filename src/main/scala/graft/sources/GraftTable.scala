@@ -272,8 +272,7 @@ object GraftTable {
             (name(args.head), vs) match {
               case (Some(n), svOpts) if svOpts.forall(_.isDefined) =>
                 val svs = svOpts.map(_.get)
-                if (svs.sliding(2).exists {
-                  case Seq(x, y) => !sameFamily(x, y); case _ => false }) Nil
+                if (!svs.forall(sameFamily(_, svs.head))) Nil
                 else Seq(Constraint(n,
                   Some(svs.reduce((x, y) => if (x.cmp(y) <= 0) x else y)), true,
                   Some(svs.reduce((x, y) => if (x.cmp(y) >= 0) x else y)), true))
@@ -287,15 +286,17 @@ object GraftTable {
 
   /** Can the file behind `line` possibly hold a row matching every
     * constraint? Missing stats (legacy line, all-null file, family
-    * mismatch) → must keep. */
+    * mismatch) → must keep. `types` is the schema's name→type map,
+    * precomputed once per prune (this runs once per MANIFEST LINE — at
+    * 10⁶ files a per-file linear field scan would dominate the prune). */
   private def canMatch(line: String, cs: Seq[Constraint],
-      schema: StructType): Boolean = {
+      types: Map[String, DataType]): Boolean = {
     if (cs.isEmpty) return true
     val stats = entryStats(line)
     cs.forall { c =>
-      (stats.get(c.col), schema.fields.find(_.name == c.col)) match {
-        case (Some((mnS, mxS)), Some(f)) =>
-          (decodeStat(mnS, f.dataType), decodeStat(mxS, f.dataType)) match {
+      (stats.get(c.col), types.get(c.col)) match {
+        case (Some((mnS, mxS)), Some(dt)) =>
+          (decodeStat(mnS, dt), decodeStat(mxS, dt)) match {
             case (Some(mn), Some(mx))
                 if c.lo.forall(sameFamily(_, mn)) && c.hi.forall(sameFamily(_, mx)) =>
               val okHi = c.hi.forall(h =>
@@ -310,12 +311,15 @@ object GraftTable {
     }
   }
 
+  private def typeMap(schema: StructType): Map[String, DataType] =
+    schema.fields.map(f => f.name -> f.dataType).toMap
+
   /** Manifest entries of the current version that survive stats pruning
     * against `pred` — the driver-side skip layer (exposed for tests). */
   private[sources] def candidateEntries(root: String, pred: Column): Seq[String] = {
     val cs = extractConstraints(org.apache.spark.sql.graft.Bridge.catalystExpression(pred))
-    val schema = schemaOf(root)
-    manifest(root, currentVersion(root)).filter(canMatch(_, cs, schema))
+    val types = typeMap(schemaOf(root))
+    manifest(root, currentVersion(root)).filter(canMatch(_, cs, types))
   }
 
   /** Commit a new version. `txn` stamps the manifest with a streaming
@@ -590,7 +594,8 @@ object GraftTable {
           }
         }
       }
-    val candidates = entries.filter(canMatch(_, keyRange, schema)).map(entryPath)
+    val keyTypes = typeMap(schema)
+    val candidates = entries.filter(canMatch(_, keyRange, keyTypes)).map(entryPath)
     val hitFiles: Seq[String] =
       if (candidates.isEmpty) Nil
       else readFiles(spark, root, candidates)

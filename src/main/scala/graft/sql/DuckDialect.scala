@@ -477,6 +477,16 @@ object DuckDialect {
     */
   private def rewriteBrackets(toks: Vector[Tok]): Vector[Tok] = {
     val out = toks.toBuffer
+    // index of the `]` matching the `[` at `open`
+    def closing(open: Int): Int = {
+      var d = 0; var j = open
+      while (j < out.length) {
+        if (out(j).is("[")) d += 1
+        else if (out(j).is("]")) { d -= 1; if (d == 0) return j }
+        j += 1
+      }
+      throw new GraftSqlException("unbalanced [ ] in SQL")
+    }
     var i = 0
     while (i < out.length) {
       if (out(i).is("[")) {
@@ -489,13 +499,7 @@ object DuckDialect {
         val isSubscript = !isLiteral && p >= 0 &&
           (out(p).kind == 3 || out(p).kind == 4 || out(p).is(")") || out(p).is("]"))
         if (isLiteral) {
-          var d = 0; var j = i; var close = -1
-          while (j < out.length && close < 0) {
-            if (out(j).is("[")) d += 1
-            else if (out(j).is("]")) { d -= 1; if (d == 0) close = j }
-            j += 1
-          }
-          if (close < 0) throw new GraftSqlException("unbalanced [ ] in SQL")
+          val close = closing(i)
           // list COMPREHENSION `[expr FOR x IN list]` is not a literal we
           // can translate structurally — refuse with the Spark recipe
           var d2 = 0; var k = i
@@ -519,13 +523,7 @@ object DuckDialect {
           // do NOT advance past i: the inserted tokens shift indices and
           // the next iteration re-examines from the constructor onward.
         } else if (isSubscript) {
-          var d = 0; var j = i; var close = -1
-          while (j < out.length && close < 0) {
-            if (out(j).is("[")) d += 1
-            else if (out(j).is("]")) { d -= 1; if (d == 0) close = j }
-            j += 1
-          }
-          if (close < 0) throw new GraftSqlException("unbalanced [ ] in SQL")
+          val close = closing(i)
           val inner = v.slice(i + 1, close).filterNot(_.isWs)
           val isMapKey = inner.length == 1 && inner.head.kind == 2
           if (!isMapKey)
