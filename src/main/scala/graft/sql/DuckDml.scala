@@ -18,23 +18,58 @@ import DuckDialect.{GraftSqlException, Tok, tokenize}
   * DELETE/UPDATE predicates and assignment expressions are Spark
   * `expr()` strings after the same token-level function renames.
   *
-  * Unsupported statements (MERGE strings, multi-table UPDATE, RETURNING)
-  * throw `GraftSqlException` — the DataFrame API (`GraftTable.merge`)
-  * covers MERGE.
+  * Fail-loudly contract: every unsupported or malformed statement —
+  * MERGE strings, multi-table `UPDATE … FROM`, RETURNING, truncated
+  * statements, duplicate SET targets, CREATE over an existing table —
+  * throws `GraftSqlException`, never a raw parser/index error. The
+  * DataFrame API (`GraftTable.merge`) covers MERGE.
   */
 object DuckDml {
 
   private def words(toks: Vector[Tok]): Vector[Tok] = toks.filterNot(_.isWs)
 
+  /** Strip surrounding double-quote / backtick from an identifier token's
+    * text (kind 3); bare words pass through. */
+  private def identText(t: Tok): String =
+    if (t.kind == 3 && t.text.length >= 2) t.text.substring(1, t.text.length - 1)
+    else t.text
+
   /** Execute one DML statement; returns the table root it mutated. */
   def exec(spark: SparkSession, tables: Map[String, String], sql: String): String = {
-    val toks = words(tokenize(sql.stripSuffix(";")))
+    // ONE tokenization: `full` keeps whitespace (for re-rendering spans
+    // verbatim), `toks` is the non-ws view all indices below refer to.
+    val full = tokenize(sql.stripSuffix(";"))
+    val toks = words(full)
     def w(i: Int): String = if (i < toks.length) toks(i).word else ""
-    def root(name: Tok): String = tables.getOrElse(name.text.toLowerCase,
-      throw new GraftSqlException(
-        s"unknown table '${name.text}' — register its GraftTable root in the catalog map"))
+    // bounds-safe token access: a truncated statement must refuse, not
+    // throw IndexOutOfBounds
+    def tok(i: Int): Tok =
+      if (i < toks.length) toks(i)
+      else throw new GraftSqlException(
+        s"statement ended unexpectedly after '${toks.lastOption.map(_.text).getOrElse("")}'")
+    // quoted table references resolve like bare ones (the column side
+    // already strips quotes — identifiers are identifiers)
+    def root(name: Tok): String = {
+      val n = identText(name).toLowerCase
+      tables.getOrElse(n,
+        throw new GraftSqlException(
+          s"unknown table '${name.text}' — register its GraftTable root in the catalog map"))
+    }
+    // original-text remainder starting at non-ws token index `i`
+    def rest(i: Int): String = {
+      tok(i) // bounds check with the loud refusal
+      var seen = 0; var j = 0
+      while (j < full.length) {
+        if (!full(j).isWs) {
+          if (seen == i) return full.drop(j).map(_.text).mkString
+          seen += 1
+        }
+        j += 1
+      }
+      throw new GraftSqlException("statement ended unexpectedly") // unreachable
+    }
     def sourceQuery(fromTok: Int): DataFrame = {
-      val src = DuckDialect.translate(rest(sql, toks, fromTok))
+      val src = DuckDialect.translate(rest(fromTok))
       tables.get("__dir") match {
         case Some(dir) => graft.Tables.sql(spark, dir, src)
         case None => spark.sql(src)
@@ -45,21 +80,35 @@ object DuckDml {
         // CREATE TABLE <name> AS <query> — materializes version 1 at the
         // catalog root registered for <name>
         if (w(1) != "table") throw new GraftSqlException("CREATE must be CREATE TABLE")
-        val r = root(toks(2))
+        val r = root(tok(2))
         if (w(3) != "as")
           throw new GraftSqlException(
             "only CREATE TABLE … AS SELECT is supported (schema-only CREATE needs a typed API: GraftTable.create)")
+        // an initialized root means live data: DuckDB raises "table
+        // already exists" here, and silently re-creating would orphan
+        // every existing manifest version (time travel would mix old
+        // manifests with the new v1) — refuse instead
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$r/_current")))
+          throw new GraftSqlException(
+            s"table '${tok(2).text}' already exists at $r — DROP it (remove the root) first; " +
+              "CREATE OR REPLACE is not supported")
         GraftTable.create(spark, r, sourceQuery(4))
         r
       case "insert" =>
         if (w(1) != "into") throw new GraftSqlException("INSERT must be INSERT INTO")
-        val r = root(toks(2))
+        val r = root(tok(2))
         var i = 3
         var cols: Seq[String] = Nil
         if (i < toks.length && toks(i).is("(")) {
-          // column list: words until the matching )
+          // column list: identifiers (bare or quoted) until the matching )
           val end = toks.indexWhere(_.is(")"), i)
-          cols = toks.slice(i + 1, end).filter(_.kind == 4).map(_.text)
+          if (end < 0) throw new GraftSqlException("unbalanced ( ) in INSERT column list")
+          val listed = toks.slice(i + 1, end)
+          val bad = listed.filterNot(t => t.kind == 4 || t.kind == 3 || t.is(","))
+          if (bad.nonEmpty)
+            throw new GraftSqlException(
+              s"INSERT column list must be identifiers, got '${bad.head.text}'")
+          cols = listed.filter(t => t.kind == 4 || t.kind == 3).map(identText)
           i = end + 1
         }
         // remainder is the source query (VALUES … or SELECT …),
@@ -90,19 +139,25 @@ object DuckDml {
         r
       case "delete" =>
         if (w(1) != "from") throw new GraftSqlException("DELETE must be DELETE FROM")
-        val r = root(toks(2))
+        val r = root(tok(2))
         if (w(3) != "where")
           throw new GraftSqlException("DELETE without WHERE is refused; use WHERE true to empty a table")
-        GraftTable.delete(spark, r, expr(DuckDialect.translate(rest(sql, toks, 4))))
+        GraftTable.delete(spark, r, expr(DuckDialect.translate(rest(4))))
         r
       case "update" =>
-        val r = root(toks(1))
+        val r = root(tok(1))
         if (w(2) != "set") throw new GraftSqlException("UPDATE must be UPDATE <table> SET")
         // assignments: depth-0 comma-separated `col = expr`, up to WHERE
-        val full = tokenize(sql.stripSuffix(";"))
         val setAt = indexOfWord(full, "set")
         val whereAt = indexOfWord(full, "where")
         val assignSpan = full.slice(setAt + 1, if (whereAt < 0) full.length else whereAt)
+        // multi-table UPDATE (a top-level FROM in the assignment span) is
+        // unsupported — refuse with the typed error, not a leaked Spark
+        // ParseException from the fragment
+        if (indexOfWord(assignSpan, "from") >= 0)
+          throw new GraftSqlException(
+            "multi-table UPDATE … FROM is unsupported — express the join as a " +
+              "MERGE (GraftTable.merge) or pre-compute the values into the predicate")
         // SET targets canonicalize case-insensitively through the table
         // schema, same as the INSERT column list (SQL identifiers are
         // case-insensitive; GraftTable.update requires exact field names)
@@ -112,7 +167,7 @@ object DuckDml {
           val eq = topIndexOf(item, "=")
           if (eq < 0) throw new GraftSqlException("UPDATE SET items must be col = expr")
           val colName = item.take(eq).filterNot(_.isWs) match {
-            case Vector(t) if t.kind == 4 || t.kind == 3 => t.text.stripPrefix("\"").stripSuffix("\"")
+            case Vector(t) if t.kind == 4 || t.kind == 3 => identText(t)
             case _ => throw new GraftSqlException("UPDATE SET target must be a single column")
           }
           val target = canon.getOrElse(colName.toLowerCase,
@@ -120,12 +175,18 @@ object DuckDml {
               s"unknown column '$colName' in UPDATE SET (table has ${schema.fieldNames.mkString(", ")})"))
           target -> expr(DuckDialect.translate(
             item.drop(eq + 1).map(_.text).mkString))
-        }.toMap
+        }
+        // duplicate targets would silently last-win through toMap; DuckDB
+        // (and the SQL standard) reject multiple assignments to a column
+        val dup = assigns.map(_._1).groupBy(identity).collectFirst {
+          case (c, occ) if occ.length > 1 => c }
+        dup.foreach(c => throw new GraftSqlException(
+          s"multiple assignments to column '$c' in UPDATE SET"))
         val pred =
           if (whereAt < 0) expr("true")
           else expr(DuckDialect.translate(
             full.drop(whereAt + 1).map(_.text).mkString))
-        GraftTable.update(spark, r, pred, assigns)
+        GraftTable.update(spark, r, pred, assigns.toMap)
         r
       case other =>
         throw new GraftSqlException(
@@ -133,29 +194,20 @@ object DuckDml {
     }
   }
 
-  /** Original-text remainder starting at non-ws token index `i`. */
-  private def rest(sql: String, toks: Vector[Tok], i: Int): String = {
-    val target = toks(i)
-    // find the i-th non-ws token's position in the raw token stream, then
-    // re-render from there
-    val full = tokenize(sql.stripSuffix(";"))
-    var seen = 0; var j = 0
-    while (j < full.length) {
-      if (!full(j).isWs) {
-        if (seen == i) return full.drop(j).map(_.text).mkString
-        seen += 1
-      }
-      j += 1
-    }
-    throw new GraftSqlException(s"statement ended before expected token ${target.text}")
-  }
+  // Depth tracking spans EVERY bracket family: DuckDB list literals
+  // `['a','b']` and struct literals `{'k': v}` carry top-level-looking
+  // commas that must not split SET items (DuckDialect.translate handles
+  // the literals themselves downstream).
+  private def depthDelta(t: Tok): Int =
+    if (t.is("(") || t.is("[") || t.is("{")) 1
+    else if (t.is(")") || t.is("]") || t.is("}")) -1
+    else 0
 
   private def indexOfWord(toks: Vector[Tok], word: String): Int = {
     var d = 0; var i = 0
     while (i < toks.length) {
-      if (toks(i).is("(")) d += 1
-      else if (toks(i).is(")")) d -= 1
-      else if (d == 0 && toks(i).kind == 4 && toks(i).word == word) return i
+      d += depthDelta(toks(i))
+      if (d == 0 && toks(i).kind == 4 && toks(i).word == word) return i
       i += 1
     }
     -1
@@ -164,9 +216,8 @@ object DuckDml {
   private def topIndexOf(toks: Vector[Tok], sym: String): Int = {
     var d = 0; var i = 0
     while (i < toks.length) {
-      if (toks(i).is("(")) d += 1
-      else if (toks(i).is(")")) d -= 1
-      else if (d == 0 && toks(i).is(sym)) return i
+      d += depthDelta(toks(i))
+      if (d == 0 && toks(i).is(sym)) return i
       i += 1
     }
     -1
@@ -176,9 +227,8 @@ object DuckDml {
     val out = Vector.newBuilder[Vector[Tok]]
     var d = 0; var s = 0
     toks.indices.foreach { i =>
-      if (toks(i).is("(")) d += 1
-      else if (toks(i).is(")")) d -= 1
-      else if (d == 0 && toks(i).is(sep)) { out += toks.slice(s, i); s = i + 1 }
+      d += depthDelta(toks(i))
+      if (d == 0 && toks(i).is(sep)) { out += toks.slice(s, i); s = i + 1 }
     }
     out += toks.slice(s, toks.length)
     out.result()

@@ -29,6 +29,48 @@ class DuckDmlSpec extends SparkSpec {
       (4L, "d", 40.0), (5L, "e", 50.0)))
   }
 
+  test("QUOTED identifiers work in column lists, SET targets, and table refs") {
+    val (root, cat) = freshTable()
+    // quoted + REORDERED column list: values must land by NAME, not
+    // position (a dropped quoted list would map positionally — silent swap)
+    DuckDml.exec(spark, cat,
+      "INSERT INTO \"t\" (\"bal\", \"id\", \"name\") VALUES (40.0, 4, 'd')")
+    assert(state(root).contains((4L, "d", 40.0)))
+    DuckDml.exec(spark, cat, "UPDATE \"t\" SET \"bal\" = 99.0 WHERE id = 4")
+    assert(state(root).contains((4L, "d", 99.0)))
+    DuckDml.exec(spark, cat, "DELETE FROM \"t\" WHERE id = 4")
+    assert(!state(root).exists(_._1 == 4L))
+  }
+
+  test("truncated statements refuse loudly, never IndexOutOfBounds") {
+    val (_, cat) = freshTable()
+    for (bad <- Seq("INSERT INTO", "DELETE FROM", "UPDATE", "CREATE TABLE",
+        "DELETE FROM t WHERE", "INSERT INTO t", "CREATE TABLE t AS"))
+      withClue(bad)(intercept[GraftSqlException](DuckDml.exec(spark, cat, bad)))
+  }
+
+  test("CREATE TABLE AS over an existing table refuses (no silent clobber)") {
+    val (root, cat) = freshTable()
+    val e = intercept[GraftSqlException](DuckDml.exec(spark, cat,
+      "CREATE TABLE t AS SELECT 1 AS id, 'x' AS name, 0.0 AS bal"))
+    assert(e.getMessage.contains("already exists"))
+    assert(state(root).size === 3, "existing data untouched after the refusal")
+  }
+
+  test("UPDATE SET splits around list/struct literals, refuses duplicates and FROM") {
+    val (root, cat) = freshTable()
+    // a bracket literal's inner comma must not split the assignment list
+    DuckDml.exec(spark, cat,
+      "UPDATE t SET name = array_join(['x', 'y'], '-'), bal = 1.0 WHERE id = 1")
+    assert(state(root).contains((1L, "x-y", 1.0)))
+    val dup = intercept[GraftSqlException](DuckDml.exec(spark, cat,
+      "UPDATE t SET bal = 1, bal = 2 WHERE id = 1"))
+    assert(dup.getMessage.contains("multiple assignments"))
+    val multi = intercept[GraftSqlException](DuckDml.exec(spark, cat,
+      "UPDATE t SET bal = 1 FROM s WHERE t.id = s.id"))
+    assert(multi.getMessage.contains("multi-table"))
+  }
+
   test("INSERT with a partial column list NULL-fills the unlisted columns") {
     val (root, cat) = freshTable()
     DuckDml.exec(spark, cat, "INSERT INTO t (id, name) VALUES (9, 'z')")
