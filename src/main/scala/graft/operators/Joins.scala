@@ -101,13 +101,11 @@ object Joins {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
 
   /** MARK join — IN-subquery surfaced as a boolean column (reference
-    * JoinType::MARK; Catalyst ExistenceJoin). */
+    * JoinType::MARK; Catalyst ExistenceJoin). Runs the oracle string
+    * itself (single source — the differential check compares the same
+    * SQL on both engines by construction). */
   def joinMark(s: SparkSession, dir: String): DataFrame =
-    Tables.sql(s, dir,
-      """SELECT flag, count(*) AS n FROM (
-        |  SELECT o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) AS flag
-        |  FROM orders) t
-        |GROUP BY flag""".stripMargin)
+    Tables.sql(s, dir, joinMarkSql)
 
   val joinMarkSql: String =
     """SELECT flag, count(*) AS n FROM (
@@ -255,8 +253,13 @@ object Joins {
     // point of a scalable recipe.
     // replace (not duplicate) a pre-existing pos column, matching the old
     // withColumn semantics
+    // NULLS LAST explicitly: the documented oracle pattern
+    // (`row_number() OVER (ORDER BY key)`) numbers NULL keys LAST under
+    // DuckDB's default; Spark's bare `asc` is NULLS FIRST, which would
+    // shift every non-NULL row's position by the NULL count.
     val base = if (df.columns.contains("pos")) df.drop("pos") else df
-    val sorted = base.repartitionByRange(parts, key.asc).sortWithinPartitions(key.asc)
+    val sorted = base.repartitionByRange(parts, key.asc_nulls_last)
+      .sortWithinPartitions(key.asc_nulls_last)
     val schema = sorted.schema.add("pos", org.apache.spark.sql.types.LongType,
       nullable = false)
     val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>

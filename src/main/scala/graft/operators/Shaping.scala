@@ -205,8 +205,12 @@ object Shaping {
     // percent*count (reference `physical_limit_percent.cpp:119`
     // `idx_t(percent / 100.0 * count)`), not the exact integer 7n/100;
     // near-integral products can differ by one row between the two forms.
+    // clamp: .toInt past Int.MaxValue wraps (negative limit → runtime
+    // error; wrapped positive → silently wrong count). Spark's limit is
+    // Int-typed, so Int.MaxValue is the honest ceiling.
+    val k = math.min((7.0 / 100.0 * n).toLong, Int.MaxValue.toLong).toInt
     df.orderBy(col("o_orderkey"))
-      .limit((7.0 / 100.0 * n).toLong.toInt)
+      .limit(k)
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 

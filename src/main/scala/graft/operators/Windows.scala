@@ -191,15 +191,22 @@ object Windows {
   /** Frame EXCLUDE CURRENT ROW (reference `window_expression.hpp`
     * WindowExcludeMode): Spark has no EXCLUDE syntax, but for
     * distributive aggregates it composes exactly — aggregate over the
-    * full frame minus the current row's contribution. The oracle runs
-    * DuckDB's NATIVE `EXCLUDE CURRENT ROW`, so the composition is
+    * full frame minus the current row's contribution — PROVIDED the NULL
+    * cases are handled: subtracting a NULL current value would null the
+    * whole neighbor sum, and an excluded-frame with zero non-null
+    * contributors must yield NULL (SQL sum-of-empty), not 0. The oracle
+    * runs DuckDB's NATIVE `EXCLUDE CURRENT ROW`, so the composition is
     * verified against the real operator semantics, in exact DECIMAL. */
   def winExclude(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(-2, 2)
+    val exclNonNull = count(col("value")).over(w) -
+      when(col("value").isNotNull, 1).otherwise(0)
     Tables.t(s, dir, "events").filter(col("user_id") < 100)
       .select(col("user_id"), col("event_id"),
-        (sum(dec(col("value"))).over(w) - dec(col("value")))
+        when(exclNonNull === 0, lit(null))
+          .otherwise(sum(dec(col("value"))).over(w) -
+            coalesce(dec(col("value")), lit(0).cast(DecimalType(18, 2))))
           .cast("double").as("neighbor_sum"),
         (count(lit(1)).over(w) - 1).as("n_neighbors"))
   }

@@ -9,6 +9,50 @@ import org.apache.spark.sql.functions._
   * at suite speed without the DuckDB gate. */
 class RelationalSugarSpec extends SparkSpec {
 
+  test("EXCLUDE CURRENT ROW composition is NULL-exact (fixture has no NULLs)") {
+    // DuckDB's native EXCLUDE semantics on NULLs: a NULL current value
+    // must not null the neighbor sum, and an excluded frame with zero
+    // non-null contributors must yield NULL, not 0. The events fixture
+    // happens to be NULL-free, so the oracle can't pin this — pin it here
+    // with a constructed frame. Window: rows between -1 and 1, per key.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1, 1, Some(10.0)), (1, 2, None), (1, 3, Some(30.0)), // NULL current mid-frame
+      (2, 1, Some(5.0)), (2, 2, None), (2, 3, None)         // only-contributor case
+    ).toDF("k", "seq", "value")
+    val w = Window.partitionBy($"k").orderBy($"seq").rowsBetween(-1, 1)
+    val exclNonNull = count($"value").over(w) -
+      when($"value".isNotNull, 1).otherwise(0)
+    val out = df.select($"k", $"seq",
+        when(exclNonNull === 0, lit(null))
+          .otherwise(sum($"value").over(w) - coalesce($"value", lit(0.0)))
+          .as("neighbor_sum"))
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out === Set(
+      (1, 1, None),        // frame {10,NULL}, excl self → {NULL} → NULL
+      (1, 2, Some(40.0)),  // NULL current, neighbors 10+30
+      (1, 3, None),        // frame {NULL,30}, excl self → {NULL} → NULL
+      (2, 1, None),        // frame {5,NULL}, excl self → {NULL} → NULL
+      (2, 2, Some(5.0)),   // NULL current, neighbors {5,NULL} → 5
+      (2, 3, None)))       // frame {NULL,NULL}, excl self → {NULL} → NULL
+  }
+
+  test("globalPosition numbers NULL keys LAST (DuckDB row_number parity)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(Some(10L), None, Some(5L), None, Some(20L)).toDF("k")
+    val pos = Joins.globalPosition(df, col("k"), 2)
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getLong(1)))
+      .toSet
+    // non-NULL keys take positions 1..3 in key order; NULLs take 4..5
+    assert(pos.filter(_._1.isDefined).map(p => (p._1.get, p._2)) ===
+      Set((5L, 1L), (10L, 2L), (20L, 3L)))
+    assert(pos.filter(_._1.isEmpty).map(_._2) === Set(4L, 5L))
+  }
+
   test("join_lateral equals the explicit window top-k filter") {
     val lateral = Joins.joinLateral(spark, sf())
     // independent phrasing: rank customers per nation, keep top 2
