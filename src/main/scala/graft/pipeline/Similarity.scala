@@ -29,8 +29,13 @@ object Similarity {
       (col("id") % dim).cast("int").as("d"),
       (Dedup.hash64(seed, col("id")) % 1024 - 512).cast("double").as("w"))
 
-  /** Sign-random-projection bucket id per vector: bit j = sign(v·plane_j). */
-  def lshBuckets(vecs: DataFrame, planes: DataFrame, numPlanes: Int): DataFrame = {
+  /** Sign-random-projection bucket id per vector: bit j = sign(v·plane_j).
+    * The plane set is defined entirely by the `planes` frame (bit width =
+    * its distinct plane count). Vectors with a NULL embedding get NO
+    * bucket (posexplode emits no rows) — they cannot be hashed, so they
+    * are excluded from both index and candidates; the oracle applies the
+    * same exclusion explicitly. */
+  def lshBuckets(vecs: DataFrame, planes: DataFrame): DataFrame = {
     val unpacked = vecs.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
     unpacked.join(broadcast(planes), "d")
       .groupBy(col("vec_id"), col("plane"))
@@ -65,7 +70,7 @@ object Similarity {
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
     val planes = hyperplanes(s, numPlanes = 8, dim = 64)
-    val buckets = lshBuckets(e, planes, 8)
+    val buckets = lshBuckets(e, planes)
     val withB = e.join(buckets, "vec_id")
     val probes = withB.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("q"), col("bucket"))
@@ -90,7 +95,9 @@ object Similarity {
        |  FROM (SELECT unnest(range(8)) AS plane) p, (SELECT unnest(range(64)) AS d) d),
        |dots AS (
        |  SELECT e.vec_id, pl.plane, sum(e.embedding[pl.d+1] * pl.w) AS dot
-       |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.plane),
+       |  FROM embeddings e, planes pl
+       |  WHERE e.embedding IS NOT NULL
+       |  GROUP BY e.vec_id, pl.plane),
        |buckets AS (
        |  SELECT vec_id,
        |    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS BIGINT) AS bucket
@@ -116,21 +123,34 @@ object Similarity {
     * ranking), which is the Spark-side deliverable — and determinism
     * makes the whole index oracle-checkable (exact float32 cosine on
     * both engines). */
-  def ivfCells(e: DataFrame, nlist: Int): DataFrame = {
-    val cents = e.filter(col("vec_id") < nlist)
+  /** The deterministic codebook: the first nlist vectors — ONE
+    * definition shared by cell assignment and the probe ranking (a
+    * second spelling with its own literal would silently drift if nlist
+    * were ever tuned in one place only). */
+  def ivfCentroids(e: DataFrame, nlist: Int): DataFrame =
+    e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  def ivfCells(e: DataFrame, nlist: Int): DataFrame = {
+    val cents = ivfCentroids(e, nlist)
     // Argmin as a `min_by(struct)` aggregation, not a row_number window:
     // the window form sorts nlist rows per vector (10⁹ × 1024-way sorts at
     // production scale); min_by is one hash-aggregate pass with no sort.
     // struct(-cos, cid) orders by highest cosine, then lowest cid — the
-    // same total order the window's (cos DESC, cid ASC) gave.
+    // same total order the window's (cos DESC, cid ASC) gave. NaN cosines
+    // (zero-norm vector or centroid) are filtered BEFORE the argmin:
+    // engines order NaN differently (Spark sorts it greatest, DuckDB's
+    // DESC puts it first), so the only cross-engine-stable semantics is
+    // "a degenerate pair never wins a cell"; a vector whose every cosine
+    // is NaN gets no cell at all — on both sides.
     e.join(broadcast(cents))
+      .withColumn("cos", G.list_cosine_similarity(col("embedding"), col("cvec")))
+      .filter(!isnan(col("cos")))
       .groupBy(col("vec_id"))
       .agg(
         first(col("embedding")).as("embedding"),
         min_by(col("cid"),
-          struct((G.list_cosine_similarity(col("embedding"), col("cvec")) * -1).as("negCos"),
-            col("cid"))).as("cid"))
+          struct((col("cos") * -1).as("negCos"), col("cid"))).as("cid"))
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
@@ -138,15 +158,17 @@ object Similarity {
     * cells and rank candidates by exact cosine (top-5). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
-    val cells = ivfCells(e, nlist = 16)
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val nlist = 16
+    val cells = ivfCells(e, nlist)
+    val cents = ivfCentroids(e, nlist)
     val probeCells = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("q"))
       .join(broadcast(cents))
+      .withColumn("pcos", G.list_cosine_similarity(col("q"), col("cvec")))
+      .filter(!isnan(col("pcos")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-          .orderBy(G.list_cosine_similarity(col("q"), col("cvec")).desc, col("cid"))))
+          .orderBy(col("pcos").desc, col("cid"))))
       .filter(col("rn") <= 2)
       .select(col("qid"), col("q"), col("cid"))
     cells.join(probeCells, Seq("cid"))
@@ -168,13 +190,17 @@ object Similarity {
       |    SELECT e.vec_id, e.embedding, c.cid,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
-      |    FROM embeddings e, cents c) a WHERE rn = 1),
+      |    FROM embeddings e, cents c
+      |    WHERE NOT isnan(list_cosine_similarity(e.embedding, c.cvec))) a
+      |  WHERE rn = 1),
       |probe_cells AS (
       |  SELECT qid, q, cid FROM (
       |    SELECT e.vec_id AS qid, e.embedding AS q, c.cid,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
-      |    FROM embeddings e, cents c WHERE e.vec_id < 3) a WHERE rn <= 2),
+      |    FROM embeddings e, cents c WHERE e.vec_id < 3
+      |      AND NOT isnan(list_cosine_similarity(e.embedding, c.cvec))) a
+      |  WHERE rn <= 2),
       |scored AS (
       |  SELECT p.qid, s.vec_id, list_cosine_similarity(s.embedding, p.q) AS cos,
       |    row_number() OVER (PARTITION BY p.qid

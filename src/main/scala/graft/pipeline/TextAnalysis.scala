@@ -24,7 +24,10 @@ object TextAnalysis {
       size(array_distinct(words(col("text")))).cast("long").as("n_distinct"),
       // exact integer ratios: identical IEEE division in both engines —
       // no rounding (which would create half-boundary divergence)
-      (expr("aggregate(transform(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), w -> length(w)), 0, (acc, x) -> acc + x)")
+      // same `words` helper as every other column — one normalization
+      // spelling, not a re-derived SQL string that could drift from it
+      (aggregate(transform(words(col("text")), w => length(w)),
+        lit(0), (acc, x) => acc + x)
         .cast("double") / size(words(col("text")))).as("avg_word_len"),
       (size(array_intersect(words(col("text")),
         lit(stop.toArray))).cast("double") /
@@ -96,8 +99,11 @@ object TextAnalysis {
         array_sort(array_distinct(words(col("text"))))).cast("binary")).as("fp"))
 
   /** Rolling-hash (Rabin-Karp) fingerprints: content hash of the raw text
-    * plus the normalized form (rows-only — wrapping 64-bit arithmetic is
-    * engine-internal by design). */
+    * plus the normalized form. ORACLE-CHECKED (not rows-only): the
+    * wrapping 64-bit arithmetic is reproduced in DuckDB via HUGEINT
+    * mod-2^64 — see [[textFingerprintRollingSql]]; changing the hash
+    * (base, byte handling, empty-input value) requires changing BOTH
+    * sides. */
   def textFingerprintRolling(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{GraftFunctions => G}
     Tables.t(s, dir, "documents").select(
@@ -200,7 +206,8 @@ object TextAnalysis {
         regexp_replace(regexp_replace(regexp_replace(col("text"),
           email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"),
         size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_email"),
-        size(regexp_extract_all(col("text"), lit(ip), lit(0))).as("n_ip"))
+        size(regexp_extract_all(col("text"), lit(ip), lit(0))).as("n_ip"),
+        size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("n_phone"))
   }
 
   val textRedactSql: String =
@@ -210,13 +217,20 @@ object TextAnalysis {
        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS INTEGER) AS n_email,
-       |  CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}', 0)) AS INTEGER) AS n_ip
+       |  CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}', 0)) AS INTEGER) AS n_ip,
+       |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{6,}[0-9]', 0)) AS INTEGER) AS n_phone
        |FROM documents""".stripMargin
 
   /** The rolling hash (h ← h·31 + byte, wrapping 64-bit) reproduced in
     * DuckDB: characters stand in for bytes (fixture text is pure ASCII —
     * asserted — where codepoint == UTF-8 byte), HUGEINT arithmetic mod
-    * 2^64 emulates Java Long wraparound, then maps back to signed. */
+    * 2^64 emulates Java Long wraparound, then maps back to signed.
+    *
+    * EMPTY-input guard: the engine's hash of "" is 0 (empty byte loop),
+    * but DuckDB's `string_split('', '')` is `['']`, `unicode('')` is -1,
+    * and `list_reduce` returns a single element UNREDUCED — so without
+    * the CASE the oracle would emit -1 for an empty (or
+    * whitespace-only-normalized) document. */
   val textFingerprintRollingSql: String = {
     def roll(expr: String): String =
       s"""CAST(CASE WHEN hh_$expr < CAST(9223372036854775808 AS HUGEINT) THEN hh_$expr
@@ -224,11 +238,13 @@ object TextAnalysis {
     raw"""SELECT doc_id, ${roll("raw")} AS rh_raw, ${roll("norm")} AS rh_norm
        |FROM (
        |  SELECT doc_id,
-       |    list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split(text, '')],
-       |      (h, b) -> (h * 31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS hh_raw,
-       |    list_reduce([CAST(unicode(c) AS HUGEINT)
-       |        FOR c IN string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '')],
-       |      (h, b) -> (h * 31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS hh_norm
+       |    CASE WHEN text = '' THEN CAST(0 AS HUGEINT)
+       |      ELSE list_reduce([CAST(unicode(c) AS HUGEINT) FOR c IN string_split(text, '')],
+       |        (h, b) -> (h * 31 + b) % CAST(18446744073709551616 AS HUGEINT)) END AS hh_raw,
+       |    CASE WHEN lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) = '' THEN CAST(0 AS HUGEINT)
+       |      ELSE list_reduce([CAST(unicode(c) AS HUGEINT)
+       |          FOR c IN string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '')],
+       |        (h, b) -> (h * 31 + b) % CAST(18446744073709551616 AS HUGEINT)) END AS hh_norm
        |  FROM documents)""".stripMargin
   }
 

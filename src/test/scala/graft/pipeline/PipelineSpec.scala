@@ -102,7 +102,7 @@ class SimilaritySpec extends SparkSpec {
     val e = graft.Tables.t(spark, sf("sf0.001"), "embeddings").limit(20)
     val dup = e.union(e) // every vector twice
     val planes = Similarity.hyperplanes(spark, 8, 64)
-    val b = Similarity.lshBuckets(dup, planes, 8)
+    val b = Similarity.lshBuckets(dup, planes)
       .groupBy($"vec_id").agg(countDistinct($"bucket").as("n"))
     assert(b.filter($"n" > 1).count() == 0)
   }
