@@ -143,6 +143,12 @@ object GraftTable {
     case f: Float if f.isNaN || f.isInfinite => None
     case f: java.lang.Float =>
       Some(new java.math.BigDecimal(f.doubleValue).toPlainString)
+    case d: java.lang.Double =>
+      // Exact binary expansion, NOT toString's shortest repr: a double
+      // literal equal to a widened float (e.g. 0.30000001192092896 vs the
+      // exact ...955078125) must encode identically on the stats side and
+      // the literal side or canMatch prunes files that contain matches.
+      Some(new java.math.BigDecimal(d.doubleValue).toPlainString)
     case t: java.sql.Timestamp =>
       Some((Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000).toString)
     case i: java.time.Instant =>
@@ -180,12 +186,49 @@ object GraftTable {
         case f: Float if f.isNaN || f.isInfinite => None
         case f: java.lang.Float => // widen exactly, as encodeExternal does
           Some(NumV(BigDecimal(new java.math.BigDecimal(f.doubleValue))))
+        case d: java.lang.Double => // exact expansion, as encodeExternal does
+          Some(NumV(BigDecimal(new java.math.BigDecimal(d.doubleValue))))
         case n => try Some(NumV(BigDecimal(n.toString)))
           catch { case _: NumberFormatException => None }
       }
       case _ => None
     }
   }
+
+  /** Wide string columns (documents.text) must not put two full document
+    * bodies on every manifest entry line — at 10^6 files manifest size and
+    * driver-side parse cost would grow with value length. Iceberg/Delta
+    * truncate bounds the same way: a PREFIX is a sound lower bound under
+    * byte-wise comparison, and a prefix with one char bumped is a sound
+    * strict upper bound. */
+  private[sources] val StatStringMaxLen = 32
+
+  /** Sound lower-bound prefix (cut at a code-point boundary so the UTF-8
+    * bytes stay a prefix of the original's). */
+  private[sources] def truncMin(s: String): String =
+    if (s.length <= StatStringMaxLen) s
+    else {
+      var cut = StatStringMaxLen
+      if (Character.isHighSurrogate(s.charAt(cut - 1))) cut -= 1
+      s.substring(0, cut)
+    }
+
+  /** Sound strict upper bound: prefix with its last bumpable char
+    * incremented (UTF-8 preserves code-point order, so a greater char ⇒
+    * greater bytes at the first divergence). A char is bumpable when +1
+    * cannot land in the surrogate range (which would encode as '?' and
+    * break ordering). None when no prefix char is bumpable — caller then
+    * omits the whole stats field (readers treat absence as "must keep"). */
+  private[sources] def truncMax(s: String): Option[String] =
+    if (s.length <= StatStringMaxLen) Some(s)
+    else {
+      def bumpable(c: Char) =
+        c < 0xD7FF.toChar || (c >= 0xE000.toChar && c < 0xFFFF.toChar)
+      var i = StatStringMaxLen - 1
+      while (i >= 0 && !bumpable(s.charAt(i))) i -= 1
+      if (i < 0) None
+      else Some(s.substring(0, i) + (s.charAt(i) + 1).toChar)
+    }
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -388,6 +431,8 @@ object GraftTable {
       val p = relativize(root, r.getString(0))
       val fields = cols.zipWithIndex.flatMap { case (f, ix) =>
         (encodeExternal(r.get(1 + ix * 2)), encodeExternal(r.get(2 + ix * 2))) match {
+          case (Some(a), Some(b)) if f.dataType == StringType =>
+            truncMax(b).map(bb => s"${enc(f.name)}=${enc(truncMin(a))},${enc(bb)}")
           case (Some(a), Some(b)) => Some(s"${enc(f.name)}=${enc(a)},${enc(b)}")
           case _ => None
         }

@@ -188,7 +188,10 @@ object DuckDialect {
     // All three must refuse; a bare identifier like `e3` must not.
     val expWord = "^[eE][0-9]+$".r
     def isNum(j: Int) = j >= 0 && j < toks.length && toks(j).kind == 5
-    def fractionalForward(j0: Int): Boolean = { // operand starting at j0
+    def fractionalForward(j0v: Int): Boolean = { // operand starting at j0v
+      var j0 = j0v // skip unary sign(s): `a // -2.5` is sym('-') + num('2.5')
+      while (j0 < toks.length && (toks(j0).is("-") || toks(j0).is("+")))
+        j0 = nextIdx(toks, j0)
       if (j0 >= toks.length) return false
       if (toks(j0).is(".")) return true // .5
       if (toks(j0).kind == 5) {
@@ -231,11 +234,11 @@ object DuckDialect {
     // oracle's version) the semantics MATCH Spark's exactly — 1-based,
     // 0 on miss, NULL on NULL input (verified against the oracle:
     // `SELECT list_position([0,2,4], 1)` → 0). NULL-on-miss behavior
-    // belongs to other DuckDB versions only, and the reference's 0.9
-    // snapshot has no list_position at all
-    // (reference `src/core_functions/scalar/list/` lacks it); result is
-    // INT on Spark vs BIGINT on DuckDB — the verify gate compares values,
-    // not widths.
+    // belongs to other DuckDB versions only; the reference implements it in
+    // `src/function/scalar/list/contains_or_position.cpp`, whose
+    // PositionFunctor::Initialize() == 0 leaves a miss at 0 with validity
+    // intact — confirming 0-on-miss matches Spark. Result is INT on Spark
+    // vs BIGINT on DuckDB — the verify gate compares values, not widths.
     "list_position" -> "array_position",
     "list_indexof" -> "array_position",
     "list_transform" -> "transform",

@@ -138,6 +138,56 @@ class StatsPruneSpec extends SparkSpec {
     assert(GraftTable.read(spark, root).count() === 1)
   }
 
+  test("double literal equal to a widened float prunes soundly (exact encoding)") {
+    // 0.30000001192092896d IS 0.3f widened (same binary value, shortest
+    // repr). If the stat side stores the exact expansion ...955078125 but
+    // the literal side parses the shortest repr, the equality envelope
+    // check misses and DELETE silently skips matching rows.
+    val root = freshRoot()
+    import spark.implicits._
+    GraftTable.create(spark, root,
+      Seq((1L, 0.1f), (2L, 0.3f)).toDF("id", "v").repartition(1))
+    val lit03f = lit(0.30000001192092896) // == 0.3f widened
+    assert(GraftTable.candidateEntries(root, col("v") === lit03f).size === 1,
+      "the file's max IS the literal's value — it must survive pruning")
+    GraftTable.delete(spark, root, col("v") === lit03f)
+    assert(GraftTable.read(spark, root).count() === 1,
+      "the widened-float row must actually be deleted, not stats-skipped")
+    // and on a DoubleType column the same value round-trips exactly too
+    val root2 = freshRoot()
+    GraftTable.create(spark, root2,
+      Seq((1L, 0.1), (2L, 0.30000001192092896)).toDF("id", "v").repartition(1))
+    assert(GraftTable.candidateEntries(root2, col("v") === lit03f).size === 1)
+  }
+
+  test("wide string stats are truncated soundly (bounded manifest lines)") {
+    val root = freshRoot()
+    import spark.implicits._
+    val longA = "a" * 500 + "zzz"
+    val longB = "b" * 500 + "qqq"
+    GraftTable.create(spark, root,
+      Seq((1L, longA), (2L, longB)).toDF("id", "txt").repartition(1))
+    val line = manifestLines(root, 1).head
+    assert(line.length < 300,
+      s"manifest line must not carry full 500-char bodies: ${line.length} chars")
+    // soundness: equality on the full long value must keep the file
+    assert(GraftTable.candidateEntries(root, col("txt") === longB).size === 1)
+    // and a predicate outside the [aaaa.., b+prefix-bound] envelope prunes
+    assert(GraftTable.candidateEntries(root, col("txt") === ("x" * 40)).isEmpty)
+    // unit properties of the bounds themselves
+    assert(GraftTable.truncMin(longA) <= longA && GraftTable.truncMin(longA).length <= 32)
+    val up = GraftTable.truncMax(longB)
+    assert(up.nonEmpty && up.get > longB.substring(0, 32) && up.get.length <= 32)
+    // short strings pass through untouched
+    assert(GraftTable.truncMin("abc") === "abc" && GraftTable.truncMax("abc") === Some("abc"))
+    // surrogate-pair boundary: never cut a pair in half ("x" + pairs puts
+    // a HIGH surrogate at index 31, forcing the cut back to 31)
+    val sLong = "x" + ("😀" * 40)
+    val tm = GraftTable.truncMin(sLong)
+    assert(!Character.isHighSurrogate(tm.last), "must cut at a code-point boundary")
+    assert(tm.length === 31)
+  }
+
   test("struct-field predicates yield no constraint (no column-name aliasing)") {
     import org.apache.spark.sql.graft.Bridge
     // s.x must NOT be attributed to a top-level column named x

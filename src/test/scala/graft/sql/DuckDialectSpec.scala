@@ -234,11 +234,18 @@ class DuckDialectSpec extends AnyFunSuite {
     intercept[GraftSqlException](translate("SELECT .5 // b FROM t"))
     intercept[GraftSqlException](translate("SELECT a // 1e3 FROM t"))
     intercept[GraftSqlException](translate("SELECT 1e3 // b FROM t"))
+    // signed fractional literals: `-2.5` tokenizes as sym('-') + num('2.5')
+    intercept[GraftSqlException](translate("SELECT a // -2.5 FROM t"))
+    intercept[GraftSqlException](translate("SELECT a // +.5 FROM t"))
+    intercept[GraftSqlException](translate("SELECT a // - -2.5 FROM t"))
     // integer literals and identifiers still rewrite — including an
     // identifier that merely LOOKS like an exponent (`e3` alone)
     assert(norm(translate("SELECT a // 2 FROM t")).contains("DIV"))
     assert(norm(translate("SELECT a // b FROM t")).contains("DIV"))
     assert(norm(translate("SELECT a // e3 FROM t")).contains("DIV"))
+    // signed INTEGER literal still rewrites (DuckDB 1.0.0 truncates integer
+    // `//` toward zero like Spark DIV: oracle `SELECT -7 // 2` = -3)
+    assert(norm(translate("SELECT a // -2 FROM t")).contains("DIV"))
   }
 
   test("QUALIFY inlines select-list aliases into the predicate") {
