@@ -357,35 +357,61 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => if (strict) throw e }
       }
-      def instrumented(targetBytes: Option[Long]): (Double, Double) = {
-        targetBytes match {
-          case Some(b) => compaction.Compact.enableAqeCompaction(spark, b, bindTarget = true)
-          case None => // the REAL production default, parallelism-first AQE
-            productionConf(spark, cpus)
-            spark.conf.set(
-              "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-            spark.conf.set(
-              "spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L << 20).toString)
-            spark.conf.set(
-              "spark.sql.adaptive.coalescePartitions.minPartitionSize", (1L << 20).toString)
+      // One timed pass under a config, conf fully snapshot/restored — the
+      // round-8 episode-vs-instrumented discrepancy (same arm: 1.4 s in
+      // episodes, 7.0 s instrumented) means a single sample can't be
+      // trusted, so the A/B comparison below interleaves configs A/B/A/B
+      // and takes the min per config (one-off stalls — GC, tmpfs
+      // writeback, listener warmup — hit one sample, not both).
+      def onePass(targetBytes: Option[Long]): Double =
+        compaction.Compact.withAqeConfRestored(spark) {
+          targetBytes match {
+            case Some(b) =>
+              compaction.Compact.enableAqeCompaction(spark, b, bindTarget = true)
+            case None => // the REAL production default, parallelism-first AQE
+              compaction.Compact.enableAqeDefault(spark)
+          }
+          val t0 = System.nanoTime()
+          flood(spark)
+          (System.nanoTime() - t0) / 1e9
         }
-        val m = new compaction.ChunkMetrics().install(spark)
-        m.reset()
-        val t0 = System.nanoTime()
-        flood(spark)
-        val secs = (System.nanoTime() - t0) / 1e9
-        drainMetrics(m)
-        spark.sparkContext.removeSparkListener(m)
-        (secs, m.smallTaskFraction(1024))
-      }
       val ac = new compaction.AdaptiveCompact(spark)
       flood(spark) // one untimed warm pass: JIT + page cache settle
       val chosen = ac.tune(12)(flood)
       val episodes = ac.history
         .map(e => s"""{"arm_mb":${e.targetBytes >> 20},"sec":${"%.3f".format(e.seconds)}}""")
         .mkString("[", ",", "]")
-      val (secDefault, stfDefault) = instrumented(None)
-      val (secTuned, stfTuned) = instrumented(Some(chosen))
+      // chosen == DefaultArm means the bandit settled on production
+      // defaults — the tuned config IS default then (it cannot lose).
+      val tunedTarget =
+        if (chosen == compaction.CompactTuner.DefaultArm) None else Some(chosen)
+      val mDefault = new compaction.ChunkMetrics()
+      val mTuned = new compaction.ChunkMetrics()
+      var secDefault = Double.MaxValue
+      var secTuned = Double.MaxValue
+      if (tunedTarget.isEmpty) {
+        // the bandit settled on the default arm: tuned and default are the
+        // SAME configuration — one measurement, reported for both (an A/B
+        // of identical configs only manufactures a noise delta)
+        mDefault.install(spark)
+        for (_ <- 1 to 2) secDefault = math.min(secDefault, onePass(None))
+        drainMetrics(mDefault)
+        spark.sparkContext.removeSparkListener(mDefault)
+        secTuned = secDefault
+      } else for (_ <- 1 to 2) {
+        mDefault.install(spark)
+        secDefault = math.min(secDefault, onePass(None))
+        drainMetrics(mDefault)
+        spark.sparkContext.removeSparkListener(mDefault)
+        mTuned.install(spark)
+        secTuned = math.min(secTuned, onePass(tunedTarget))
+        drainMetrics(mTuned)
+        spark.sparkContext.removeSparkListener(mTuned)
+      }
+      val (stfDefault, stfTuned) =
+        (mDefault.smallTaskFraction(1024),
+          if (tunedTarget.isEmpty) mDefault.smallTaskFraction(1024)
+          else mTuned.smallTaskFraction(1024))
       tunerFields =
         s""","compact_tuner_arm_mb":${chosen >> 20}""" +
         s""","compact_tuner_episodes":$episodes""" +

@@ -9,6 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `negative_feedback.hpp` defines the bandit; the snapshot never calls
   * SelectArm/UpdateArm from the operator path — here the loop is closed).
   *
+  * Arm 0 (`CompactTuner.DefaultArm`) applies the PRODUCTION DEFAULT
+  * configuration instead of a bound target, so the settled choice can
+  * never be worse than shipping defaults — the bandit's worst case is
+  * converging back to default.
+  *
   * Driver-side control only: the data path is untouched between episodes,
   * so this works identically on a 1000-executor cluster (the advisory
   * size is a cluster-wide AQE conf).
@@ -19,11 +24,17 @@ class AdaptiveCompact(spark: SparkSession, val tuner: CompactTuner = new Compact
 
   private val log = scala.collection.mutable.ArrayBuffer.empty[Episode]
 
+  /** Apply an arm's configuration: the sentinel default arm restores the
+    * production parallelism-first posture; a byte arm binds the target. */
+  private def applyArm(targetBytes: Long): Unit =
+    if (targetBytes == CompactTuner.DefaultArm) Compact.enableAqeDefault(spark)
+    else Compact.enableAqeCompaction(spark, targetBytes, bindTarget = true)
+
   /** Run one tuning episode of `work` (any action-triggering function). */
   def episode(work: SparkSession => Unit): Episode = {
     val arm = tuner.selectArm()
     val target = tuner.arms(arm)
-    Compact.enableAqeCompaction(spark, target, bindTarget = true)
+    applyArm(target)
     val t0 = System.nanoTime()
     work(spark)
     val secs = (System.nanoTime() - t0) / 1e9
@@ -33,11 +44,16 @@ class AdaptiveCompact(spark: SparkSession, val tuner: CompactTuner = new Compact
     ep
   }
 
-  /** Run `n` episodes and settle on the best arm's target. */
+  /** Run `n` episodes and settle on the best arm's target (which may be
+    * `CompactTuner.DefaultArm`). Episodes run inside a conf snapshot so
+    * arm configurations cannot bleed into the caller's session; only the
+    * SETTLED configuration is left applied on return. */
   def tune(n: Int)(work: SparkSession => Unit): Long = {
-    (1 to n).foreach(_ => episode(work))
-    val best = tuner.targetBytes
-    Compact.enableAqeCompaction(spark, best, bindTarget = true)
+    val best = Compact.withAqeConfRestored(spark) {
+      (1 to n).foreach(_ => episode(work))
+      tuner.targetBytes
+    }
+    applyArm(best)
     best
   }
 

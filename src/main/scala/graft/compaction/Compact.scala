@@ -47,6 +47,38 @@ object Compact {
       math.max(1L, (targetBytes * ThresholdFraction).toLong).toString)
   }
 
+  /** The conf keys the AQE-compaction knobs touch — callers that need to
+    * A/B configurations snapshot/restore exactly this set. */
+  val AqeConfKeys: Seq[String] = Seq(
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+
+  /** The production-default AQE posture: parallelism-first coalescing
+    * (the advisory size is a floor, not a binding target). This is the
+    * configuration the engine ships with — and, as of round 8's flood
+    * measurements, the one every bound arm must beat to earn its keep. */
+  def enableAqeDefault(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L << 20).toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", (1L << 20).toString)
+  }
+
+  /** Snapshot the AQE conf keys, run `body`, restore them — episode
+    * isolation for tuning loops (state must not bleed between arms). */
+  def withAqeConfRestored[T](spark: SparkSession)(body: => T): T = {
+    val saved = AqeConfKeys.map(k => k -> spark.conf.getOption(k))
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Optimizer-estimated size of a frame in bytes (no job run). */
   def estimatedBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes

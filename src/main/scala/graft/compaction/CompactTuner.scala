@@ -8,12 +8,19 @@ package graft.compaction
   * — here it is wired to AQE's advisory partition size and fed by
   * `ChunkMetrics`/stage timings).
   *
+  * Arm 0 is the sentinel `DefaultArm` (0 bytes): the PRODUCTION DEFAULT
+  * configuration (parallelism-first AQE, no binding size target). With the
+  * default in the arm family the tuner cannot lose to production by
+  * construction — when no bound target beats it, UCB1 converges back to
+  * it (round-8 flood measurements showed every bound arm losing to
+  * default ~2×, which a bound-only family could never report).
+  *
   * Pure driver-side state: decisions happen between queries/stages, never
   * on the data path, so cluster scale is irrelevant to its cost.
   */
 class CompactTuner(
-    val arms: IndexedSeq[Long] =
-      IndexedSeq(32, 64, 128, 256, 384, 512, 768, 1024).map(_ << 20), // bytes
+    val arms: IndexedSeq[Long] = CompactTuner.DefaultArm +:
+      IndexedSeq(32L, 64, 128, 256, 384, 512, 768, 1024).map(_ << 20), // bytes
     explorationC: Double = math.sqrt(2.0)) {
 
   private val counts = Array.fill(arms.length)(0L)
@@ -71,4 +78,10 @@ class CompactTuner(
     java.util.Arrays.fill(sums, 0.0)
     total = 0L
   }
+}
+
+object CompactTuner {
+  /** Sentinel arm value: the production-default (unbound, parallelism-
+    * first) configuration rather than a binding byte target. */
+  val DefaultArm: Long = 0L
 }

@@ -466,7 +466,276 @@ object TpcdsShapes {
       |  ON cur.yr = prev.yr + 1 AND cur.c_mktsegment = prev.c_mktsegment
       |WHERE cur.rev_d < prev.rev_d""".stripMargin
 
+  /** q23-shape: two CTEs — "frequent items" (items in many distinct
+    * orders) and "best customers" (spend above a fraction of the MAX
+    * spend, the scalar-subquery-over-CTE ranking) — gating a two-channel
+    * fact aggregate (reference `benchmark/tpcds/sf1/23.benchmark`). The
+    * max-spend scalar broadcasts (1 row); both gates plan as semi joins,
+    * never materializing the filtered fact. */
+  def dsBestSellers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val freq = li.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("nord"))
+      .filter(col("nord") > 4).select("l_partkey")
+    val custSales = Tables.t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("csales"))
+    val mx = custSales.agg(max(col("csales").cast("double")).as("mx"))
+    val best = custSales.crossJoin(broadcast(mx))
+      .filter(col("csales").cast("double") > lit(0.5) * col("mx"))
+      .select("o_custkey")
+    li.join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(freq, Seq("l_partkey"), "left_semi")
+      .join(best, Seq("o_custkey"), "left_semi")
+      .groupBy(col("l_linestatus").as("channel"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("sales"),
+        count(lit(1)).as("n"))
+  }
+
+  val dsBestSellersSql: String =
+    """WITH freq AS (
+      |  SELECT l_partkey FROM lineitem GROUP BY l_partkey
+      |  HAVING count(DISTINCT l_orderkey) > 4),
+      |cust_sales AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS csales
+      |  FROM orders GROUP BY o_custkey),
+      |best AS (
+      |  SELECT o_custkey FROM cust_sales
+      |  WHERE CAST(csales AS DOUBLE) > (SELECT 0.5 * max(CAST(csales AS DOUBLE)) FROM cust_sales))
+      |SELECT l_linestatus AS channel,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales,
+      |  count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_partkey IN (SELECT l_partkey FROM freq)
+      |  AND o_custkey IN (SELECT o_custkey FROM best)
+      |GROUP BY channel""".stripMargin
+
+  /** q4/q11-shape: per-customer per-year per-channel totals CTE consumed
+    * FOUR times (prev/cur × two channels), joined on the shifted year,
+    * keeping customers whose priority-channel growth beat the standard
+    * channel (reference `benchmark/tpcds/sf1/{4,11}.benchmark`). Growth
+    * comparison cross-multiplies the DECIMAL totals — exact, no
+    * division. The four consumers self-join on the small post-aggregate
+    * frame, never fact-to-fact. */
+  def dsGrowthChannels(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Spark-first re-expression of the 4-way CTE self-join: ONE
+    // conditional aggregate pivots both channels into columns, ONE lag
+    // window replaces the prev-year joins entirely — one fact scan, one
+    // aggregate shuffle, one window shuffle, zero joins (the oracle SQL
+    // keeps the CTE-self-join spelling; results are identical because
+    // inner-join presence = all four totals non-null + consecutive years).
+    val chan = Tables.t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("cust"),
+        year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          dec(col("o_totalprice")))).as("pri_total"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          dec(col("o_totalprice")))).as("std_total"))
+    val w = Window.partitionBy(col("cust")).orderBy(col("yr"))
+    chan.select(col("cust"), col("yr"),
+        lag(col("yr"), 1).over(w).as("prev_yr"),
+        lag(col("pri_total"), 1).over(w).as("p1_total"),
+        col("pri_total").as("p2_total"),
+        lag(col("std_total"), 1).over(w).as("s1_total"),
+        col("std_total").as("s2_total"))
+      .filter(col("prev_yr") === col("yr") - 1 &&
+        col("p1_total").isNotNull && col("p2_total").isNotNull &&
+        col("s1_total").isNotNull && col("s2_total").isNotNull &&
+        col("p2_total") * col("s1_total") > col("s2_total") * col("p1_total"))
+      .select(col("cust"), col("yr"),
+        col("p1_total").cast("double").as("pri_prev"),
+        col("p2_total").cast("double").as("pri_cur"),
+        col("s1_total").cast("double").as("std_prev"),
+        col("s2_total").cast("double").as("std_cur"))
+  }
+
+  val dsGrowthChannelsSql: String =
+    """WITH chan AS (
+      |  SELECT o_custkey AS cust, CAST(year(o_orderdate) AS INT) AS yr,
+      |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'pri' ELSE 'std' END AS ch,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  FROM orders GROUP BY cust, yr, ch)
+      |SELECT p2.cust AS cust, p2.yr AS yr,
+      |  CAST(p1.total AS DOUBLE) AS pri_prev, CAST(p2.total AS DOUBLE) AS pri_cur,
+      |  CAST(s1.total AS DOUBLE) AS std_prev, CAST(s2.total AS DOUBLE) AS std_cur
+      |FROM chan p1 JOIN chan p2 ON p1.cust = p2.cust AND p2.yr = p1.yr + 1
+      |  AND p1.ch = 'pri' AND p2.ch = 'pri'
+      |JOIN chan s1 ON s1.cust = p1.cust AND s1.yr = p1.yr AND s1.ch = 'std'
+      |JOIN chan s2 ON s2.cust = p1.cust AND s2.yr = p2.yr AND s2.ch = 'std'
+      |WHERE p2.total * s1.total > s2.total * p1.total""".stripMargin
+
+  /** q47/q57-shape: monthly segment totals with BOTH window families the
+    * moving-average queries need — a year-partition average (sum/count
+    * over (seg, yr), exact DECIMAL sums divided as double) and
+    * lag/lead over the month sequence — reporting months that deviate
+    * >10% from their year's average (reference
+    * `benchmark/tpcds/sf1/{47,57}.benchmark`). One aggregate shuffle,
+    * one window shuffle on seg. */
+  def dsMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(sum(dec(col("o_totalprice"))).as("v"))
+    val wYr = Window.partitionBy(col("seg"), col("yr"))
+    val wSeq = Window.partitionBy(col("seg")).orderBy(col("month"))
+    m.select(col("seg"), col("month"), col("v").cast("double").as("v"),
+        (sum(col("v")).over(wYr).cast("double") /
+          count(lit(1)).over(wYr).cast("double")).as("yr_avg"),
+        lag(col("v"), 1).over(wSeq).cast("double").as("prev_v"),
+        lead(col("v"), 1).over(wSeq).cast("double").as("next_v"))
+      .filter(abs(col("v") - col("yr_avg")) > lit(0.1) * col("yr_avg"))
+  }
+
+  val dsMovingAvgSql: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment AS seg, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         CAST(year(o_orderdate) AS INT) AS yr,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY seg, month, yr),
+      |w AS (
+      |  SELECT seg, month, CAST(v AS DOUBLE) AS v,
+      |    CAST(sum(v) OVER (PARTITION BY seg, yr) AS DOUBLE)
+      |      / CAST(count(*) OVER (PARTITION BY seg, yr) AS DOUBLE) AS yr_avg,
+      |    CAST(lag(v) OVER (PARTITION BY seg ORDER BY month) AS DOUBLE) AS prev_v,
+      |    CAST(lead(v) OVER (PARTITION BY seg ORDER BY month) AS DOUBLE) AS next_v
+      |  FROM m)
+      |SELECT seg, month, v, yr_avg, prev_v, next_v
+      |FROM w WHERE abs(v - yr_avg) > 0.1 * yr_avg""".stripMargin
+
+  /** q17/q29-shape: THREE fact scans chained — a sale, a later return of
+    * the same (part, supplier), and a still-later re-sale — aggregated
+    * per brand (reference `benchmark/tpcds/sf1/{17,29}.benchmark`'s
+    * store_sales ⋈ store_returns ⋈ catalog_sales quantity chain). The
+    * two fact⋈fact joins shuffle on (pk, sk) once and reuse the
+    * partitioning; part broadcasts. */
+  def dsThreeFactChain(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    def slice(flagIsR: Boolean, pfx: String) = li
+      .filter(if (flagIsR) col("l_returnflag") === "R" else col("l_returnflag") =!= "R")
+      .select(col("l_orderkey").as(s"${pfx}_ok"), col("l_partkey").as(s"${pfx}_pk"),
+        col("l_suppkey").as(s"${pfx}_sk"), col("l_quantity").as(s"${pfx}_q"))
+    val sales = slice(flagIsR = false, "s")
+    val rets = slice(flagIsR = true, "r")
+    val resale = slice(flagIsR = false, "t")
+    sales
+      .join(rets, col("s_pk") === col("r_pk") && col("s_sk") === col("r_sk") &&
+        col("s_ok") < col("r_ok"))
+      .join(resale, col("t_pk") === col("r_pk") && col("t_sk") === col("r_sk") &&
+        col("t_ok") > col("r_ok"))
+      .join(broadcast(Tables.t(s, dir, "part")), col("p_partkey") === col("s_pk"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("s_q"))).cast("double").as("sold_q"),
+        sum(dec(col("r_q"))).cast("double").as("ret_q"),
+        sum(dec(col("t_q"))).cast("double").as("rebuy_q"))
+  }
+
+  val dsThreeFactChainSql: String =
+    """WITH sales AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk, l_quantity AS q
+      |  FROM lineitem WHERE l_returnflag <> 'R'),
+      |rets AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk, l_quantity AS q
+      |  FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT p_brand, count(*) AS n,
+      |  CAST(sum(CAST(s.q AS DECIMAL(18,2))) AS DOUBLE) AS sold_q,
+      |  CAST(sum(CAST(r.q AS DECIMAL(18,2))) AS DOUBLE) AS ret_q,
+      |  CAST(sum(CAST(s2.q AS DECIMAL(18,2))) AS DOUBLE) AS rebuy_q
+      |FROM sales s
+      |JOIN rets r ON s.pk = r.pk AND s.sk = r.sk AND s.ok < r.ok
+      |JOIN sales s2 ON s2.pk = r.pk AND s2.sk = r.sk AND s2.ok > r.ok
+      |JOIN part ON p_partkey = s.pk
+      |GROUP BY p_brand""".stripMargin
+
+  /** q49-shape: per-channel return-ratio ranking — ratio of returned to
+    * total quantity per (channel, item), ranked within each channel,
+    * top 10 kept (reference `benchmark/tpcds/sf1/49.benchmark`'s union
+    * of per-channel ranked return ratios). Sums stay DECIMAL so the
+    * ratio is a deterministic double; partkey tie-break makes the rank
+    * total-ordered. */
+  def dsRankedReturns(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ratio = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus").as("channel"), col("l_partkey"))
+      .agg(sum(when(col("l_returnflag") === "R", dec(col("l_quantity")))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("ret_q"),
+        sum(dec(col("l_quantity"))).as("tot_q"))
+      .filter(col("ret_q") > 0)
+    val w = Window.partitionBy(col("channel"))
+      .orderBy((col("ret_q").cast("double") / col("tot_q").cast("double")).desc,
+        col("l_partkey"))
+    ratio.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("channel"), col("l_partkey"), col("rnk"))
+  }
+
+  val dsRankedReturnsSql: String =
+    """WITH ratio AS (
+      |  SELECT l_linestatus AS channel, l_partkey,
+      |         sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2))
+      |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_q,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS tot_q
+      |  FROM lineitem GROUP BY channel, l_partkey)
+      |SELECT channel, l_partkey, rnk FROM (
+      |  SELECT channel, l_partkey,
+      |    rank() OVER (PARTITION BY channel
+      |      ORDER BY CAST(ret_q AS DOUBLE) / CAST(tot_q AS DOUBLE) DESC, l_partkey) AS rnk
+      |  FROM ratio WHERE ret_q > 0) t
+      |WHERE rnk <= 10""".stripMargin
+
+  /** q93-shape: sales LEFT OUTER JOIN an aggregated returns side with
+    * CONDITIONAL arithmetic on the match — net quantity is the sale's
+    * quantity less the pair's returned quantity when a return exists,
+    * unchanged otherwise (reference `benchmark/tpcds/sf1/93.benchmark`'s
+    * store_sales ⋖ store_returns effective-quantity computation). The
+    * returns side pre-aggregates per (part, supplier) BEFORE the join —
+    * at scale the outer join's right side is item-cardinality, not
+    * fact-cardinality. */
+  def dsNetReturns(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val rets = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(col("l_quantity")).as("rq"))
+    li.filter(col("l_returnflag") =!= "R")
+      .join(rets, col("l_partkey") === col("pk") && col("l_suppkey") === col("sk"),
+        "left_outer")
+      .join(broadcast(Tables.t(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(when(col("pk").isNotNull, col("l_quantity") - col("rq"))
+          .otherwise(col("l_quantity")).cast(DecimalType(18, 2)))
+          .cast("double").as("net_qty"),
+        count(lit(1)).as("n"),
+        sum(when(col("pk").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+  }
+
+  val dsNetReturnsSql: String =
+    """WITH rets AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS rq
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY pk, sk)
+      |SELECT p_brand,
+      |  CAST(sum(CAST(CASE WHEN rets.pk IS NOT NULL THEN s.l_quantity - rets.rq
+      |                     ELSE s.l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS net_qty,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN rets.pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      |FROM lineitem s
+      |LEFT JOIN rets ON s.l_partkey = rets.pk AND s.l_suppkey = rets.sk
+      |JOIN part ON p_partkey = s.l_partkey
+      |WHERE s.l_returnflag <> 'R'
+      |GROUP BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_best_sellers" -> (dsBestSellers _),
+    "ds_growth_channels" -> (dsGrowthChannels _),
+    "ds_moving_avg" -> (dsMovingAvg _),
+    "ds_three_fact_chain" -> (dsThreeFactChain _),
+    "ds_ranked_returns" -> (dsRankedReturns _),
+    "ds_net_returns" -> (dsNetReturns _),
     "ds_cumul_compare" -> (dsCumulCompare _),
     "ds_year_over_year" -> (dsYearOverYear _),
     "ds_correlated_exists" -> (dsCorrelatedExists _),
@@ -483,6 +752,12 @@ object TpcdsShapes {
     "ds_avg_band" -> (dsAvgBand _))
 
   val oracle: Map[String, String] = Map(
+    "ds_best_sellers" -> dsBestSellersSql,
+    "ds_growth_channels" -> dsGrowthChannelsSql,
+    "ds_moving_avg" -> dsMovingAvgSql,
+    "ds_three_fact_chain" -> dsThreeFactChainSql,
+    "ds_ranked_returns" -> dsRankedReturnsSql,
+    "ds_net_returns" -> dsNetReturnsSql,
     "ds_cumul_compare" -> dsCumulCompareSql,
     "ds_year_over_year" -> dsYearOverYearSql,
     "ds_correlated_exists" -> dsCorrelatedExistsSql,

@@ -147,8 +147,40 @@ class AdaptiveCompactSpec extends SparkSpec {
     assert(ac.history.forall(_.seconds > 0))
     // the settled target is one of the arms and is applied to the session
     assert(ac.tuner.arms.contains(target))
-    assert(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
-      == target.toString)
+    val advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    if (target == CompactTuner.DefaultArm) { // default arm: production posture
+      assert(advisory == (64L << 20).toString)
+      assert(spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst") == "true")
+    } else {
+      assert(advisory == target.toString)
+      assert(spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst") == "false")
+    }
+  }
+
+  test("default arm is arm 0 and cannot-lose: bandit settles on it when bound arms are slower") {
+    val t = new CompactTuner
+    assert(t.arms.head == CompactTuner.DefaultArm)
+    // default arm cheapest → tuner converges to it
+    def cost(arm: Int): Double = if (arm == 0) 1.0 else 3.0
+    (1 to 300).foreach { _ => val a = t.selectArm(); t.updateArm(a, cost(a)) }
+    assert(t.bestArm == 0)
+    assert(t.targetBytes == CompactTuner.DefaultArm)
+  }
+
+  test("tune restores caller AQE conf except the settled arm's application") {
+    val before = Compact.AqeConfKeys.map(k => k -> spark.conf.getOption(k)).toMap
+    val ac = new AdaptiveCompact(spark)
+    val target = ac.tune(n = 2) { s => s.range(100).count() }
+    // whatever the settled arm is, the conf now reflects exactly its
+    // application on top of the restored baseline — spot-check that a
+    // non-arm key wasn't clobbered by intermediate episodes
+    if (target == CompactTuner.DefaultArm)
+      assert(spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    before.foreach { case (k, _) => assert(spark.conf.getOption(k).nonEmpty) }
   }
 }
 

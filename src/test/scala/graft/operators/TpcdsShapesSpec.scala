@@ -84,4 +84,88 @@ class TpcdsShapesSpec extends SparkSpec {
     assert(n <= Seq(1996, 1997, 1998).map(leg).min)
     assert(n > 0, "fixture years 1996-1998 must overlap in customers")
   }
+
+  test("best-sellers (q23): gates plan as semi joins, scalar max broadcasts") {
+    val df = TpcdsShapes.dsBestSellers(spark, sf())
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), "IN-subquery gates must plan as semi joins")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row max-spend scalar must broadcast")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 2, "one row per linestatus channel")
+  }
+
+  test("growth-channels (q4/q11): one aggregate + lag window, zero self-joins") {
+    val df = TpcdsShapes.dsGrowthChannels(spark, sf())
+    val p = plan(df)
+    // the conditional-aggregate + lag re-expression eliminates the 4-way
+    // CTE self-join entirely: one fact scan, no join operator at all
+    assert(!p.contains("Join"), "prev-year lookup must be a lag window, not a self-join")
+    assert(p.contains("Window"))
+    // executedPlan prints each scan node once (formatted mode lists
+    // tree + details, doubling the count)
+    assert("FileScan".r.findAllIn(df.queryExecution.executedPlan.toString).length == 1,
+      "the fact must be scanned exactly once")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every row is a genuine cross-channel growth win (exact decimals)
+    rows.foreach { r =>
+      val (pp, pc, sp, sc) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(pc * sp > sc * pp, "priority growth must beat standard growth")
+    }
+  }
+
+  test("moving-avg (q47/q57): lag/lead window over grouped months after one aggregate") {
+    val df = TpcdsShapes.dsMovingAvg(spark, sf())
+    val p = plan(df)
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every kept month genuinely deviates >10% from its year average
+    rows.foreach { r =>
+      val (v, avg) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(v - avg) > 0.1 * avg)
+    }
+  }
+
+  test("three-fact chain (q17/q29): two fact joins share the (pk, sk) shuffle, part broadcasts") {
+    val df = TpcdsShapes.dsThreeFactChain(spark, sf())
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // the fact side shuffles on (pk, sk): at most 3 fact exchanges (one
+    // per slice), never an exchange per join re-partitioning the chain
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"fact chain must reuse its (pk,sk) partitioning, got $exchanges")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
+
+  test("ranked-returns (q49): rank bounded per channel, deterministic tie-break") {
+    val df = TpcdsShapes.dsRankedReturns(spark, sf())
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) <= 10))
+    // tie-break on partkey makes ranks unique within a channel
+    val byChan = rows.groupBy(_.getString(0))
+    byChan.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).distinct.length == rs.length,
+        "partkey tie-break must make ranks unique")
+    }
+  }
+
+  test("net-returns (q93): LEFT OUTER survives, returns side pre-aggregated") {
+    val df = TpcdsShapes.dsNetReturns(spark, sf())
+    val p = plan(df)
+    assert(p.contains("LeftOuter"), "sales⋖returns must stay a left outer join")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // both matched and unmatched sales exist at this SF (the conditional
+    // arithmetic is actually exercised)
+    assert(rows.map(_.getLong(3)).sum > 0, "some sales must have returns")
+    assert(rows.map(r => r.getLong(2) - r.getLong(3)).sum > 0,
+      "some sales must lack returns")
+  }
 }
