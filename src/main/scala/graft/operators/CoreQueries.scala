@@ -427,7 +427,75 @@ object CoreQueries {
       |GROUP BY n2.n_name
       |ORDER BY n_name""".stripMargin
 
+  /** CYCLIC join graph — two independent paths reach the SAME nation
+    * relation instance (fact→supplier→nation and fact→orders→customer
+    * with the cycle-closing `c_nationkey = n_nationkey` edge), the shape
+    * of JOB's cyclic queries (reference `benchmark/imdb/29a.benchmark`
+    * family: two paths to the same dimension). Catalyst folds the cycle
+    * edge into the customer join's key set — both equi-conditions join in
+    * one hash lookup, no post-join filter, no cartesian. */
+  def jobCyclic(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val sup = Tables.t(s, dir, "supplier")
+    val nat = Tables.t(s, dir, "nation")
+    val reg = Tables.t(s, dir, "region").filter(col("r_name") === "EUROPE")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("n_nationkey")) // cycle-closing edge
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  val jobCyclicSql: String =
+    """SELECT n_name, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** DISJUNCTIVE cross-relation predicate — an OR spanning columns of TWO
+    * different relations (`p_size >= 45 OR s_acctbal >= 9000`), the JOB
+    * 29/30-family shape that defeats single-scan pushdown (reference
+    * `benchmark/imdb/30a.benchmark` OR'd predicates). The equi-join keys
+    * still drive hash joins; the disjunction evaluates as a residual
+    * filter after both joins — it must NOT degrade the plan to a
+    * cartesian product. */
+  def jobDisjunctive(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    li.join(broadcast(Tables.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("p_size") >= 45 || col("s_acctbal") >= 9000)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("total"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val jobDisjunctiveSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE (p_size >= 45 OR s_acctbal >= 9000)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "job_cyclic" -> (jobCyclic _),
+    "job_disjunctive" -> (jobDisjunctive _),
     "job_fact_fact" -> (jobFactFact _),
     "job_anti_outer" -> (jobAntiOuter _),
     "job_long_chain" -> (jobLongChain _),
@@ -440,6 +508,8 @@ object CoreQueries {
     "job_deep_join" -> (jobDeepJoin _))
 
   val oracle: Map[String, String] = Map(
+    "job_cyclic" -> jobCyclicSql,
+    "job_disjunctive" -> jobDisjunctiveSql,
     "job_fact_fact" -> jobFactFactSql,
     "job_anti_outer" -> jobAntiOuterSql,
     "job_long_chain" -> jobLongChainSql,

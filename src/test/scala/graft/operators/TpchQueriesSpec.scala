@@ -75,6 +75,33 @@ class TpchQueriesSpec extends SparkSpec {
     assert(rows.length <= 25) // at most one row per nation
   }
 
+  test("job_cyclic: cycle edge folds into the join keys — no residual cartesian") {
+    val p = plan(CoreQueries.jobCyclic(spark, sf()))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the cycle-closing c_nationkey = n_nationkey must join, not NL-filter")
+    val rows = CoreQueries.jobCyclic(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    // cyclic consistency: every group's nation is in EUROPE
+    import org.apache.spark.sql.functions._
+    val euro = graft.Tables.t(spark, sf(), "nation")
+      .join(graft.Tables.t(spark, sf(), "region")
+        .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    rows.foreach(r => assert(euro.contains(r.getString(0))))
+  }
+
+  test("job_disjunctive: OR across two relations stays a residual filter over hash joins") {
+    val p = plan(CoreQueries.jobDisjunctive(spark, sf()))
+    assert(!p.contains("CartesianProduct"),
+      "the OR predicate must not degrade the equi-joins to a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "part/supplier still broadcast-hash-join")
+    // the disjunction survives as a filter (it cannot push to either scan)
+    assert(p.contains("p_size") && p.contains("s_acctbal"))
+  }
+
   test("job_anti_outer: anti prunes before the outer enrichment") {
     val p = plan(CoreQueries.jobAntiOuter(spark, sf()))
     assert(p.contains("LeftAnti"), "NOT EXISTS must plan as anti join")
