@@ -30,7 +30,7 @@ object Multimodal {
       col("source").as("kind"),
       col("text").cast("binary").as("payload"))
 
-  /** STUB decode: ??? in a real deployment this calls the codec; here it
+  /** STUB decode: in a real deployment this calls the media codec; here it
     * derives deterministic features so the plumbing is testable. Runs
     * partition-batched via mapPartitions — the batch shape a real decoder
     * needs (amortized codec init per partition, not per row). */

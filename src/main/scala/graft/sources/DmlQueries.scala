@@ -165,7 +165,21 @@ object DmlQueries {
     """SELECT c_custkey, c_acctbal FROM customer
       |WHERE NOT (c_acctbal < 0 AND length(c_mktsegment) // 2 = 4)""".stripMargin
 
+  /** Small-file compaction: 32 deliberately tiny files rewritten into
+    * target-size ones as a new version; the oracle is row identity with
+    * the untouched fixture — compaction must move bytes, never rows. */
+  def dmlCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root, Tables.t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal").repartition(32))
+    GraftTable.compact(s, root, 8L * 1024 * 1024)
+    GraftTable.read(s, root).select("c_custkey", "c_acctbal")
+  }
+
+  val dmlCompactSql: String = "SELECT c_custkey, c_acctbal FROM customer"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dml_compact" -> (dmlCompact _),
     "dml_insert" -> (dmlInsert _),
     "dml_delete" -> (dmlDelete _),
     "dml_update" -> (dmlUpdate _),
@@ -176,6 +190,7 @@ object DmlQueries {
     "dml_sql_delete" -> (dmlSqlDelete _))
 
   val oracle: Map[String, String] = Map(
+    "dml_compact" -> dmlCompactSql,
     "dml_insert" -> dmlInsertSql,
     "dml_delete" -> dmlDeleteSql,
     "dml_update" -> dmlUpdateSql,

@@ -675,4 +675,66 @@ object GraftTable {
     val newRows = updated.map(_.unionAll(inserts)).getOrElse(inserts)
     commit(root, keep ++ writeFiles(newRows, root), txn)
   }
+
+  /** Small-file compaction — the repo's compaction theme applied to its
+    * own table format (reference analog: VACUUM/checkpointing,
+    * `src/execution/operator/helper/physical_vacuum.cpp`; shape modeled
+    * on public Delta OPTIMIZE / Iceberg rewrite_data_files). Data files
+    * below `targetBytes` are rewritten into ~`targetBytes`-sized ones as
+    * a NEW version; files already at target size are carried over
+    * untouched (their manifest stats lines included). Invariants: rows
+    * are identical before/after, prior versions stay readable (no file
+    * is deleted — see [[vacuum]] for reclamation), and the rewritten
+    * files get freshly derived min/max stats via the normal write path.
+    *
+    * Scale posture: the decision layer is manifest + `Files.size`
+    * metadata only (no data read); the rewrite reads ONLY the
+    * sub-threshold files and shuffles them into `ceil(smallBytes /
+    * targetBytes)` output partitions — a point-DML-heavy table with a
+    * long tail of tiny files compacts by touching exactly that tail.
+    *
+    * Returns the new version, or the current one unchanged when fewer
+    * than two files are below target (nothing to merge). */
+  def compact(spark: SparkSession, root: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val v = currentVersion(root)
+    val entries = manifest(root, v)
+    val (small, large) = entries.partition(l =>
+      Files.size(Paths.get(abs(root, entryPath(l)))) < targetBytes)
+    if (small.size < 2) return v
+    val smallBytes = small.map(l =>
+      Files.size(Paths.get(abs(root, entryPath(l))))).sum
+    val nOut = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
+    val rewritten = readFiles(spark, root, small).repartition(nOut)
+    commit(root, large ++ writeFiles(rewritten, root))
+  }
+
+  /** Reclaim storage: delete data files not referenced by any of the
+    * latest `keepVersions` manifests, and drop the older manifests
+    * themselves. Time travel to vacuumed versions is gone afterwards —
+    * the same retention contract as public Delta VACUUM. Driver-side
+    * metadata work only (manifest set difference + file deletes). */
+  def vacuum(root: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    val v = currentVersion(root)
+    val cutoff = math.max(1, v - keepVersions + 1)
+    val referenced = (cutoff to v).flatMap(manifest(root, _).map(entryPath)).toSet
+    val dataDir = Paths.get(s"$root/data")
+    var removed = 0
+    if (Files.isDirectory(dataDir)) {
+      val stream = Files.walk(dataDir)
+      try stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val rel = Paths.get(root).toAbsolutePath.normalize()
+            .relativize(p.toAbsolutePath.normalize()).toString
+          if (!referenced(rel)) { Files.delete(p); removed += 1 }
+        }
+      finally stream.close()
+    }
+    (1 until cutoff).foreach { old =>
+      Files.deleteIfExists(Paths.get(s"$root/_manifests/v$old.manifest"))
+    }
+    removed
+  }
 }

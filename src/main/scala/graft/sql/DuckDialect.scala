@@ -123,8 +123,11 @@ object DuckDialect {
         i = math.min(i + 1, n)
         out += Tok(2, sql.substring(s, i))
       } else if (c == '"' || c == '`') {
+        // doubled-quote escape (`""` / ```` ``` ````) stays inside the token
         val q = c; val s = i; i += 1
-        while (i < n && sql(i) != q) i += 1
+        while (i < n && !(sql(i) == q && (i + 1 >= n || sql(i + 1) != q))) {
+          if (sql(i) == q && i + 1 < n && sql(i + 1) == q) i += 2 else i += 1
+        }
         i = math.min(i + 1, n)
         out += Tok(3, sql.substring(s, i))
       } else if (c.isLetter || c == '_') {
@@ -348,11 +351,24 @@ object DuckDialect {
     val first = toks.find(!_.isWs).map(_.word).getOrElse("")
     if (first == "summarize")
       throw new GraftSqlException(
-        "SUMMARIZE is unsupported — use describe()/summary() on the DataFrame, " +
-          "or aggregate explicitly (count/min/max/avg per column)")
+        "SUMMARIZE needs the source schema, which string translation cannot " +
+          "see — execute it via DuckDialect.run (expands to a one-pass " +
+          "per-column aggregate, Summarize.scala), or use describe()/summary() " +
+          "on the DataFrame")
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
+      // ENUM functions (reference `src/core_functions/scalar/enum/
+      // enum_functions.cpp`) operate on DuckDB's ENUM logical type, which
+      // Spark (and the parquet fixtures) do not have — refuse with the
+      // modeling alternative rather than letting Spark raise a bare
+      // "undefined function".
+      if (t.kind == 4 && t.word.startsWith("enum_") &&
+          { val n = nextIdx(toks, i); n < toks.length && toks(n).is("(") })
+        throw new GraftSqlException(
+          s"${t.text} is unsupported — Spark has no ENUM type; model enums " +
+            "as STRING and use array_position(array('a','b',…), col) for " +
+            "codes, or a dimension table for the value set")
       if (t.kind == 4 && t.word == "by") {
         val p = prevIdx(toks, i); val n = nextIdx(toks, i)
         val prevW = if (p >= 0) toks(p).word else ""
@@ -360,12 +376,16 @@ object DuckDialect {
           val pp = if (p >= 0) prevIdx(toks, p) else -1
           if (pp >= 0) toks(pp).word else ""
         }
+        // UNION BY NAME is translated (rewriteUnionByName); the distinct
+        // set ops stay refused — INTERSECT/EXCEPT BY NAME compare row
+        // values under a name-matched schema, which positional Spark set
+        // ops cannot express without full schema knowledge.
         if (n < toks.length && toks(n).word == "name" &&
-            (prevW == "union" || prevW == "intersect" || prevW == "except" ||
-              (prevW == "all" && (prevPrevW == "union" || prevPrevW == "intersect" ||
+            (prevW == "intersect" || prevW == "except" ||
+              (prevW == "all" && (prevPrevW == "intersect" ||
                 prevPrevW == "except"))))
           throw new GraftSqlException(
-            "UNION/INTERSECT/EXCEPT BY NAME is unsupported in SQL — project both " +
+            "INTERSECT/EXCEPT BY NAME is unsupported in SQL — project both " +
               "sides to the same column order, or use unionByName on DataFrames")
       }
       if (t.kind == 4 && t.word == "returning" &&
@@ -984,6 +1004,191 @@ object DuckDialect {
 
   /** Recursively rewrite parenthesized subregions (innermost first), then
     * apply the block-scoped passes to this block's depth-0 clauses. */
+  /** DuckDB `UNION [ALL] BY NAME` → name-aligned Spark UNION (reference
+    * grammar: `src/parser/transform/statement/transform_select_node.cpp`,
+    * the setop BY NAME flag). DuckDB semantics: the output schema is the
+    * first branch's columns followed by names only later branches add, in
+    * first-appearance order; a branch missing a name contributes NULL for
+    * it. The rewrite wraps each branch in a subquery and projects the
+    * merged name list (`NULL AS c` where absent), turning Spark's
+    * positional UNION into the name-correct one.
+    *
+    * Token-level translation can only know names the SQL text exposes, so
+    * every select item must carry a determinable name: a bare (possibly
+    * qualified) column reference, an `AS` alias, or an unambiguous
+    * implicit alias. `SELECT *` branches and unaliased expressions are
+    * refused loudly. Mixed ALL/DISTINCT chains and chains mixing BY NAME
+    * with positional set ops are refused (left-assoc grouping would need
+    * a full parser to get right). */
+  private def rewriteUnionByName(toks: Vector[Tok]): Vector[Tok] = {
+    // recurse into parenthesized sub-blocks first (subqueries, CTE bodies)
+    val rec = {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i).is("(")) {
+          val close = matching(toks, i)
+          out += sym("(")
+          out ++= rewriteUnionByName(toks.slice(i + 1, close))
+          out += sym(")")
+          i = close + 1
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    // depth-0 `union [all] by name` operator spans [start, end]
+    final case class ByNameOp(start: Int, end: Int, all: Boolean)
+    val opsB = Vector.newBuilder[ByNameOp]
+    var d = 0; var i = 0
+    while (i < rec.length) {
+      val t = rec(i)
+      if (t.is("(")) d += 1
+      else if (t.is(")")) d -= 1
+      else if (d == 0 && t.word == "union") {
+        var j = nextIdx(rec, i)
+        val all = j < rec.length && rec(j).word == "all"
+        if (all) j = nextIdx(rec, j)
+        if (j < rec.length && rec(j).word == "by") {
+          val k = nextIdx(rec, j)
+          if (k < rec.length && rec(k).word == "name")
+            opsB += ByNameOp(i, k, all)
+        }
+      }
+      i += 1
+    }
+    val ops = opsB.result()
+    if (ops.isEmpty) return rec
+    def refuse(msg: String): Nothing = throw new GraftSqlException(
+      s"UNION BY NAME: $msg — or use unionByName on DataFrames")
+    if (ops.exists(_.all) && ops.exists(!_.all))
+      refuse("mixed UNION ALL BY NAME / UNION BY NAME chains are unsupported " +
+        "(left-assoc distinct grouping needs a full parser)")
+    // chains mixing BY NAME with positional set ops: refuse
+    val opIdx = ops.flatMap(o => o.start to o.end).toSet
+    d = 0; i = 0
+    while (i < rec.length) {
+      val t = rec(i)
+      if (t.is("(")) d += 1
+      else if (t.is(")")) d -= 1
+      else if (d == 0 && !opIdx(i) &&
+          (t.word == "union" || t.word == "intersect" || t.word == "except"))
+        refuse("mixing BY NAME with positional set operations in one chain " +
+          "is unsupported")
+      i += 1
+    }
+    // a leading WITH clause scopes over the whole set op — keep it outside
+    val idx0 = rec.indexWhere(!_.isWs)
+    var bodyStart = 0
+    if (idx0 >= 0 && rec(idx0).word == "with") {
+      val sel = firstDepth0(rec, idx0 + 1, Set("select"))
+      if (sel < 0) refuse("could not find the main SELECT after WITH")
+      bodyStart = sel
+    }
+    // split branches; peel trailing depth-0 ORDER BY / LIMIT / OFFSET off
+    // the last branch (they bind to the whole set op)
+    val bounds = (bodyStart +: ops.map(_.end + 1)).zip(
+      ops.map(_.start) :+ rec.length)
+    var branches = bounds.map { case (s, e) => rec.slice(s, e) }
+    val lastB = branches.last
+    val tailAt = firstDepth0(lastB, 0, Set("order", "limit", "offset"))
+    val tailToks =
+      if (tailAt < 0) Vector.empty[Tok] else lastB.slice(tailAt, lastB.length)
+    if (tailAt >= 0) branches = branches.init :+ lastB.slice(0, tailAt)
+
+    def stripOuterParens(b: Vector[Tok]): Vector[Tok] = {
+      val nb = b.dropWhile(_.isWs).reverse.dropWhile(_.isWs).reverse
+      if (nb.nonEmpty && nb.head.is("(") && matching(nb, 0) == nb.length - 1)
+        stripOuterParens(nb.slice(1, nb.length - 1))
+      else nb
+    }
+    // words that cannot precede an implicit alias (they are operators /
+    // clause keywords, not the tail of a finished expression)
+    val noAliasAfter = Set("and", "or", "not", "is", "in", "like", "ilike",
+      "between", "then", "else", "when", "case", "distinct", "all", "over",
+      "escape", "collate", "from", "select", "as")
+    // (lowercase key, emit text) of one select item; refuses when the
+    // name is not determinable from the text
+    def itemName(item: Vector[Tok]): (String, String) = {
+      val nonWs = item.filterNot(_.isWs)
+      if (nonWs.isEmpty) refuse("empty select item")
+      var dd = 0
+      nonWs.foreach { t =>
+        if (t.is("(")) dd += 1 else if (t.is(")")) dd -= 1
+        else if (dd == 0 && t.is("*"))
+          refuse("`SELECT *` branches are unsupported (the translator " +
+            "cannot know the column names) — list the columns explicitly")
+      }
+      def nameOf(t: Tok): (String, String) =
+        if (t.kind == 3) {
+          val inner = t.text.substring(1, t.text.length - 1)
+          (inner.toLowerCase, s"`$inner`")
+        } else (t.word, t.text)
+      val asPos = depth0Word(item, "as")
+      if (asPos.nonEmpty) {
+        val n = nextIdx(item, asPos.last)
+        if (n < item.length && (item(n).kind == 3 || item(n).kind == 4))
+          return nameOf(item(n))
+        refuse("AS must be followed by an identifier")
+      }
+      // bare (possibly qualified) reference: ident (. ident)*
+      val bareRef = nonWs.zipWithIndex.forall { case (t, j) =>
+        if (j % 2 == 0) t.kind == 3 || t.kind == 4 else t.is(".")
+      } && nonWs.length % 2 == 1
+      if (bareRef) return nameOf(nonWs.last)
+      // implicit alias: `expr name` where the token before `name` ends an
+      // expression (ident, literal, `)`/`]`) and is not an operator word
+      val last = nonWs.last
+      if (nonWs.length >= 2 && (last.kind == 3 || last.kind == 4)) {
+        val p = nonWs(nonWs.length - 2)
+        val endsExpr = p.is(")") || p.is("]") || p.kind == 2 || p.kind == 5 ||
+          ((p.kind == 3 || p.kind == 4) && !noAliasAfter(p.word))
+        if (endsExpr && !noAliasAfter(last.word)) return nameOf(last)
+      }
+      refuse(s"cannot determine the output name of select item " +
+        s"`${render(item).trim}` — add an AS alias on every expression")
+    }
+    val branchNames: Vector[Vector[(String, String)]] = branches.map { b0 =>
+      val b = stripOuterParens(b0)
+      val selAt = b.indexWhere(!_.isWs)
+      if (selAt < 0 || b(selAt).word != "select")
+        refuse("every branch must be a SELECT")
+      var listFrom = nextIdx(b, selAt)
+      if (listFrom < b.length &&
+          (b(listFrom).word == "distinct" || b(listFrom).word == "all"))
+        listFrom = nextIdx(b, listFrom)
+      val listEndRaw = firstDepth0(b, listFrom, Set("from", "where", "group",
+        "order", "having", "limit", "qualify", "window"))
+      val listEnd = if (listEndRaw < 0) b.length else listEndRaw
+      // split the select list on depth-0 commas
+      val items = Vector.newBuilder[Vector[Tok]]
+      var dd = 0; var s = listFrom; var j = listFrom
+      while (j < listEnd) {
+        val t = b(j)
+        if (t.is("(") || t.is("[")) dd += 1
+        else if (t.is(")") || t.is("]")) dd -= 1
+        else if (dd == 0 && t.is(",")) { items += b.slice(s, j); s = j + 1 }
+        j += 1
+      }
+      items += b.slice(s, listEnd)
+      items.result().map(itemName)
+    }
+    // merged output list, first-appearance order (DuckDB semantics)
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    branchNames.foreach(_.foreach { case (lc, txt) =>
+      if (!merged.contains(lc)) merged(lc) = txt
+    })
+    val sep = if (ops.head.all) " UNION ALL " else " UNION "
+    val pieces = branches.zip(branchNames).map { case (b, names) =>
+      val have = names.map(_._1).toSet
+      val list = merged.map { case (lc, txt) =>
+        if (have(lc)) txt else s"NULL AS $txt"
+      }.mkString(", ")
+      s"SELECT $list FROM ( ${render(b).trim} )"
+    }
+    tokenize(render(rec.slice(0, bodyStart)) + pieces.mkString(sep) +
+      " " + render(tailToks))
+  }
+
   private def rewriteBlocks(toks: Vector[Tok]): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
@@ -1002,12 +1207,29 @@ object DuckDialect {
     rewriteDistinctOn(rewriteQualify(out.result()))
   }
 
+  /** DuckDB double-quoted identifiers → Spark backticks. In DuckDB `"x"`
+    * is ALWAYS an identifier (strings are single-quoted, reference
+    * tokenizer: third_party/libpg_query scan rules), while Spark's
+    * default parser reads double quotes as string literals — so `AS
+    * "min"` would either fail to parse or silently become a literal.
+    * Unconditional conversion is therefore safe and required. `""`
+    * un-escapes to `"`; embedded backticks escape as ```` `` ````. */
+  private def rewriteQuotedIdents(toks: Vector[Tok]): Vector[Tok] =
+    toks.map { t =>
+      if (t.kind == 3 && t.text.length >= 2 && t.text.head == '"') {
+        val inner = t.text.substring(1, t.text.length - 1)
+          .replace("\"\"", "\"").replace("`", "``")
+        Tok(3, s"`$inner`")
+      } else t
+    }
+
   // --------------------------------------------------------------- public
 
   /** DuckDB SQL → Spark SQL. Deterministic, token-level, literal-safe. */
   def translate(duckSql: String): String = {
     var toks = tokenize(duckSql)
     toks = refuseUnsupported(toks)
+    toks = rewriteUnionByName(toks)
     toks = rewriteBraces(toks)
     toks = rewriteBrackets(toks)
     toks = rewriteIntDiv(toks)
@@ -1018,10 +1240,17 @@ object DuckDialect {
     toks = rewriteIgnoreNulls(toks)
     toks = rewriteAsof(toks)
     toks = rewriteBlocks(toks)
+    toks = rewriteQuotedIdents(toks)
     render(toks)
   }
 
-  /** Translate and run against the fixture catalog at `dir`. */
-  def run(spark: SparkSession, dir: String, duckSql: String): DataFrame =
-    Tables.sql(spark, dir, translate(duckSql))
+  /** Translate and run against the fixture catalog at `dir`. SUMMARIZE
+    * is handled here rather than in [[translate]]: its expansion needs
+    * the source schema, which only exists once a session can resolve the
+    * relation. */
+  def run(spark: SparkSession, dir: String, duckSql: String): DataFrame = {
+    val head = tokenize(duckSql).find(!_.isWs).map(_.word).getOrElse("")
+    if (head == "summarize") Summarize.run(spark, dir, duckSql)
+    else Tables.sql(spark, dir, translate(duckSql))
+  }
 }

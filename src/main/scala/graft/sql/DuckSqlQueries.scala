@@ -187,6 +187,83 @@ object DuckSqlQueries {
   val asofLeftSql: String = graft.operators.Joins.joinAsofSql
   val asofInnerSql: String = graft.operators.Joins.joinAsofInnerSql
 
+  /** `UNION ALL BY NAME` with disjoint measures: each side contributes a
+    * column the other lacks (NULL-filled) and the key appears in a
+    * different position — the full by-name alignment surface
+    * (reference: `src/parser/transform/statement/transform_select_node.cpp`
+    * setop BY NAME flag). NULLS FIRST pins the tie order both engines
+    * agree on. */
+  val unionByNameAllSql: String =
+    """SELECT c_nationkey AS nation, count(*) AS n_cust,
+      |       round(sum(c_acctbal), 2) AS bal
+      |FROM customer GROUP BY c_nationkey
+      |UNION ALL BY NAME
+      |SELECT count(*) AS n_supp, s_nationkey AS nation
+      |FROM supplier GROUP BY s_nationkey
+      |ORDER BY nation, n_cust NULLS FIRST""".stripMargin
+
+  /** Distinct `UNION BY NAME`: same names, opposite column order — the
+    * rows must align by name (positional union would pair src with k). */
+  val unionByNameSql: String =
+    """SELECT 'cust' AS src, c_nationkey AS k FROM customer
+      |UNION BY NAME
+      |SELECT s_nationkey AS k, 'supp' AS src FROM supplier
+      |ORDER BY src, k""".stripMargin
+
+  /** SUMMARIZE statement (executes via `DuckDialect.run` → `Summarize`:
+    * one-pass wide aggregate + stack). Unlike the other entries the
+    * oracle is NOT this raw string — DuckDB's native SUMMARIZE uses HLL
+    * approx_unique and approx quantiles, which are engine-specific — but
+    * the exact-stat expansion below, which both engines compute
+    * value-identically. */
+  val summarizeSql: String =
+    "SUMMARIZE SELECT c_custkey, c_acctbal, c_mktsegment FROM customer"
+
+  val summarizeOracleSql: String =
+    """WITH agg AS (
+      |  SELECT
+      |    CAST(min(c_custkey) AS VARCHAR) AS min_0,
+      |    CAST(max(c_custkey) AS VARCHAR) AS max_0,
+      |    count(DISTINCT c_custkey) AS uniq_0, count(c_custkey) AS nn_0,
+      |    CAST(round(avg(c_custkey), 6) AS DOUBLE) AS avg_0,
+      |    CAST(round(stddev_samp(c_custkey), 6) AS DOUBLE) AS std_0,
+      |    CAST(round(quantile_cont(c_custkey, 0.25), 6) AS DOUBLE) AS q25_0,
+      |    CAST(round(quantile_cont(c_custkey, 0.50), 6) AS DOUBLE) AS q50_0,
+      |    CAST(round(quantile_cont(c_custkey, 0.75), 6) AS DOUBLE) AS q75_0,
+      |    CAST(min(c_acctbal) AS VARCHAR) AS min_1,
+      |    CAST(max(c_acctbal) AS VARCHAR) AS max_1,
+      |    count(DISTINCT c_acctbal) AS uniq_1, count(c_acctbal) AS nn_1,
+      |    CAST(round(avg(c_acctbal), 6) AS DOUBLE) AS avg_1,
+      |    CAST(round(stddev_samp(c_acctbal), 6) AS DOUBLE) AS std_1,
+      |    CAST(round(quantile_cont(c_acctbal, 0.25), 6) AS DOUBLE) AS q25_1,
+      |    CAST(round(quantile_cont(c_acctbal, 0.50), 6) AS DOUBLE) AS q50_1,
+      |    CAST(round(quantile_cont(c_acctbal, 0.75), 6) AS DOUBLE) AS q75_1,
+      |    CAST(min(c_mktsegment) AS VARCHAR) AS min_2,
+      |    CAST(max(c_mktsegment) AS VARCHAR) AS max_2,
+      |    count(DISTINCT c_mktsegment) AS uniq_2, count(c_mktsegment) AS nn_2,
+      |    count(*) AS total
+      |  FROM customer)
+      |SELECT 'c_custkey' AS column_name, 'BIGINT' AS column_type,
+      |       min_0 AS "min", max_0 AS "max", uniq_0 AS approx_unique,
+      |       avg_0 AS avg, std_0 AS std, q25_0 AS q25, q50_0 AS q50,
+      |       q75_0 AS q75, total AS "count",
+      |       CAST(round((total - nn_0) * 100.0 / total, 2) AS DOUBLE)
+      |         AS null_percentage
+      |FROM agg
+      |UNION ALL
+      |SELECT 'c_acctbal', 'DOUBLE', min_1, max_1, uniq_1, avg_1, std_1,
+      |       q25_1, q50_1, q75_1, total,
+      |       CAST(round((total - nn_1) * 100.0 / total, 2) AS DOUBLE)
+      |FROM agg
+      |UNION ALL
+      |SELECT 'c_mktsegment', 'VARCHAR', min_2, max_2, uniq_2,
+      |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |       CAST(NULL AS DOUBLE), total,
+      |       CAST(round((total - nn_2) * 100.0 / total, 2) AS DOUBLE)
+      |FROM agg
+      |ORDER BY column_name""".stripMargin
+
   private def via(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => DuckDialect.run(s, dir, sql)
 
@@ -209,6 +286,10 @@ object DuckSqlQueries {
     "ducksql_map_literal" -> via(mapLiteralSql),
     "ducksql_arg_extreme" -> via(argExtremeSql),
     "ducksql_qualify_alias" -> via(qualifyAliasSql),
+    "ducksql_union_by_name" -> via(unionByNameSql),
+    "ducksql_union_all_by_name" -> via(unionByNameAllSql),
+    "ducksql_summarize" -> ((s, dir) =>
+      DuckDialect.run(s, dir, summarizeSql).orderBy("column_name")),
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
   val oracle: Map[String, String] = Map(
@@ -230,5 +311,8 @@ object DuckSqlQueries {
     "ducksql_map_literal" -> mapLiteralSql,
     "ducksql_arg_extreme" -> argExtremeSql,
     "ducksql_qualify_alias" -> qualifyAliasSql,
+    "ducksql_union_by_name" -> unionByNameSql,
+    "ducksql_union_all_by_name" -> unionByNameAllSql,
+    "ducksql_summarize" -> summarizeOracleSql,
     "ducksql_read_parquet" -> readParquetOracleSql)
 }

@@ -155,4 +155,50 @@ class DmlSpec extends SparkSpec {
     // reversed range: inserts and deletes swap roles
     assert(delta(2, 1) === (100L to 102L).map((_, "delete")).toSet)
   }
+
+  test("compact merges small files, keeps rows and large files, re-derives stats") {
+    val root = freshRoot()
+    GraftTable.create(spark, root,
+      Tables.t(spark, sf(), "customer")
+        .select("c_custkey", "c_acctbal").repartition(16))
+    val before = GraftTable.read(spark, root).collect().toSeq
+      .map(_.toSeq).sortBy(_.toString)
+    val v1 = manifestFiles(root, 1)
+    assert(v1.size == 16)
+    val v2 = GraftTable.compact(spark, root, 64L * 1024 * 1024)
+    assert(v2 == 2)
+    val m2 = manifestFiles(root, 2)
+    assert(m2.size < v1.size, "compaction must reduce the file count")
+    // rewritten files are NEW files with fresh stats fields; none of the
+    // small originals survive into v2
+    assert(m2.intersect(v1).isEmpty)
+    assert(m2.forall(_.contains("c_custkey=")),
+      "compacted files must carry re-derived min/max stats")
+    // row identity
+    val after = GraftTable.read(spark, root).collect().toSeq
+      .map(_.toSeq).sortBy(_.toString)
+    assert(after == before)
+    // v1 stays readable (old files untouched until vacuum)
+    assert(GraftTable.read(spark, root, Some(1)).count() == before.size)
+    // above-target files carry over by identity: compact again with a
+    // tiny target — nothing is below it, version unchanged
+    assert(GraftTable.compact(spark, root, 1L) == 2)
+  }
+
+  test("vacuum deletes unreferenced files and old manifests, keeps current") {
+    val root = freshRoot()
+    GraftTable.create(spark, root,
+      Tables.t(spark, sf(), "customer")
+        .select("c_custkey", "c_acctbal").repartition(8))
+    GraftTable.compact(spark, root, 64L * 1024 * 1024) // v2 rewrites all 8
+    val rows = GraftTable.read(spark, root).count()
+    val removed = GraftTable.vacuum(root, keepVersions = 1)
+    assert(removed == 8, s"expected the 8 small originals deleted, got $removed")
+    // current version unaffected; old manifest gone
+    assert(GraftTable.read(spark, root).count() == rows)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/_manifests/v1.manifest")))
+    // idempotent: nothing left to delete
+    assert(GraftTable.vacuum(root, keepVersions = 1) == 0)
+  }
 }

@@ -268,6 +268,56 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(translate("SELECT string_split(a, '\\') FROM t").contains("split(a, '\\\\\\\\')"))
   }
 
+  test("UNION BY NAME aligns columns by name and NULL-fills the gaps") {
+    val t = norm(translate(
+      "SELECT a, b FROM t UNION ALL BY NAME SELECT c, a FROM u"))
+    // merged list = first-appearance order (a, b, c); branch 2 lacks b,
+    // branch 1 lacks c
+    assert(t == "SELECT a, b, NULL AS c FROM ( SELECT a, b FROM t ) " +
+      "UNION ALL SELECT a, NULL AS b, c FROM ( SELECT c, a FROM u )")
+    // distinct form uses plain UNION; qualified refs name by last segment;
+    // AS aliases win over the expression text
+    val d = norm(translate(
+      "SELECT t.a, sum(x) AS s FROM t GROUP BY t.a " +
+        "UNION BY NAME SELECT s, a FROM u"))
+    assert(d.startsWith("SELECT a, s FROM ("))
+    assert(d.contains(" UNION SELECT a, s FROM ("))
+  }
+
+  test("UNION BY NAME keeps a leading WITH and a trailing ORDER BY outside") {
+    val t = norm(translate(
+      "WITH w AS (SELECT 1 AS a) SELECT a FROM w " +
+        "UNION BY NAME SELECT b AS a FROM u ORDER BY a LIMIT 3"))
+    assert(t.startsWith("WITH w AS (SELECT 1 AS a) SELECT a FROM ("))
+    assert(t.endsWith("ORDER BY a LIMIT 3"))
+    // the ORDER BY must not be swallowed into the last branch's subquery
+    assert(!t.contains("ORDER BY a LIMIT 3 )"))
+  }
+
+  test("UNION BY NAME refusals: star, unaliased expressions, mixed chains") {
+    def refused(s: String) = intercept[GraftSqlException](translate(s))
+    assert(refused("SELECT * FROM t UNION BY NAME SELECT * FROM u")
+      .getMessage.contains("column names"))
+    assert(refused("SELECT a + 1 FROM t UNION BY NAME SELECT a FROM u")
+      .getMessage.contains("AS alias"))
+    assert(refused("SELECT a AND b FROM t UNION BY NAME SELECT a FROM u")
+      .getMessage.contains("AS alias"))
+    assert(refused(
+      "SELECT a FROM t UNION BY NAME SELECT a FROM u UNION SELECT a FROM v")
+      .getMessage.contains("positional"))
+    assert(refused("SELECT a FROM t UNION ALL BY NAME SELECT a FROM u " +
+      "UNION BY NAME SELECT a FROM v").getMessage.contains("mixed"))
+  }
+
+  test("double-quoted identifiers become backticks (DuckDB idents, not strings)") {
+    assert(norm(translate("SELECT \"min\" FROM \"t\"")) ==
+      "SELECT `min` FROM `t`")
+    // `""` un-escapes to a literal quote inside the identifier
+    assert(translate("SELECT \"a\"\"b\" FROM t").contains("`a\"b`"))
+    // single-quoted string literals are untouched
+    assert(translate("SELECT 'a \"x\" b' FROM t").contains("'a \"x\" b'"))
+  }
+
   test("native passthrough: constructs Spark 4 already parses are untouched") {
     for (sqlStr <- Seq(
       "SELECT a, count(*) FROM t GROUP BY ALL ORDER BY ALL",

@@ -57,21 +57,28 @@ class DuckFallbackParserSpec extends SparkSpec {
     }
     refusal("SELECT {'a': x, b: 2} FROM t", "keys must be string literals")
     refusal("SUMMARIZE t", "SUMMARIZE", "summary()")
-    refusal("SELECT a, b FROM t UNION BY NAME SELECT b, a FROM u",
-      "BY NAME", "unionByName")
+    // UNION BY NAME translates now (rewriteUnionByName); only forms whose
+    // output names the SQL text cannot expose are refused
+    refusal("SELECT * FROM t UNION BY NAME SELECT * FROM u",
+      "BY NAME", "column names")
+    refusal("SELECT a + 1 FROM t UNION BY NAME SELECT a FROM u",
+      "BY NAME", "AS alias")
+    refusal("SELECT a FROM t UNION BY NAME SELECT a FROM u EXCEPT SELECT a FROM v",
+      "BY NAME", "positional")
     refusal("SELECT a FROM t INTERSECT ALL BY NAME SELECT a FROM u", "BY NAME")
     refusal("INSERT INTO t VALUES (1) RETURNING *", "RETURNING", "GraftTable")
     refusal("DELETE FROM t WHERE a = 1 RETURNING a", "RETURNING")
     refusal("SELECT [x FOR x IN l] FROM t", "list comprehensions", "transform(")
     refusal("SELECT l[1] FROM t", "element_at")
     refusal("SELECT a // 2.5 FROM t", "floor(a / b)")
+    refusal("SELECT enum_first(NULL::mood) FROM t", "ENUM", "array_position")
     refusal("SELECT DISTINCT ON (g) g FROM t", "ORDER BY")
     // refused constructs never slip through the session fallback as
     // silently-different SQL: the fallback rethrows the ORIGINAL parse
     // error instead (native Spark diagnostics, no translator artifact)
     intercept[ParseException](parser.parsePlan("SUMMARIZE t"))
-    intercept[ParseException](
-      parser.parsePlan("SELECT a, b FROM t UNION BY NAME SELECT b, a FROM u"))
+    // translated UNION BY NAME reaches a plan through the fallback
+    parser.parsePlan("SELECT a, b FROM t UNION BY NAME SELECT b, a FROM u")
   }
 
   test("a session with GraftExtensions executes DuckDB-dialect SQL end-to-end") {
