@@ -11,6 +11,7 @@ row count, and per-column values sorted column-wise (the driver sorts
 columns by name before hashing values).
 """
 import json
+import os
 import math
 import sys
 
@@ -52,7 +53,10 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # single-file fixtures and Spark directory-style parquet both work
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -74,7 +78,29 @@ def main():
                 print(f"FAIL {name}: rows {len(got)} != {len(want)}")
                 n_fail += 1
                 continue
-            bad = [c for c in gc if gv[c] != wv[c]]
+            def col_ok(c):
+                if gv[c] == wv[c]:
+                    return True
+                # near-ulp float tolerance: above ~2^53×quantum, DuckDB's
+                # decimal→double conversion is not correctly rounded
+                # (value/10^scale in double arithmetic), so exact sums can
+                # print one ulp apart (sf1 sweep: q1 sum_charge diff 4e-6
+                # at 2.8e10 = exactly ulp(2.8e10)). rel 1e-12 is ~4000×
+                # looser than one ulp and ~1000× tighter than any real
+                # value bug the gate has ever caught.
+                for (ka, sa), (kb, sb) in zip(gv[c], wv[c]):
+                    if ka != kb:
+                        return False
+                    if sa == sb:
+                        continue
+                    try:
+                        fa, fb = float(sa), float(sb)
+                    except ValueError:
+                        return False
+                    if not math.isclose(fa, fb, rel_tol=1e-12, abs_tol=1e-12):
+                        return False
+                return True
+            bad = [c for c in gc if not col_ok(c)]
             if bad:
                 print(f"FAIL {name}: value mismatch in {bad}")
                 for c in bad[:2]:

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, lit, translate}
+import org.apache.spark.sql.functions.{col, expr, lit, translate}
 
 /** Benchmark surface: one JSON line with per-query best-of-N wall times.
   *
@@ -133,7 +133,8 @@ object Bench {
     * genuine 10× corpus (10 independent sub-corpora), not a pathological
     * one where every doc has copies-1 twins. */
   def stageFixtures(spark: SparkSession, sfDir: String, cpus: Int,
-      copies: Int = 1): String = {
+      copies: Int = 1, moneyDecimals: Boolean = true,
+      outDir: Option[String] = None): String = {
     // Prefer tmpfs for the staged copy: the warm-best-of methodology
     // assumes cached reads on both engines, and a RAM-backed stage keeps
     // host-disk writeback contention out of the timed region entirely.
@@ -141,8 +142,8 @@ object Bench {
       .map(java.nio.file.Paths.get(_))
       .find(p => java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p))
       .get
-    val benchDir =
-      java.nio.file.Files.createTempDirectory(base, "graft_bench_").toString
+    val benchDir = outDir.getOrElse(
+      java.nio.file.Files.createTempDirectory(base, "graft_bench_").toString)
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     spark.conf.set("spark.sql.parquet.compression.codec", "uncompressed")
     Tables.names.foreach { n =>
@@ -162,9 +163,14 @@ object Bench {
         .getOrElse(math.max(4, cpus / 4))
       val parts = if (Tables.broadcastable(n)) 1
         else math.max(minParts, math.min(4 * cpus, (3 * srcBytes / (8 << 20)).toInt))
-      val loaded = moneyCols.getOrElse(n, Nil).foldLeft(Tables.t(spark, sfDir, n)) {
-        (d, c) => d.withColumn(c, col(c).cast("decimal(18,2)"))
-      }
+      // moneyDecimals=false keeps the raw fixture types — required when
+      // the staged dir feeds the ORACLE GATE (Verify + DuckDB), whose
+      // oracle SQL is written against the fixtures' double money columns.
+      val loaded =
+        if (!moneyDecimals) Tables.t(spark, sfDir, n)
+        else moneyCols.getOrElse(n, Nil).foldLeft(Tables.t(spark, sfDir, n)) {
+          (d, c) => d.withColumn(c, col(c).cast("decimal(18,2)"))
+        }
       val df = if (tableCopies == 1) loaded else
         (0 until tableCopies).map { c =>
           val shifted = inflateKeys(n).foldLeft(loaded) { (d, k) =>
@@ -173,7 +179,18 @@ object Bench {
           if (n == "documents" && c > 0)
             shifted.withColumn("text",
               translate(col("text"), alpha, alpha.drop(c % 25 + 1) + alpha.take(c % 25 + 1)))
-          else shifted
+          else if (n == "embeddings" && c > 0) {
+            // rotate each copy's vector by a per-copy offset: copies stop
+            // being bitwise-identical (10 identical copies made every ANN
+            // top-k cut a 10-way cos tie — engines break ties differently,
+            // round-9 sf1 sweep), while norms and the pairwise-distance
+            // DISTRIBUTION within a copy are preserved
+            shifted.withColumn("embedding", expr(
+              // per-copy distinct rotation, wrapped to the vector length
+              s"concat(slice(embedding, 1 + (1 + ($c - 1) % (size(embedding) - 1)), " +
+                s"size(embedding) - (1 + ($c - 1) % (size(embedding) - 1))), " +
+                s"slice(embedding, 1, 1 + ($c - 1) % (size(embedding) - 1)))"))
+          } else shifted
         }.reduce(_ unionByName _)
       val out = sortKey.get(n) match {
         case Some(c) => df.repartitionByRange(parts, col(c))

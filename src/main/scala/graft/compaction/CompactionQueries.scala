@@ -67,7 +67,11 @@ object CompactionQueries {
     * the plain columns, proving the packed plan is semantically
     * transparent. See `plans/CompressedMaterialization.scala`. */
   def compressPackAgg(s: SparkSession, dir: String): DataFrame =
-    graft.plans.CompressedMaterialization.groupByPacked(
+    // auto variant: stats-gated offset packing with plain-groupBy
+    // fallback — at fixture scale the keys pack; on 10×-inflated (sparse
+    // >32-bit) keys the gate falls back instead of aborting (round-9
+    // sf1-scale sweep finding)
+    graft.plans.CompressedMaterialization.groupByPackedAuto(
       Tables.t(s, dir, "lineitem"),
       "l_partkey", "l_suppkey",
       Seq(count(lit(1)).as("n"),

@@ -493,7 +493,106 @@ object CoreQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** JOB 20-relation-extreme shape: 16 relations in one statement, every
+    * dimension reached TWICE through independent alias paths (the IMDB
+    * long tail's signature — reference `benchmark/imdb/29a.benchmark` et
+    * al. join 17 relations with repeated dimension aliases). One fact in
+    * two roles (l1, and l2 = another line of the same order), part /
+    * supplier / nation / region each twice, plus a cycle-closing third
+    * supplier alias carrying the customer's nation. Planner stress: the
+    * join graph has 15 edges and two fact-fact edges; every dimension
+    * leg must broadcast (12 of the 15 joins) so the only exchanges are
+    * the two order-key fact shuffles, and the inequality
+    * (`l2.linenumber <> l1.linenumber`) must ride the equi-join as a
+    * residual, never degrade it to a nested loop. */
+  def jobManyRelations(s: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.t(s, dir, n)
+    val l1 = t("lineitem")
+    val p1 = t("part").filter(col("p_size") < 30)
+      .select(col("p_partkey").as("p1_pk"))
+    val s1 = t("supplier")
+      .select(col("s_suppkey").as("s1_sk"), col("s_nationkey").as("s1_nk"))
+    val n1 = t("nation")
+      .select(col("n_nationkey").as("n1_nk"), col("n_regionkey").as("n1_rk"))
+    val r1 = t("region")
+      .select(col("r_regionkey").as("r1_rk"), col("r_name").as("supp_region"))
+    val o = t("orders").filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey").as("o_ok"), col("o_custkey").as("o_ck"))
+    val c = t("customer")
+      .select(col("c_custkey").as("c_ck"), col("c_nationkey").as("c_nk"))
+    val n2 = t("nation")
+      .select(col("n_nationkey").as("n2_nk"), col("n_regionkey").as("n2_rk"))
+    val r2 = t("region")
+      .select(col("r_regionkey").as("r2_rk"), col("r_name").as("cust_region"))
+    val l2 = t("lineitem").select(col("l_orderkey").as("l2_ok"),
+      col("l_linenumber").as("l2_ln"), col("l_partkey").as("l2_pk"),
+      col("l_suppkey").as("l2_sk"))
+    val p2 = t("part").filter(col("p_size") < 40)
+      .select(col("p_partkey").as("p2_pk"))
+    val s2 = t("supplier")
+      .select(col("s_suppkey").as("s2_sk"), col("s_nationkey").as("s2_nk"))
+    val n3 = t("nation")
+      .select(col("n_nationkey").as("n3_nk"), col("n_regionkey").as("n3_rk"))
+    val r3 = t("region").select(col("r_regionkey").as("r3_rk"))
+    val s3 = t("supplier")
+      .select(col("s_suppkey").as("s3_sk"), col("s_nationkey").as("s3_nk"))
+    val n4 = t("nation").select(col("n_nationkey").as("n4_nk"))
+    // customer enriched with its geo (dims broadcast onto customer), then
+    // orders⋈customer — the one place static stats can't see the size, so
+    // AQE picks the strategy (no hint: nothing here is filter-tiny)
+    val oc = o.join(c, col("o_ck") === col("c_ck"))
+      .join(broadcast(n2), col("c_nk") === col("n2_nk"))
+      .join(broadcast(r2), col("n2_rk") === col("r2_rk"))
+    // second fact role with its own dimension tree
+    val right = l2
+      .join(broadcast(p2), col("l2_pk") === col("p2_pk"))
+      .join(broadcast(s2), col("l2_sk") === col("s2_sk"))
+      .join(broadcast(n3), col("s2_nk") === col("n3_nk"))
+      .join(broadcast(r3), col("n3_rk") === col("r3_rk"))
+    l1.join(broadcast(p1), col("l_partkey") === col("p1_pk"))
+      .join(broadcast(s1), col("l_suppkey") === col("s1_sk"))
+      .join(broadcast(n1), col("s1_nk") === col("n1_nk"))
+      .join(broadcast(r1), col("n1_rk") === col("r1_rk"))
+      .join(oc, col("l_orderkey") === col("o_ok"))
+      .join(broadcast(s3),
+        col("s3_sk") === col("l_suppkey") && col("s3_nk") === col("c_nk"))
+      .join(broadcast(n4), col("s3_nk") === col("n4_nk"))
+      .join(right,
+        col("l2_ok") === col("l_orderkey") && col("l2_ln") =!= col("l_linenumber"))
+      .groupBy(col("supp_region"), col("cust_region"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("rev"))
+      .orderBy(col("supp_region"), col("cust_region"))
+  }
+
+  val jobManyRelationsSql: String =
+    """SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM lineitem l1
+      |JOIN part p1     ON p1.p_partkey = l1.l_partkey
+      |JOIN supplier s1 ON s1.s_suppkey = l1.l_suppkey
+      |JOIN nation n1   ON n1.n_nationkey = s1.s_nationkey
+      |JOIN region r1   ON r1.r_regionkey = n1.n_regionkey
+      |JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+      |JOIN customer c  ON c.c_custkey = o.o_custkey
+      |JOIN nation n2   ON n2.n_nationkey = c.c_nationkey
+      |JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+      |JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_linenumber <> l1.l_linenumber
+      |JOIN part p2     ON p2.p_partkey = l2.l_partkey
+      |JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |JOIN nation n3   ON n3.n_nationkey = s2.s_nationkey
+      |JOIN region r3   ON r3.r_regionkey = n3.n_regionkey
+      |JOIN supplier s3 ON s3.s_nationkey = c.c_nationkey
+      |                AND s3.s_suppkey = l1.l_suppkey
+      |JOIN nation n4   ON n4.n_nationkey = s3.s_nationkey
+      |WHERE p1.p_size < 30 AND p2.p_size < 40 AND o.o_orderstatus <> 'F'
+      |GROUP BY supp_region, cust_region
+      |ORDER BY supp_region, cust_region""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "job_many_relations" -> (jobManyRelations _),
     "job_cyclic" -> (jobCyclic _),
     "job_disjunctive" -> (jobDisjunctive _),
     "job_fact_fact" -> (jobFactFact _),
@@ -508,6 +607,7 @@ object CoreQueries {
     "job_deep_join" -> (jobDeepJoin _))
 
   val oracle: Map[String, String] = Map(
+    "job_many_relations" -> jobManyRelationsSql,
     "job_cyclic" -> jobCyclicSql,
     "job_disjunctive" -> jobDisjunctiveSql,
     "job_fact_fact" -> jobFactFactSql,

@@ -225,7 +225,21 @@ object Shaping {
   val shapeDistinctSql: String =
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
+  /** The PIVOT STATEMENT front-end (`graft.sql.PivotStatement` via
+    * `DuckDialect.run`): the same raw DuckDB statement string is the
+    * oracle, so the gate checks the statement-level translation end to
+    * end — implicit-group-key discovery included (no GROUP BY in the
+    * second form: l_linestatus is the only column not consumed by
+    * ON/USING in the projected source). */
+  val pivotStmtSql: String =
+    "PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority"
+  val pivotStmtSumSql: String =
+    "PIVOT (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem) " +
+      "ON l_returnflag USING sum(l_quantity)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_stmt" -> ((s, dir) => graft.sql.DuckDialect.run(s, dir, pivotStmtSql)),
+    "pivot_stmt_sum" -> ((s, dir) => graft.sql.DuckDialect.run(s, dir, pivotStmtSumSql)),
     "shape_unnest" -> (shapeUnnest _),
     "shape_pivot" -> (shapePivot _),
     "shape_topn_distinct" -> (shapeTopnDistinct _),
@@ -242,6 +256,8 @@ object Shaping {
     "shape_limit_percent" -> (shapeLimitPercent _))
 
   val oracle: Map[String, String] = Map(
+    "pivot_stmt" -> pivotStmtSql,
+    "pivot_stmt_sum" -> pivotStmtSumSql,
     "shape_unnest" -> shapeUnnestSql,
     "shape_pivot" -> shapePivotSql,
     "shape_topn_distinct" -> shapeTopnDistinctSql,

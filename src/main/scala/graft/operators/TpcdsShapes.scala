@@ -729,7 +729,173 @@ object TpcdsShapes {
       |WHERE s.l_returnflag <> 'R'
       |GROUP BY p_brand""".stripMargin
 
+  /** q88-shape: a battery of independently-filtered counts of ONE fact
+    * returned as the columns of a single row (reference
+    * `benchmark/tpcds/sf1/88.benchmark`: 8 scalar subqueries over
+    * store_sales crossed into one row). Spark-first re-expression: the
+    * subquery battery folds into ONE conditional aggregate — one scan,
+    * one 1-row exchange — instead of the reference's 8 scans; the oracle
+    * keeps the literal 6-subquery cross-join form, so the gate proves
+    * the fold is value-identical. */
+  def dsScalarBattery(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    li.agg(
+      cnt(col("l_quantity").between(1, 10) && col("l_discount") < 0.03).as("n1"),
+      cnt(col("l_quantity").between(11, 20) && col("l_discount") < 0.05).as("n2"),
+      cnt(col("l_quantity").between(21, 30) && col("l_discount") < 0.07).as("n3"),
+      cnt(col("l_quantity").between(31, 40) && col("l_tax") < 0.04).as("n4"),
+      cnt(col("l_quantity").between(41, 50) && col("l_tax") < 0.06).as("n5"),
+      cnt(col("l_returnflag") === "R" && col("l_discount") >= 0.05).as("n6"))
+  }
+
+  val dsScalarBatterySql: String =
+    """SELECT * FROM
+      |(SELECT count(*) AS n1 FROM lineitem WHERE l_quantity BETWEEN 1 AND 10 AND l_discount < 0.03),
+      |(SELECT count(*) AS n2 FROM lineitem WHERE l_quantity BETWEEN 11 AND 20 AND l_discount < 0.05),
+      |(SELECT count(*) AS n3 FROM lineitem WHERE l_quantity BETWEEN 21 AND 30 AND l_discount < 0.07),
+      |(SELECT count(*) AS n4 FROM lineitem WHERE l_quantity BETWEEN 31 AND 40 AND l_tax < 0.04),
+      |(SELECT count(*) AS n5 FROM lineitem WHERE l_quantity BETWEEN 41 AND 50 AND l_tax < 0.06),
+      |(SELECT count(*) AS n6 FROM lineitem WHERE l_returnflag = 'R' AND l_discount >= 0.05)""".stripMargin
+
+  /** q9-shape: CASE WHEN over scalar-subquery counts selecting WHICH
+    * aggregate each output column reports (reference
+    * `benchmark/tpcds/sf1/9.benchmark`: 5 quantity buckets, each CASE
+    * choosing between two avgs by a count threshold). Same Spark-first
+    * fold as [[dsScalarBattery]]: all 9 reference subqueries (3 buckets ×
+    * count/avg/avg) collapse into one conditional aggregate; the CASE
+    * then runs on the single aggregated row. Money avgs stay DECIMAL
+    * until the final DOUBLE cast (exact under any row order). */
+  def dsCaseBuckets(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    // avg spelled as exact-decimal sum → double ÷ count: DuckDB's
+    // avg(DECIMAL) returns an order-dependent double, the split form is
+    // deterministic on both engines (and null-safe on an empty bucket:
+    // null numerator short-circuits ANSI's divide-by-zero)
+    def bucket(p: Column, i: Int) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n$i"),
+      (sum(when(p, dec(col("l_extendedprice")))).cast("double") /
+        sum(when(p, 1L).otherwise(0L)).cast("double")).as(s"pe$i"),
+      (sum(when(p, dec(col("l_discount")))).cast("double") /
+        sum(when(p, 1L).otherwise(0L)).cast("double")).as(s"pd$i"))
+    val b1 = col("l_quantity").between(1, 20)
+    val b2 = col("l_quantity").between(21, 40)
+    val b3 = col("l_quantity") > 40
+    val aggs = bucket(b1, 1) ++ bucket(b2, 2) ++ bucket(b3, 3)
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(
+        when(col("n1") > 20000, col("pe1")).otherwise(col("pd1")).as("b1"),
+        when(col("n2") > 20000, col("pe2")).otherwise(col("pd2")).as("b2"),
+        when(col("n3") > 20000, col("pe3")).otherwise(col("pd3")).as("b3"))
+  }
+
+  val dsCaseBucketsSql: String =
+    """SELECT
+      |  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 20) > 20000
+      |       THEN (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |             FROM lineitem WHERE l_quantity BETWEEN 1 AND 20)
+      |       ELSE (SELECT CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |             FROM lineitem WHERE l_quantity BETWEEN 1 AND 20) END AS b1,
+      |  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 40) > 20000
+      |       THEN (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |             FROM lineitem WHERE l_quantity BETWEEN 21 AND 40)
+      |       ELSE (SELECT CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |             FROM lineitem WHERE l_quantity BETWEEN 21 AND 40) END AS b2,
+      |  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity > 40) > 20000
+      |       THEN (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |             FROM lineitem WHERE l_quantity > 40)
+      |       ELSE (SELECT CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |             FROM lineitem WHERE l_quantity > 40) END AS b3""".stripMargin
+
+  /** q95-shape: order-grain EXISTS pair — orders whose lines ship from
+    * MORE than one supplier and none of whose lines were returned
+    * (reference `benchmark/tpcds/sf1/95.benchmark` / TPC-H q21 family:
+    * EXISTS(same order, different supplier) AND NOT EXISTS(returned)).
+    * Spark-first: both correlated EXISTS collapse into ONE order-grain
+    * aggregate of the fact (distinct-supplier count + returned flag) —
+    * one fact shuffle on the order key replaces two correlated fact
+    * self-joins; the oracle keeps the literal EXISTS/NOT EXISTS form. */
+  def dsExistsPair(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val multi = li.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"),
+        max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ret"))
+      .filter(col("ns") > 1 && col("ret") === 0L)
+      .select(col("ok"))
+    Tables.t(s, dir, "orders")
+      .join(multi, col("o_orderkey") === col("ok"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+  }
+
+  val dsExistsPairSql: String =
+    """WITH multi AS (
+      |  SELECT l1.l_orderkey AS ok FROM lineitem l1
+      |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |                WHERE l2.l_orderkey = l1.l_orderkey
+      |                  AND l2.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                    WHERE l3.l_orderkey = l1.l_orderkey
+      |                      AND l3.l_returnflag = 'R')
+      |  GROUP BY l1.l_orderkey)
+      |SELECT count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN multi ON o_orderkey = ok""".stripMargin
+
+  /** q31-shape: two channels' month-over-month growth compared by
+    * JOINING the grouped series on (segment, month) — the join-aligned
+    * period-comparison form (reference `benchmark/tpcds/sf1/31.benchmark`
+    * compares store vs web quarter-over-quarter growth per county),
+    * distinct from [[dsMovingAvg]]'s pure-window form. Both channel
+    * aggregates share one orders⋈customer scan shape; the lag windows
+    * re-use each aggregate's (seg) partitioning; growth ratios divide as
+    * DOUBLE (exact decimal→double conversion on both engines). */
+  def dsShareGrowth(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    def channel(p: Column) = base.filter(p)
+      .groupBy(col("c_mktsegment").as("seg"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("m"))
+      .agg(sum(dec(col("o_totalprice"))).as("v"))
+      .withColumn("pv",
+        lag(col("v"), 1).over(Window.partitionBy(col("seg")).orderBy(col("m"))))
+      .filter(col("pv").isNotNull)
+      .select(col("seg"), col("m"),
+        (col("v").cast("double") / col("pv").cast("double")).as("growth"))
+    val hi = channel(col("o_totalprice") >= 100000).withColumnRenamed("growth", "hi_growth")
+    val lo = channel(col("o_totalprice") < 100000).withColumnRenamed("growth", "lo_growth")
+    hi.join(lo, Seq("seg", "m"))
+      .filter(col("hi_growth") > col("lo_growth"))
+      .select(col("seg"), col("m"), col("hi_growth"), col("lo_growth"))
+  }
+
+  val dsShareGrowthSql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS seg,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |         o_totalprice
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |hi AS (
+      |  SELECT seg, m, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+      |  FROM base WHERE o_totalprice >= 100000 GROUP BY seg, m),
+      |lo AS (
+      |  SELECT seg, m, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+      |  FROM base WHERE o_totalprice < 100000 GROUP BY seg, m),
+      |hg AS (SELECT seg, m, v, lag(v) OVER (PARTITION BY seg ORDER BY m) AS pv FROM hi),
+      |lg AS (SELECT seg, m, v, lag(v) OVER (PARTITION BY seg ORDER BY m) AS pv FROM lo)
+      |SELECT hg.seg AS seg, hg.m AS m,
+      |  CAST(hg.v AS DOUBLE) / CAST(hg.pv AS DOUBLE) AS hi_growth,
+      |  CAST(lg.v AS DOUBLE) / CAST(lg.pv AS DOUBLE) AS lo_growth
+      |FROM hg JOIN lg ON hg.seg = lg.seg AND hg.m = lg.m
+      |WHERE hg.pv IS NOT NULL AND lg.pv IS NOT NULL
+      |  AND CAST(hg.v AS DOUBLE) / CAST(hg.pv AS DOUBLE)
+      |    > CAST(lg.v AS DOUBLE) / CAST(lg.pv AS DOUBLE)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_scalar_battery" -> (dsScalarBattery _),
+    "ds_case_buckets" -> (dsCaseBuckets _),
+    "ds_exists_pair" -> (dsExistsPair _),
+    "ds_share_growth" -> (dsShareGrowth _),
     "ds_best_sellers" -> (dsBestSellers _),
     "ds_growth_channels" -> (dsGrowthChannels _),
     "ds_moving_avg" -> (dsMovingAvg _),
@@ -752,6 +918,10 @@ object TpcdsShapes {
     "ds_avg_band" -> (dsAvgBand _))
 
   val oracle: Map[String, String] = Map(
+    "ds_scalar_battery" -> dsScalarBatterySql,
+    "ds_case_buckets" -> dsCaseBucketsSql,
+    "ds_exists_pair" -> dsExistsPairSql,
+    "ds_share_growth" -> dsShareGrowthSql,
     "ds_best_sellers" -> dsBestSellersSql,
     "ds_growth_channels" -> dsGrowthChannelsSql,
     "ds_moving_avg" -> dsMovingAvgSql,

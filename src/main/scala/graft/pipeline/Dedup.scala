@@ -183,7 +183,25 @@ object Dedup {
     * materialized distinct exchange as verification (the
     * [[minhashSignaturesHashed]] barrier) instead of re-scanning the
     * corpus. localCheckpoint remains rejected for the sharing job — the
-    * exchange-reuse plan stays declarative and lineage-recoverable. */
+    * exchange-reuse plan stays declarative and lineage-recoverable.
+    *
+    * Round-9 re-audit — two further "obvious" surgeries were tried and
+    * MEASURED AS REGRESSIONS, so the round-8 shape stands (all numbers
+    * 10× corpus, production AQE conf, best-of-4 warm):
+    *  - band-bucket pre-aggregation (groupBy(band, sig) →
+    *    sort_array(collect_set(doc_id)) → in-bucket pair generator,
+    *    replacing the (band, sig) self-join): 5.34 s → 7.18 s. The
+    *    self-join's two exchange branches canonicalize identically, so
+    *    AQE stage reuse already runs ONE banded exchange — the rewrite
+    *    traded a reused hash join for a real collect_set object
+    *    aggregate.
+    *  - candidate-doc semi-join before the verify membership joins
+    *    (restrict `sh` to docs appearing in some pair): 5.46 s → 6.24 s.
+    *    On a near-dup-heavy corpus (this fixture: 42 241 of 50 000 docs
+    *    appear in pairs) the semi-join filters almost nothing and just
+    *    adds a stage; worth revisiting only for corpora where the
+    *    candidate set is a small fraction of docs — which the plan
+    *    cannot know statically and AQE cannot re-plan across here. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashes(Tables.t(s, dir, "documents"), "text", 3)
     val sig = minhashSignaturesHashed(sh, numHashes = 32)

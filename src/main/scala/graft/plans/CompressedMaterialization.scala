@@ -74,4 +74,64 @@ object CompressedMaterialization {
       .withColumn(keyA, unpackA(col("_packed")))
       .withColumn(keyB, unpackB(col("_packed")))
       .drop("_packed")
+
+  /** Stats-gated packing — the faithful analog of the reference's pass,
+    * which RANGE-compresses keys via min/max statistics and simply does
+    * not fire when the ranges don't fit
+    * (`src/optimizer/compressed_materialization.cpp`). A cheap stats
+    * pre-pass (column-pruned, map-side-combined min/max/null-count agg —
+    * no shuffle of data rows; the reference reads the same numbers from
+    * its catalog for free) decides per query:
+    *
+    *  - both key RANGES (not absolute values) fit a combined ≤63 bits →
+    *    offset-pack `((a-minA+nullA) << bitsB) | (b-minB+nullB)`, with
+    *    slot 0 reserved for NULL exactly like the reference's sentinel
+    *    slot, so nullable keys group correctly;
+    *  - otherwise → plain groupBy. NEVER a runtime failure: the round-9
+    *    sf1-scale sweep caught [[packPair]]'s value-range assert aborting
+    *    `compress_pack_agg` on 10×-inflated (sparse, >32-bit) keys — the
+    *    stats gate turns that abort into the reference's own behavior,
+    *    "don't compress what stats can't prove compressible". */
+  def groupByPackedAuto(df: DataFrame, keyA: String, keyB: String,
+      aggs: Seq[Column]): DataFrame = {
+    val a = col(keyA).cast("long"); val b = col(keyB).cast("long")
+    val r = df.agg(
+      min(a).as("mna"), max(a).as("mxa"),
+      min(b).as("mnb"), max(b).as("mxb"),
+      count(lit(1)).as("n"), count(a).as("na"), count(b).as("nb"))
+      .collect().head
+    def plain = df.groupBy(col(keyA), col(keyB)).agg(aggs.head, aggs.tail: _*)
+    if (r.isNullAt(0) || r.isNullAt(2)) return plain // empty or all-null key
+    val (mna, mxa) = (r.getLong(0), r.getLong(1))
+    val (mnb, mxb) = (r.getLong(2), r.getLong(3))
+    val nullA = if (r.getLong(5) < r.getLong(4)) 1L else 0L
+    val nullB = if (r.getLong(6) < r.getLong(4)) 1L else 0L
+    val maxIdxA = BigInt(mxa) - BigInt(mna) + nullA
+    val maxIdxB = BigInt(mxb) - BigInt(mnb) + nullB
+    def bits(maxIdx: BigInt): Int = math.max(1, maxIdx.bitLength)
+    if (!maxIdxA.isValidLong || !maxIdxB.isValidLong ||
+        bits(maxIdxA) + bits(maxIdxB) > 63) return plain
+    val bitsB = bits(maxIdxB)
+    def enc(k: Column, mn: Long, nullOff: Long): Column =
+      if (nullOff == 0L) k.cast("long") - lit(mn)
+      else when(k.isNull, lit(0L)).otherwise(k.cast("long") - lit(mn) + lit(1L))
+    val packed =
+      shiftleft(enc(col(keyA), mna, nullA), bitsB)
+        .bitwiseOR(enc(col(keyB), mnb, nullB))
+    def dec(idx: Column, mn: Long, nullOff: Long): Column =
+      if (nullOff == 0L) idx + lit(mn)
+      else when(idx === 0L, lit(null).cast("long")).otherwise(idx - lit(1L) + lit(mn))
+    val (dtA, dtB) = (df.schema(keyA).dataType, df.schema(keyB).dataType)
+    val agged = df.withColumn("_packed", packed)
+      .groupBy(col("_packed"))
+      .agg(aggs.head, aggs.tail: _*)
+    val aggNames = agged.columns.filterNot(_ == "_packed").toIndexedSeq
+    // keys first, aggregates after — positionally identical to the plain
+    // groupBy this is a drop-in replacement for
+    agged.select(
+      (dec(shiftright(col("_packed"), bitsB), mna, nullA).cast(dtA).as(keyA) +:
+        dec(col("_packed").bitwiseAND(lit((1L << bitsB) - 1L)), mnb, nullB)
+          .cast(dtB).as(keyB) +:
+        aggNames.map(col)): _*)
+  }
 }

@@ -1251,6 +1251,7 @@ object DuckDialect {
   def run(spark: SparkSession, dir: String, duckSql: String): DataFrame = {
     val head = tokenize(duckSql).find(!_.isWs).map(_.word).getOrElse("")
     if (head == "summarize") Summarize.run(spark, dir, duckSql)
+    else if (head == "pivot") PivotStatement.run(spark, dir, duckSql)
     else Tables.sql(spark, dir, translate(duckSql))
   }
 }

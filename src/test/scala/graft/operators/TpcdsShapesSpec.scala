@@ -168,4 +168,55 @@ class TpcdsShapesSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(2) - r.getLong(3)).sum > 0,
       "some sales must lack returns")
   }
+
+  // formatted explain prints each scan twice (tree line + detail header);
+  // node headers `(N) Scan parquet` count physical scan leaves exactly
+  private def scanNodes(p: String): Int =
+    p.split("\n").count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+
+  test("scalar-battery (q88): the subquery battery folds into ONE fact scan") {
+    val df = TpcdsShapes.dsScalarBattery(spark, sf())
+    val p = plan(df)
+    assert(scanNodes(p) == 1,
+      s"6 filtered counts must fold into one scan, plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "no subquery cross-join may survive the fold")
+    val r = df.collect()
+    assert(r.length == 1 && (1 to 6).forall(i => r.head.getLong(i - 1) >= 0))
+  }
+
+  test("case-buckets (q9): one scan, CASE evaluated on the aggregated row") {
+    val df = TpcdsShapes.dsCaseBuckets(spark, sf())
+    val p = plan(df)
+    assert(scanNodes(p) == 1,
+      s"9 reference subqueries must fold into one scan, plan:\n$p")
+    val r = df.collect()
+    assert(r.length == 1)
+    // at sf0.001 every bucket count is far below the 20000 gate → all
+    // three CASEs must take the ELSE (discount-average) branch: < 1
+    val small = TpcdsShapes.dsCaseBuckets(spark, sf("sf0.001")).collect().head
+    (0 to 2).foreach(i => assert(small.getDouble(i) < 1.0,
+      s"b${i + 1} must be a discount avg on the small corpus"))
+  }
+
+  test("exists-pair (q95): EXISTS pair folds to one order-grain aggregate") {
+    val df = TpcdsShapes.dsExistsPair(spark, sf())
+    val p = plan(df)
+    // exactly 2 scans total (lineitem once + orders once): the EXISTS
+    // pair must NOT re-scan the fact as correlated self-joins
+    assert(scanNodes(p) == 2, s"expected 2 scans (fact once), plan:\n$p")
+    val r = df.collect()
+    assert(r.length == 1 && r.head.getLong(0) > 0)
+  }
+
+  test("share-growth (q31): channels join on the post-aggregate grain") {
+    val df = TpcdsShapes.dsShareGrowth(spark, sf())
+    val p = plan(df)
+    assert(p.contains("Window"), "month-over-month lag plans as a window")
+    assert(!p.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) > r.getDouble(3),
+      "filter must keep only months where the high channel outgrew"))
+  }
 }

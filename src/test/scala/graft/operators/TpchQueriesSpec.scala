@@ -115,4 +115,28 @@ class TpchQueriesSpec extends SparkSpec {
       col("c_custkey") === col("o_custkey"), "inner").count()
     assert(bad == 0)
   }
+
+  test("job_many_relations: 16 relations, dims broadcast, fact scanned twice, no cartesian") {
+    val df = CoreQueries.jobManyRelations(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the 15-edge join graph must stay hash joins throughout")
+    // 16 scans in the raw plan; identical dimension branches may dedupe
+    // through ReusedExchange when a sibling suite's conf (AQE) is live on
+    // the shared session, so pin the range, not the exact count
+    val scans = p.split("\n").count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans >= 10 && scans <= 16,
+      s"all 16 relations scan (modulo exchange reuse), got $scans")
+    val bhj = p.split("BroadcastHashJoin").length - 1
+    assert(bhj >= 10, s"the dimension legs must broadcast (got $bhj BHJs)")
+    // the linenumber inequality rides the order-key equi-join as a
+    // residual — it must not appear as a standalone post-join Filter
+    assert(p.contains("l_orderkey"), "fact-fact join keeps its equi key")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the s3 cycle (s3.nation = customer's nation AND s3 = l1's supplier)
+    // forces supplier geo == customer geo on every surviving row
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      "cycle-closing alias must equate the two region paths"))
+  }
 }
