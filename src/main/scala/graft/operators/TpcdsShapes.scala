@@ -891,7 +891,71 @@ object TpcdsShapes {
       |  AND CAST(hg.v AS DOUBLE) / CAST(hg.pv AS DOUBLE)
       |    > CAST(lg.v AS DOUBLE) / CAST(lg.pv AS DOUBLE)""".stripMargin
 
+  /** q34/q73-shape: basket-size band — orders whose line count falls in
+    * a HAVING band, joined BACK to the order/customer detail (reference
+    * `benchmark/tpcds/sf1/{34,73}.benchmark`: households with 15-20
+    * items per trip, then the buyers' names). One fact aggregate at
+    * order grain, band filter, then two joins; the band must apply
+    * BEFORE the joins (the aggregate's HAVING prunes ~2/3 of orders). */
+  def dsBasketBand(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items").between(5, 7))
+    Tables.t(s, dir, "orders")
+      .join(baskets, col("o_orderkey") === col("ok"))
+      .join(Tables.t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("rev"),
+        sum(col("n_items")).cast("long").as("items"))
+      .orderBy(col("seg"))
+  }
+
+  val dsBasketBandSql: String =
+    """WITH baskets AS (
+      |  SELECT l_orderkey AS ok, count(*) AS n_items
+      |  FROM lineitem GROUP BY l_orderkey HAVING count(*) BETWEEN 5 AND 7)
+      |SELECT c_mktsegment AS seg, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+      |       CAST(sum(n_items) AS BIGINT) AS items
+      |FROM orders JOIN baskets ON o_orderkey = ok
+      |JOIN customer ON c_custkey = o_custkey
+      |GROUP BY seg ORDER BY seg""".stripMargin
+
+  /** q8-shape: EXPRESSION join keys — customers and suppliers matched on
+    * a computed key (name-suffix here; zip prefix in the reference,
+    * `benchmark/tpcds/sf1/8.benchmark` substr(ca_zip,1,5) IN (...))
+    * plus a plain column key. The planner must hash-partition on the
+    * expression (no pre-materialized column exists on either side) and
+    * keep the compound key an equi-join. */
+  def dsExprKeyJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(s, dir, "customer")
+      .select(substring(col("c_name"), -2, 2).as("suffix"),
+        col("c_nationkey").as("c_nk"), col("c_acctbal"))
+    val su = Tables.t(s, dir, "supplier")
+      .select(substring(col("s_name"), -2, 2).as("s_suffix"),
+        col("s_nationkey").as("s_nk"), col("s_acctbal"))
+    c.join(su, col("suffix") === col("s_suffix") && col("c_nk") === col("s_nk"))
+      .groupBy(col("suffix"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(dec(col("c_acctbal")) + dec(col("s_acctbal"))), 2)
+          .cast("double").as("bal"))
+      .orderBy(col("suffix"))
+  }
+
+  val dsExprKeyJoinSql: String =
+    """SELECT substr(c_name, -2) AS suffix, count(*) AS n_pairs,
+      |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))
+      |                      + CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS bal
+      |FROM customer JOIN supplier
+      |  ON substr(c_name, -2) = substr(s_name, -2)
+      | AND c_nationkey = s_nationkey
+      |GROUP BY suffix ORDER BY suffix""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_basket_band" -> (dsBasketBand _),
+    "ds_expr_key_join" -> (dsExprKeyJoin _),
     "ds_scalar_battery" -> (dsScalarBattery _),
     "ds_case_buckets" -> (dsCaseBuckets _),
     "ds_exists_pair" -> (dsExistsPair _),
@@ -918,6 +982,8 @@ object TpcdsShapes {
     "ds_avg_band" -> (dsAvgBand _))
 
   val oracle: Map[String, String] = Map(
+    "ds_basket_band" -> dsBasketBandSql,
+    "ds_expr_key_join" -> dsExprKeyJoinSql,
     "ds_scalar_battery" -> dsScalarBatterySql,
     "ds_case_buckets" -> dsCaseBucketsSql,
     "ds_exists_pair" -> dsExistsPairSql,

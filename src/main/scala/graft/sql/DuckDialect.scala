@@ -340,6 +340,98 @@ object DuckDialect {
     out.toVector
   }
 
+  /** C-style strftime format → JDK DateTimeFormatter pattern (reference
+    * `src/core_functions/scalar/date/strftime.cpp` specifier table; JDK
+    * side is what Spark's date_format/to_timestamp accept). None = a
+    * specifier with no faithful JDK twin — caller refuses loudly. Bare
+    * letters in literal text are JDK-quoted; embedded single quotes are
+    * refused (nested quoting has no safe one-pass spelling). */
+  private def strftimeToJdk(fmt: String): Option[String] = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt(i)
+      if (ch == '%') {
+        if (i + 1 >= fmt.length) return None
+        val dash = fmt(i + 1) == '-' && i + 2 < fmt.length
+        val tok = if (dash) s"-${fmt(i + 2)}" else fmt(i + 1).toString
+        val mapped = tok match {
+          case "Y" => "yyyy"; case "y" => "yy"; case "m" => "MM"
+          case "d" => "dd"; case "H" => "HH"; case "I" => "hh"
+          case "M" => "mm"; case "S" => "ss"; case "f" => "SSSSSS"
+          case "g" => "SSS"; case "p" => "a"; case "j" => "DDD"
+          case "a" => "EEE"; case "A" => "EEEE"; case "b" => "MMM"
+          case "B" => "MMMM"; case "%" => "%"
+          case "-d" => "d"; case "-m" => "M"; case "-H" => "H"
+          case "-I" => "h"; case "-M" => "m"; case "-S" => "s"
+          case "-j" => "D"
+          case _ => return None
+        }
+        out ++= mapped
+        i += (if (dash) 3 else 2)
+      } else if (ch == '\'') return None
+      else if (ch.isLetter) {
+        // quote the whole literal-letter RUN: individually-quoted adjacent
+        // letters ('o''k') would read as an escaped quote in JDK patterns
+        val s = i
+        while (i < fmt.length && fmt(i).isLetter && fmt(i) != '%') i += 1
+        out += '\''; out ++= fmt.substring(s, i); out += '\''
+      }
+      else { out += ch; i += 1 }
+    }
+    Some(out.toString)
+  }
+
+  /** strftime/strptime with a LITERAL format → date_format/to_timestamp
+    * with the converted JDK pattern. Non-literal or untranslatable
+    * formats refuse loudly (a silently-different format string would be
+    * the worst kind of wrong). DuckDB's argument order is
+    * (value, format) for both (reference strftime.cpp bind). */
+  private def rewriteStrftime(toks: Vector[Tok]): Vector[Tok] = {
+    val out = toks.toBuffer
+    var i = 0
+    while (i < out.length) {
+      val t = out(i)
+      if (t.kind == 4 && (t.word == "strftime" || t.word == "strptime")) {
+        val v = out.toVector
+        val open = nextIdx(v, i)
+        if (open < v.length && v(open).is("(")) {
+          val close = matching(v, open)
+          // find the LAST top-level comma: the format is the final arg
+          var d = 0; var commaAt = -1; var k = open
+          while (k < close) {
+            if (v(k).is("(")) d += 1
+            else if (v(k).is(")")) d -= 1
+            else if (v(k).is(",") && d == 1) commaAt = k
+            k += 1
+          }
+          val fmtAt = if (commaAt >= 0) nextIdx(v, commaAt) else -1
+          if (fmtAt < 0 || v(fmtAt).kind != 2 ||
+              nextIdx(v, fmtAt) != close)
+            throw new GraftSqlException(
+              s"${t.text}: only a literal format string in the last " +
+                "argument is translatable — a non-literal format cannot " +
+                "be converted to a Spark pattern at plan time")
+          val raw = v(fmtAt).text
+          val inner = raw.substring(1, raw.length - 1).replace("''", "'")
+          strftimeToJdk(inner) match {
+            case Some(jdk) =>
+              out(i) = word(
+                if (t.word == "strftime") "date_format" else "to_timestamp")
+              out(fmtAt) = Tok(2, "'" + jdk.replace("'", "''") + "'")
+            case None =>
+              throw new GraftSqlException(
+                s"${t.text}: format '$inner' uses a specifier with no " +
+                  "faithful Spark pattern equivalent — reformat with " +
+                  "date_format/to_timestamp directly")
+          }
+        }
+      }
+      i += 1
+    }
+    out.toVector
+  }
+
   /** Loud refusals for the DuckDB grammar tail this translator does not
     * cover (reference parser surface:
     * `src/parser/transform/expression`, `.../statement`): each construct
@@ -1234,6 +1326,7 @@ object DuckDialect {
     toks = rewriteBrackets(toks)
     toks = rewriteIntDiv(toks)
     toks = rewriteFunctions(toks)
+    toks = rewriteStrftime(toks)
     toks = rewriteExclude(toks)
     toks = rewriteReplace(toks)
     toks = rewriteReadParquet(toks)

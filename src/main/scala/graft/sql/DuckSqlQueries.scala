@@ -264,6 +264,19 @@ object DuckSqlQueries {
       |FROM agg
       |ORDER BY column_name""".stripMargin
 
+  /** strftime/strptime with C-style formats — the raw DuckDB spelling is
+    * its own oracle; the translator converts the format tokens to JDK
+    * patterns (%A/%B exercise locale names, %-d the no-pad variants,
+    * strptime the parse direction, cast to VARCHAR so both engines
+    * compare the same wall-clock string). */
+  val strftimeSql: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y/%m/%d %H:%M') AS f1,
+      |  strftime(o_orderdate, '%d %b %Y') AS f2,
+      |  strftime(o_orderdate, '%A, %-d %B') AS f3,
+      |  CAST(strptime('2021-07-08 09:10', '%Y-%m-%d %H:%M') AS VARCHAR) AS p1
+      |FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey""".stripMargin
+
   private def via(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => DuckDialect.run(s, dir, sql)
 
@@ -286,6 +299,7 @@ object DuckSqlQueries {
     "ducksql_map_literal" -> via(mapLiteralSql),
     "ducksql_arg_extreme" -> via(argExtremeSql),
     "ducksql_qualify_alias" -> via(qualifyAliasSql),
+    "ducksql_strftime" -> via(strftimeSql),
     "ducksql_union_by_name" -> via(unionByNameSql),
     "ducksql_union_all_by_name" -> via(unionByNameAllSql),
     "ducksql_summarize" -> ((s, dir) =>
@@ -311,6 +325,7 @@ object DuckSqlQueries {
     "ducksql_map_literal" -> mapLiteralSql,
     "ducksql_arg_extreme" -> argExtremeSql,
     "ducksql_qualify_alias" -> qualifyAliasSql,
+    "ducksql_strftime" -> strftimeSql,
     "ducksql_union_by_name" -> unionByNameSql,
     "ducksql_union_all_by_name" -> unionByNameAllSql,
     "ducksql_summarize" -> summarizeOracleSql,

@@ -209,6 +209,32 @@ class TpcdsShapesSpec extends SparkSpec {
     assert(r.length == 1 && r.head.getLong(0) > 0)
   }
 
+  test("basket-band (q34/q73): HAVING band prunes before the detail joins") {
+    val df = TpcdsShapes.dsBasketBand(spark, sf())
+    val p = plan(df)
+    // the band is a Filter directly over the order-grain HashAggregate,
+    // below both joins
+    val aggAt = p.indexOf("HashAggregate")
+    assert(aggAt >= 0 && p.contains("n_items"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every aggregated basket respects the band: items/n_orders in [5,7]
+    rows.foreach { r =>
+      val avg = r.getLong(3).toDouble / r.getLong(1)
+      assert(avg >= 5.0 && avg <= 7.0, s"avg basket $avg outside the band")
+    }
+  }
+
+  test("expr-key-join (q8): computed keys stay an equi-join, no cartesian") {
+    val df = TpcdsShapes.dsExprKeyJoin(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "expression keys must hash, not nest")
+    assert(p.contains("substring"), "the computed key survives into the plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) > 0))
+  }
+
   test("share-growth (q31): channels join on the post-aggregate grain") {
     val df = TpcdsShapes.dsShareGrowth(spark, sf())
     val p = plan(df)

@@ -318,6 +318,24 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(translate("SELECT 'a \"x\" b' FROM t").contains("'a \"x\" b'"))
   }
 
+  test("strftime/strptime formats convert token-for-token to JDK patterns") {
+    assert(norm(translate("SELECT strftime(d, '%Y-%m-%d') FROM t")) ==
+      "SELECT date_format(d, 'yyyy-MM-dd') FROM t")
+    assert(translate("SELECT strftime(d, '%A, %-d %B %H:%M:%S') FROM t")
+      .contains("date_format(d, 'EEEE, d MMMM HH:mm:ss')"))
+    // literal letter RUNS quote once for JDK (doubled again for the SQL
+    // literal); %% stays a literal percent
+    assert(translate("SELECT strftime(d, '%HH%M %% ok') FROM t")
+      .contains("date_format(d, 'HH''H''mm % ''ok''')"))
+    assert(translate("SELECT strptime(s, '%Y-%m-%d %H:%M') FROM t")
+      .contains("to_timestamp(s, 'yyyy-MM-dd HH:mm')"))
+    // refusals: non-literal format, untranslatable specifier
+    intercept[GraftSqlException](
+      translate("SELECT strftime(d, fmt_col) FROM t"))
+    intercept[GraftSqlException](
+      translate("SELECT strftime(d, '%U') FROM t")) // week-of-year, Sunday-based
+  }
+
   test("native passthrough: constructs Spark 4 already parses are untouched") {
     for (sqlStr <- Seq(
       "SELECT a, count(*) FROM t GROUP BY ALL ORDER BY ALL",
