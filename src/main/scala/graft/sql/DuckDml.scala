@@ -188,9 +188,41 @@ object DuckDml {
             full.drop(whereAt + 1).map(_.text).mkString))
         GraftTable.update(spark, r, pred, assigns.toMap)
         r
+      // maintenance statements (reference
+      // `src/execution/operator/helper/physical_vacuum.cpp` and the
+      // checkpointer's block merge): VACUUM reclaims unreferenced files,
+      // CHECKPOINT merges small data files into target-size ones — the
+      // copy-on-write analogs of the reference's storage maintenance.
+      case "vacuum" =>
+        val r = root(tok(1))
+        val keep =
+          if (w(2) == "keep") {
+            val t = tok(3)
+            if (t.kind != 5) throw new GraftSqlException(
+              "VACUUM <table> KEEP <n>: n must be an integer version count")
+            t.text.toInt
+          } else if (toks.length > 2)
+            throw new GraftSqlException(
+              s"unexpected token after VACUUM target: '${tok(2).text}' " +
+                "(supported: VACUUM <table> [KEEP <versions>])")
+          else 1
+        val removed = graft.sources.GraftTable.vacuum(r, keep)
+        s"vacuum: removed $removed data files, kept $keep version(s)"
+      case "checkpoint" =>
+        val r = root(tok(1))
+        val targetMb =
+          if (toks.length > 2) {
+            val t = tok(2)
+            if (t.kind != 5) throw new GraftSqlException(
+              "CHECKPOINT <table> [<target MB>]: target must be an integer")
+            t.text.toInt
+          } else 128
+        val v = graft.sources.GraftTable.compact(spark, r, targetMb.toLong << 20)
+        s"checkpoint: table at version $v (target ${targetMb} MB)"
       case other =>
         throw new GraftSqlException(
-          s"unsupported DML statement '$other' — supported: INSERT INTO, DELETE FROM, UPDATE … SET")
+          s"unsupported DML statement '$other' — supported: INSERT INTO, DELETE FROM, " +
+            "UPDATE … SET, VACUUM, CHECKPOINT")
     }
   }
 

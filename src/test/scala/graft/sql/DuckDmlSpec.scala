@@ -121,4 +121,24 @@ class DuckDmlSpec extends SparkSpec {
     intercept[GraftSqlException](DuckDml.exec(spark, cat,
       "MERGE INTO t USING s ON t.id = s.id"))
   }
+
+  test("CHECKPOINT merges small files; VACUUM reclaims; rows survive both") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ddml_").toString
+    GraftTable.create(spark, root,
+      graft.Tables.t(spark, sf(), "customer")
+        .select($"c_custkey".as("id"), $"c_name".as("name"), $"c_acctbal".as("bal"))
+        .repartition(8))
+    val cat = Map("t" -> root)
+    val before = GraftTable.read(spark, root).count()
+    val msg = DuckDml.exec(spark, cat, "CHECKPOINT t 64")
+    assert(msg.contains("version 2"))
+    assert(GraftTable.read(spark, root).count() === before)
+    val vmsg = DuckDml.exec(spark, cat, "VACUUM t KEEP 1")
+    assert(vmsg.contains("removed 8"))
+    assert(GraftTable.read(spark, root).count() === before)
+    // grammar refusals
+    intercept[GraftSqlException](DuckDml.exec(spark, cat, "VACUUM t EXTRA"))
+    intercept[GraftSqlException](DuckDml.exec(spark, cat, "CHECKPOINT t soon"))
+    intercept[GraftSqlException](DuckDml.exec(spark, cat, "VACUUM nope"))
+  }
 }

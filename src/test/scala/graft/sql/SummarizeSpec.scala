@@ -65,6 +65,14 @@ class SummarizeSpec extends SparkSpec {
     assert(scans.length == 1, s"expected a single source scan, got:\n$plan")
   }
 
+  test("every fixture table summarizes (timestamps, arrays, structs included)") {
+    for (t <- graft.Tables.names) {
+      val out = Summarize.run(spark, sf(), s"SUMMARIZE $t")
+      val nCols = graft.Tables.t(spark, sf(), t).columns.length
+      assert(out.count() == nCols, s"$t: one summary row per column")
+    }
+  }
+
   test("DuckDialect.run routes SUMMARIZE here; translate refuses with pointer") {
     val out = DuckDialect.run(spark, sf(), "SUMMARIZE region")
     assert(out.count() == 2) // region has 2 columns in the fixture
