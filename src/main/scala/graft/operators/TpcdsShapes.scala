@@ -953,7 +953,79 @@ object TpcdsShapes {
       | AND c_nationkey = s_nationkey
       |GROUP BY suffix ORDER BY suffix""".stripMargin
 
+  /** q36/q70-shape: ranking WITHIN each ROLLUP grouping level — the
+    * window partitions on `grouping_id()` of the rollup output
+    * (reference `benchmark/tpcds/sf1/{36,70}.benchmark`: gross-margin
+    * rank within (state, county) lattice levels). One Expand for the
+    * rollup, one window over the (tiny) aggregated frame; the grouping
+    * id must flow into the partition spec, not be re-derived. */
+  def dsRollupRank(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"),
+        sum(dec(col("l_quantity"))).cast("double").as("qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("rev"))
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("gid"), col("qty"), col("rev"))
+    agg.withColumn("rk",
+        rank().over(Window.partitionBy(col("gid"), col("rf"))
+          .orderBy(col("rev").desc, col("ls").asc_nulls_first)))
+      .orderBy(col("gid"), col("rf").asc_nulls_first, col("ls").asc_nulls_first)
+  }
+
+  val dsRollupRankSql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |         GROUPING(l_returnflag, l_linestatus) AS gid,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |  FROM lineitem
+      |  GROUP BY ROLLUP (l_returnflag, l_linestatus))
+      |SELECT rf, ls, gid, qty, rev,
+      |       rank() OVER (PARTITION BY gid, rf
+      |                    ORDER BY rev DESC, ls NULLS FIRST) AS rk
+      |FROM agg
+      |ORDER BY gid, rf NULLS FIRST, ls NULLS FIRST""".stripMargin
+
+  /** q44-shape: best/worst rank join — the same aggregated frame ranked
+    * ascending AND descending, positions equi-joined so row k pairs the
+    * k-th best with the k-th worst (reference
+    * `benchmark/tpcds/sf1/44.benchmark`). The two windows share one
+    * aggregate; the position join is tiny (top-10 after filter). */
+  def dsBestWorst(s: SparkSession, dir: String): DataFrame = {
+    val perf = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((sum(dec(col("l_discount"))).cast("double") /
+        count(lit(1)).cast("double")).as("d"), count(lit(1)).as("n"))
+      .filter(col("n") >= 3).drop("n")
+    val best = perf.withColumn("pos",
+      row_number().over(Window.orderBy(col("d").asc, col("pk"))))
+    val worst = perf.select(col("pk").as("w_pk"), col("d").as("w_d"))
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("w_d").desc, col("w_pk"))))
+    best.join(worst, "pos").filter(col("pos") <= 10)
+      .select(col("pos"), col("pk").as("best_pk"),
+        round(col("d"), 6).as("best_d"),
+        col("w_pk").as("worst_pk"), round(col("w_d"), 6).as("worst_d"))
+      .orderBy(col("pos"))
+  }
+
+  val dsBestWorstSql: String =
+    """WITH perf AS (
+      |  SELECT l_partkey AS pk,
+      |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS d
+      |  FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3),
+      |best AS (SELECT pk, d, row_number() OVER (ORDER BY d ASC, pk) AS pos FROM perf),
+      |worst AS (SELECT pk, d, row_number() OVER (ORDER BY d DESC, pk) AS pos FROM perf)
+      |SELECT b.pos AS pos, b.pk AS best_pk,
+      |       CAST(round(b.d, 6) AS DOUBLE) AS best_d,
+      |       w.pk AS worst_pk, CAST(round(w.d, 6) AS DOUBLE) AS worst_d
+      |FROM best b JOIN worst w ON b.pos = w.pos
+      |WHERE b.pos <= 10 ORDER BY b.pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_rollup_rank" -> (dsRollupRank _),
+    "ds_best_worst" -> (dsBestWorst _),
     "ds_basket_band" -> (dsBasketBand _),
     "ds_expr_key_join" -> (dsExprKeyJoin _),
     "ds_scalar_battery" -> (dsScalarBattery _),
@@ -982,6 +1054,8 @@ object TpcdsShapes {
     "ds_avg_band" -> (dsAvgBand _))
 
   val oracle: Map[String, String] = Map(
+    "ds_rollup_rank" -> dsRollupRankSql,
+    "ds_best_worst" -> dsBestWorstSql,
     "ds_basket_band" -> dsBasketBandSql,
     "ds_expr_key_join" -> dsExprKeyJoinSql,
     "ds_scalar_battery" -> dsScalarBatterySql,

@@ -118,7 +118,17 @@ object Dedup {
     * only (doc_id, h) longs, and groupBy(doc_id) then runs exchange-free
     * on the aligned partitioning. */
   def minhashSignaturesHashed(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.repartition(col("doc_id"))
+    // EXPLICIT partition count: repartition(col) without N is an
+    // AQE-coalescible shuffle — under the production conf AQE narrows the
+    // small (doc_id, h) exchange and with it the CPU-heavy 32-min
+    // signature aggregate above. Bytes are a bad proxy for cost here (the
+    // stage is compute-bound per row, which size-based coalescing cannot
+    // see), so the barrier states its width. Measured at sf0.1, AQE conf,
+    // best-of-4: 1.68 s → 1.51 s (tuned-mode plan unchanged — the
+    // remaining tuned-vs-AQE gap is the 64 MB vs 10 MB broadcast
+    // threshold flipping the membership joins, a conf choice, not a plan
+    // defect).
+    sh.repartition(sh.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("hb", col("h") % 4294967296L)
       .groupBy(col("doc_id"))
       .agg(

@@ -235,6 +235,34 @@ class TpcdsShapesSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getLong(1) > 0))
   }
 
+  test("rollup-rank (q36/q70): window partitions on the grouping id over Expand") {
+    val df = TpcdsShapes.dsRollupRank(spark, sf())
+    val p = plan(df)
+    assert(p.contains("Expand"), "rollup plans via Expand")
+    assert(p.contains("Window"))
+    val rows = df.collect()
+    // every (gid, rf) partition ranks from 1 contiguously
+    rows.groupBy(r => (r.getLong(2), Option(r.getString(0)))).values.foreach { g =>
+      assert(g.map(_.getInt(5)).min == 1)
+    }
+    // grand-total row exists at gid 3 with rank 1
+    assert(rows.exists(r => r.getLong(2) == 3L && r.getInt(5) == 1))
+  }
+
+  test("best-worst (q44): asc and desc rankings share one aggregate, join on position") {
+    val df = TpcdsShapes.dsBestWorst(spark, sf())
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    // position k's best is at most position k's worst, for all k
+    rows.foreach(r => assert(r.getDouble(2) <= r.getDouble(4)))
+    // the underlying aggregate appears twice at most (once per ranking
+    // direction) — never once per output row
+    val p = plan(df)
+    val scans = p.split("\n").count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans <= 2, s"got $scans fact scans")
+  }
+
   test("share-growth (q31): channels join on the post-aggregate grain") {
     val df = TpcdsShapes.dsShareGrowth(spark, sf())
     val p = plan(df)
