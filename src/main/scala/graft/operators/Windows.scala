@@ -220,6 +220,60 @@ object Windows {
       |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
       |             EXCLUDE CURRENT ROW)""".stripMargin
 
+  /** Frame EXCLUDE GROUP / EXCLUDE TIES (reference
+    * `window_expression.hpp` WindowExcludeMode — the remaining two of
+    * the four modes; CURRENT ROW is [[winExclude]], NO OTHERS is the
+    * default everywhere). Composition relies on a RANGE frame property:
+    * the current row's PEER GROUP always lies wholly inside any RANGE
+    * frame containing the current row (peers sit at distance 0), so
+    *   EXCLUDE GROUP = frame_agg − peer_group_agg
+    *   EXCLUDE TIES  = frame_agg − peer_group_agg + current_row
+    * with the peer aggregate from a RANGE CURRENT ROW..CURRENT ROW
+    * window over the SAME order key. (A ROWS frame has no such
+    * guarantee — peers can fall outside it — which is why this entry is
+    * RANGE-framed; the reference's executor walks the same peer-bounds
+    * logic per row.) NULL care as in [[winExclude]]: zero surviving
+    * non-null contributors ⇒ NULL, and a NULL current value must not
+    * null the TIES sum. The month index is deliberately coarse so peer
+    * groups are real (several events share a month); the oracle runs
+    * DuckDB's NATIVE EXCLUDE GROUP / EXCLUDE TIES. */
+  def winExcludeGroup(s: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val e = Tables.t(s, dir, "events").filter(col("user_id") < 50)
+      .withColumn("mi", year(col("ts")) * 12 + month(col("ts")))
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("mi"))
+      .rangeBetween(-1, 1)
+    val wP = Window.partitionBy(col("user_id")).orderBy(col("mi"))
+      .rangeBetween(0, 0)
+    val frameSum = coalesce(sum(dec(col("value"))).over(wF), zero)
+    val peerSum = coalesce(sum(dec(col("value"))).over(wP), zero)
+    val frameNn = count(col("value")).over(wF)
+    val peerNn = count(col("value")).over(wP)
+    val curNn = when(col("value").isNotNull, 1L).otherwise(0L)
+    e.select(col("user_id"), col("event_id"),
+      when(frameNn - peerNn === 0, lit(null))
+        .otherwise(frameSum - peerSum).cast("double").as("excl_group"),
+      when(frameNn - peerNn + curNn === 0, lit(null))
+        .otherwise(frameSum - peerSum +
+          coalesce(dec(col("value")), zero)).cast("double").as("excl_ties"),
+      (count(lit(1)).over(wF) - count(lit(1)).over(wP)).as("n_grp"),
+      (count(lit(1)).over(wF) - count(lit(1)).over(wP) + 1).as("n_ties"))
+  }
+
+  val winExcludeGroupSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER wg AS DOUBLE) AS excl_group,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER wt AS DOUBLE) AS excl_ties,
+      |  count(*) OVER wg AS n_grp,
+      |  count(*) OVER wt AS n_ties
+      |FROM (SELECT user_id, event_id, value,
+      |        year(ts) * 12 + month(ts) AS mi
+      |      FROM events WHERE user_id < 50) e
+      |WINDOW wg AS (PARTITION BY user_id ORDER BY mi
+      |              RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP),
+      |       wt AS (PARTITION BY user_id ORDER BY mi
+      |              RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)""".stripMargin
+
   /** QUALIFY — filter on a window result without a subquery (reference
     * `src/planner/binder/query_node/bind_select_node.cpp` QUALIFY
     * binding): top-3 orders per customer by price. Spark's relational
@@ -245,6 +299,7 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_qualify" -> (winQualify _),
     "win_exclude" -> (winExclude _),
+    "win_exclude_group" -> (winExcludeGroup _),
     "win_session" -> (winSession _),
     "win_rank" -> (winRank _),
     "win_running" -> (winRunning _),
@@ -256,6 +311,7 @@ object Windows {
   val oracle: Map[String, String] = Map(
     "win_qualify" -> winQualifySql,
     "win_exclude" -> winExcludeSql,
+    "win_exclude_group" -> winExcludeGroupSql,
     "win_session" -> winSessionSql,
     "win_rank" -> winRankSql,
     "win_running" -> winRunningSql,
