@@ -83,10 +83,12 @@ object SetOps {
       |WHERE s_suppkey = supplier_no
       |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin
 
-  /** Recursive CTE (reference `physical_recursive_cte.cpp` — fixed-point
-    * loop): Spark has no WITH RECURSIVE, so this is the idiomatic
-    * driver-side fixed-point union loop. Bounded depth here; a production
-    * variant checkpoints every k iterations to cut lineage. */
+  /** Recursive CTE as a driver-side fixed-point union loop (reference
+    * `physical_recursive_cte.cpp`). Spark 4.1 also executes WITH
+    * RECURSIVE natively ([[cteRecursiveNative]] covers that string
+    * face); this recipe remains the API form — and the shape to reach
+    * for when an iteration needs logic SQL can't express (per-step
+    * re-partitioning, checkpointing every k iterations to cut lineage). */
   def cteRecursive(s: SparkSession, dir: String): DataFrame = {
     var frontier = s.range(1, 2).select(col("id").cast("int").as("n"))
     var acc = frontier
@@ -105,6 +107,30 @@ object SetOps {
       |  UNION ALL
       |  SELECT n + 1 FROM t WHERE n < 20)
       |SELECT n, n * n AS sq FROM t""".stripMargin
+
+  /** WITH RECURSIVE as a NATIVE SQL string (round 9): Spark 4.1 executes
+    * recursive CTEs directly (UnionLoop — the same working-table
+    * iteration the reference's recursive CTE executor runs,
+    * `physical_recursive_cte.cpp`), so the string face no longer needs
+    * the driver fixed-point loop of [[cteRecursive]] (kept as the
+    * recipe/API form). Same SQL runs verbatim on both engines. */
+  def cteRecursiveNative(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir, cteRecursiveSql)
+
+  /** Recursive month walk bounded by fixture data: generates the month
+    * dimension between two literal dates — the "calendar spine"
+    * recursion every reporting stack carries. */
+  val cteRecursiveDatesSql: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT CAST('1995-01-01' AS DATE)
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+      |  WHERE m < CAST('1998-06-01' AS DATE))
+      |SELECT count(*) AS n_months, min(m) AS first_m, max(m) AS last_m
+      |FROM months""".stripMargin
+
+  def cteRecursiveDates(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir, cteRecursiveDatesSql)
 
   /** Correlated scalar subquery — TPC-H Q17 shape (reference decorrelation
     * `flatten_dependent_join.cpp`; Catalyst RewriteCorrelatedScalarSubquery). */
@@ -125,6 +151,8 @@ object SetOps {
     "set_except" -> (setExcept _),
     "cte_basic" -> (cteBasic _),
     "cte_recursive" -> (cteRecursive _),
+    "cte_recursive_sql" -> (cteRecursiveNative _),
+    "cte_recursive_dates" -> (cteRecursiveDates _),
     "sub_correlated" -> (subCorrelated _))
 
   val oracle: Map[String, String] = Map(
@@ -134,5 +162,7 @@ object SetOps {
     "set_except" -> setExceptSql,
     "cte_basic" -> cteBasicSql,
     "cte_recursive" -> cteRecursiveSql,
+    "cte_recursive_sql" -> cteRecursiveSql,
+    "cte_recursive_dates" -> cteRecursiveDatesSql,
     "sub_correlated" -> subCorrelatedSql)
 }
