@@ -237,7 +237,15 @@ object Shaping {
     "PIVOT (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem) " +
       "ON l_returnflag USING sum(l_quantity)"
 
+  /** LIMIT n PERCENT as a raw statement through `DuckDialect.run`
+    * (count-then-limit; the clause itself is its own DuckDB oracle —
+    * both `%` and the PERCENT keyword spellings parse there). */
+  val limitPercentStmtSql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 7 PERCENT"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "limit_percent_stmt" ->
+      ((s, dir) => graft.sql.DuckDialect.run(s, dir, limitPercentStmtSql)),
     "pivot_stmt" -> ((s, dir) => graft.sql.DuckDialect.run(s, dir, pivotStmtSql)),
     "pivot_stmt_sum" -> ((s, dir) => graft.sql.DuckDialect.run(s, dir, pivotStmtSumSql)),
     "shape_unnest" -> (shapeUnnest _),
@@ -256,6 +264,7 @@ object Shaping {
     "shape_limit_percent" -> (shapeLimitPercent _))
 
   val oracle: Map[String, String] = Map(
+    "limit_percent_stmt" -> limitPercentStmtSql,
     "pivot_stmt" -> pivotStmtSql,
     "pivot_stmt_sum" -> pivotStmtSumSql,
     "shape_unnest" -> shapeUnnestSql,

@@ -432,6 +432,80 @@ object DuckDialect {
     out.toVector
   }
 
+  // ------------------------------------------------------------ macros
+
+  /** SQL-text macros (reference `CREATE MACRO`,
+    * `src/parser/parsed_data/create_macro_info.hpp`): DuckDB macros are
+    * INLINED at bind time, so the faithful Spark-side treatment is
+    * textual inlining before translation — no UDF, the expanded
+    * expression stays inside whole-stage codegen. Registered via
+    * [[registerSqlMacro]] (the `CREATE MACRO` statement face in
+    * `DuckDml.exec` routes here); expansion is arity-checked,
+    * parenthesizes every argument substitution (operator precedence
+    * cannot leak), supports macro-in-macro bodies, and caps total
+    * expansions to refuse cycles loudly. */
+  private val sqlMacros =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], Vector[Tok])]()
+
+  def registerSqlMacro(name: String, params: Seq[String], bodySql: String): Unit =
+    sqlMacros.put(name.toLowerCase,
+      (params.map(_.toLowerCase), tokenize(bodySql)))
+
+  def dropSqlMacro(name: String): Unit = sqlMacros.remove(name.toLowerCase)
+
+  private def rewriteMacros(toks0: Vector[Tok]): Vector[Tok] = {
+    if (sqlMacros.isEmpty) return toks0
+    var toks = toks0
+    var expansions = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val mac = if (t.kind == 4) sqlMacros.get(t.word) else null
+      val open = if (mac != null) nextIdx(toks, i) else -1
+      if (mac != null && open < toks.length && open >= 0 && toks(open).is("(")) {
+        expansions += 1
+        if (expansions > 100)
+          throw new GraftSqlException(
+            s"macro expansion exceeded 100 substitutions at '${t.text}' — " +
+              "cyclic macro definitions?")
+        val close = matching(toks, open)
+        // split top-level args
+        val b = Vector.newBuilder[Vector[Tok]]
+        var d = 0; var s = open + 1; var j = open + 1
+        while (j < close) {
+          if (toks(j).is("(") || toks(j).is("[")) d += 1
+          else if (toks(j).is(")") || toks(j).is("]")) d -= 1
+          else if (d == 0 && toks(j).is(",")) { b += toks.slice(s, j); s = j + 1 }
+          j += 1
+        }
+        if (close > open + 1) b += toks.slice(s, close)
+        val rawArgs = b.result()
+        if (rawArgs.exists(_.forall(_.isWs)))
+          throw new GraftSqlException(
+            s"empty argument in macro call '${t.text}'")
+        val (params, body) = (mac._1, mac._2)
+        if (rawArgs.length != params.length)
+          throw new GraftSqlException(
+            s"macro '${t.text}' expects ${params.length} argument(s), " +
+              s"got ${rawArgs.length}")
+        val byParam = params.zip(rawArgs).toMap
+        val expanded = Vector.newBuilder[Tok]
+        expanded += sym("(")
+        body.foreach { bt =>
+          byParam.get(bt.word) match {
+            case Some(arg) if bt.kind == 4 =>
+              expanded += sym("("); expanded ++= arg; expanded += sym(")")
+            case _ => expanded += bt
+          }
+        }
+        expanded += sym(")")
+        toks = toks.take(i) ++ expanded.result() ++ toks.drop(close + 1)
+        // re-scan from i: the body may itself call macros
+      } else i += 1
+    }
+    toks
+  }
+
   /** Loud refusals for the DuckDB grammar tail this translator does not
     * cover (reference parser surface:
     * `src/parser/transform/expression`, `.../statement`): each construct
@@ -479,6 +553,20 @@ object DuckDialect {
           throw new GraftSqlException(
             "INTERSECT/EXCEPT BY NAME is unsupported in SQL — project both " +
               "sides to the same column order, or use unionByName on DataFrames")
+      }
+      // LIMIT n PERCENT needs the input cardinality — DuckDialect.run
+      // strips a trailing depth-0 clause before translation, so any form
+      // that reaches here (nested, or translate() called directly) must
+      // refuse rather than hand Spark an unparseable `%`.
+      if (t.kind == 4 && t.word == "limit") {
+        val n1 = nextIdx(toks, i)
+        val n2 = if (n1 < toks.length) nextIdx(toks, n1) else toks.length
+        if (n1 < toks.length && toks(n1).kind == 5 && n2 < toks.length &&
+            (toks(n2).is("%") || toks(n2).word == "percent"))
+          throw new GraftSqlException(
+            "LIMIT n PERCENT needs the input row count — supported only as " +
+              "the statement's OUTERMOST trailing clause via DuckDialect.run " +
+              "(count-then-limit), not in subqueries")
       }
       if (t.kind == 4 && t.word == "returning" &&
           (first == "insert" || first == "update" || first == "delete"))
@@ -1320,6 +1408,7 @@ object DuckDialect {
   /** DuckDB SQL → Spark SQL. Deterministic, token-level, literal-safe. */
   def translate(duckSql: String): String = {
     var toks = tokenize(duckSql)
+    toks = rewriteMacros(toks)
     toks = refuseUnsupported(toks)
     toks = rewriteUnionByName(toks)
     toks = rewriteBraces(toks)
@@ -1337,14 +1426,44 @@ object DuckDialect {
     render(toks)
   }
 
-  /** Translate and run against the fixture catalog at `dir`. SUMMARIZE
-    * is handled here rather than in [[translate]]: its expansion needs
-    * the source schema, which only exists once a session can resolve the
+  /** A trailing depth-0 `LIMIT <n> PERCENT` / `LIMIT <n>%` clause →
+    * (statement without the clause, percent). Execution needs a count —
+    * [[run]] handles it; nested occurrences refuse in [[translate]]. */
+  private[sql] def splitLimitPercent(duckSql: String): Option[(String, Double)] = {
+    val toks = tokenize(duckSql)
+    val nw = toks.zipWithIndex.filterNot(_._1.isWs)
+    if (nw.length < 3) return None
+    val last = nw.last._1
+    if (!(last.is("%") || last.word == "percent")) return None
+    val num = nw(nw.length - 2)._1
+    val (lim, limIdx) = nw(nw.length - 3)
+    if (num.kind != 5 || lim.word != "limit") return None
+    var d = 0
+    toks.take(limIdx).foreach { t =>
+      if (t.is("(")) d += 1 else if (t.is(")")) d -= 1
+    }
+    if (d != 0) return None
+    Some((render(toks.take(limIdx)), num.text.toDouble))
+  }
+
+  /** Translate and run against the fixture catalog at `dir`. Statements
+    * whose expansion needs the source schema or cardinality (SUMMARIZE,
+    * PIVOT, a trailing LIMIT n PERCENT) are handled here rather than in
+    * [[translate]]: they only resolve once a session can see the
     * relation. */
   def run(spark: SparkSession, dir: String, duckSql: String): DataFrame = {
     val head = tokenize(duckSql).find(!_.isWs).map(_.word).getOrElse("")
     if (head == "summarize") Summarize.run(spark, dir, duckSql)
     else if (head == "pivot") PivotStatement.run(spark, dir, duckSql)
-    else Tables.sql(spark, dir, translate(duckSql))
+    else splitLimitPercent(duckSql) match {
+      case Some((inner, pct)) =>
+        val df = Tables.sql(spark, dir, translate(inner))
+        // the reference truncates the DOUBLE percent*count
+        // (`physical_limit_percent.cpp:119`); limit is Int-typed in Spark
+        val k = math.min(math.max((pct / 100.0 * df.count()).toLong, 0L),
+          Int.MaxValue.toLong).toInt
+        df.limit(k)
+      case None => Tables.sql(spark, dir, translate(duckSql))
+    }
   }
 }

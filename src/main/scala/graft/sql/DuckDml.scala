@@ -77,9 +77,36 @@ object DuckDml {
     }
     w(0) match {
       case "create" =>
+        // CREATE [OR REPLACE] MACRO name(params) AS body → registered as
+        // a SQL-text macro, inlined by DuckDialect.translate at every
+        // call site (reference `create_macro_info.hpp`; DuckDB macros
+        // inline at bind time — textual inlining is the faithful twin,
+        // and the expansion stays inside whole-stage codegen)
+        val macroAt =
+          if (w(1) == "macro") 1
+          else if (w(1) == "or" && w(2) == "replace" && w(3) == "macro") 3
+          else -1
+        if (macroAt > 0) {
+          val name = identText(tok(macroAt + 1))
+          if (!tok(macroAt + 2).is("("))
+            throw new GraftSqlException("CREATE MACRO needs a parameter list: name(a, b)")
+          val params = Seq.newBuilder[String]
+          var i = macroAt + 3
+          while (!tok(i).is(")")) {
+            if (tok(i).is(",")) ()
+            else if (tok(i).kind == 4 || tok(i).kind == 3) params += identText(tok(i))
+            else throw new GraftSqlException(
+              s"macro parameters must be plain identifiers, got '${tok(i).text}'")
+            i += 1
+          }
+          if (w(i + 1) != "as")
+            throw new GraftSqlException("CREATE MACRO name(params) AS <expression>")
+          graft.sql.DuckDialect.registerSqlMacro(name, params.result(), rest(i + 2))
+          return s"macro $name registered (${params.result().length} params, inlined at call sites)"
+        }
         // CREATE TABLE <name> AS <query> — materializes version 1 at the
         // catalog root registered for <name>
-        if (w(1) != "table") throw new GraftSqlException("CREATE must be CREATE TABLE")
+        if (w(1) != "table") throw new GraftSqlException("CREATE must be CREATE TABLE or CREATE MACRO")
         val r = root(tok(2))
         if (w(3) != "as")
           throw new GraftSqlException(

@@ -277,6 +277,26 @@ object DuckSqlQueries {
       |  CAST(strptime('2021-07-08 09:10', '%Y-%m-%d %H:%M') AS VARCHAR) AS p1
       |FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey""".stripMargin
 
+  /** CREATE MACRO statement face: the macro registers through
+    * `DuckDml.exec` and INLINES at every call site during translation
+    * (DuckDB macros inline at bind time — reference
+    * `create_macro_info.hpp`). The oracle is the hand-inlined SQL, so
+    * the gate proves macro-expansion ≡ writing the expression in place. */
+  val macroStmtCreate: String =
+    "CREATE OR REPLACE MACRO taxed(p, r) AS " +
+      "CAST(p AS DECIMAL(18,2)) * (1 + CAST(r AS DECIMAL(18,2)))"
+
+  val macroStmtSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(round(sum(taxed(o_totalprice, 0.05)), 2) AS DOUBLE) AS rev
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val macroStmtOracleSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))
+      |                 * (1 + CAST(0.05 AS DECIMAL(18,2)))), 2) AS DOUBLE) AS rev
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   private def via(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => DuckDialect.run(s, dir, sql)
 
@@ -299,6 +319,10 @@ object DuckSqlQueries {
     "ducksql_map_literal" -> via(mapLiteralSql),
     "ducksql_arg_extreme" -> via(argExtremeSql),
     "ducksql_qualify_alias" -> via(qualifyAliasSql),
+    "ducksql_macro_stmt" -> ((s, dir) => {
+      DuckDml.exec(s, Map.empty, macroStmtCreate)
+      DuckDialect.run(s, dir, macroStmtSql)
+    }),
     "ducksql_strftime" -> via(strftimeSql),
     "ducksql_union_by_name" -> via(unionByNameSql),
     "ducksql_union_all_by_name" -> via(unionByNameAllSql),
@@ -325,6 +349,7 @@ object DuckSqlQueries {
     "ducksql_map_literal" -> mapLiteralSql,
     "ducksql_arg_extreme" -> argExtremeSql,
     "ducksql_qualify_alias" -> qualifyAliasSql,
+    "ducksql_macro_stmt" -> macroStmtOracleSql,
     "ducksql_strftime" -> strftimeSql,
     "ducksql_union_by_name" -> unionByNameSql,
     "ducksql_union_all_by_name" -> unionByNameAllSql,

@@ -336,6 +336,46 @@ class DuckDialectSpec extends AnyFunSuite {
       translate("SELECT strftime(d, '%U') FROM t")) // week-of-year, Sunday-based
   }
 
+  test("LIMIT n PERCENT: trailing clause splits for run(); nested refuses") {
+    import DuckDialect.splitLimitPercent
+    assert(splitLimitPercent("SELECT a FROM t ORDER BY a LIMIT 7 PERCENT")
+      .exists { case (inner, p) => p == 7.0 && norm(inner).endsWith("ORDER BY a") })
+    assert(splitLimitPercent("SELECT a FROM t LIMIT 2.5%").exists(_._2 == 2.5))
+    // plain LIMIT, or a parenthesized (nested) percent clause: no split
+    assert(splitLimitPercent("SELECT a FROM t LIMIT 7").isEmpty)
+    assert(splitLimitPercent("SELECT * FROM (SELECT a FROM t LIMIT 7%)").isEmpty)
+    // …and the nested form refuses loudly in translate
+    assert(intercept[GraftSqlException](
+      translate("SELECT * FROM (SELECT a FROM t LIMIT 7%) u"))
+      .getMessage.contains("OUTERMOST"))
+  }
+
+  test("SQL macros inline at call sites with precedence-safe parens") {
+    import DuckDialect.{registerSqlMacro, dropSqlMacro}
+    registerSqlMacro("dd_add", Seq("a", "b"), "a + b")
+    registerSqlMacro("dd_twice", Seq("x"), "dd_add(x, x)")
+    registerSqlMacro("dd_loop", Seq("x"), "dd_loop(x)")
+    try {
+      def tight(s: String) = s.replaceAll("\\s+", "")
+      // argument substitution parenthesizes: 1, 2 * 3 must not reassociate
+      assert(tight(translate("SELECT dd_add(1, 2) * 3 FROM t")) ==
+        "SELECT((1)+(2))*3FROMt")
+      // macro-in-macro expands transitively (each layer adds its
+      // precedence parens; harmless and value-identical)
+      assert(tight(translate("SELECT dd_twice(y) FROM t")) ==
+        "SELECT((((y))+((y))))FROMt")
+      // arity mismatch and cycles refuse loudly
+      assert(intercept[GraftSqlException](translate("SELECT dd_add(1) FROM t"))
+        .getMessage.contains("expects 2"))
+      assert(intercept[GraftSqlException](translate("SELECT dd_loop(1) FROM t"))
+        .getMessage.contains("cyclic"))
+      // a bare identifier with a macro's name is untouched
+      assert(norm(translate("SELECT dd_add FROM t")) == "SELECT dd_add FROM t")
+    } finally {
+      dropSqlMacro("dd_add"); dropSqlMacro("dd_twice"); dropSqlMacro("dd_loop")
+    }
+  }
+
   test("native passthrough: constructs Spark 4 already parses are untouched") {
     for (sqlStr <- Seq(
       "SELECT a, count(*) FROM t GROUP BY ALL ORDER BY ALL",
