@@ -102,8 +102,14 @@ object Compact {
     * analog of `if (chunk.size() < compact_threshold) cache it`
     * (reference `physical_operator.cpp:266`): partitions averaging under
     * `ThresholdFraction × targetRows` rows are merged toward targetRows. */
-  def smallFragments(df: DataFrame, rowCount: Long, targetRows: Long = 1 << 20): DataFrame = {
-    val have = df.rdd.getNumPartitions
+  def smallFragments(df: DataFrame, rowCount: Long, targetRows: Long = 1 << 20,
+      numPartitions: Option[Int] = None): DataFrame = {
+    // partition-count probe: `df.rdd` finalizes the physical plan (and,
+    // under AQE, pins the adaptive plan early) — callers that already
+    // know the width (post-repartition, post-scan with a known split
+    // count) should pass `numPartitions` so the probe is free; the
+    // df.rdd fallback remains the dev-utility path only
+    val have = numPartitions.getOrElse(df.rdd.getNumPartitions)
     if (have == 0) return df
     val avg = rowCount.toDouble / have
     if (avg < targetRows * ThresholdFraction) {
