@@ -554,6 +554,16 @@ object DuckDialect {
             "INTERSECT/EXCEPT BY NAME is unsupported in SQL — project both " +
               "sides to the same column order, or use unionByName on DataFrames")
       }
+      // COLUMNS(*) / COLUMNS('regex') star expressions (reference
+      // `src/parser/transform/expression/transform_columnref.cpp`)
+      // expand against the schema at bind time — schema-free translation
+      // cannot know the matched set
+      if (t.kind == 4 && t.word == "columns" &&
+          { val n = nextIdx(toks, i); n < toks.length && toks(n).is("(") })
+        throw new GraftSqlException(
+          "COLUMNS(...) star expressions are unsupported — list the columns " +
+            "explicitly, or select them on the DataFrame with " +
+            "df.select(df.columns.filter(...).map(col): _*)")
       // LIMIT n PERCENT needs the input cardinality — DuckDialect.run
       // strips a trailing depth-0 clause before translation, so any form
       // that reaches here (nested, or translate() called directly) must
@@ -1454,6 +1464,7 @@ object DuckDialect {
   def run(spark: SparkSession, dir: String, duckSql: String): DataFrame = {
     val head = tokenize(duckSql).find(!_.isWs).map(_.word).getOrElse("")
     if (head == "summarize") Summarize.run(spark, dir, duckSql)
+    else if (head == "describe") Describe.run(spark, dir, duckSql)
     else if (head == "pivot") PivotStatement.run(spark, dir, duckSql)
     else splitLimitPercent(duckSql) match {
       case Some((inner, pct)) =>

@@ -319,6 +319,7 @@ object DuckSqlQueries {
     "ducksql_map_literal" -> via(mapLiteralSql),
     "ducksql_arg_extreme" -> via(argExtremeSql),
     "ducksql_qualify_alias" -> via(qualifyAliasSql),
+    "ducksql_describe" -> via("DESCRIBE events"),
     "ducksql_macro_stmt" -> ((s, dir) => {
       DuckDml.exec(s, Map.empty, macroStmtCreate)
       DuckDialect.run(s, dir, macroStmtSql)
@@ -349,6 +350,7 @@ object DuckSqlQueries {
     "ducksql_map_literal" -> mapLiteralSql,
     "ducksql_arg_extreme" -> argExtremeSql,
     "ducksql_qualify_alias" -> qualifyAliasSql,
+    "ducksql_describe" -> "DESCRIBE events",
     "ducksql_macro_stmt" -> macroStmtOracleSql,
     "ducksql_strftime" -> strftimeSql,
     "ducksql_union_by_name" -> unionByNameSql,

@@ -50,7 +50,7 @@ object Summarize {
   }
 
   /** Spark type → the DuckDB type name SUMMARIZE would print. */
-  private def duckTypeName(dt: DataType): String = dt match {
+  private[sql] def duckTypeName(dt: DataType): String = dt match {
     case ByteType => "TINYINT"
     case ShortType => "SMALLINT"
     case IntegerType => "INTEGER"

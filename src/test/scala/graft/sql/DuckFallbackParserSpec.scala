@@ -72,6 +72,7 @@ class DuckFallbackParserSpec extends SparkSpec {
     refusal("SELECT l[1] FROM t", "element_at")
     refusal("SELECT a // 2.5 FROM t", "floor(a / b)")
     refusal("SELECT enum_first(NULL::mood) FROM t", "ENUM", "array_position")
+    refusal("SELECT COLUMNS('l_.*') FROM lineitem", "COLUMNS", "explicitly")
     refusal("SELECT DISTINCT ON (g) g FROM t", "ORDER BY")
     // refused constructs never slip through the session fallback as
     // silently-different SQL: the fallback rethrows the ORIGINAL parse

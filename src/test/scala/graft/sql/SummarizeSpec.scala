@@ -73,6 +73,21 @@ class SummarizeSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE: DuckDB schema projection, no scan, both statement forms") {
+    val d1 = DuckDialect.run(spark, sf(), "DESCRIBE nation")
+    assert(d1.columns.toSeq ==
+      Seq("column_name", "column_type", "null", "key", "default", "extra"))
+    assert(d1.count() == 3)
+    val d2 = DuckDialect.run(spark, sf(),
+      "DESCRIBE SELECT n_name, n_regionkey * 2 AS k2 FROM nation")
+    val rows = d2.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows("n_name") == "VARCHAR")
+    assert(rows("k2") == "INTEGER" || rows("k2") == "BIGINT")
+    // metadata only: the plan must not contain a parquet scan job —
+    // collect() of a local relation
+    assert(d1.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+  }
+
   test("DuckDialect.run routes SUMMARIZE here; translate refuses with pointer") {
     val out = DuckDialect.run(spark, sf(), "SUMMARIZE region")
     assert(out.count() == 2) // region has 2 columns in the fixture
