@@ -78,6 +78,7 @@ def main():
                 print(f"FAIL {name}: rows {len(got)} != {len(want)}")
                 n_fail += 1
                 continue
+            import pandas.api.types as ptypes
             def col_ok(c):
                 if gv[c] == wv[c]:
                     return True
@@ -87,7 +88,11 @@ def main():
                 # print one ulp apart (sf1 sweep: q1 sum_charge diff 4e-6
                 # at 2.8e10 = exactly ulp(2.8e10)). rel 1e-12 is ~4000×
                 # looser than one ulp and ~1000× tighter than any real
-                # value bug the gate has ever caught.
+                # value bug the gate has ever caught. Applied ONLY to
+                # float-dtype columns: integer and string columns compare
+                # exactly (the decimal→double motivation doesn't cover them).
+                if not (ptypes.is_float_dtype(got[c]) or ptypes.is_float_dtype(want[c])):
+                    return False
                 for (ka, sa), (kb, sb) in zip(gv[c], wv[c]):
                     if ka != kb:
                         return False

@@ -1023,7 +1023,231 @@ object TpcdsShapes {
       |FROM best b JOIN worst w ON b.pos = w.pos
       |WHERE b.pos <= 10 ORDER BY b.pos""".stripMargin
 
+  /** q64-shape (full): the WIDE multi-join result re-joined to ITSELF
+    * across two years (TPC-DS q64 builds cross_sales once and joins
+    * cs1.year=1999 to cs2.year=2000 on item+store with cnt2 <= cnt1).
+    * The wide pass shuffles lineitem⋈orders once on the order key with
+    * both dims broadcast; the self-rejoin then shuffles only the
+    * AGGREGATED per-(part,year) rows — at 100×, the rejoin input is
+    * |parts|-bounded, never fact-sized. */
+  def dsTwoPass(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    val wide = Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("s_suppkey")).as("n_supp"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev_d"))
+    val y1 = wide.filter(col("yr") === 1996)
+      .select(col("p_partkey"), col("p_brand"), col("cnt").as("cnt1"),
+        col("n_supp").as("n_supp1"), col("rev_d").as("rev1_d"))
+    val y2 = wide.filter(col("yr") === 1997)
+      .select(col("p_partkey").as("pk2"), col("p_brand").as("pb2"),
+        col("cnt").as("cnt2"), col("rev_d").as("rev2_d"))
+    y1.join(y2, col("p_partkey") === col("pk2") && col("p_brand") === col("pb2"))
+      .filter(col("cnt2") <= col("cnt1"))
+      .select(col("p_partkey"), col("p_brand"), col("cnt1"), col("n_supp1"),
+        col("rev1_d").cast("double").as("rev1"),
+        col("cnt2"), col("rev2_d").cast("double").as("rev2"))
+  }
+
+  val dsTwoPassSql: String =
+    """WITH wide AS (
+      |  SELECT p_partkey, p_brand, year(o_orderdate) AS yr,
+      |         count(*) AS cnt, count(DISTINCT s_suppkey) AS n_supp,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2, 3)
+      |SELECT y1.p_partkey AS p_partkey, y1.p_brand AS p_brand,
+      |       y1.cnt AS cnt1, y1.n_supp AS n_supp1,
+      |       CAST(y1.rev_d AS DOUBLE) AS rev1,
+      |       y2.cnt AS cnt2, CAST(y2.rev_d AS DOUBLE) AS rev2
+      |FROM wide y1
+      |JOIN wide y2 ON y1.p_partkey = y2.p_partkey AND y1.p_brand = y2.p_brand
+      |WHERE y1.yr = 1996 AND y2.yr = 1997 AND y2.cnt <= y1.cnt""".stripMargin
+
+  /** q78-shape: three channel fact slices, each ANTI-joined against the
+    * returns set before aggregating, then the per-(year, item) channel
+    * aggregates LEFT-joined and ratio'd (TPC-DS q78 does exactly this
+    * with ss/ws/cs vs their returns tables). The anti-join runs per
+    * channel on (orderkey, partkey); the three-way recombination joins
+    * |items|-bounded aggregates only. */
+  def dsThreeChannel(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val rets = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("r_ok"), col("l_partkey").as("r_pk")).distinct()
+    def channel(c: Int): DataFrame =
+      li.filter(col("l_returnflag") =!= "R" && col("l_suppkey") % 3 === c)
+        .join(rets,
+          col("l_orderkey") === col("r_ok") && col("l_partkey") === col("r_pk"),
+          "left_anti")
+        .groupBy(year(col("l_shipdate")).as("yr"), col("l_partkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty"),
+          sum(dec(col("l_extendedprice"))).as("amt"))
+    val ss = channel(0)
+    val ws = channel(1).select(col("yr").as("w_yr"), col("l_partkey").as("w_pk"),
+      col("qty").as("ws_qty"))
+    val cs = channel(2).select(col("yr").as("c_yr"), col("l_partkey").as("c_pk"),
+      col("qty").as("cs_qty"))
+    val other = coalesce(col("ws_qty"), lit(0)) + coalesce(col("cs_qty"), lit(0))
+    ss.join(ws, col("yr") === col("w_yr") && col("l_partkey") === col("w_pk"), "left")
+      .join(cs, col("yr") === col("c_yr") && col("l_partkey") === col("c_pk"), "left")
+      .filter(other > 0)
+      .select(col("yr"), col("l_partkey"),
+        col("qty").cast("double").as("ss_qty"),
+        col("amt").cast("double").as("ss_amt"),
+        round(col("qty").cast("double") / other.cast("double"), 6).as("ratio"))
+  }
+
+  val dsThreeChannelSql: String =
+    """WITH rets AS (
+      |  SELECT DISTINCT l_orderkey AS r_ok, l_partkey AS r_pk
+      |  FROM lineitem WHERE l_returnflag = 'R'),
+      |chan AS (
+      |  SELECT l_suppkey % 3 AS c, year(l_shipdate) AS yr, l_partkey,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS amt
+      |  FROM lineitem l
+      |  WHERE l_returnflag <> 'R' AND NOT EXISTS (
+      |    SELECT 1 FROM rets r WHERE r.r_ok = l.l_orderkey AND r.r_pk = l.l_partkey)
+      |  GROUP BY 1, 2, 3)
+      |SELECT ss.yr AS yr, ss.l_partkey AS l_partkey,
+      |       CAST(ss.qty AS DOUBLE) AS ss_qty, CAST(ss.amt AS DOUBLE) AS ss_amt,
+      |       CAST(round(CAST(ss.qty AS DOUBLE) /
+      |            CAST(coalesce(ws.qty, 0) + coalesce(cs.qty, 0) AS DOUBLE), 6)
+      |            AS DOUBLE) AS ratio
+      |FROM chan ss
+      |LEFT JOIN chan ws ON ws.c = 1 AND ss.yr = ws.yr AND ss.l_partkey = ws.l_partkey
+      |LEFT JOIN chan cs ON cs.c = 2 AND ss.yr = cs.yr AND ss.l_partkey = cs.l_partkey
+      |WHERE ss.c = 0 AND coalesce(ws.qty, 0) + coalesce(cs.qty, 0) > 0""".stripMargin
+
+  /** q35-shape: correlated EXISTS **and** an OR of two IN-subqueries in
+    * one WHERE (TPC-DS q35's signature predicate combination — Spark
+    * plans all three as ExistenceJoins whose results feed one boolean
+    * expression; none may degrade to a cartesian). Identical SQL string
+    * on both engines. */
+  val dsInExistsSql: String =
+    """SELECT c_mktsegment, n_name, count(*) AS n,
+      |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS bal_sum,
+      |       CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_max
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+      |              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |              AND o.o_orderdate < TIMESTAMP '1997-01-01')
+      |  AND (c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |       OR c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000))
+      |GROUP BY c_mktsegment, n_name""".stripMargin
+
+  def dsInExists(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir, dsInExistsSql)
+
+  /** q72-shape: lead-time fact join with a DATE-DIM SELF-JOIN pair
+    * (TPC-DS q72 joins date_dim three times, demanding
+    * d3.d_date > d1.d_date + 5; here the month spine derived from orders
+    * joins once on the ORDER month and once on the SHIP month with
+    * d2 > d1 plus a 30-day lead filter). The spine is tiny at any scale —
+    * both dim joins broadcast; the only big exchange is lineitem⋈orders. */
+  def dsLeadTime(s: SparkSession, dir: String): DataFrame = {
+    val dd = Tables.t(s, dir, "orders")
+      .select(to_date(date_trunc("month", col("o_orderdate"))).as("m")).distinct()
+    Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(dd.select(col("m").as("m1"))),
+        to_date(date_trunc("month", col("o_orderdate"))) === col("m1"))
+      .join(broadcast(dd.select(col("m").as("m2"))),
+        to_date(date_trunc("month", col("l_shipdate"))) === col("m2"))
+      .filter(col("m2") > col("m1") &&
+        datediff(col("l_shipdate"), col("o_orderdate")) > 30)
+      .groupBy(col("p_brand"), col("m1").as("order_month"))
+      .agg(count(lit(1)).as("n_late"),
+        round(avg(datediff(col("l_shipdate"), col("o_orderdate")).cast("double")), 6)
+          .as("avg_lead"))
+  }
+
+  val dsLeadTimeSql: String =
+    """WITH dd AS (
+      |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m FROM orders)
+      |SELECT p_brand, d1.m AS order_month, count(*) AS n_late,
+      |       CAST(round(avg(date_diff('day', o_orderdate, l_shipdate)), 6) AS DOUBLE) AS avg_lead
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN dd d1 ON CAST(date_trunc('month', o_orderdate) AS DATE) = d1.m
+      |JOIN dd d2 ON CAST(date_trunc('month', l_shipdate) AS DATE) = d2.m
+      |WHERE d2.m > d1.m AND date_diff('day', o_orderdate, l_shipdate) > 30
+      |GROUP BY p_brand, d1.m""".stripMargin
+
+  /** q49-shape: per-channel DUAL rankings (return-quantity ratio and
+    * return-amount ratio), keep rank<=10 in EITHER, union the channels
+    * (TPC-DS q49 unions web/catalog/store "worst return ratios" with
+    * two rankings each). Unlike [[dsRankedReturns]] (one scan, one
+    * ranking), each channel here is an independent scan+window pipeline
+    * recombined by UNION ALL — the per-channel window runs on
+    * |items|-bounded aggregates. */
+  def dsChannelRankedUnion(s: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0).cast(DecimalType(18, 2))
+    def chan(cVal: Int, name: String): DataFrame = {
+      val agg = Tables.t(s, dir, "lineitem")
+        .filter(col("l_suppkey") % 3 === cVal)
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", dec(col("l_quantity")))
+            .otherwise(zero)).as("ret_q"),
+          sum(dec(col("l_quantity"))).as("tot_q"),
+          sum(when(col("l_returnflag") === "R", dec(col("l_extendedprice")))
+            .otherwise(zero)).as("ret_a"),
+          sum(dec(col("l_extendedprice"))).as("tot_a"))
+        .filter(col("ret_q") > 0)
+      val rq = col("ret_q").cast("double") / col("tot_q").cast("double")
+      val ra = col("ret_a").cast("double") / col("tot_a").cast("double")
+      agg
+        .withColumn("rnk_q", rank().over(Window.orderBy(rq.desc, col("l_partkey"))))
+        .withColumn("rnk_a", rank().over(Window.orderBy(ra.desc, col("l_partkey"))))
+        .filter(col("rnk_q") <= 10 || col("rnk_a") <= 10)
+        .select(lit(name).as("channel"), col("l_partkey"),
+          round(rq, 6).as("ret_ratio"), round(ra, 6).as("amt_ratio"),
+          col("rnk_q"), col("rnk_a"))
+    }
+    chan(0, "store").unionByName(chan(1, "web")).unionByName(chan(2, "catalog"))
+  }
+
+  val dsChannelRankedUnionSql: String =
+    """WITH agg AS (
+      |  SELECT l_suppkey % 3 AS c, l_partkey,
+      |         sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2))
+      |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_q,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS tot_q,
+      |         sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_a,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS tot_a
+      |  FROM lineitem GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT c, l_partkey,
+      |         CAST(ret_q AS DOUBLE) / CAST(tot_q AS DOUBLE) AS rq,
+      |         CAST(ret_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS ra,
+      |         rank() OVER (PARTITION BY c
+      |           ORDER BY CAST(ret_q AS DOUBLE) / CAST(tot_q AS DOUBLE) DESC, l_partkey) AS rnk_q,
+      |         rank() OVER (PARTITION BY c
+      |           ORDER BY CAST(ret_a AS DOUBLE) / CAST(tot_a AS DOUBLE) DESC, l_partkey) AS rnk_a
+      |  FROM agg WHERE ret_q > 0)
+      |SELECT CASE c WHEN 0 THEN 'store' WHEN 1 THEN 'web' ELSE 'catalog' END AS channel,
+      |       l_partkey, CAST(round(rq, 6) AS DOUBLE) AS ret_ratio,
+      |       CAST(round(ra, 6) AS DOUBLE) AS amt_ratio, rnk_q, rnk_a
+      |FROM ranked WHERE rnk_q <= 10 OR rnk_a <= 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_two_pass" -> (dsTwoPass _),
+    "ds_three_channel" -> (dsThreeChannel _),
+    "ds_in_exists" -> (dsInExists _),
+    "ds_lead_time" -> (dsLeadTime _),
+    "ds_channel_ranked_union" -> (dsChannelRankedUnion _),
     "ds_rollup_rank" -> (dsRollupRank _),
     "ds_best_worst" -> (dsBestWorst _),
     "ds_basket_band" -> (dsBasketBand _),
@@ -1054,6 +1278,11 @@ object TpcdsShapes {
     "ds_avg_band" -> (dsAvgBand _))
 
   val oracle: Map[String, String] = Map(
+    "ds_two_pass" -> dsTwoPassSql,
+    "ds_three_channel" -> dsThreeChannelSql,
+    "ds_in_exists" -> dsInExistsSql,
+    "ds_lead_time" -> dsLeadTimeSql,
+    "ds_channel_ranked_union" -> dsChannelRankedUnionSql,
     "ds_rollup_rank" -> dsRollupRankSql,
     "ds_best_worst" -> dsBestWorstSql,
     "ds_basket_band" -> dsBasketBandSql,

@@ -70,18 +70,24 @@ object Dedup {
     * Two deliberate plan choices, measured at the 10× bench scale
     * (round-8: 6.35 s → see BENCH_r08):
     *  - the raw docs are ROUND-ROBIN repartitioned to the session's
-    *    default parallelism first: the staged corpus arrives in few
+    *    default parallelism ONLY when the input arrives narrower than
+    *    the session's cores: the staged corpus arrives in few
     *    CPU-bound-oversized files (8 tasks on a 32-core box), and
     *    normalize+split+shingle+md5 is the pipeline's dominant compute —
     *    one cheap raw-text shuffle unlocks full-width execution. On a
-    *    real cluster with right-sized input splits the exchange merges
-    *    equal-width partitions and costs one linear pass.
+    *    real cluster whose input splits are already right-sized
+    *    (inputPartitions >= cores) the gate skips the repartition
+    *    entirely — an unconditional one would shuffle the heaviest
+    *    column (raw text) over the network for nothing.
     *  - the distinct sits HERE, below one exchange that every consumer
     *    (signatures via the [[minhashSignaturesHashed]] barrier, both
     *    verification joins, the size aggregate) reuses — the heavy text
     *    compute runs ONCE per query, not once per consumer. */
-  def shingleHashes(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def shingleHashes(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val widened =
+      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    widened
       .select(col("doc_id"), split(normalized(col(textCol)), " ").as("w"))
       .select(col("doc_id"),
         explode(expr(
@@ -89,6 +95,7 @@ object Dedup {
             s"i -> concat_ws(' ', slice(w, i, $n)))")).as("shingle"))
       .select(col("doc_id"), hash64(0, col("shingle")).as("h"))
       .distinct()
+  }
 
   /** Universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod p over
     * a 32-bit base hash, p = 2^61−1. One md5 per shingle (not per

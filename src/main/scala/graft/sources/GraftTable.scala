@@ -385,10 +385,16 @@ object GraftTable {
 
   /** Latest committed batch id for a named streaming transaction, scanning
     * manifests newest-first (O(#versions) driver-side file reads — the
-    * table's own transaction log, not data). */
+    * table's own transaction log, not data). The downward scan stops at
+    * the oldest RETAINED manifest: [[vacuum]] deletes the contiguous
+    * prefix v1..cutoff-1, so the first missing file marks the retention
+    * horizon — without the stop, the first batch of a NEW query name on a
+    * vacuumed table would walk past the horizon into NoSuchFileException
+    * instead of returning None. */
   def lastTxn(root: String, name: String): Option[Long] = {
     val prefix = s"# txn $name "
     (currentVersion(root) to 1 by -1).iterator
+      .takeWhile(v => Files.exists(Paths.get(s"$root/_manifests/v$v.manifest")))
       .flatMap(v => manifestLines(root, v).find(_.startsWith(prefix)))
       .map(_.stripPrefix(prefix).trim.toLong)
       .nextOption()

@@ -385,8 +385,13 @@ object DuckDialect {
   /** strftime/strptime with a LITERAL format → date_format/to_timestamp
     * with the converted JDK pattern. Non-literal or untranslatable
     * formats refuse loudly (a silently-different format string would be
-    * the worst kind of wrong). DuckDB's argument order is
-    * (value, format) for both (reference strftime.cpp bind). */
+    * the worst kind of wrong). The reference overloads BOTH argument
+    * orders — (value, format) and (format, value), reference
+    * strftime.cpp bind — so the format is the literal argument carrying
+    * '%' specifiers; with two literal arguments the canonical last
+    * position wins unless only the FIRST contains '%'. A format-first
+    * call has its argument spans swapped so the Spark call reads
+    * (value, format). */
   private def rewriteStrftime(toks: Vector[Tok]): Vector[Tok] = {
     val out = toks.toBuffer
     var i = 0
@@ -397,21 +402,33 @@ object DuckDialect {
         val open = nextIdx(v, i)
         if (open < v.length && v(open).is("(")) {
           val close = matching(v, open)
-          // find the LAST top-level comma: the format is the final arg
-          var d = 0; var commaAt = -1; var k = open
+          // top-level commas, in order
+          var d = 0; val commasB = Vector.newBuilder[Int]; var k = open
           while (k < close) {
             if (v(k).is("(")) d += 1
             else if (v(k).is(")")) d -= 1
-            else if (v(k).is(",") && d == 1) commaAt = k
+            else if (v(k).is(",") && d == 1) commasB += k
             k += 1
           }
-          val fmtAt = if (commaAt >= 0) nextIdx(v, commaAt) else -1
-          if (fmtAt < 0 || v(fmtAt).kind != 2 ||
-              nextIdx(v, fmtAt) != close)
+          val cs = commasB.result()
+          // index of an argument span that is exactly ONE string literal
+          def singleLit(afterTok: Int, endTok: Int): Int = {
+            val a = nextIdx(v, afterTok)
+            if (a < endTok && v(a).kind == 2 && nextIdx(v, a) == endTok) a
+            else -1
+          }
+          val lastLit = if (cs.nonEmpty) singleLit(cs.last, close) else -1
+          val firstLit = if (cs.length == 1) singleLit(open, cs.head) else -1
+          def hasPct(idx: Int) = idx >= 0 && v(idx).text.contains("%")
+          val fmtAt =
+            if (lastLit >= 0 && (firstLit < 0 || hasPct(lastLit) || !hasPct(firstLit)))
+              lastLit
+            else firstLit
+          if (fmtAt < 0)
             throw new GraftSqlException(
-              s"${t.text}: only a literal format string in the last " +
-                "argument is translatable — a non-literal format cannot " +
-                "be converted to a Spark pattern at plan time")
+              s"${t.text}: only a literal format string argument is " +
+                "translatable — a non-literal format cannot be converted " +
+                "to a Spark pattern at plan time")
           val raw = v(fmtAt).text
           val inner = raw.substring(1, raw.length - 1).replace("''", "'")
           strftimeToJdk(inner) match {
@@ -419,6 +436,15 @@ object DuckDialect {
               out(i) = word(
                 if (t.word == "strftime") "date_format" else "to_timestamp")
               out(fmtAt) = Tok(2, "'" + jdk.replace("'", "''") + "'")
+              if (fmtAt == firstLit && fmtAt != lastLit) {
+                // format-first overload: swap the two argument spans
+                val comma = cs.head
+                val fmtSpan = out.slice(open + 1, comma).toVector
+                val valSpan = out.slice(comma + 1, close).toVector
+                val rebuilt = valSpan ++ Vector(v(comma)) ++ fmtSpan
+                var j = open + 1
+                rebuilt.foreach { tk => out(j) = tk; j += 1 }
+              }
             case None =>
               throw new GraftSqlException(
                 s"${t.text}: format '$inner' uses a specifier with no " +
@@ -443,7 +469,19 @@ object DuckDialect {
     * `DuckDml.exec` routes here); expansion is arity-checked,
     * parenthesizes every argument substitution (operator precedence
     * cannot leak), supports macro-in-macro bodies, and caps total
-    * expansions to refuse cycles loudly. */
+    * expansions to refuse cycles loudly.
+    *
+    * GLOBAL-STATE CONTRACT: the registry is PROCESS-GLOBAL (DuckDB's own
+    * macro catalog is database-global, but this JVM may host many
+    * sessions), so a registered macro changes `translate` results for
+    * every caller until dropped — translation is order-dependent across
+    * registrations. Callers that register macros for a bounded task
+    * (tests, the `ducksql_macro_stmt` gate) must wrap the task in
+    * [[withMacroScope]], which snapshots the registry and restores it on
+    * exit so nothing leaks to unrelated sessions; [[clearSqlMacros]] is
+    * the explicit full reset. Scopes are not isolated across THREADS —
+    * concurrent scoped tasks registering the same macro name race, so
+    * keep scoped names task-unique. */
   private val sqlMacros =
     new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], Vector[Tok])]()
 
@@ -452,6 +490,18 @@ object DuckDialect {
       (params.map(_.toLowerCase), tokenize(bodySql)))
 
   def dropSqlMacro(name: String): Unit = sqlMacros.remove(name.toLowerCase)
+
+  /** Remove every registered macro — the explicit global reset. */
+  def clearSqlMacros(): Unit = sqlMacros.clear()
+
+  /** Run `f` with the current macro registry snapshotted and restored on
+    * exit: registrations made inside the scope (and drops of pre-existing
+    * macros) are undone, whether `f` returns or throws. */
+  def withMacroScope[T](f: => T): T = {
+    val snapshot = new java.util.HashMap[String, (Seq[String], Vector[Tok])](sqlMacros)
+    try f
+    finally { sqlMacros.clear(); sqlMacros.putAll(snapshot) }
+  }
 
   private def rewriteMacros(toks0: Vector[Tok]): Vector[Tok] = {
     if (sqlMacros.isEmpty) return toks0

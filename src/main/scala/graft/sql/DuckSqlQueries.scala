@@ -320,7 +320,9 @@ object DuckSqlQueries {
     "ducksql_arg_extreme" -> via(argExtremeSql),
     "ducksql_qualify_alias" -> via(qualifyAliasSql),
     "ducksql_describe" -> via("DESCRIBE events"),
-    "ducksql_macro_stmt" -> ((s, dir) => {
+    "ducksql_macro_stmt" -> ((s, dir) => DuckDialect.withMacroScope {
+      // scoped: the 'taxed' registration must not leak into every later
+      // translate() in this JVM (see the sqlMacros global-state contract)
       DuckDml.exec(s, Map.empty, macroStmtCreate)
       DuckDialect.run(s, dir, macroStmtSql)
     }),

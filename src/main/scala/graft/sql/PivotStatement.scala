@@ -100,9 +100,17 @@ object PivotStatement {
       else None
     val src = Tables.sql(spark, dir, DuckDialect.translate(srcSql))
     // implicit grouping (DuckDB default): every column not referenced in
-    // ON or USING — detected by scanning the aggregate's identifiers
-    val aggIdents = DuckDialect.tokenize(aggSql)
-      .filter(t => t.kind == 3 || t.kind == 4).map(identText).map(_.toLowerCase).toSet
+    // ON or USING — detected by scanning the aggregate's identifiers.
+    // Function-call NAMES (identifier followed by '(') are NOT column
+    // references: a source column that happens to be named 'sum'/'count'
+    // must stay in the grouping keys, as it does in DuckDB.
+    val aggToksAll = DuckDialect.tokenize(aggSql)
+    val aggToks = aggToksAll.filterNot(_.isWs)
+    val aggIdents = aggToks.zipWithIndex.collect {
+      case (t, j) if (t.kind == 3 || t.kind == 4) &&
+          !(j + 1 < aggToks.length && aggToks(j + 1).is("(")) =>
+        identText(t).toLowerCase
+    }.toSet
     val groups = explicitGroups.getOrElse(
       src.columns.toSeq.filter(c =>
         c.toLowerCase != pivotCol.toLowerCase && !aggIdents(c.toLowerCase)))
