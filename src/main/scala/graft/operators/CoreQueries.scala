@@ -591,7 +591,94 @@ object CoreQueries {
       |GROUP BY supp_region, cust_region
       |ORDER BY supp_region, cust_region""".stripMargin
 
+  /** JOB 8a-family shape: dimension selectivity comes entirely from LIKE
+    * predicates (reference `benchmark/imdb/8a.benchmark`: `mc.note LIKE
+    * '%(200%)%'`, `cn.country_code`-style string filters drive the join
+    * order). Both LIKE-filtered dims broadcast; the prefix LIKE pushes to
+    * the scan as StringStartsWith, the suffix LIKE as StringEndsWith —
+    * pinned in TpchQueriesSpec so a regression to post-scan filtering is
+    * caught. */
+  def jobLikeDims(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.t(s, dir, "part").filter(col("p_name").like("red%"))
+    val sup = Tables.t(s, dir, "supplier").filter(col("s_name").like("%1"))
+    Tables.t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
+  val jobLikeDimsSql: String =
+    """SELECT p_type, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE p_name LIKE 'red%' AND s_name LIKE '%1'
+      |GROUP BY p_type""".stripMargin
+
+  /** JOB LIKE-disjunction shape: an OR of two contains-LIKEs plus a NOT
+    * LIKE on one dimension and a contains-LIKE on a second — the
+    * AND-of-OR string-selectivity composition the optimizer must estimate
+    * when ordering JOB joins. */
+  def jobLikeDisjunct(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.t(s, dir, "part")
+      .filter((col("p_name").like("%gear%") || col("p_name").like("%bolt%")) &&
+        !col("p_name").like("%small%"))
+    val ord = Tables.t(s, dir, "orders")
+      .filter(col("o_orderpriority").like("%URGENT%"))
+    Tables.t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6)
+          .as("avg_qty"))
+  }
+
+  val jobLikeDisjunctSql: String =
+    """SELECT p_brand, count(*) AS n,
+      |  CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_qty
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE (p_name LIKE '%gear%' OR p_name LIKE '%bolt%')
+      |  AND p_name NOT LIKE '%small%'
+      |  AND o_orderpriority LIKE '%URGENT%'
+      |GROUP BY p_brand""".stripMargin
+
+  /** JOB's signature UNGROUPED MIN-over-join-output aggregate
+    * (`SELECT MIN(t.title), MIN(an.name) FROM ...` — every JOB query
+    * returns mins over the join result): partial min runs map-side in
+    * every scan task, the final exchange carries one row per partition —
+    * the cheapest possible aggregate placement at any scale. */
+  def jobMinJoin(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.t(s, dir, "part").filter(col("p_name").like("%widget%"))
+    val sup = Tables.t(s, dir, "supplier").filter(col("s_name").like("%1"))
+    val ord = Tables.t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    Tables.t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(min(col("p_name")).as("min_pname"), min(col("s_name")).as("min_sname"),
+        min(col("o_orderdate")).as("min_odate"), count(lit(1)).as("n"))
+  }
+
+  val jobMinJoinSql: String =
+    """SELECT min(p_name) AS min_pname, min(s_name) AS min_sname,
+      |       min(o_orderdate) AS min_odate, count(*) AS n
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%widget%' AND s_name LIKE '%1' AND o_orderstatus = 'F'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "job_like_dims" -> (jobLikeDims _),
+    "job_like_disjunct" -> (jobLikeDisjunct _),
+    "job_min_join" -> (jobMinJoin _),
     "job_many_relations" -> (jobManyRelations _),
     "job_cyclic" -> (jobCyclic _),
     "job_disjunctive" -> (jobDisjunctive _),
@@ -607,6 +694,9 @@ object CoreQueries {
     "job_deep_join" -> (jobDeepJoin _))
 
   val oracle: Map[String, String] = Map(
+    "job_like_dims" -> jobLikeDimsSql,
+    "job_like_disjunct" -> jobLikeDisjunctSql,
+    "job_min_join" -> jobMinJoinSql,
     "job_many_relations" -> jobManyRelationsSql,
     "job_cyclic" -> jobCyclicSql,
     "job_disjunctive" -> jobDisjunctiveSql,

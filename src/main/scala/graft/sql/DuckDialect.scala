@@ -1516,6 +1516,11 @@ object DuckDialect {
     if (head == "summarize") Summarize.run(spark, dir, duckSql)
     else if (head == "describe") Describe.run(spark, dir, duckSql)
     else if (head == "pivot") PivotStatement.run(spark, dir, duckSql)
+    else if (head == "execute")
+      // EXECUTE name(args) — bind the stored PREPARE text (DuckDml holds
+      // the registry; PREPARE itself is a DuckDml.exec statement) and run
+      // the bound SQL through the normal translation path
+      run(spark, dir, DuckDml.resolveExecute(duckSql).get)
     else splitLimitPercent(duckSql) match {
       case Some((inner, pct)) =>
         val df = Tables.sql(spark, dir, translate(inner))

@@ -28,6 +28,110 @@ object DuckDml {
 
   private def words(toks: Vector[Tok]): Vector[Tok] = toks.filterNot(_.isWs)
 
+  /** PREPARE registry (reference `src/main/client_context.cpp:520-560`
+    * PendingStatementOrPreparedStatement / `EXECUTE` routing): DuckDB
+    * binds at PREPARE time; here the RAW statement text is stored and
+    * bound at EXECUTE time — translation sees the substituted literals,
+    * so dialect rewrites (which may depend on literal-ness, e.g.
+    * strftime) behave exactly as if the user had pasted the bound SQL.
+    * Same process-global contract as DuckDialect.sqlMacros (documented
+    * there): scope bounded uses with [[withPreparedScope]]. */
+  private val preparedStmts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def clearPrepared(): Unit = preparedStmts.clear()
+
+  /** Snapshot/restore the PREPARE registry around `f`. */
+  def withPreparedScope[T](f: => T): T = {
+    val snap = new java.util.HashMap[String, String](preparedStmts)
+    try f
+    finally { preparedStmts.clear(); preparedStmts.putAll(snap) }
+  }
+
+  /** Bind an EXECUTE argument list into a prepared statement's text:
+    * `$n` positional slots take the nth argument, bare `?` slots bind in
+    * order; mixing the two styles refuses (DuckDB refuses it too). Each
+    * substitution is parenthesized so operator precedence cannot leak. */
+  private[sql] def bindPrepared(text: String, args: Seq[String]): String = {
+    val toks = tokenize(text)
+    val out = new StringBuilder
+    var i = 0
+    var nextQ = 0
+    var sawDollar = false
+    var sawQ = false
+    def arg(idx: Int): String = {
+      if (idx < 1 || idx > args.length)
+        throw new GraftSqlException(
+          s"EXECUTE: statement references parameter $$$idx but ${args.length} argument(s) were given")
+      "(" + args(idx - 1).trim + ")"
+    }
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.is("$") && i + 1 < toks.length && toks(i + 1).kind == 5) {
+        sawDollar = true
+        out ++= arg(toks(i + 1).text.toInt)
+        i += 2
+      } else if (t.is("?")) {
+        sawQ = true; nextQ += 1
+        out ++= arg(nextQ)
+        i += 1
+      } else { out ++= t.text; i += 1 }
+    }
+    if (sawDollar && sawQ)
+      throw new GraftSqlException(
+        "EXECUTE: cannot mix $n and ? parameter styles in one prepared statement")
+    if (sawQ && nextQ != args.length)
+      throw new GraftSqlException(
+        s"EXECUTE: statement has $nextQ ? slot(s) but ${args.length} argument(s) were given")
+    out.toString
+  }
+
+  /** Resolve `EXECUTE name(args…)` to the bound statement text, or None
+    * if `sql` is not an EXECUTE. Shared by the query face
+    * (`DuckDialect.run`) and the DML face ([[exec]]). */
+  private[sql] def resolveExecute(sql: String): Option[String] = {
+    val toks = words(tokenize(sql.stripSuffix(";")))
+    if (toks.isEmpty || toks(0).word != "execute") return None
+    if (toks.length < 2 || (toks(1).kind != 4 && toks(1).kind != 3))
+      throw new GraftSqlException("EXECUTE needs a prepared-statement name")
+    val name = (if (toks(1).kind == 3)
+      toks(1).text.substring(1, toks(1).text.length - 1) else toks(1).text).toLowerCase
+    val text = preparedStmts.get(name)
+    if (text == null)
+      throw new GraftSqlException(
+        s"no prepared statement named '$name' — PREPARE it first")
+    val args: Seq[String] =
+      if (toks.length == 2) Nil
+      else {
+        if (!toks(2).is("("))
+          throw new GraftSqlException("EXECUTE name(arg, …) — expected '('")
+        // split the top-level comma-separated literal spans verbatim
+        var d = 0
+        val spans = Seq.newBuilder[String]
+        val cur = new StringBuilder
+        var i = 2
+        var done = false
+        while (i < toks.length && !done) {
+          val t = toks(i)
+          if (t.is("(")) { d += 1; if (d > 1) cur ++= t.text }
+          else if (t.is(")")) {
+            d -= 1
+            if (d == 0) { if (cur.nonEmpty) spans += cur.toString; done = true }
+            else cur ++= t.text
+          }
+          else if (t.is(",") && d == 1) { spans += cur.toString; cur.clear() }
+          else cur ++= (if (cur.nonEmpty) " " else "") + t.text
+          i += 1
+        }
+        if (!done) throw new GraftSqlException("EXECUTE: unbalanced argument list")
+        if (i < toks.length)
+          throw new GraftSqlException(
+            s"EXECUTE: unexpected trailing tokens after ')': ${toks(i).text}")
+        spans.result()
+      }
+    Some(bindPrepared(text, args))
+  }
+
   /** Strip surrounding double-quote / backtick from an identifier token's
     * text (kind 3); bare words pass through. */
   private def identText(t: Tok): String =
@@ -76,6 +180,23 @@ object DuckDml {
       }
     }
     w(0) match {
+      case "prepare" =>
+        // PREPARE name AS <statement> — stores the RAW text; binding and
+        // dialect translation happen at EXECUTE (see preparedStmts)
+        val name = identText(tok(1)).toLowerCase
+        if (w(2) != "as")
+          throw new GraftSqlException("PREPARE name AS <statement>")
+        preparedStmts.put(name, rest(3))
+        s"prepared $name (${"$"}n/? slots bind at EXECUTE)"
+      case "deallocate" =>
+        val name = identText(tok(if (w(1) == "prepare") 2 else 1)).toLowerCase
+        if (preparedStmts.remove(name) == null)
+          throw new GraftSqlException(s"no prepared statement named '$name'")
+        s"deallocated $name"
+      case "execute" =>
+        // EXECUTE of a prepared DML statement — the query face is
+        // DuckDialect.run, which resolves EXECUTE for SELECTs
+        exec(spark, tables, resolveExecute(sql).get)
       case "create" =>
         // CREATE [OR REPLACE] MACRO name(params) AS body → registered as
         // a SQL-text macro, inlined by DuckDialect.translate at every

@@ -297,6 +297,29 @@ object DuckSqlQueries {
       |                 * (1 + CAST(0.05 AS DECIMAL(18,2)))), 2) AS DOUBLE) AS rev
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** PREPARE/EXECUTE round-trip: the IDENTICAL two-statement script runs
+    * on both engines (DuckDB executes the oracle string's two statements
+    * natively and returns the last result). $1/$2/$3 slots bind a string
+    * and two timestamps. EXECUTE cannot sit inside a subquery, so the
+    * prepared SELECT embeds its own canonical `graft_ord` ORDER BY —
+    * Verify's wrapper passes marker-carrying oracles through unchanged,
+    * matching Verify's canonical order exactly: sorted column names
+    * (n, o_orderpriority, rev), each ASC NULLS FIRST. */
+  val prepareStmtCreate: String =
+    """PREPARE seg_rev AS SELECT * FROM (
+      |  SELECT o_orderpriority, count(*) AS n,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderdate >= $2 AND o_orderdate < $3 AND c_mktsegment = $1
+      |  GROUP BY o_orderpriority) graft_ord
+      |ORDER BY n ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+      |         rev ASC NULLS FIRST""".stripMargin
+
+  val prepareStmtExec: String =
+    "EXECUTE seg_rev('BUILDING', TIMESTAMP '1996-01-01', TIMESTAMP '1997-01-01')"
+
+  val prepareStmtOracleSql: String = s"$prepareStmtCreate;\n$prepareStmtExec"
+
   private def via(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => DuckDialect.run(s, dir, sql)
 
@@ -326,6 +349,10 @@ object DuckSqlQueries {
       DuckDml.exec(s, Map.empty, macroStmtCreate)
       DuckDialect.run(s, dir, macroStmtSql)
     }),
+    "ducksql_prepare_stmt" -> ((s, dir) => DuckDml.withPreparedScope {
+      DuckDml.exec(s, Map.empty, prepareStmtCreate)
+      DuckDialect.run(s, dir, prepareStmtExec)
+    }),
     "ducksql_strftime" -> via(strftimeSql),
     "ducksql_union_by_name" -> via(unionByNameSql),
     "ducksql_union_all_by_name" -> via(unionByNameAllSql),
@@ -354,6 +381,7 @@ object DuckSqlQueries {
     "ducksql_qualify_alias" -> qualifyAliasSql,
     "ducksql_describe" -> "DESCRIBE events",
     "ducksql_macro_stmt" -> macroStmtOracleSql,
+    "ducksql_prepare_stmt" -> prepareStmtOracleSql,
     "ducksql_strftime" -> strftimeSql,
     "ducksql_union_by_name" -> unionByNameSql,
     "ducksql_union_all_by_name" -> unionByNameAllSql,

@@ -60,6 +60,15 @@ object Summarize {
     case StringType => "VARCHAR"
     case BooleanType => "BOOLEAN"
     case DateType => "DATE"
+    // Both Spark timestamp types print TIMESTAMP, deliberately: the
+    // fixture parquet carries isAdjustedToUTC=false (DuckDB: TIMESTAMP),
+    // which Tables.t normalizes to Spark's session-zone TimestampType —
+    // so on every DESCRIBE-able relation here, TimestampType IS DuckDB's
+    // TIMESTAMP (pinned by the ducksql_describe oracle on events.ts;
+    // printing WITH TIME ZONE would break that parity). Spark has no
+    // third type to represent DuckDB's TIMESTAMPTZ distinctly — a true
+    // TIMESTAMPTZ source would need a side-channel marker, which no
+    // fixture or GraftTable surface produces.
     case _: TimestampType => "TIMESTAMP"
     case _: TimestampNTZType => "TIMESTAMP"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"

@@ -200,5 +200,10 @@ class DmlSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$root/_manifests/v1.manifest")))
     // idempotent: nothing left to delete
     assert(GraftTable.vacuum(root, keepVersions = 1) == 0)
+    // lastTxn on a vacuumed table: the downward manifest scan must stop
+    // at the retention horizon and return None for an unseen query name —
+    // not throw NoSuchFileException walking into deleted manifests
+    // (this is the first-batch path of a NEW streaming query name)
+    assert(GraftTable.lastTxn(root, "never-seen-query").isEmpty)
   }
 }

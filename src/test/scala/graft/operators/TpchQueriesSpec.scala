@@ -139,4 +139,28 @@ class TpchQueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) == r.getString(1),
       "cycle-closing alias must equate the two region paths"))
   }
+
+  test("job_like_dims: LIKE predicates push into the scans as string filters") {
+    val p = plan(CoreQueries.jobLikeDims(spark, sf()))
+    assert(p.contains("StringStartsWith(p_name,red)"),
+      "prefix LIKE must reach the parquet scan, not a post-scan Filter")
+    assert(p.contains("StringEndsWith(s_name,1)"),
+      "suffix LIKE must reach the parquet scan")
+    assert(p.contains("BroadcastHashJoin"), "LIKE-filtered dims must broadcast")
+  }
+
+  test("job_like_disjunct: OR/NOT of contains-LIKEs pushes as one composite filter") {
+    val p = plan(CoreQueries.jobLikeDisjunct(spark, sf()))
+    assert(p.contains("Or(StringContains(p_name,gear),StringContains(p_name,bolt))"),
+      "the LIKE disjunction must push down as a composed Or filter")
+    assert(p.contains("Not(StringContains(p_name,small))"),
+      "NOT LIKE must push down")
+  }
+
+  test("job_min_join: ungrouped min runs partial map-side, one row per task to the final") {
+    val p = plan(CoreQueries.jobMinJoin(spark, sf()))
+    assert(p.contains("StringContains(p_name,widget)"), "contains-LIKE pushes")
+    assert("HashAggregate".r.findAllMatchIn(p).length >= 2,
+      "partial + final aggregate pair expected (map-side partial min)")
+  }
 }

@@ -17,6 +17,21 @@ class DedupSpec extends SparkSpec {
     assert(viaNgram.subsetOf(viaMinhash) && viaMinhash == viaNgram)
   }
 
+  test("shingleHashes widens narrow input but adds no exchange to wide input") {
+    def physical(df: org.apache.spark.sql.DataFrame): String =
+      Dedup.shingleHashes(df, "text", 3).queryExecution.executedPlan.toString
+    def mk(parts: Int) = spark.range(0, 64, 1, parts)
+      .selectExpr("id AS doc_id",
+        "concat('alpha beta gamma delta epsilon ', id) AS text")
+    // narrow staging (1 partition on a multi-core session) → round-robin widen
+    assert(physical(mk(1)).toLowerCase.contains("roundrobin"),
+      "a narrower-than-cores input must be widened for the CPU-bound shingle stage")
+    // input already at full width → the gate must NOT add the raw-text shuffle
+    val cores = spark.sparkContext.defaultParallelism
+    assert(!physical(mk(cores)).toLowerCase.contains("roundrobin"),
+      "an already-wide input must not pay a second raw-text exchange")
+  }
+
   test("exact dedup counts duplicates of normalized text") {
     val df = Seq(
       (1L, "Hello  World", "s"), (2L, "hello world", "s"),

@@ -336,6 +336,40 @@ class DuckDialectSpec extends AnyFunSuite {
       translate("SELECT strftime(d, '%U') FROM t")) // week-of-year, Sunday-based
   }
 
+  test("strftime format-first overload: argument spans swap to (value, format)") {
+    // reference binds BOTH orders; format is the literal carrying '%'
+    assert(norm(translate("SELECT strftime('%Y-%m', d) FROM t")) ==
+      "SELECT date_format( d,'yyyy-MM') FROM t")
+    // both-literal: the one with '%' is the format even when it is first
+    assert(norm(translate("SELECT strftime('%Y', '2020-01-01') FROM t")) ==
+      "SELECT date_format( '2020-01-01','yyyy') FROM t")
+    // both-literal, both with '%': canonical (value, format) order wins
+    assert(translate("SELECT strftime('100%', '%Y') FROM t")
+      .contains("date_format('100%', 'yyyy')"))
+    // strptime too
+    assert(norm(translate("SELECT strptime('%Y-%m-%d', s) FROM t")) ==
+      "SELECT to_timestamp( s,'yyyy-MM-dd') FROM t")
+    // neither argument is a lone literal → still refuses
+    intercept[GraftSqlException](
+      translate("SELECT strftime(a, b) FROM t"))
+  }
+
+  test("withMacroScope restores the registry; clearSqlMacros empties it") {
+    DuckDialect.registerSqlMacro("outer_m", Seq("x"), "(x) + 1")
+    try {
+      DuckDialect.withMacroScope {
+        DuckDialect.registerSqlMacro("inner_m", Seq("y"), "(y) * 2")
+        assert(translate("SELECT inner_m(3) FROM t").contains("* 2"))
+        // shadowing a pre-existing macro inside the scope…
+        DuckDialect.registerSqlMacro("outer_m", Seq("x"), "(x) - 9")
+        assert(translate("SELECT outer_m(3) FROM t").contains("- 9"))
+      }
+      // …is undone on exit: inner gone, outer restored to its original body
+      assert(!translate("SELECT inner_m(3) FROM t").contains("* 2"))
+      assert(translate("SELECT outer_m(3) FROM t").contains("+ 1"))
+    } finally DuckDialect.dropSqlMacro("outer_m")
+  }
+
   test("LIMIT n PERCENT: trailing clause splits for run(); nested refuses") {
     import DuckDialect.splitLimitPercent
     assert(splitLimitPercent("SELECT a FROM t ORDER BY a LIMIT 7 PERCENT")

@@ -21,6 +21,37 @@ class DuckDmlSpec extends SparkSpec {
   private def state(root: String): Set[(Long, String, Double)] =
     GraftTable.read(spark, root).as[(Long, String, Double)].collect().toSet
 
+  test("PREPARE/EXECUTE: $n and ? binding, arity and mixing refusals, DEALLOCATE") {
+    DuckDml.withPreparedScope {
+      // $n positional slots, bound as a SELECT through the query face
+      DuckDml.exec(spark, Map.empty,
+        "PREPARE padd AS SELECT CAST($1 AS INT) + CAST($2 AS INT) AS s")
+      val r = DuckDialect.run(spark, sf(), "EXECUTE padd(40, 2)").head()
+      assert(r.getInt(0) == 42)
+      // the same slot may repeat; arguments can be expressions/literals
+      DuckDml.exec(spark, Map.empty,
+        "PREPARE ptwice AS SELECT CAST($1 AS INT) * CAST($1 AS INT) AS sq")
+      assert(DuckDialect.run(spark, sf(), "EXECUTE ptwice(6)").head().getInt(0) == 36)
+      // ? ordinal style
+      DuckDml.exec(spark, Map.empty,
+        "PREPARE pq AS SELECT CAST(? AS INT) - CAST(? AS INT) AS d")
+      assert(DuckDialect.run(spark, sf(), "EXECUTE pq(50, 8)").head().getInt(0) == 42)
+      // arity refusals, both styles
+      intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE padd(1)"))
+      intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE pq(1)"))
+      intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE pq(1, 2, 3)"))
+      // mixing $n and ? refuses
+      DuckDml.exec(spark, Map.empty, "PREPARE pmix AS SELECT $1 + ? AS x")
+      intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE pmix(1, 2)"))
+      // unknown name refuses; DEALLOCATE removes
+      intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE nosuch(1)"))
+      DuckDml.exec(spark, Map.empty, "DEALLOCATE padd")
+      intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE padd(1, 2)"))
+    }
+    // the scope restored the registry: nothing prepared leaks out
+    intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE ptwice(3)"))
+  }
+
   test("INSERT INTO with VALUES and with a column list") {
     val (root, cat) = freshTable()
     DuckDml.exec(spark, cat, "INSERT INTO t VALUES (4, 'd', 40.0)")

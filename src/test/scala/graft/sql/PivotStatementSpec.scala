@@ -29,6 +29,19 @@ class PivotStatementSpec extends SparkSpec {
     assert(df.count() == statuses)
   }
 
+  test("a source column named like an aggregate function stays a group key") {
+    // 'sum' is a column name here; only identifiers followed by '(' are
+    // function names — the column must survive implicit-group discovery
+    val df = DuckDialect.run(spark, sf(),
+      "PIVOT (SELECT l_returnflag, l_linestatus AS sum, l_quantity FROM lineitem) " +
+        "ON l_returnflag USING sum(l_quantity)")
+    assert(df.columns.head == "sum",
+      s"column 'sum' must group, not vanish — got ${df.columns.toSeq}")
+    val statuses = graft.Tables.t(spark, sf(), "lineitem")
+      .select("l_linestatus").distinct().count()
+    assert(df.count() == statuses)
+  }
+
   test("refusals: multi-ON, IN lists, multi-agg, aliases, consumed columns") {
     def refused(stmt: String, mention: String): Unit = {
       val e = intercept[DuckDialect.GraftSqlException](
