@@ -32,12 +32,48 @@ class DuckFallbackParserSpec extends SparkSpec {
       "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
   }
 
+  /** Split a script on top-level `;` (outside quotes and parens) —
+    * statement-face corpus entries (PREPARE …; EXECUTE …) are scripts,
+    * not single parseable statements. */
+  private def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    for (c <- script) c match {
+      case '\'' => inStr = !inStr; cur += c
+      case '(' if !inStr => depth += 1; cur += c
+      case ')' if !inStr => depth -= 1; cur += c
+      case ';' if !inStr && depth == 0 => out += cur.toString; cur.clear()
+      case _ => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   test("every raw ducksql corpus string parses through the fallback") {
     // the whole dialect corpus (QUALIFY, DISTINCT ON, ASOF, EXCLUDE,
     // REPLACE, IGNORE NULLS, //, ::VARCHAR, list functions) must reach a
-    // plan — natively or via translation — with no exception
-    for ((name, raw) <- DuckSqlQueries.oracle.toSeq.sortBy(_._1))
-      withClue(name)(parser.parsePlan(raw))
+    // plan — natively or via translation — with no exception.
+    // Statement-face scripts (PREPARE/EXECUTE/DEALLOCATE) route through
+    // the DuckDml face exactly as EngineSession would: PREPARE registers,
+    // EXECUTE resolves to bound SQL which must then parse.
+    DuckDml.withPreparedScope {
+      for ((name, raw) <- DuckSqlQueries.oracle.toSeq.sortBy(_._1))
+        withClue(name) {
+          for (stmt <- splitStatements(raw)) {
+            val head = stmt.takeWhile(!_.isWhitespace).toLowerCase
+            head match {
+              case "prepare" | "deallocate" =>
+                DuckDml.exec(spark, Map.empty, stmt)
+              case "execute" =>
+                val bound = DuckDml.resolveExecute(stmt).getOrElse(
+                  fail(s"$name: EXECUTE did not resolve"))
+                parser.parsePlan(bound)
+              case _ => parser.parsePlan(stmt)
+            }
+          }
+        }
+    }
   }
 
   test("garbage still raises ParseException (not a translator error)") {
