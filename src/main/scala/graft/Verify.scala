@@ -43,12 +43,22 @@ object Verify {
     } + "\""
     // Wrap each oracle in the same canonical ORDER BY (quoted, sorted
     // column names, NULLS FIRST — DuckDB's default is NULLS LAST).
+    // Queries whose oracle embeds its OWN total ORDER BY (multi-statement
+    // scripts — EXECUTE cannot sit inside a subquery, so the prepared
+    // SELECT carries the canonical order itself). EXPLICIT opt-out set,
+    // not a substring probe (round-10 advice): an incidental 'graft_ord'
+    // in a future oracle's comment/alias/literal must still receive the
+    // canonical wrapper. Self-ordered oracles must still CONTAIN the
+    // graft_ord marker (asserted below) — the driver's comparator keys
+    // order-sensitivity on it.
+    val selfOrdered = Set("ducksql_prepare_stmt")
     def wrapped(name: String, sql: String): String =
       columnsByQuery.get(name) match {
-        // an oracle that already carries the graft_ord marker ordered
-        // itself (multi-statement scripts — PREPARE…;EXECUTE… — cannot be
-        // wrapped in a subquery, so they embed a total ORDER BY instead)
-        case Some(_) if sql.contains("graft_ord") => sql
+        case Some(_) if selfOrdered(name) =>
+          require(sql.contains("graft_ord"),
+            s"$name is registered self-ordered but its oracle lacks the " +
+              "graft_ord marker the driver keys order-sensitive compare on")
+          sql
         case Some(cols) =>
           val order = cols.sorted
             .map(c => "\"" + c + "\" ASC NULLS FIRST").mkString(", ")

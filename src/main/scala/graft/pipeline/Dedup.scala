@@ -19,6 +19,26 @@ import graft.Tables
   */
 object Dedup {
 
+  /** Width probe for the [[shingleHashes]] repartition gate WITHOUT
+    * forcing query-stage materialization (round-10 advice): `.rdd` under
+    * AQE eagerly executes every upstream exchange to plan the final
+    * stage, so a caller handing in a post-shuffle DataFrame would run
+    * that work twice. A plan that already carries a shuffle-introducing
+    * operator lands at the session shuffle width — cores-sized by
+    * construction (`spark.sql.shuffle.partitions` = cores) — so the gate
+    * skips the repartition outright; only for pure scan-stage plans
+    * (no exchanges, `.rdd` is plan-only and runs no jobs) is the
+    * physical split count consulted. */
+  private def arrivesNarrow(df: DataFrame, cores: Int): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val hasShuffle = df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Distinct | _: Sort | _: Window |
+          _: RepartitionOperation | _: SetOperation | _: Deduplicate => true
+      case _ => false
+    }
+    !hasShuffle && df.rdd.getNumPartitions < cores
+  }
+
   /** Canonical text normalization shared by exact dedup + fingerprints.
     *
     * KNOWN cross-engine whitespace-class edge: Java's `\s` includes
@@ -86,7 +106,7 @@ object Dedup {
   def shingleHashes(df: DataFrame, textCol: String, n: Int): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val widened =
-      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+      if (arrivesNarrow(df, cores)) df.repartition(cores) else df
     widened
       .select(col("doc_id"), split(normalized(col(textCol)), " ").as("w"))
       .select(col("doc_id"),

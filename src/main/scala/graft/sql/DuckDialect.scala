@@ -420,8 +420,15 @@ object DuckDialect {
           val lastLit = if (cs.nonEmpty) singleLit(cs.last, close) else -1
           val firstLit = if (cs.length == 1) singleLit(open, cs.head) else -1
           def hasPct(idx: Int) = idx >= 0 && v(idx).text.contains("%")
+          // format-first is a strftime-only overload: strptime's bind
+          // takes the format from the LAST argument, always, and requires
+          // it constant (reference strftime.cpp StrpTimeBindFunction
+          // "strptime format must be a constant") — strptime('%fmt', s)
+          // is an ERROR in the reference, so it refuses here too instead
+          // of silently swapping
           val fmtAt =
-            if (lastLit >= 0 && (firstLit < 0 || hasPct(lastLit) || !hasPct(firstLit)))
+            if (t.word == "strptime") lastLit
+            else if (lastLit >= 0 && (firstLit < 0 || hasPct(lastLit) || !hasPct(firstLit)))
               lastLit
             else firstLit
           if (fmtAt < 0)

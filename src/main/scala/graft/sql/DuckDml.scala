@@ -57,6 +57,7 @@ object DuckDml {
     val out = new StringBuilder
     var i = 0
     var nextQ = 0
+    var maxDollar = 0
     var sawDollar = false
     var sawQ = false
     def arg(idx: Int): String = {
@@ -68,8 +69,14 @@ object DuckDml {
     while (i < toks.length) {
       val t = toks(i)
       if (t.is("$") && i + 1 < toks.length && toks(i + 1).kind == 5) {
+        val numTok = toks(i + 1).text
+        if (!numTok.forall(_.isDigit))
+          throw new GraftSqlException(
+            s"EXECUTE: malformed parameter slot $$$numTok — the index must be an integer")
         sawDollar = true
-        out ++= arg(toks(i + 1).text.toInt)
+        val idx = numTok.toInt
+        maxDollar = math.max(maxDollar, idx)
+        out ++= arg(idx)
         i += 2
       } else if (t.is("?")) {
         sawQ = true; nextQ += 1
@@ -83,6 +90,15 @@ object DuckDml {
     if (sawQ && nextQ != args.length)
       throw new GraftSqlException(
         s"EXECUTE: statement has $nextQ ? slot(s) but ${args.length} argument(s) were given")
+    // surplus arguments are an error, matching the reference's
+    // parameter-count check (a $n statement's highest slot must equal the
+    // argument count; a slot-free statement takes no arguments)
+    if (sawDollar && maxDollar != args.length)
+      throw new GraftSqlException(
+        s"EXECUTE: statement references parameters up to $$$maxDollar but ${args.length} argument(s) were given")
+    if (!sawDollar && !sawQ && args.nonEmpty)
+      throw new GraftSqlException(
+        s"EXECUTE: statement takes no parameters but ${args.length} argument(s) were given")
     out.toString
   }
 
@@ -111,15 +127,31 @@ object DuckDml {
         val cur = new StringBuilder
         var i = 2
         var done = false
+        var sawCommaFlag = false
         while (i < toks.length && !done) {
           val t = toks(i)
           if (t.is("(")) { d += 1; if (d > 1) cur ++= t.text }
           else if (t.is(")")) {
             d -= 1
-            if (d == 0) { if (cur.nonEmpty) spans += cur.toString; done = true }
+            if (d == 0) {
+              // a trailing comma leaves an empty final span — refuse
+              // loudly here rather than splicing '()' into the statement
+              // and surfacing an opaque downstream parse error
+              if (cur.isEmpty && sawCommaFlag)
+                throw new GraftSqlException(
+                  "EXECUTE: empty argument before ')' — remove the trailing comma")
+              if (cur.nonEmpty) spans += cur.toString
+              done = true
+            }
             else cur ++= t.text
           }
-          else if (t.is(",") && d == 1) { spans += cur.toString; cur.clear() }
+          else if (t.is(",") && d == 1) {
+            if (cur.isEmpty)
+              throw new GraftSqlException(
+                "EXECUTE: empty argument in the argument list (doubled or leading comma)")
+            sawCommaFlag = true
+            spans += cur.toString; cur.clear()
+          }
           else cur ++= (if (cur.nonEmpty) " " else "") + t.text
           i += 1
         }

@@ -346,9 +346,15 @@ class DuckDialectSpec extends AnyFunSuite {
     // both-literal, both with '%': canonical (value, format) order wins
     assert(translate("SELECT strftime('100%', '%Y') FROM t")
       .contains("date_format('100%', 'yyyy')"))
-    // strptime too
-    assert(norm(translate("SELECT strptime('%Y-%m-%d', s) FROM t")) ==
-      "SELECT to_timestamp( s,'yyyy-MM-dd') FROM t")
+    // strptime has NO format-first overload: the reference binds the
+    // format from the LAST argument and requires it constant
+    // (StrpTimeBindFunction throws 'strptime format must be a constant'),
+    // so format-first strptime refuses instead of silently swapping
+    intercept[GraftSqlException](
+      translate("SELECT strptime('%Y-%m-%d', s) FROM t"))
+    // both-literal strptime: last argument is the format, first the value
+    assert(translate("SELECT strptime('100%', '%Y') FROM t")
+      .contains("to_timestamp('100%', 'yyyy')"))
     // neither argument is a lone literal → still refuses
     intercept[GraftSqlException](
       translate("SELECT strftime(a, b) FROM t"))

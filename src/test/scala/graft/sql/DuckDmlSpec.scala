@@ -43,6 +43,21 @@ class DuckDmlSpec extends SparkSpec {
       // mixing $n and ? refuses
       DuckDml.exec(spark, Map.empty, "PREPARE pmix AS SELECT $1 + ? AS x")
       intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE pmix(1, 2)"))
+      // surplus arguments refuse in $n style too (DuckDB raises a
+      // parameter-count error; round-10 advice — was silently ignored)
+      intercept[GraftSqlException](
+        DuckDialect.run(spark, sf(), "EXECUTE padd(1, 2, 3)"))
+      intercept[GraftSqlException](
+        DuckDialect.run(spark, sf(), "EXECUTE ptwice(1, 2)"))
+      // a malformed slot ($2.5) is a TYPED refusal, not a raw
+      // NumberFormatException (the fail-loudly contract)
+      DuckDml.exec(spark, Map.empty, "PREPARE pbad AS SELECT $2.5 AS x")
+      intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE pbad(1, 2)"))
+      // empty argument spans refuse at EXECUTE-split time: trailing,
+      // doubled, and leading commas each name the malformation
+      intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE padd(1,)"))
+      intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE padd(1,,2)"))
+      intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE padd(,1)"))
       // unknown name refuses; DEALLOCATE removes
       intercept[GraftSqlException](DuckDialect.run(spark, sf(), "EXECUTE nosuch(1)"))
       DuckDml.exec(spark, Map.empty, "DEALLOCATE padd")
