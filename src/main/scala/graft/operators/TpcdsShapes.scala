@@ -1023,31 +1023,38 @@ object TpcdsShapes {
       |FROM best b JOIN worst w ON b.pos = w.pos
       |WHERE b.pos <= 10 ORDER BY b.pos""".stripMargin
 
-  /** q64-shape (full): the WIDE multi-join result re-joined to ITSELF
-    * across two years (TPC-DS q64 builds cross_sales once and joins
-    * cs1.year=1999 to cs2.year=2000 on item+store with cnt2 <= cnt1).
-    * The wide pass shuffles lineitem⋈orders once on the order key with
-    * both dims broadcast; the self-rejoin then shuffles only the
-    * AGGREGATED per-(part,year) rows — at 100×, the rejoin input is
-    * |parts|-bounded, never fact-sized. */
+  /** q64-shape (full): TPC-DS q64 builds a WIDE multi-join cross_sales
+    * CTE and joins it to ITSELF across two years (cs1.year=1999 to
+    * cs2.year=2000 on item+store with cnt2 <= cnt1).
+    *
+    * MEASURED plan decision (round 11): the naive CTE-self-join form
+    * scans the fact TWICE — Catalyst pushes each year slice's filter
+    * below the aggregate and prunes each consumer's columns (y2 drops
+    * n_supp), so the two wide subtrees are NOT canonically equal and
+    * ReuseExchange can never fire (verified in the formatted plan: two
+    * full scan→3-join→aggregate pipelines under the self-join). The
+    * Spark-first plan is ONE conditional-aggregation pass: group by
+    * (part, brand) with per-year filtered aggregates — one fact scan,
+    * one shuffle, zero self-joins. At 100 TB that halves the dominant
+    * cost; TpcdsShapesSpec pins the single scan. The oracle keeps the
+    * reference's self-join SQL — same result, cross-checked. */
   def dsTwoPass(s: SparkSession, dir: String): DataFrame = {
     val one = lit(1).cast(DecimalType(18, 2))
-    val wide = Tables.t(s, dir, "lineitem")
+    val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    val yr = year(col("o_orderdate"))
+    Tables.t(s, dir, "lineitem")
       .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
       .join(broadcast(Tables.t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("p_partkey"), col("p_brand"), year(col("o_orderdate")).as("yr"))
-      .agg(count(lit(1)).as("cnt"),
-        countDistinct(col("s_suppkey")).as("n_supp"),
-        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev_d"))
-    val y1 = wide.filter(col("yr") === 1996)
-      .select(col("p_partkey"), col("p_brand"), col("cnt").as("cnt1"),
-        col("n_supp").as("n_supp1"), col("rev_d").as("rev1_d"))
-    val y2 = wide.filter(col("yr") === 1997)
-      .select(col("p_partkey").as("pk2"), col("p_brand").as("pb2"),
-        col("cnt").as("cnt2"), col("rev_d").as("rev2_d"))
-    y1.join(y2, col("p_partkey") === col("pk2") && col("p_brand") === col("pb2"))
-      .filter(col("cnt2") <= col("cnt1"))
+      .filter(yr.isin(1996, 1997))
+      .groupBy(col("p_partkey"), col("p_brand"))
+      .agg(
+        count(when(yr === 1996, lit(1))).as("cnt1"),
+        countDistinct(when(yr === 1996, col("s_suppkey"))).as("n_supp1"),
+        sum(when(yr === 1996, rev)).as("rev1_d"),
+        count(when(yr === 1997, lit(1))).as("cnt2"),
+        sum(when(yr === 1997, rev)).as("rev2_d"))
+      .filter(col("cnt1") > 0 && col("cnt2") > 0 && col("cnt2") <= col("cnt1"))
       .select(col("p_partkey"), col("p_brand"), col("cnt1"), col("n_supp1"),
         col("rev1_d").cast("double").as("rev1"),
         col("cnt2"), col("rev2_d").cast("double").as("rev2"))
@@ -1072,33 +1079,42 @@ object TpcdsShapes {
       |JOIN wide y2 ON y1.p_partkey = y2.p_partkey AND y1.p_brand = y2.p_brand
       |WHERE y1.yr = 1996 AND y2.yr = 1997 AND y2.cnt <= y1.cnt""".stripMargin
 
-  /** q78-shape: three channel fact slices, each ANTI-joined against the
-    * returns set before aggregating, then the per-(year, item) channel
-    * aggregates LEFT-joined and ratio'd (TPC-DS q78 does exactly this
-    * with ss/ws/cs vs their returns tables). The anti-join runs per
-    * channel on (orderkey, partkey); the three-way recombination joins
-    * |items|-bounded aggregates only. */
+  /** q78-shape: channel fact slices ANTI-joined against the returns set
+    * before aggregating, then the per-(year, item) channel aggregates
+    * ratio'd (TPC-DS q78 does this with ss/ws/cs vs their returns
+    * tables).
+    *
+    * MEASURED plan decision (round 11): the per-channel form (three
+    * filtered slices, each anti-joined, LEFT-joined back together) scans
+    * the fact THREE times — the channel filters diverge the canonical
+    * subtrees, so neither the slices nor the thrice-referenced returns
+    * distinct are exchange-reusable (verified: no ReusedExchange in the
+    * formatted plan). Because the channels PARTITION the rows
+    * (l_suppkey % 3), the Spark-first plan is one anti-join over the
+    * undivided non-returned fact followed by ONE conditional aggregate:
+    * per-channel sums as filtered aggregates on the same (year, item)
+    * group — one fact scan, one returns scan, one join, one shuffle.
+    * TpcdsShapesSpec pins the single anti-join and scan count. The
+    * oracle keeps the reference's per-channel self-join SQL — same
+    * result, cross-checked. */
   def dsThreeChannel(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.t(s, dir, "lineitem")
     val rets = li.filter(col("l_returnflag") === "R")
       .select(col("l_orderkey").as("r_ok"), col("l_partkey").as("r_pk")).distinct()
-    def channel(c: Int): DataFrame =
-      li.filter(col("l_returnflag") =!= "R" && col("l_suppkey") % 3 === c)
-        .join(rets,
-          col("l_orderkey") === col("r_ok") && col("l_partkey") === col("r_pk"),
-          "left_anti")
-        .groupBy(year(col("l_shipdate")).as("yr"), col("l_partkey"))
-        .agg(sum(dec(col("l_quantity"))).as("qty"),
-          sum(dec(col("l_extendedprice"))).as("amt"))
-    val ss = channel(0)
-    val ws = channel(1).select(col("yr").as("w_yr"), col("l_partkey").as("w_pk"),
-      col("qty").as("ws_qty"))
-    val cs = channel(2).select(col("yr").as("c_yr"), col("l_partkey").as("c_pk"),
-      col("qty").as("cs_qty"))
+    val c = col("l_suppkey") % 3
+    val grouped = li.filter(col("l_returnflag") =!= "R")
+      .join(rets,
+        col("l_orderkey") === col("r_ok") && col("l_partkey") === col("r_pk"),
+        "left_anti")
+      .groupBy(year(col("l_shipdate")).as("yr"), col("l_partkey"))
+      .agg(
+        sum(when(c === 0, dec(col("l_quantity")))).as("qty"),
+        sum(when(c === 0, dec(col("l_extendedprice")))).as("amt"),
+        sum(when(c === 1, dec(col("l_quantity")))).as("ws_qty"),
+        sum(when(c === 2, dec(col("l_quantity")))).as("cs_qty"))
     val other = coalesce(col("ws_qty"), lit(0)) + coalesce(col("cs_qty"), lit(0))
-    ss.join(ws, col("yr") === col("w_yr") && col("l_partkey") === col("w_pk"), "left")
-      .join(cs, col("yr") === col("c_yr") && col("l_partkey") === col("c_pk"), "left")
-      .filter(other > 0)
+    grouped
+      .filter(col("qty").isNotNull && other > 0)
       .select(col("yr"), col("l_partkey"),
         col("qty").cast("double").as("ss_qty"),
         col("amt").cast("double").as("ss_amt"),
