@@ -358,6 +358,98 @@ object EdgeQueries {
       |       count(*) AS n
       |FROM customer GROUP BY ROLLUP(nullif(c_nationkey, 13))""".stripMargin
 
+  /** Month + day interval MIXING order-sensitivity (reference
+    * `test/sql/types/interval/`): Spark has distinct year-month and
+    * day-time interval types that cannot be combined in one literal, but
+    * SEQUENTIAL addition to a date is the portable spelling — and the
+    * ORDER matters at month ends ((Jan 30 + 1 month) + 2 days = Mar 2,
+    * while (Jan 30 + 2 days) + 1 month = Mar 1 — clamping happens at the
+    * month-add). Both orders pinned on clamping and non-clamping dates. */
+  val edgeIntervalMixedSql: String =
+    """SELECT d,
+      |       CAST(d + INTERVAL 1 MONTH + INTERVAL 2 DAY AS DATE) AS m_then_d,
+      |       CAST(d + INTERVAL 2 DAY + INTERVAL 1 MONTH AS DATE) AS d_then_m,
+      |       CAST(d - INTERVAL 1 MONTH - INTERVAL 2 DAY AS DATE) AS back_m_d,
+      |       CAST(d + INTERVAL 13 MONTH AS DATE) AS plus_13m
+      |FROM (VALUES (DATE '1996-01-30'), (DATE '1996-02-29'),
+      |             (DATE '1995-12-31'), (DATE '1996-06-15')) AS t(d)""".stripMargin
+
+  /** Day-time interval arithmetic crossing day/month boundaries:
+    * hour/minute/second additions, negative intervals, and a 25-hour
+    * interval that is NOT one-day-plus-one-hour calendar-wise on both
+    * engines (pure microsecond arithmetic). */
+  val edgeIntervalDaytimeSql: String =
+    """SELECT ts,
+      |       ts + INTERVAL 90 MINUTE AS plus_90m,
+      |       ts + INTERVAL 25 HOUR AS plus_25h,
+      |       ts - INTERVAL 30 SECOND AS minus_30s,
+      |       ts + INTERVAL 1 DAY AS plus_1d
+      |FROM (VALUES (TIMESTAMP '1996-02-28 23:30:00'),
+      |             (TIMESTAMP '1996-02-29 23:59:45'),
+      |             (TIMESTAMP '1995-12-31 22:45:10')) AS t(ts)""".stripMargin
+
+  /** DECIMAL arithmetic type-promotion values (reference
+    * `test/sql/types/decimal/decimal_arithmetic.test`): multiplication
+    * adds scales, addition takes the wider scale, negation keeps it —
+    * all EXACT in decimal on both engines, compared after one cast to
+    * DOUBLE (same exact decimal → same nearest double). */
+  val edgeDecimalPromotionSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_mul,
+      |       CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                + CAST(l_tax AS DECIMAL(9,4))) AS DOUBLE) AS mx_add,
+      |       CAST(min(- CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS mn_neg,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(12,3))
+      |                - CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS s_sub
+      |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin
+
+  /** DECIMAL scale handling. KNOWN DIVERGENCE documented (measured round
+    * 11, same class as the CAST-fractional-to-INT note above): a bare
+    * CAST that NARROWS scale ROUNDS half-up in Spark (0.06 →
+    * DECIMAL(18,1) = 0.1) but TRUNCATES toward zero in DuckDB (0.06 →
+    * 0.0, 0.15 → 0.1) — portable code must round() explicitly before
+    * rescaling, which is what this entry pins: round(decimal, 1) ties
+    * away from zero on BOTH engines (0.05 → 0.1, -0.05 → -0.1). Also
+    * pinned: precision overflow under try_cast is NULL on both (the
+    * portable spelling — plain CAST throws on both under Spark ANSI). */
+  val edgeDecimalRescaleSql: String =
+    """SELECT DISTINCT
+      |       CAST(round(CAST(l_discount AS DECIMAL(18,2)), 1) AS DOUBLE) AS d1,
+      |       CAST(round(- CAST(l_discount AS DECIMAL(18,2)), 1) AS DOUBLE) AS d1_neg,
+      |       CAST(try_cast(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(4,2)) AS DOUBLE) AS ov,
+      |       CAST(try_cast(CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(3,2)) AS DOUBLE) AS fits
+      |FROM lineitem WHERE l_orderkey <= 200""".stripMargin
+
+  /** Nested casts: LIST-of-STRUCT with per-field coercions (string → INT
+    * element, INT → BIGINT widening) in ONE cast (reference
+    * `test/sql/cast/test_struct_casts.test` / list cast suites). Dialect
+    * split on the type syntax only: Spark `ARRAY<STRUCT<...>>` vs DuckDB
+    * `STRUCT(...)[]`; identical nested values out. */
+  val edgeCastNestedSparkSql: String =
+    """SELECT CAST(array(named_struct('a', 1, 'b', '2'),
+      |                  named_struct('a', 3, 'b', '4'))
+      |            AS ARRAY<STRUCT<a: BIGINT, b: INT>>) AS xs,
+      |       CAST(array('10', '11') AS ARRAY<BIGINT>) AS ys,
+      |       CAST(named_struct('p', array(1, 2), 'q', '9')
+      |            AS STRUCT<p: ARRAY<BIGINT>, q: INT>) AS zs""".stripMargin
+
+  val edgeCastNestedDuckSql: String =
+    """SELECT CAST([{'a': 1, 'b': '2'}, {'a': 3, 'b': '4'}]
+      |            AS STRUCT(a BIGINT, b INT)[]) AS xs,
+      |       CAST(['10', '11'] AS BIGINT[]) AS ys,
+      |       CAST({'p': [1, 2], 'q': '9'}
+      |            AS STRUCT(p BIGINT[], q INT)) AS zs""".stripMargin
+
+  /** String ↔ temporal casts: leap-day strings, timestamp truncation to
+    * DATE (floor, not round — 23:59 stays the same day), DATE → TIMESTAMP
+    * midnight widening. */
+  val edgeCastTemporalSql: String =
+    """SELECT CAST('1996-02-29' AS DATE) AS s2d,
+      |       CAST('1996-02-29 13:59:59' AS TIMESTAMP) AS s2t,
+      |       CAST(TIMESTAMP '1996-02-29 23:59:59' AS DATE) AS t2d_floor,
+      |       CAST(DATE '1996-02-29' AS TIMESTAMP) AS d2t_midnight,
+      |       try_cast('1997-02-29' AS DATE) AS bad_leap""".stripMargin
+
   private def viaSql(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => Tables.sql(s, dir, sql)
 
@@ -392,7 +484,13 @@ object EdgeQueries {
     "edge_having_global" -> viaSql(edgeHavingGlobalSql),
     "edge_agg_misc" -> viaSql(edgeAggMiscSql),
     "edge_subquery_null" -> viaSql(edgeSubqueryNullSql),
-    "edge_misc2" -> viaSql(edgeMisc2Sql))
+    "edge_misc2" -> viaSql(edgeMisc2Sql),
+    "edge_interval_mixed" -> viaSql(edgeIntervalMixedSql),
+    "edge_interval_daytime" -> viaSql(edgeIntervalDaytimeSql),
+    "edge_decimal_promotion" -> viaSql(edgeDecimalPromotionSql),
+    "edge_decimal_rescale" -> viaSql(edgeDecimalRescaleSql),
+    "edge_cast_nested" -> viaSql(edgeCastNestedSparkSql),
+    "edge_cast_temporal" -> viaSql(edgeCastTemporalSql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -425,5 +523,11 @@ object EdgeQueries {
     "edge_having_global" -> edgeHavingGlobalSql,
     "edge_agg_misc" -> edgeAggMiscSql,
     "edge_subquery_null" -> edgeSubqueryNullSql,
-    "edge_misc2" -> edgeMisc2DuckSql)
+    "edge_misc2" -> edgeMisc2DuckSql,
+    "edge_interval_mixed" -> edgeIntervalMixedSql,
+    "edge_interval_daytime" -> edgeIntervalDaytimeSql,
+    "edge_decimal_promotion" -> edgeDecimalPromotionSql,
+    "edge_decimal_rescale" -> edgeDecimalRescaleSql,
+    "edge_cast_nested" -> edgeCastNestedDuckSql,
+    "edge_cast_temporal" -> edgeCastTemporalSql)
 }
