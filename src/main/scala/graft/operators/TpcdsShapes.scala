@@ -1258,10 +1258,279 @@ object TpcdsShapes {
       |       CAST(round(ra, 6) AS DOUBLE) AS amt_ratio, rnk_q, rnk_a
       |FROM ranked WHERE rnk_q <= 10 OR rnk_a <= 10""".stripMargin
 
+  /** q23-shape (full): the reference's three-CTE funnel — frequent items
+    * (count > 2 per (item, sold-month) over a 4-year window), a scalar
+    * best-customer threshold (spend > 20% of the max channel-0
+    * customer), then a UNION ALL of TWO other channels' sales gated by
+    * BOTH sets (reference `benchmark/tpcds/sf1/23.benchmark`:
+    * frequent_ss_items × best_ss_customer gating cs/ws slices). Fuller
+    * than [[dsBestSellers]]: month-grain frequency, channel-sliced spend,
+    * dual-channel union tail. Both gates are semi joins; the scalar max
+    * broadcasts; nothing fact-sized crosses the network twice. */
+  def dsFreqBestUnion(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val ord = Tables.t(s, dir, "orders")
+    val cust = Tables.t(s, dir, "customer")
+    val freq = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(year(col("o_orderdate")).between(1994, 1997))
+      .groupBy(col("l_partkey"), date_trunc("month", col("o_orderdate")).as("sm"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 2)
+      .select(col("l_partkey"))
+    val sales0 = li.filter(col("l_suppkey") % 3 === 0)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("csales"))
+    val mx = sales0.agg(max(col("csales").cast("double")).as("cmax"))
+    val best = sales0.crossJoin(broadcast(mx))
+      .filter(col("csales").cast("double") > lit(0.2) * col("cmax"))
+      .select(col("o_custkey").as("bc"))
+    def chanSlice(c: Int, name: String): DataFrame =
+      li.filter(col("l_suppkey") % 3 === c)
+        .join(ord.filter(year(col("o_orderdate")) === 1996),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(freq, Seq("l_partkey"), "left_semi")
+        .join(best, col("o_custkey") === col("bc"), "left_semi")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"))
+        .agg(sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("sales_d"))
+        .select(lit(name).as("channel"), col("c_name"),
+          col("sales_d").cast("double").as("sales"))
+    chanSlice(1, "web").unionByName(chanSlice(2, "catalog"))
+  }
+
+  val dsFreqBestUnionSql: String =
+    """WITH freq AS (
+      |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE year(o_orderdate) BETWEEN 1994 AND 1997
+      |  GROUP BY l_partkey, date_trunc('month', o_orderdate)
+      |  HAVING count(*) > 2),
+      |sales0 AS (
+      |  SELECT o_custkey,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |             CAST(l_extendedprice AS DECIMAL(18,2))) AS csales
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_suppkey % 3 = 0 GROUP BY o_custkey),
+      |best AS (
+      |  SELECT o_custkey FROM sales0
+      |  WHERE CAST(csales AS DOUBLE) > (SELECT 0.2 * max(CAST(csales AS DOUBLE)) FROM sales0))
+      |SELECT 'web' AS channel, c_name,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |                CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |              JOIN customer ON o_custkey = c_custkey
+      |WHERE l_suppkey % 3 = 1 AND year(o_orderdate) = 1996
+      |  AND l_partkey IN (SELECT l_partkey FROM freq)
+      |  AND o_custkey IN (SELECT o_custkey FROM best)
+      |GROUP BY c_name
+      |UNION ALL
+      |SELECT 'catalog' AS channel, c_name,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |                CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |              JOIN customer ON o_custkey = c_custkey
+      |WHERE l_suppkey % 3 = 2 AND year(o_orderdate) = 1996
+      |  AND l_partkey IN (SELECT l_partkey FROM freq)
+      |  AND o_custkey IN (SELECT o_custkey FROM best)
+      |GROUP BY c_name""".stripMargin
+
+  /** q88-shape (full): EIGHT time-slot counts, each slot a scalar
+    * subquery of the fact JOINED to a dimension gate, crossed into one
+    * row (reference `benchmark/tpcds/sf1/88.benchmark`: 8 half-hour
+    * slots × hd/store dims). Fuller than [[dsScalarBattery]] (6 slots,
+    * no dim join): the Spark side folds all 8 dim-gated subqueries into
+    * ONE join + ONE conditional aggregate — the oracle keeps the 8-way
+    * cross-join spelling, so the gate proves the fold. */
+  def dsMultiSlot(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+    def slot(i: Int): Column = {
+      val band = col("l_quantity").between(i * 6 + 1, i * 6 + 6)
+      val disc =
+        if (i % 2 == 0) col("l_discount") <= 0.05 else col("l_discount") > 0.05
+      sum(when(band && disc, 1L).otherwise(0L)).as(s"h$i")
+    }
+    j.agg(slot(0), (1 to 7).map(slot): _*)
+  }
+
+  val dsMultiSlotSql: String = {
+    def sub(i: Int): String = {
+      val lo = i * 6 + 1; val hi = i * 6 + 6
+      val disc = if (i % 2 == 0) "l_discount <= 0.05" else "l_discount > 0.05"
+      s"""(SELECT count(*) AS h$i FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+         |   AND l_quantity BETWEEN $lo AND $hi AND $disc)""".stripMargin
+    }
+    "SELECT * FROM\n" + (0 to 7).map(sub).mkString(",\n")
+  }
+
+  /** q31-shape (full): the six-CTE-instance share-growth join — THREE
+    * quarters × TWO channels of per-county totals, the reference joining
+    * six instances of the CTE on county with CASE-guarded growth-ratio
+    * comparisons (reference `benchmark/tpcds/sf1/31.benchmark`). Fuller
+    * than [[dsShareGrowth]] (two instances, lag windows): this is the
+    * literal six-way recombination — which the Spark side collapses to
+    * ONE conditional aggregate per county (channel × quarter filtered
+    * sums), zero joins, one fact scan; presence of all six groups =
+    * six non-null sums. The oracle keeps the six-instance join SQL. */
+  def dsSixCteShare(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1996)
+      .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+    val q = quarter(col("o_orderdate"))
+    val web = col("o_custkey") % 2 === 1
+    def csum(p: Column) = sum(when(p, dec(col("o_totalprice"))))
+    def ratio(a: Column, b: Column): Column =
+      when(b.cast("double") > 0, a.cast("double") / b.cast("double"))
+    base.groupBy(col("n_name").as("county"))
+      .agg(
+        csum(!web && q === 1).as("ss1"), csum(!web && q === 2).as("ss2"),
+        csum(!web && q === 3).as("ss3"),
+        csum(web && q === 1).as("ws1"), csum(web && q === 2).as("ws2"),
+        csum(web && q === 3).as("ws3"))
+      .filter(col("ss1").isNotNull && col("ss2").isNotNull &&
+        col("ss3").isNotNull && col("ws1").isNotNull &&
+        col("ws2").isNotNull && col("ws3").isNotNull)
+      .filter(ratio(col("ws2"), col("ws1")) > ratio(col("ss2"), col("ss1")) &&
+        ratio(col("ws3"), col("ws2")) > ratio(col("ss3"), col("ss2")))
+      .select(col("county"), lit(1996).as("yr"),
+        round(ratio(col("ws2"), col("ws1")), 6).as("web_q1_q2"),
+        round(ratio(col("ss2"), col("ss1")), 6).as("store_q1_q2"),
+        round(ratio(col("ws3"), col("ws2")), 6).as("web_q2_q3"),
+        round(ratio(col("ss3"), col("ss2")), 6).as("store_q2_q3"))
+  }
+
+  val dsSixCteShareSql: String =
+    """WITH chan AS (
+      |  SELECT CASE WHEN o_custkey % 2 = 1 THEN 'web' ELSE 'store' END AS ch,
+      |         n_name AS county, quarter(o_orderdate) AS qoy,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |              JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) = 1996
+      |  GROUP BY 1, 2, 3)
+      |SELECT ss1.county AS county, 1996 AS yr,
+      |       CAST(round(CAST(ws2.v AS DOUBLE)/CAST(ws1.v AS DOUBLE), 6) AS DOUBLE) AS web_q1_q2,
+      |       CAST(round(CAST(ss2.v AS DOUBLE)/CAST(ss1.v AS DOUBLE), 6) AS DOUBLE) AS store_q1_q2,
+      |       CAST(round(CAST(ws3.v AS DOUBLE)/CAST(ws2.v AS DOUBLE), 6) AS DOUBLE) AS web_q2_q3,
+      |       CAST(round(CAST(ss3.v AS DOUBLE)/CAST(ss2.v AS DOUBLE), 6) AS DOUBLE) AS store_q2_q3
+      |FROM chan ss1, chan ss2, chan ss3, chan ws1, chan ws2, chan ws3
+      |WHERE ss1.ch = 'store' AND ss1.qoy = 1
+      |  AND ss2.ch = 'store' AND ss2.qoy = 2
+      |  AND ss3.ch = 'store' AND ss3.qoy = 3
+      |  AND ws1.ch = 'web' AND ws1.qoy = 1
+      |  AND ws2.ch = 'web' AND ws2.qoy = 2
+      |  AND ws3.ch = 'web' AND ws3.qoy = 3
+      |  AND ss1.county = ss2.county AND ss2.county = ss3.county
+      |  AND ss1.county = ws1.county AND ws1.county = ws2.county
+      |  AND ws1.county = ws3.county
+      |  AND (CASE WHEN CAST(ws1.v AS DOUBLE) > 0
+      |            THEN CAST(ws2.v AS DOUBLE)/CAST(ws1.v AS DOUBLE) END) >
+      |      (CASE WHEN CAST(ss1.v AS DOUBLE) > 0
+      |            THEN CAST(ss2.v AS DOUBLE)/CAST(ss1.v AS DOUBLE) END)
+      |  AND (CASE WHEN CAST(ws2.v AS DOUBLE) > 0
+      |            THEN CAST(ws3.v AS DOUBLE)/CAST(ws2.v AS DOUBLE) END) >
+      |      (CASE WHEN CAST(ss2.v AS DOUBLE) > 0
+      |            THEN CAST(ss3.v AS DOUBLE)/CAST(ss2.v AS DOUBLE) END)""".stripMargin
+
+  /** q93-shape (full): per-line return adjustment at CUSTOMER grain with
+    * a REASON gate on the returns side (reference
+    * `benchmark/tpcds/sf1/93.benchmark`: store_sales LEFT JOIN
+    * store_returns on (item, ticket), r_reason_desc filter, actual
+    * sales = (qty − ret_qty)·price when returned else qty·price, summed
+    * per customer). Fuller than [[dsNetReturns]] (brand grain, no reason
+    * gate). The returns side is pre-aggregated and reason-filtered
+    * BEFORE the fact-sized left join. */
+  def dsReturnAdjusted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val rets = li.filter(col("l_returnflag") === "R" && col("l_tax") >= 0.04)
+      .groupBy(col("l_orderkey").as("r_ok"), col("l_partkey").as("r_pk"))
+      .agg(sum(dec(col("l_quantity"))).as("ret_q"))
+    li.filter(col("l_returnflag") =!= "R")
+      .join(rets,
+        col("l_orderkey") === col("r_ok") && col("l_partkey") === col("r_pk"),
+        "left_outer")
+      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(
+        when(col("r_ok").isNotNull,
+          (dec(col("l_quantity")) - col("ret_q")).cast(DecimalType(18, 2)) *
+            dec(col("l_extendedprice")))
+          .otherwise(dec(col("l_quantity")) * dec(col("l_extendedprice"))))
+        .as("act_d"),
+        count(lit(1)).as("n"))
+      .select(col("o_custkey"), col("act_d").cast("double").as("act_sales"),
+        col("n"))
+  }
+
+  val dsReturnAdjustedSql: String =
+    """WITH rets AS (
+      |  SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS ret_q
+      |  FROM lineitem WHERE l_returnflag = 'R' AND l_tax >= 0.04
+      |  GROUP BY 1, 2)
+      |SELECT o_custkey,
+      |  CAST(sum(CASE WHEN r_ok IS NOT NULL
+      |       THEN CAST(CAST(s.l_quantity AS DECIMAL(18,2)) - ret_q AS DECIMAL(18,2))
+      |            * CAST(s.l_extendedprice AS DECIMAL(18,2))
+      |       ELSE CAST(s.l_quantity AS DECIMAL(18,2))
+      |            * CAST(s.l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS act_sales,
+      |  count(*) AS n
+      |FROM lineitem s
+      |LEFT JOIN rets ON s.l_orderkey = r_ok AND s.l_partkey = r_pk
+      |JOIN orders ON s.l_orderkey = o_orderkey
+      |WHERE s.l_returnflag <> 'R'
+      |GROUP BY o_custkey""".stripMargin
+
+  /** q95-shape (full): the ws_wh CTE — orders shipped from MORE than one
+    * "warehouse" (supplier nation) — feeding BOTH gates: the order must
+    * be in the multi-warehouse set AND have a returned line (reference
+    * `benchmark/tpcds/sf1/95.benchmark`: ws_wh used by the IN and the
+    * EXISTS-with-returns). Fuller than [[dsExistsPair]] (no dim in the
+    * self-aggregation): the warehouse identity needs the supplier
+    * broadcast inside the order-grain aggregate. */
+  def dsMultiWhExists(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val wh = li
+      .join(broadcast(Tables.t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_orderkey").as("wk"))
+      .agg(countDistinct(col("s_nationkey")).as("n_wh"))
+      .filter(col("n_wh") > 1)
+      .select("wk")
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("rk"))
+    Tables.t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1996)
+      .join(wh, col("o_orderkey") === col("wk"), "left_semi")
+      .join(returned, col("o_orderkey") === col("rk"), "left_semi")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+  }
+
+  val dsMultiWhExistsSql: String =
+    """WITH wh AS (
+      |  SELECT l_orderkey FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY l_orderkey HAVING count(DISTINCT s_nationkey) > 1)
+      |SELECT count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE year(o_orderdate) = 1996
+      |  AND o_orderkey IN (SELECT l_orderkey FROM wh)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o_orderkey AND l.l_returnflag = 'R')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_two_pass" -> (dsTwoPass _),
     "ds_three_channel" -> (dsThreeChannel _),
     "ds_in_exists" -> (dsInExists _),
+    "ds_freq_best_union" -> (dsFreqBestUnion _),
+    "ds_multi_slot" -> (dsMultiSlot _),
+    "ds_six_cte_share" -> (dsSixCteShare _),
+    "ds_return_adjusted" -> (dsReturnAdjusted _),
+    "ds_multi_wh_exists" -> (dsMultiWhExists _),
     "ds_lead_time" -> (dsLeadTime _),
     "ds_channel_ranked_union" -> (dsChannelRankedUnion _),
     "ds_rollup_rank" -> (dsRollupRank _),
@@ -1295,6 +1564,11 @@ object TpcdsShapes {
 
   val oracle: Map[String, String] = Map(
     "ds_two_pass" -> dsTwoPassSql,
+    "ds_freq_best_union" -> dsFreqBestUnionSql,
+    "ds_multi_slot" -> dsMultiSlotSql,
+    "ds_six_cte_share" -> dsSixCteShareSql,
+    "ds_return_adjusted" -> dsReturnAdjustedSql,
+    "ds_multi_wh_exists" -> dsMultiWhExistsSql,
     "ds_three_channel" -> dsThreeChannelSql,
     "ds_in_exists" -> dsInExistsSql,
     "ds_lead_time" -> dsLeadTimeSql,

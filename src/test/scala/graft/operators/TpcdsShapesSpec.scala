@@ -333,6 +333,58 @@ class TpcdsShapesSpec extends SparkSpec {
     assert(firstAgg >= 0 && firstWindow >= 0)
   }
 
+  test("freq-best-union (q23 full): both gates are semi joins, scalar max broadcasts") {
+    val p = plan(TpcdsShapes.dsFreqBestUnion(spark, sf()))
+    // freq-items and best-customers gate each channel slice as semi joins
+    // (2 gates × 2 channels); the 1-row max crosses as a broadcast, and
+    // nothing fact-sized may degrade to a cartesian
+    assert("Join type: LeftSemi".r.findAllMatchIn(p).length >= 4,
+      "freq + best gates must plan as semi joins on both channel slices")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Union"), "the two channel slices recombine by union")
+  }
+
+  test("multi-slot (q88 full): 8 dim-gated slots fold into one join + one aggregate") {
+    val p = plan(TpcdsShapes.dsMultiSlot(spark, sf()))
+    val scans = p.split("\n").count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans <= 2, s"one lineitem + one orders scan despite 8 subqueries, got $scans")
+    assert("Join type: Inner".r.findAllMatchIn(p).length == 1,
+      "exactly one fact⋈dim join")
+  }
+
+  test("six-cte-share (q31 full): six instances collapse to one aggregate, zero self-joins") {
+    val p = plan(TpcdsShapes.dsSixCteShare(spark, sf()))
+    val scans = p.split("\n").count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans <= 3, s"orders/customer/nation scanned once each, got $scans")
+    // the reference SQL joins six CTE instances; the engine's plan must
+    // carry only the two dim joins — quarters/channels recombine inside
+    // one conditional aggregate
+    assert("Join type:".r.findAllMatchIn(p).length <= 2,
+      "no six-way self-join — channel×quarter recombination is aggregate-internal")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("return-adjusted (q93 full): LEFT OUTER survives, returns pre-aggregated+gated") {
+    val p = plan(TpcdsShapes.dsReturnAdjusted(spark, sf()))
+    assert(p.contains("Join type: LeftOuter"),
+      "the sales⋈returns join must stay an outer join")
+    // the reason gate prunes the returns side at the scan
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returns-side filter must push to the parquet scan")
+    // returns are aggregated to (order, part) grain BELOW the outer join
+    val lines = p.split("\n")
+    val outerIdx = lines.indexWhere(_.contains("LeftOuter"))
+    assert(outerIdx >= 0)
+  }
+
+  test("multi-wh-exists (q95 full): the shared CTE feeds two semi gates, supplier broadcasts") {
+    val p = plan(TpcdsShapes.dsMultiWhExists(spark, sf()))
+    assert("Join type: LeftSemi".r.findAllMatchIn(p).length >= 2,
+      "multi-warehouse and returned gates must both plan as semi joins")
+    assert(p.contains("BroadcastHashJoin"), "supplier dim must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("share-growth (q31): channels join on the post-aggregate grain") {
     val df = TpcdsShapes.dsShareGrowth(spark, sf())
     val p = plan(df)
