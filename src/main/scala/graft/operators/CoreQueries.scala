@@ -675,7 +675,45 @@ object CoreQueries {
       |JOIN orders ON l_orderkey = o_orderkey
       |WHERE p_name LIKE '%widget%' AND s_name LIKE '%1' AND o_orderstatus = 'F'""".stripMargin
 
+  /** JOB alias-reuse shape: the SAME table scanned TWICE under DIFFERENT
+    * filters, both legs equi-joined to the fact at the same key — JOB's
+    * repeated `movie_info mi, movie_info mi_idx` legs with different
+    * `info_type` gates (reference `benchmark/imdb/19a.benchmark`'s
+    * mi/mi_idx pair). Here lineitem plays the info table against
+    * the orders fact: alias 1 keeps returned lines, alias 2 keeps
+    * high-quantity lines. The plan property that matters at scale: each
+    * alias's filter pushes into ITS OWN parquet scan (per-alias pruning,
+    * not one shared unfiltered scan post-filtered twice) — pinned in
+    * TpchQueriesSpec. */
+  def jobAliasReuse(s: SparkSession, dir: String): DataFrame = {
+    val l1 = Tables.t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k1"), col("l_extendedprice").as("price1"))
+    val l2 = Tables.t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey").as("k2"), col("l_quantity").as("qty2"))
+    Tables.t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .join(l1, col("o_orderkey") === col("k1"))
+      .join(l2, col("o_orderkey") === col("k2"))
+      .agg(min(col("o_orderpriority")).as("min_pri"),
+        min(dec(col("price1"))).cast("double").as("min_price"),
+        max(dec(col("qty2"))).cast("double").as("max_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  val jobAliasReuseSql: String =
+    """SELECT min(o_orderpriority) AS min_pri,
+      |       CAST(min(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      |       CAST(max(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
+      |       count(*) AS n
+      |FROM orders
+      |JOIN lineitem l1 ON o_orderkey = l1.l_orderkey
+      |JOIN lineitem l2 ON o_orderkey = l2.l_orderkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND l2.l_quantity > 45""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "job_alias_reuse" -> (jobAliasReuse _),
     "job_like_dims" -> (jobLikeDims _),
     "job_like_disjunct" -> (jobLikeDisjunct _),
     "job_min_join" -> (jobMinJoin _),
@@ -694,6 +732,7 @@ object CoreQueries {
     "job_deep_join" -> (jobDeepJoin _))
 
   val oracle: Map[String, String] = Map(
+    "job_alias_reuse" -> jobAliasReuseSql,
     "job_like_dims" -> jobLikeDimsSql,
     "job_like_disjunct" -> jobLikeDisjunctSql,
     "job_min_join" -> jobMinJoinSql,

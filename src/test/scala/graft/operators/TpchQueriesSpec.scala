@@ -166,4 +166,18 @@ class TpchQueriesSpec extends SparkSpec {
     assert("(Sort|Hash)Aggregate".r.findAllMatchIn(p).length >= 2,
       "partial + final aggregate pair expected (map-side partial min)")
   }
+
+  test("job_alias_reuse: each alias's filter prunes ITS OWN scan") {
+    val p = plan(CoreQueries.jobAliasReuse(spark, sf()))
+    // two lineitem scans, each carrying only its alias's pushed filter —
+    // a shared unfiltered scan post-filtered twice would read the fact
+    // columns of BOTH aliases everywhere
+    val pushed = p.split("\n").filter(_.contains("PushedFilters"))
+    val retScans = pushed.count(l =>
+      l.contains("EqualTo(l_returnflag,R)") && !l.contains("l_quantity"))
+    val qtyScans = pushed.count(l =>
+      l.contains("GreaterThan(l_quantity,45") && !l.contains("l_returnflag"))
+    assert(retScans == 1, s"alias 1 scan must push only the returnflag gate ($pushed)")
+    assert(qtyScans == 1, "alias 2 scan must push only the quantity gate")
+  }
 }
