@@ -1522,7 +1522,247 @@ object TpcdsShapes {
       |  AND EXISTS (SELECT 1 FROM lineitem l
       |              WHERE l.l_orderkey = o_orderkey AND l.l_returnflag = 'R')""".stripMargin
 
+  /** q97-shape: channel-overlap counts — the distinct buyer/item sets of
+    * TWO channels FULL-OUTER-joined, then one row of store-only /
+    * catalog-only / both counts (reference
+    * `benchmark/tpcds/sf1/97.benchmark`: ssci FULL OUTER JOIN csci). The
+    * fixture channels are the sold vs returned (partkey, suppkey) pair
+    * sets. Scale posture: both distincts and the full outer hash on the
+    * SAME (pk, sk) key, so the join adds no exchange beyond the two
+    * distinct shuffles; the final count is a 1-row partial-aggregated
+    * reduce. */
+  def dsChannelOverlap(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val sales = li.filter(col("l_returnflag") =!= "R")
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct().withColumn("in_s", lit(1))
+    val rets = li.filter(col("l_returnflag") === "R")
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct().withColumn("in_r", lit(1))
+    sales.join(rets, Seq("pk", "sk"), "full_outer")
+      .agg(
+        count(when(col("in_s").isNotNull && col("in_r").isNull, lit(1))).as("sales_only"),
+        count(when(col("in_s").isNull && col("in_r").isNotNull, lit(1))).as("rets_only"),
+        count(when(col("in_s").isNotNull && col("in_r").isNotNull, lit(1))).as("both_ch"))
+  }
+
+  val dsChannelOverlapSql: String =
+    """SELECT
+      |  count(CASE WHEN s.pk IS NOT NULL AND r.pk IS NULL THEN 1 END) AS sales_only,
+      |  count(CASE WHEN s.pk IS NULL AND r.pk IS NOT NULL THEN 1 END) AS rets_only,
+      |  count(CASE WHEN s.pk IS NOT NULL AND r.pk IS NOT NULL THEN 1 END) AS both_ch
+      |FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      |      FROM lineitem WHERE l_returnflag <> 'R') s
+      |FULL OUTER JOIN (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      |      FROM lineitem WHERE l_returnflag = 'R') r
+      |  ON s.pk = r.pk AND s.sk = r.sk""".stripMargin
+
+  /** q59-shape: weekly revenue pivoted into day-of-week columns, the
+    * pivoted frame SELF-joined on a one-year week shift (reference
+    * `benchmark/tpcds/sf1/59.benchmark`: wss joined to itself on
+    * d_week_seq1 = d_week_seq2 - 52). Week/day keys are pure integer
+    * arithmetic off a fixed epoch (TPC-DS d_week_seq is exactly such a
+    * sequence) so both engines bucket identically. Scale posture: the
+    * pivot is 7 conditional sums in ONE aggregate (no Pivot node, no
+    * second scan); the two self-join consumers share the aggregate's
+    * exchange (identical canonical subtrees — ReuseExchange fires),
+    * and only the shifted side reshuffles on (wk+52). */
+  def dsWeekPivot(s: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+    val base = Tables.t(s, dir, "orders").select(
+      floor(days / 7).as("wk"), pmod(days, lit(7)).as("dow"), col("o_totalprice"))
+    val wkAgg = base.groupBy(col("wk")).agg(
+      sum(when(col("dow") === 0, dec(col("o_totalprice")))).as("d0"),
+      sum(when(col("dow") === 1, dec(col("o_totalprice")))).as("d1"),
+      sum(when(col("dow") === 2, dec(col("o_totalprice")))).as("d2"),
+      sum(when(col("dow") === 3, dec(col("o_totalprice")))).as("d3"),
+      sum(when(col("dow") === 4, dec(col("o_totalprice")))).as("d4"),
+      sum(when(col("dow") === 5, dec(col("o_totalprice")))).as("d5"),
+      sum(when(col("dow") === 6, dec(col("o_totalprice")))).as("d6"))
+    val prev = wkAgg.select(col("wk").as("pwk") +:
+      (0 to 6).map(i => col(s"d$i").as(s"p$i")): _*)
+    wkAgg.join(prev, col("wk") === col("pwk") + 52)
+      .select(col("wk") +:
+        ((0 to 6).map(i => col(s"d$i").cast("double").as(s"d$i")) ++
+          (0 to 6).map(i => col(s"p$i").cast("double").as(s"p$i"))): _*)
+  }
+
+  val dsWeekPivotSql: String =
+    """WITH wss AS (
+      |  SELECT CAST(floor(date_diff('day', DATE '1995-01-01', o_orderdate) / 7) AS BIGINT) AS wk,
+      |         date_diff('day', DATE '1995-01-01', o_orderdate) % 7 AS dow,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |agg AS (
+      |  SELECT wk,
+      |    sum(CASE WHEN dow = 0 THEN price END) AS d0,
+      |    sum(CASE WHEN dow = 1 THEN price END) AS d1,
+      |    sum(CASE WHEN dow = 2 THEN price END) AS d2,
+      |    sum(CASE WHEN dow = 3 THEN price END) AS d3,
+      |    sum(CASE WHEN dow = 4 THEN price END) AS d4,
+      |    sum(CASE WHEN dow = 5 THEN price END) AS d5,
+      |    sum(CASE WHEN dow = 6 THEN price END) AS d6
+      |  FROM wss GROUP BY wk)
+      |SELECT c.wk AS wk,
+      |  CAST(c.d0 AS DOUBLE) AS d0, CAST(c.d1 AS DOUBLE) AS d1,
+      |  CAST(c.d2 AS DOUBLE) AS d2, CAST(c.d3 AS DOUBLE) AS d3,
+      |  CAST(c.d4 AS DOUBLE) AS d4, CAST(c.d5 AS DOUBLE) AS d5,
+      |  CAST(c.d6 AS DOUBLE) AS d6,
+      |  CAST(p.d0 AS DOUBLE) AS p0, CAST(p.d1 AS DOUBLE) AS p1,
+      |  CAST(p.d2 AS DOUBLE) AS p2, CAST(p.d3 AS DOUBLE) AS p3,
+      |  CAST(p.d4 AS DOUBLE) AS p4, CAST(p.d5 AS DOUBLE) AS p5,
+      |  CAST(p.d6 AS DOUBLE) AS p6
+      |FROM agg c JOIN agg p ON c.wk = p.wk + 52""".stripMargin
+
+  /** q65-shape: aggregate-of-aggregate band — per-(supplier, part)
+    * revenue joined against its own per-supplier average, keeping pairs
+    * at <= 10% of the average (reference `benchmark/tpcds/sf1/65
+    * .benchmark`: sc.revenue <= 0.1 * sb.ave). The band compares by
+    * decimal CROSS-MULTIPLICATION (rev * cnt * 10 <= total), the same
+    * exact-arithmetic trick as [[dsAvgBand]] — no float average on
+    * either engine, so the boundary is bit-exact. Scale posture: the
+    * pair aggregate is referenced twice but both consumers hash on
+    * l_suppkey-prefixed keys; the supplier dim broadcasts. */
+  def dsMinAvg(s: SparkSession, dir: String): DataFrame = {
+    val perPair = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+    val perSupp = perPair.groupBy(col("l_suppkey"))
+      .agg(sum(col("rev")).as("total"), count(lit(1)).as("cnt"))
+    perPair.join(perSupp, Seq("l_suppkey"))
+      .filter(col("rev") * col("cnt") * 10 <= col("total"))
+      .join(broadcast(Tables.t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("l_partkey"),
+        col("rev").cast("double").as("rev"))
+  }
+
+  val dsMinAvgSql: String =
+    """WITH pair AS (
+      |  SELECT l_suppkey, l_partkey,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |supp AS (
+      |  SELECT l_suppkey, sum(rev) AS total, count(*) AS cnt
+      |  FROM pair GROUP BY 1)
+      |SELECT s_name, l_partkey, CAST(rev AS DOUBLE) AS rev
+      |FROM pair JOIN supp USING (l_suppkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev * cnt * 10 <= total""".stripMargin
+
+  /** q92/q32-shape: "excess discount" — fact rows whose discount exceeds
+    * 1.3x the per-part average, summed to one row (reference
+    * `benchmark/tpcds/sf1/92.benchmark`: ws_ext_discount_amt > 1.3 *
+    * avg over the same item; the reference plans it as a correlated
+    * scalar subquery). Spark-first form: decorrelate by hand into a
+    * per-part aggregate + shuffle join on partkey, with the 1.3x band
+    * as decimal cross-multiplication (disc * cnt * 10 > total * 13) —
+    * exact on both engines. Scale posture: one fact scan per side of
+    * one partkey-hashed join; the final global sum is a 1-row reduce. */
+  def dsExcessDiscount(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dec(col("l_discount"))).as("total_disc"),
+        count(lit(1)).as("cnt"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(dec(col("l_discount")) * col("cnt") * 10 > col("total_disc") * 13)
+      .agg(count(lit(1)).as("n_excess"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("excess_rev"))
+  }
+
+  val dsExcessDiscountSql: String =
+    """WITH d AS (
+      |  SELECT l_partkey AS pk,
+      |         sum(CAST(l_discount AS DECIMAL(18,2))) AS total_disc,
+      |         count(*) AS cnt
+      |  FROM lineitem GROUP BY 1)
+      |SELECT count(*) AS n_excess,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS excess_rev
+      |FROM lineitem JOIN d ON l_partkey = pk
+      |WHERE CAST(l_discount AS DECIMAL(18,2)) * cnt * 10 > total_disc * 13""".stripMargin
+
+  /** q62-shape: shipping-lag bucket counts — days between order and ship
+    * date bucketed into 30/60/90/120/120+ conditional counts per group
+    * (reference `benchmark/tpcds/sf1/62.benchmark`: sum(case when
+    * ws_ship_date_sk - ws_sold_date_sk <= 30 ...) per warehouse/ship
+    * mode). Fixture grain: lineitem⋈orders on orderkey (the one
+    * fact-fact shuffle this shape needs), bucketed per order priority.
+    * All five buckets are filtered counts inside ONE aggregate — one
+    * pass, no per-bucket scans. */
+  def dsShipLagBuckets(s: SparkSession, dir: String): DataFrame = {
+    val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+    Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(lag <= 30, lit(1))).as("d30"),
+        count(when(lag > 30 && lag <= 60, lit(1))).as("d60"),
+        count(when(lag > 60 && lag <= 90, lit(1))).as("d90"),
+        count(when(lag > 90 && lag <= 120, lit(1))).as("d120"),
+        count(when(lag > 120, lit(1))).as("d_over"))
+  }
+
+  val dsShipLagBucketsSql: String =
+    """SELECT o_orderpriority,
+      |  count(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 1 END) AS d30,
+      |  count(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+      |              AND date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 END) AS d60,
+      |  count(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+      |              AND date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 1 END) AS d90,
+      |  count(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+      |              AND date_diff('day', o_orderdate, l_shipdate) <= 120 THEN 1 END) AS d120,
+      |  count(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120 THEN 1 END) AS d_over
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q39-shape: per-(part, month) demand statistics, kept where the
+    * coefficient of variation clears a bar, SELF-joined on consecutive
+    * months (reference `benchmark/tpcds/sf1/39.benchmark`: inv1.cov
+    * joined to inv2 on d_moy = d_moy + 1, both sides stdev/mean > 1).
+    * Quantities are integers so the per-group mean is bit-exact on both
+    * engines (integer sums are exact in double); the stddev filter
+    * boundary is measure-zero. Scale posture: the monthly aggregate's
+    * exchange is shared by both self-join sides (identical canonical
+    * subtrees), and the already-(pk, mon)-hashed side joins without a
+    * new shuffle — only the month-shifted side re-exchanges. */
+  def dsInventoryCov(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"),
+        to_date(date_trunc("month", col("l_shipdate"))).as("mon"))
+      .agg(avg(col("l_quantity").cast("double")).as("mean"),
+        stddev_samp(col("l_quantity").cast("double")).as("sd"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("sd") > col("mean") * 0.35)
+    val nxt = monthly.select(col("l_partkey").as("pk2"),
+      col("mon").as("mon2"), col("mean").as("mean2"), col("sd").as("sd2"))
+    monthly.join(nxt,
+        col("l_partkey") === col("pk2") &&
+          add_months(col("mon"), 1) === col("mon2"))
+      .select(col("l_partkey").as("pk"), col("mon"),
+        col("mean").as("mean1"), col("sd").as("sd1"),
+        col("mean2"), col("sd2"))
+  }
+
+  val dsInventoryCovSql: String =
+    """WITH monthly AS (
+      |  SELECT l_partkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+      |         avg(CAST(l_quantity AS DOUBLE)) AS mean,
+      |         stddev_samp(CAST(l_quantity AS DOUBLE)) AS sd,
+      |         count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |cov AS (SELECT * FROM monthly WHERE n >= 2 AND sd > mean * 0.35)
+      |SELECT c.l_partkey AS pk, c.mon AS mon, c.mean AS mean1, c.sd AS sd1,
+      |       n.mean AS mean2, n.sd AS sd2
+      |FROM cov c JOIN cov n
+      |  ON c.l_partkey = n.l_partkey AND n.mon = c.mon + INTERVAL 1 MONTH""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_channel_overlap" -> (dsChannelOverlap _),
+    "ds_week_pivot" -> (dsWeekPivot _),
+    "ds_min_avg" -> (dsMinAvg _),
+    "ds_excess_discount" -> (dsExcessDiscount _),
+    "ds_ship_lag_buckets" -> (dsShipLagBuckets _),
+    "ds_inventory_cov" -> (dsInventoryCov _),
     "ds_two_pass" -> (dsTwoPass _),
     "ds_three_channel" -> (dsThreeChannel _),
     "ds_in_exists" -> (dsInExists _),
@@ -1563,6 +1803,12 @@ object TpcdsShapes {
     "ds_avg_band" -> (dsAvgBand _))
 
   val oracle: Map[String, String] = Map(
+    "ds_channel_overlap" -> dsChannelOverlapSql,
+    "ds_week_pivot" -> dsWeekPivotSql,
+    "ds_min_avg" -> dsMinAvgSql,
+    "ds_excess_discount" -> dsExcessDiscountSql,
+    "ds_ship_lag_buckets" -> dsShipLagBucketsSql,
+    "ds_inventory_cov" -> dsInventoryCovSql,
     "ds_two_pass" -> dsTwoPassSql,
     "ds_freq_best_union" -> dsFreqBestUnionSql,
     "ds_multi_slot" -> dsMultiSlotSql,

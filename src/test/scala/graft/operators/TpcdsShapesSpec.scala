@@ -395,4 +395,91 @@ class TpcdsShapesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(2) > r.getDouble(3),
       "filter must keep only months where the high channel outgrew"))
   }
+
+  test("channel-overlap (q97): FULL OUTER on the shared distinct key, counts partition the union") {
+    val df = TpcdsShapes.dsChannelOverlap(spark, sf())
+    val p = plan(df)
+    assert(p.contains("FullOuter"), "channel overlap joins full-outer")
+    assert(!p.contains("CartesianProduct"))
+    val r = df.collect().head
+    val salesPairs = graft.Tables.t(spark, sf(), "lineitem")
+      .filter(col("l_returnflag") =!= "R")
+      .select("l_partkey", "l_suppkey").distinct().count()
+    val retPairs = graft.Tables.t(spark, sf(), "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_partkey", "l_suppkey").distinct().count()
+    // the three buckets exactly partition the two distinct sets
+    assert(r.getLong(0) + r.getLong(2) == salesPairs)
+    assert(r.getLong(1) + r.getLong(2) == retPairs)
+  }
+
+  test("week-pivot (q59): pivot is ONE conditional aggregate, no Pivot/Expand, no second scan pair") {
+    val df = TpcdsShapes.dsWeekPivot(spark, sf())
+    val p = plan(df)
+    // 7 day columns come from filtered sums inside one aggregate, not a
+    // Pivot node (which would add an Expand + extra shuffle)
+    assert(!p.contains("Expand"), "no Pivot/Expand — day slots are conditional sums")
+    // the shifted self-join re-keys one side only; both sides are the
+    // same aggregate (2 scans pre-reuse at most, 1 after)
+    val scans = p.split("\n").count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans <= 2, s"at most the two self-join consumers scan, got $scans")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // weeks joined on +52: every output wk must be >= 52
+    rows.foreach(r => assert(r.getLong(0) >= 52))
+  }
+
+  test("min-avg (q65): exact decimal band, pair-aggregate reused, supplier broadcasts") {
+    val df = TpcdsShapes.dsMinAvg(spark, sf())
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "supplier dim must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // the band is decimal cross-multiplication — no float avg in the plan
+    assert(!p.toLowerCase.contains("avg("), "no float average — exact decimal band")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("excess-discount (q92): decorrelated to one partkey join + 1-row reduce") {
+    val df = TpcdsShapes.dsExcessDiscount(spark, sf())
+    val p = plan(df)
+    // the correlated scalar subquery form would plan per-row; the
+    // decorrelated form is a single equi-join on partkey
+    assert("Join type: Inner".r.findAllMatchIn(p).length == 1,
+      "exactly one decorrelated join")
+    assert(!p.contains("CartesianProduct"))
+    val r = df.collect().head
+    // sanity: the excess slice is a strict subset of the fact
+    val n = graft.Tables.t(spark, sf(), "lineitem").count()
+    assert(r.getLong(0) > 0 && r.getLong(0) < n)
+  }
+
+  test("ship-lag-buckets (q62): five buckets in ONE aggregate over one orderkey join") {
+    val df = TpcdsShapes.dsShipLagBuckets(spark, sf())
+    val p = plan(df)
+    assert("Join type: Inner".r.findAllMatchIn(p).length == 1,
+      "one fact-fact join on orderkey")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // buckets partition the joined rows: per-group sum of buckets == group size
+    val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3) +
+      r.getLong(4) + r.getLong(5)).sum
+    assert(total == graft.Tables.t(spark, sf(), "lineitem").count(),
+      "the five lag buckets must exactly partition the joined fact")
+  }
+
+  test("inventory-cov (q39): consecutive-month self-join keeps aggregate grain, no cartesian") {
+    val df = TpcdsShapes.dsInventoryCov(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    // the self-join joins two POST-aggregate sides (part-month grain),
+    // never the raw fact against itself: exactly one join, two agg pairs
+    assert("Join type: Inner".r.findAllMatchIn(p).length == 1)
+    val rows = df.collect()
+    // both sides of every surviving pair cleared the cov bar
+    rows.foreach { r =>
+      assert(r.getDouble(3) > r.getDouble(2) * 0.35)
+      assert(r.getDouble(5) > r.getDouble(4) * 0.35)
+    }
+  }
 }
