@@ -712,7 +712,41 @@ object CoreQueries {
       |JOIN lineitem l2 ON o_orderkey = l2.l_orderkey
       |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND l2.l_quantity > 45""".stripMargin
 
+  /** JOB IN-list dimension shape: JOB filters dimensions with IN lists
+    * (reference `benchmark/imdb` queries: company_type.kind IN
+    * ('production companies', ...), info_type.info IN ('countries',
+    * ...)) — the
+    * selectivity source the optimizer must push INTO the scan as an `In`
+    * filter, not evaluate post-scan. Two IN-filtered dims (one of them
+    * reached through a second join hop, JOB's ci→rt pattern) broadcast
+    * into the fact; TpchQueriesSpec pins the pushed In(...) filters. */
+  def jobInDims(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.t(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+    val cust = Tables.t(s, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    Tables.t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("p_brand"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+  }
+
+  val jobInDimsSql: String =
+    """SELECT p_brand, c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      |  AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |GROUP BY p_brand, c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "job_in_dims" -> (jobInDims _),
     "job_alias_reuse" -> (jobAliasReuse _),
     "job_like_dims" -> (jobLikeDims _),
     "job_like_disjunct" -> (jobLikeDisjunct _),
@@ -732,6 +766,7 @@ object CoreQueries {
     "job_deep_join" -> (jobDeepJoin _))
 
   val oracle: Map[String, String] = Map(
+    "job_in_dims" -> jobInDimsSql,
     "job_alias_reuse" -> jobAliasReuseSql,
     "job_like_dims" -> jobLikeDimsSql,
     "job_like_disjunct" -> jobLikeDisjunctSql,

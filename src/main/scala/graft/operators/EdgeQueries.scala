@@ -12,8 +12,12 @@ import graft.Tables
   *
   * Nearly all entries run the SAME SQL string through `spark.sql` and
   * DuckDB (dialect-shared on purpose — this doubles as the SQL-string
-  * surface test); the two exceptions hold a per-dialect string for
-  * integer division (`DIV` vs `//`).
+  * surface test); the exceptions hold per-dialect strings where the
+  * spelling genuinely differs: integer division (`DIV` vs `//`), list
+  * functions (`try_element_at`/`slice` vs `list_extract`/`list_slice`),
+  * regex (`RLIKE` + global-default replace vs `regexp_matches` + 'g'),
+  * bit ops (`^`/`shiftleft` vs `xor()`/`<<`), and date part extraction
+  * (`weekday`/`datediff` vs `isodow`/`date_diff`).
   *
   * Known divergence documented, not tested: CAST of a fractional number
   * to INT rounds in DuckDB (2.7 → 3) but truncates in Spark ANSI
@@ -450,6 +454,108 @@ object EdgeQueries {
       |       CAST(DATE '1996-02-29' AS TIMESTAMP) AS d2t_midnight,
       |       try_cast('1997-02-29' AS DATE) AS bad_leap""".stripMargin
 
+  /** List indexing edges (reference `test/sql/types/list/`): 1-based
+    * extract, out-of-bounds → NULL (Spark ANSI needs try_element_at —
+    * plain element_at THROWS), negative index from the end, position of
+    * an absent element → 0 on BOTH engines (not NULL), inclusive-bounds
+    * slice, sort with an explicit NULLS FIRST (DuckDB's list_sort
+    * DEFAULTS to NULLS LAST, Spark's sort_array to NULLS FIRST — the pin
+    * forces the shared spelling), contains(NULL) → NULL. List results
+    * are scalarized (concat_ws) for the value compare. */
+  val edgeListIndexSparkSql: String =
+    """SELECT try_element_at(array(10, 20, 30), 5) AS oob,
+      |       element_at(array(10, 20, 30), -1) AS neg,
+      |       array_position(array(10, 20, 30), 99) AS notfound,
+      |       array_position(array(10, 20, 30), 20) AS found,
+      |       concat_ws(',', slice(array(10, 20, 30), 2, 2)) AS mid,
+      |       concat_ws(',', sort_array(array(3, CAST(NULL AS INT), 1))) AS sorted_nf,
+      |       size(array(10, 20, 30)) AS n,
+      |       array_contains(array(10, 20, 30), CAST(NULL AS INT)) AS has_null""".stripMargin
+
+  val edgeListIndexDuckSql: String =
+    """SELECT list_extract([10, 20, 30], 5) AS oob,
+      |       [10, 20, 30][-1] AS neg,
+      |       CAST(list_position([10, 20, 30], 99) AS BIGINT) AS notfound,
+      |       CAST(list_position([10, 20, 30], 20) AS BIGINT) AS found,
+      |       array_to_string(list_slice([10, 20, 30], 2, 3), ',') AS mid,
+      |       array_to_string(list_sort([3, NULL, 1], 'ASC', 'NULLS FIRST'), ',') AS sorted_nf,
+      |       CAST(len([10, 20, 30]) AS INT) AS n,
+      |       list_contains([10, 20, 30], NULL) AS has_null""".stripMargin
+
+  /** split_part + regexp edges (reference `test/sql/function/string/`):
+    * out-of-range part → EMPTY STRING (not NULL), negative part counts
+    * from the end, absent delimiter returns the WHOLE string as part 1,
+    * split keeps interior empty fields, regexp_extract with no match →
+    * empty string, group selection, anchored partial match. Regex
+    * classes are spelled [0-9] (portable) because literal-backslash
+    * handling differs between the engines' string literals; Spark's
+    * regexp_replace is global by default — the DuckDB side needs the
+    * explicit 'g' flag for the same semantics. */
+  val edgeSplitRegexSparkSql: String =
+    """SELECT split_part('a,b,c', ',', 5) AS oob,
+      |       split_part('a,b,c', ',', -1) AS neg,
+      |       split_part('a,b,c', 'x', 1) AS nodelim,
+      |       size(split('a,,c', ',')) AS n_empty,
+      |       regexp_replace('aaa', 'a', 'b') AS all_repl,
+      |       regexp_extract('2026-08-14', '([0-9]+)-([0-9]+)', 2) AS grp2,
+      |       regexp_extract('abc', '([0-9]+)', 1) AS nomatch,
+      |       'abc' RLIKE '^a' AS anchored""".stripMargin
+
+  val edgeSplitRegexDuckSql: String =
+    """SELECT split_part('a,b,c', ',', 5) AS oob,
+      |       split_part('a,b,c', ',', -1) AS neg,
+      |       split_part('a,b,c', 'x', 1) AS nodelim,
+      |       CAST(len(string_split('a,,c', ',')) AS INT) AS n_empty,
+      |       regexp_replace('aaa', 'a', 'b', 'g') AS all_repl,
+      |       regexp_extract('2026-08-14', '([0-9]+)-([0-9]+)', 2) AS grp2,
+      |       regexp_extract('abc', '([0-9]+)', 1) AS nomatch,
+      |       regexp_matches('abc', '^a') AS anchored""".stripMargin
+
+  /** Bitwise operator edges (reference `test/sql/function/numeric/` bit
+    * ops): AND/OR/XOR, complement, arithmetic shifts (sign-preserving on
+    * negatives), and bit_count over a 64-bit two's-complement value
+    * (bit_count(-1::BIGINT) = 64 on both engines). XOR is `^` in Spark
+    * but the xor() function in DuckDB; shifts are functions vs operators. */
+  val edgeBitopsSparkSql: String =
+    """SELECT 12 & 10 AS b_and, 12 | 10 AS b_or, 12 ^ 10 AS b_xor,
+      |       ~12 AS b_not,
+      |       shiftleft(CAST(3 AS BIGINT), 4) AS shl,
+      |       shiftright(CAST(-16 AS BIGINT), 2) AS shr_neg,
+      |       bit_count(CAST(255 AS BIGINT)) AS bc255,
+      |       bit_count(CAST(-1 AS BIGINT)) AS bc_neg1""".stripMargin
+
+  val edgeBitopsDuckSql: String =
+    """SELECT 12 & 10 AS b_and, 12 | 10 AS b_or, xor(12, 10) AS b_xor,
+      |       ~12 AS b_not,
+      |       CAST(3 AS BIGINT) << 4 AS shl,
+      |       CAST(-16 AS BIGINT) >> 2 AS shr_neg,
+      |       CAST(bit_count(CAST(255 AS BIGINT)) AS INT) AS bc255,
+      |       CAST(bit_count(CAST(-1 AS BIGINT)) AS INT) AS bc_neg1""".stripMargin
+
+  /** Pre-epoch / boundary date edges (reference `test/sql/types/date/`):
+    * week truncation lands on MONDAY, day difference is NEGATIVE when the
+    * end precedes the start, leap-year last_day, ISO day-of-week of the
+    * epoch (Thursday = 4), Jan 1 belonging to ISO week 53 of the PRIOR
+    * year, quarters before 1970, and year 1 of the proleptic Gregorian
+    * calendar both engines share. */
+  val edgeDateBoundsSparkSql: String =
+    """SELECT CAST(date_trunc('week', DATE '2026-08-14') AS DATE) AS wk_mon,
+      |       datediff(DATE '1969-12-25', DATE '1970-01-10') AS neg_days,
+      |       last_day(DATE '2024-02-05') AS leap_end,
+      |       weekday(DATE '1970-01-01') + 1 AS isodow_epoch,
+      |       weekofyear(DATE '2021-01-01') AS iso_week53,
+      |       quarter(DATE '1969-07-20') AS pre_epoch_q,
+      |       year(DATE '0001-01-01') AS year_one""".stripMargin
+
+  val edgeDateBoundsDuckSql: String =
+    """SELECT CAST(date_trunc('week', DATE '2026-08-14') AS DATE) AS wk_mon,
+      |       CAST(date_diff('day', DATE '1970-01-10', DATE '1969-12-25') AS INT) AS neg_days,
+      |       last_day(DATE '2024-02-05') AS leap_end,
+      |       CAST(isodow(DATE '1970-01-01') AS INT) AS isodow_epoch,
+      |       CAST(week(DATE '2021-01-01') AS INT) AS iso_week53,
+      |       CAST(quarter(DATE '1969-07-20') AS INT) AS pre_epoch_q,
+      |       CAST(year(DATE '0001-01-01') AS INT) AS year_one""".stripMargin
+
   private def viaSql(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => Tables.sql(s, dir, sql)
 
@@ -490,7 +596,11 @@ object EdgeQueries {
     "edge_decimal_promotion" -> viaSql(edgeDecimalPromotionSql),
     "edge_decimal_rescale" -> viaSql(edgeDecimalRescaleSql),
     "edge_cast_nested" -> viaSql(edgeCastNestedSparkSql),
-    "edge_cast_temporal" -> viaSql(edgeCastTemporalSql))
+    "edge_cast_temporal" -> viaSql(edgeCastTemporalSql),
+    "edge_list_index" -> viaSql(edgeListIndexSparkSql),
+    "edge_split_regex" -> viaSql(edgeSplitRegexSparkSql),
+    "edge_bitops" -> viaSql(edgeBitopsSparkSql),
+    "edge_date_bounds" -> viaSql(edgeDateBoundsSparkSql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -529,5 +639,9 @@ object EdgeQueries {
     "edge_decimal_promotion" -> edgeDecimalPromotionSql,
     "edge_decimal_rescale" -> edgeDecimalRescaleSql,
     "edge_cast_nested" -> edgeCastNestedDuckSql,
-    "edge_cast_temporal" -> edgeCastTemporalSql)
+    "edge_cast_temporal" -> edgeCastTemporalSql,
+    "edge_list_index" -> edgeListIndexDuckSql,
+    "edge_split_regex" -> edgeSplitRegexDuckSql,
+    "edge_bitops" -> edgeBitopsDuckSql,
+    "edge_date_bounds" -> edgeDateBoundsDuckSql)
 }

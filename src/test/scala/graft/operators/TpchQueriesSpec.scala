@@ -180,4 +180,14 @@ class TpchQueriesSpec extends SparkSpec {
     assert(retScans == 1, s"alias 1 scan must push only the returnflag gate ($pushed)")
     assert(qtyScans == 1, "alias 2 scan must push only the quantity gate")
   }
+
+  test("job_in_dims: IN-list filters push into the dim scans, dims broadcast") {
+    val p = plan(CoreQueries.jobInDims(spark, sf()))
+    assert(p.contains("In(p_brand"),
+      "the brand IN-list must reach the parquet scan as an In filter")
+    assert(p.contains("In(c_mktsegment"),
+      "the segment IN-list must reach the parquet scan")
+    val bhj = p.split("BroadcastHashJoin").length - 1
+    assert(bhj >= 2, s"both IN-filtered dims must broadcast (got $bhj)")
+  }
 }
