@@ -1756,7 +1756,127 @@ object TpcdsShapes {
       |FROM cov c JOIN cov n
       |  ON c.l_partkey = n.l_partkey AND n.mon = c.mon + INTERVAL 1 MONTH""".stripMargin
 
+  /** q87-shape: EXCEPT-chained distinct sets — channel A's buyers minus
+    * B's minus C's, counted (reference `benchmark/tpcds/sf1/87.benchmark`:
+    * store EXCEPT catalog EXCEPT web on (lastname, firstname, date)).
+    * EXCEPT is left-associative on both engines; Spark plans each as a
+    * LeftAnti join over the distinct sets — two anti joins, never a
+    * materialized set difference. */
+  def dsExceptCounts(s: SparkSession, dir: String): DataFrame = {
+    def buyers(pri: String) = Tables.t(s, dir, "orders")
+      .filter(col("o_orderpriority") === pri &&
+        year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey")).distinct()
+    buyers("1-URGENT").except(buyers("2-HIGH")).except(buyers("3-MEDIUM"))
+      .agg(count(lit(1)).as("n_remaining"))
+  }
+
+  val dsExceptCountsSql: String =
+    """SELECT count(*) AS n_remaining FROM (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |   WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders
+      |   WHERE o_orderpriority = '2-HIGH' AND year(o_orderdate) = 1996
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders
+      |   WHERE o_orderpriority = '3-MEDIUM' AND year(o_orderdate) = 1996) t""".stripMargin
+
+  /** q13/q34-class two-level aggregate: per-customer order counts
+    * RE-aggregated into a histogram (customers per order-count) — the
+    * aggregate-on-aggregate rekey every "distribution of X per Y" report
+    * runs. Scale posture: first shuffle on custkey, second on the tiny
+    * count domain; the second aggregate's input is |customers|, never
+    * fact-sized. */
+  def dsCountHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .groupBy(col("n_orders")).agg(count(lit(1)).as("n_cust"))
+
+  val dsCountHistogramSql: String =
+    """SELECT n_orders, count(*) AS n_cust
+      |FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) t
+      |GROUP BY n_orders""".stripMargin
+
+  /** q48-shape: OR of three conjunctive band predicates over ONE fact
+    * scan (reference `benchmark/tpcds/sf1/48.benchmark`: three
+    * (marital-status AND education AND sales-price band) disjuncts).
+    * The disjunction must stay a single pushed-down scan filter — three
+    * per-band scans unioned would read the fact three times. */
+  def dsOrBands(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .filter(
+        (col("l_quantity").between(1, 10) && col("l_discount").between(0.00, 0.03)) ||
+          (col("l_quantity").between(20, 30) && col("l_discount").between(0.04, 0.07)) ||
+          (col("l_quantity").between(40, 50) && col("l_discount").between(0.08, 0.10)))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+
+  val dsOrBandsSql: String =
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE
+      |  (l_quantity BETWEEN 1 AND 10 AND l_discount BETWEEN 0.00 AND 0.03) OR
+      |  (l_quantity BETWEEN 20 AND 30 AND l_discount BETWEEN 0.04 AND 0.07) OR
+      |  (l_quantity BETWEEN 40 AND 50 AND l_discount BETWEEN 0.08 AND 0.10)""".stripMargin
+
+  /** q90-shape: the am/pm ratio — two time-slot counts over one scan,
+    * divided (reference `benchmark/tpcds/sf1/90.benchmark`: morning vs
+    * evening web_sales counts as two subqueries, then their DECIMAL
+    * ratio). Spark-first fold: both slots are filtered counts in ONE
+    * aggregate (the reference's two scans collapse); the ratio divides
+    * exact integer counts in double — deterministic on both engines. */
+  def dsRatioSlots(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .agg(
+        count(when(hour(col("ts")).between(6, 11), lit(1))).as("n_am"),
+        count(when(hour(col("ts")).between(18, 23), lit(1))).as("n_pm"))
+      .select(col("n_am"), col("n_pm"),
+        (col("n_am").cast("double") / col("n_pm").cast("double")).as("am_pm_ratio"))
+
+  val dsRatioSlotsSql: String =
+    """SELECT n_am, n_pm,
+      |       CAST(n_am AS DOUBLE) / CAST(n_pm AS DOUBLE) AS am_pm_ratio
+      |FROM (SELECT
+      |  count(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 END) AS n_am,
+      |  count(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN 1 END) AS n_pm
+      |FROM events) t""".stripMargin
+
+  /** q41-shape: dimension SELF-subquery on a non-key attribute — parts
+    * whose brand appears in a filtered slice of the SAME dimension
+    * (reference `benchmark/tpcds/sf1/41.benchmark`: i_manufact IN
+    * (SELECT i_manufact FROM item WHERE <OR'd attribute combos>),
+    * count of distinct product names). Plans as a broadcast semi join of
+    * the dim against its own filtered projection — no fact involved,
+    * no correlated per-row execution. */
+  def dsSelfSubquery(s: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.t(s, dir, "part")
+      .filter(col("p_size").between(1, 15) &&
+        ((col("p_type") === "STANDARD" && col("p_retailprice") < 950) ||
+          (col("p_type") === "PROMO" && col("p_retailprice") >= 950)))
+      .select(col("p_brand").as("b")).distinct()
+    Tables.t(s, dir, "part")
+      .filter(col("p_size").between(10, 20))
+      .join(broadcast(sub), col("p_brand") === col("b"), "left_semi")
+      .agg(countDistinct(col("p_name")).as("n_names"))
+  }
+
+  val dsSelfSubquerySql: String =
+    """SELECT count(DISTINCT p_name) AS n_names
+      |FROM part
+      |WHERE p_size BETWEEN 10 AND 20
+      |  AND p_brand IN (
+      |    SELECT p_brand FROM part
+      |    WHERE p_size BETWEEN 1 AND 15
+      |      AND ((p_type = 'STANDARD' AND p_retailprice < 950) OR
+      |           (p_type = 'PROMO' AND p_retailprice >= 950)))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_except_counts" -> (dsExceptCounts _),
+    "ds_count_histogram" -> (dsCountHistogram _),
+    "ds_or_bands" -> (dsOrBands _),
+    "ds_ratio_slots" -> (dsRatioSlots _),
+    "ds_self_subquery" -> (dsSelfSubquery _),
     "ds_channel_overlap" -> (dsChannelOverlap _),
     "ds_week_pivot" -> (dsWeekPivot _),
     "ds_min_avg" -> (dsMinAvg _),
@@ -1803,6 +1923,11 @@ object TpcdsShapes {
     "ds_avg_band" -> (dsAvgBand _))
 
   val oracle: Map[String, String] = Map(
+    "ds_except_counts" -> dsExceptCountsSql,
+    "ds_count_histogram" -> dsCountHistogramSql,
+    "ds_or_bands" -> dsOrBandsSql,
+    "ds_ratio_slots" -> dsRatioSlotsSql,
+    "ds_self_subquery" -> dsSelfSubquerySql,
     "ds_channel_overlap" -> dsChannelOverlapSql,
     "ds_week_pivot" -> dsWeekPivotSql,
     "ds_min_avg" -> dsMinAvgSql,

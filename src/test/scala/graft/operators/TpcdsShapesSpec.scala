@@ -482,4 +482,60 @@ class TpcdsShapesSpec extends SparkSpec {
       assert(r.getDouble(5) > r.getDouble(4) * 0.35)
     }
   }
+
+  test("except-counts (q87): EXCEPT chain plans as anti joins over distinct sets") {
+    val df = TpcdsShapes.dsExceptCounts(spark, sf())
+    val p = plan(df)
+    assert("Join type: LeftAnti".r.findAllMatchIn(p).length == 2,
+      "two EXCEPTs = two anti joins")
+    assert(!p.contains("CartesianProduct"))
+    val n = df.collect().head.getLong(0)
+    val urgent = graft.Tables.t(spark, sf(), "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1996)
+      .select("o_custkey").distinct().count()
+    assert(n <= urgent, "difference can never exceed the base set")
+  }
+
+  test("count-histogram: second aggregate consumes the first's output grain") {
+    val df = TpcdsShapes.dsCountHistogram(spark, sf())
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the histogram's weighted total re-counts every order exactly once
+    val orders = graft.Tables.t(spark, sf(), "orders").count()
+    val weighted = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(weighted == orders, s"sum(n_orders * n_cust) must equal |orders| ($weighted vs $orders)")
+    // and the customer total matches the distinct buyer count
+    val custs = rows.map(_.getLong(1)).sum
+    assert(custs == graft.Tables.t(spark, sf(), "orders")
+      .select("o_custkey").distinct().count())
+  }
+
+  test("or-bands (q48): the disjunction pushes into ONE scan — no union of band scans") {
+    val df = TpcdsShapes.dsOrBands(spark, sf())
+    val p = plan(df)
+    val scans = p.split("\n").count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"one scan for all three bands, got $scans")
+    assert(!p.contains("Union"), "bands must not plan as a union of scans")
+    assert(p.contains("Or("), "the OR-of-bands must reach the pushed filters")
+  }
+
+  test("ratio-slots (q90): both time slots are filtered counts in ONE aggregate") {
+    val df = TpcdsShapes.dsRatioSlots(spark, sf())
+    val p = plan(df)
+    val scans = p.split("\n").count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"the reference's two subquery scans must fold into one, got $scans")
+    val r = df.collect().head
+    assert(r.getDouble(2) == r.getLong(0).toDouble / r.getLong(1).toDouble)
+  }
+
+  test("self-subquery (q41): dim self semi join on the attribute, subquery broadcast") {
+    val df = TpcdsShapes.dsSelfSubquery(spark, sf())
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), "the IN-subquery must plan as a semi join")
+    assert(p.contains("BroadcastHashJoin"), "the filtered dim slice must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.length == 1)
+  }
 }
