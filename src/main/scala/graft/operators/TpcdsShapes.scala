@@ -1871,7 +1871,50 @@ object TpcdsShapes {
       |      AND ((p_type = 'STANDARD' AND p_retailprice < 950) OR
       |           (p_type = 'PROMO' AND p_retailprice >= 950)))""".stripMargin
 
+  /** q30/q81-shape: outlier band at AGGREGATE grain — per-customer
+    * return totals kept where they exceed 1.2× the per-nation AVERAGE of
+    * those totals (reference `benchmark/tpcds/sf1/30.benchmark` /
+    * `81.benchmark`: ctr_total_return > 1.2 * avg(ctr_total_return) OVER
+    * the same state, as a correlated subquery). Unlike [[dsAvgBand]]
+    * (row grain), the band here compares an aggregate against the
+    * average of aggregates — decorrelated to per-nation (sum, count)
+    * stats joined back, with the 1.2× bar as exact decimal
+    * cross-multiplication. Scale posture: the stats side is
+    * |nations|-sized and broadcasts; the heavy shuffles are the
+    * custkey aggregate and the customer join, both key-parallel. */
+  def dsReturnOutliers(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("ret_total"))
+    val withNation = perCust.join(Tables.t(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+    val natStats = withNation.groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(col("ret_total")).as("nat_total"), count(lit(1)).as("nat_cnt"))
+    withNation.join(broadcast(natStats), col("c_nationkey") === col("nk"))
+      .filter(col("ret_total") * col("nat_cnt") * 10 > col("nat_total") * 12)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("ret_total").cast("double").as("ret_total"))
+  }
+
+  val dsReturnOutliersSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS ret_total
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R' GROUP BY 1),
+      |wn AS (
+      |  SELECT c_custkey, c_nationkey, ret_total
+      |  FROM per_cust JOIN customer ON o_custkey = c_custkey),
+      |ns AS (
+      |  SELECT c_nationkey AS nk, sum(ret_total) AS nat_total, count(*) AS nat_cnt
+      |  FROM wn GROUP BY 1)
+      |SELECT c_custkey, c_nationkey, CAST(ret_total AS DOUBLE) AS ret_total
+      |FROM wn JOIN ns ON c_nationkey = nk
+      |WHERE ret_total * nat_cnt * 10 > nat_total * 12""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_return_outliers" -> (dsReturnOutliers _),
     "ds_except_counts" -> (dsExceptCounts _),
     "ds_count_histogram" -> (dsCountHistogram _),
     "ds_or_bands" -> (dsOrBands _),
@@ -1923,6 +1966,7 @@ object TpcdsShapes {
     "ds_avg_band" -> (dsAvgBand _))
 
   val oracle: Map[String, String] = Map(
+    "ds_return_outliers" -> dsReturnOutliersSql,
     "ds_except_counts" -> dsExceptCountsSql,
     "ds_count_histogram" -> dsCountHistogramSql,
     "ds_or_bands" -> dsOrBandsSql,

@@ -529,6 +529,24 @@ class TpcdsShapesSpec extends SparkSpec {
     assert(r.getDouble(2) == r.getLong(0).toDouble / r.getLong(1).toDouble)
   }
 
+  test("return-outliers (q30): nation stats broadcast, band exact at aggregate grain") {
+    val df = TpcdsShapes.dsReturnOutliers(spark, sf())
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "the |nations|-sized stats side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // outliers are a strict minority of returning customers
+    val returners = graft.Tables.t(spark, sf(), "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(graft.Tables.t(spark, sf(), "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey").distinct().count()
+    assert(rows.length < returners / 2,
+      s"1.2x-avg outliers must be a minority (${rows.length} of $returners)")
+  }
+
   test("self-subquery (q41): dim self semi join on the attribute, subquery broadcast") {
     val df = TpcdsShapes.dsSelfSubquery(spark, sf())
     val p = plan(df)
