@@ -178,6 +178,19 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      // EXPLICIT width under the candidate distinct (same rationale as
+      // the minhashSignaturesHashed barrier): the (id1, id2) pairs are
+      // 16 B each, so AQE's size-based coalescing narrows the distinct's
+      // FINAL aggregate to one partition — and when AQE then promotes
+      // the candidate set to the broadcast side of the membership joins,
+      // that 1-task stage (621 k pair groups + the broadcast collect)
+      // runs ~2 s single-threaded at the 10× bench while every other
+      // stage is wide. Pre-partitioning on the pair key with a stated
+      // width keeps the distinct exchange-free AND wide; the shuffle it
+      // adds carries only the raw band matches the join already
+      // materializes.
+      .repartition(sig.sparkSession.sparkContext.defaultParallelism,
+        col("id1"), col("id2"))
       .distinct()
   }
 

@@ -26,6 +26,9 @@ import graft.Tables
   *     `string_split`'s literal separator is regex-escaped because
   *     Spark's `split` takes a regex where DuckDB takes a plain string
   *   - `read_parquet('p')` → ``parquet.`p` `` (direct-path table scan)
+  *   - FROM-first queries (`FROM t`, `FROM t SELECT c WHERE …`) →
+  *     standard SELECT form, at every query-start position (CTE bodies,
+  *     subqueries, set-op branches included)
   *   - `QUALIFY p`         → post-window filter via a subquery that
   *     computes `p` as a projected column (windows can't sit in WHERE)
   *   - `SELECT DISTINCT ON (e, …) … ORDER BY o` → `row_number() OVER
@@ -1267,6 +1270,102 @@ object DuckDialect {
     * refused loudly. Mixed ALL/DISTINCT chains and chains mixing BY NAME
     * with positional set ops are refused (left-assoc grouping would need
     * a full parser to get right). */
+  /** DuckDB FROM-first queries → standard SELECT form. The reference
+    * accepts `FROM tbl`, `FROM tbl SELECT cols WHERE …` (libpg_query
+    * grammar extension; probed on DuckDB 1.0.0: the OPTIONAL select
+    * clause sits BETWEEN the from-clause and WHERE — `FROM t WHERE p
+    * SELECT c` is a parse error there too). Missing select clause →
+    * `SELECT *`. Applied at every query-start position — statement
+    * head, right after `(` (CTE bodies, subqueries), right after a
+    * set-op keyword (+ its ALL/DISTINCT/BY NAME tail), and right after
+    * a `WITH name AS (…)` block's closing paren — so `WITH c AS (FROM
+    * t) FROM c SELECT …` composes. Runs to fixpoint, outermost-first. */
+  private[sql] def rewriteFromFirst(toks: Vector[Tok]): Vector[Tok] = {
+    val clauseKw = Set("select", "where", "group", "having", "qualify",
+      "window", "order", "limit", "offset", "union", "intersect", "except")
+    val setOps = Set("union", "intersect", "except")
+    def isQueryStart(v: Vector[Tok], i: Int): Boolean = {
+      val p1 = prevIdx(v, i)
+      if (p1 < 0) return true
+      if (v(p1).is("(")) return true
+      if (v(p1).is(")")) {
+        // a ')' opens a query position only when it closes a CTE body:
+        // scan back to the matching '(' and require the word before it
+        // to be AS (`WITH name AS ( … ) FROM …`); `SELECT f(x) FROM …`
+        // has an identifier there instead.
+        var d = 0; var k = p1
+        while (k >= 0) {
+          if (v(k).is(")")) d += 1
+          else if (v(k).is("(")) { d -= 1; if (d == 0) {
+            val pp = prevIdx(v, k)
+            return pp >= 0 && v(pp).word == "as"
+          } }
+          k -= 1
+        }
+        return false
+      }
+      val w1 = v(p1).word
+      if (setOps(w1)) return true
+      // `CREATE TABLE t AS FROM x` / `WITH c AS materialized-free body`:
+      // a bare AS directly before FROM can only open a query body (an
+      // expression alias can't be the reserved word FROM)
+      if (w1 == "as") return true
+      val p2 = prevIdx(v, p1)
+      if ((w1 == "all" || w1 == "distinct") && p2 >= 0 && setOps(v(p2).word))
+        return true
+      if (w1 == "name" && p2 >= 0 && v(p2).word == "by") {
+        val p3 = prevIdx(v, p2)
+        if (p3 >= 0 && setOps(v(p3).word)) return true
+      }
+      false
+    }
+    var v = toks
+    var guard = 0
+    var changed = true
+    while (changed && guard < 100) {
+      changed = false; guard += 1
+      var i = 0
+      while (i < v.length && !changed) {
+        if (v(i).kind == 4 && v(i).word == "from" && isQueryStart(v, i)) {
+          // scope: up to the ')' closing the current depth, or stream end
+          var scopeEnd = v.length
+          var d = 0; var k = i
+          while (k < scopeEnd) {
+            if (v(k).is("(")) d += 1
+            else if (v(k).is(")")) { if (d == 0) scopeEnd = k else d -= 1 }
+            k += 1
+          }
+          // from-clause ends at the first depth-0 clause keyword in scope
+          var j = i + 1; d = 0; var fromEnd = scopeEnd
+          while (j < scopeEnd && fromEnd == scopeEnd) {
+            if (v(j).is("(")) d += 1
+            else if (v(j).is(")")) d -= 1
+            else if (d == 0 && clauseKw(v(j).word)) fromEnd = j
+            j += 1
+          }
+          if (fromEnd < scopeEnd && v(fromEnd).word == "select") {
+            // select-list ends at the next depth-0 clause keyword
+            var m = fromEnd + 1; d = 0; var listEnd = scopeEnd
+            while (m < scopeEnd && listEnd == scopeEnd) {
+              if (v(m).is("(")) d += 1
+              else if (v(m).is(")")) d -= 1
+              else if (d == 0 && clauseKw(v(m).word)) listEnd = m
+              m += 1
+            }
+            v = v.take(i) ++ (v.slice(fromEnd, listEnd) :+ ws(" ")) ++
+              v.slice(i, fromEnd) ++ v.slice(listEnd, v.length)
+          } else {
+            v = v.take(i) ++
+              Vector(word("SELECT"), ws(" "), sym("*"), ws(" ")) ++ v.drop(i)
+          }
+          changed = true
+        }
+        i += 1
+      }
+    }
+    v
+  }
+
   private def rewriteUnionByName(toks: Vector[Tok]): Vector[Tok] = {
     // recurse into parenthesized sub-blocks first (subqueries, CTE bodies)
     val rec = {
@@ -1476,6 +1575,7 @@ object DuckDialect {
   def translate(duckSql: String): String = {
     var toks = tokenize(duckSql)
     toks = rewriteMacros(toks)
+    toks = rewriteFromFirst(toks)
     toks = refuseUnsupported(toks)
     toks = rewriteUnionByName(toks)
     toks = rewriteBraces(toks)

@@ -323,7 +323,19 @@ object DuckSqlQueries {
   private def via(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => DuckDialect.run(s, dir, sql)
 
+  /** FROM-first queries (DuckDB grammar extension): a CTE whose body is
+    * FROM-first WITHOUT a select clause (→ SELECT *), and a FROM-first
+    * outer query WITH a select clause + WHERE + GROUP BY — the oracle
+    * runs the identical raw string on DuckDB. */
+  val fromFirstSql: String =
+    """WITH big AS (FROM orders WHERE o_totalprice > 100000)
+      |FROM big SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS s
+      |WHERE o_orderstatus <> 'F'
+      |GROUP BY ALL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ducksql_from_first" -> via(fromFirstSql),
     "ducksql_qualify" -> via(qualifySql),
     "ducksql_qualify_cte" -> via(qualifyCteSql),
     "ducksql_distinct_on" -> via(distinctOnSql),
@@ -361,6 +373,7 @@ object DuckSqlQueries {
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
   val oracle: Map[String, String] = Map(
+    "ducksql_from_first" -> fromFirstSql,
     "ducksql_qualify" -> qualifySql,
     "ducksql_qualify_cte" -> qualifyCteSql,
     "ducksql_distinct_on" -> distinctOnSql,

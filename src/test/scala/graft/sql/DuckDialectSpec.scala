@@ -416,6 +416,40 @@ class DuckDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("FROM-first queries normalize to standard SELECT form") {
+    // bare FROM → SELECT *
+    assert(norm(translate("FROM t")) == "SELECT * FROM t")
+    // FROM + WHERE, no select clause
+    assert(norm(translate("FROM t WHERE x > 5")) ==
+      "SELECT * FROM t WHERE x > 5")
+    // the optional SELECT clause sits between FROM and WHERE (DuckDB
+    // grammar) and moves to the front with the rest in clause order
+    assert(norm(translate("FROM t SELECT x WHERE x > 2 ORDER BY x DESC")) ==
+      "SELECT x FROM t WHERE x > 2 ORDER BY x DESC")
+    assert(norm(translate("FROM t SELECT sum(x) AS s GROUP BY y")) ==
+      "SELECT sum(x) AS s FROM t GROUP BY y")
+    // CTE body + outer query both FROM-first
+    assert(norm(translate("WITH c AS (FROM t WHERE x < 5) FROM c SELECT max(x) AS m")) ==
+      "WITH c AS (SELECT * FROM t WHERE x < 5) SELECT max(x) AS m FROM c")
+    // subquery position
+    assert(norm(translate("SELECT * FROM (FROM t WHERE x = 1) s")) ==
+      "SELECT * FROM (SELECT * FROM t WHERE x = 1) s")
+    // set-op branches
+    assert(norm(translate("FROM a UNION ALL FROM b")) ==
+      "SELECT * FROM a UNION ALL SELECT * FROM b")
+    // a join keeps the whole from-clause together
+    assert(norm(translate("FROM a JOIN b ON a.k = b.k SELECT a.x WHERE b.y > 0")) ==
+      "SELECT a.x FROM a JOIN b ON a.k = b.k WHERE b.y > 0")
+    // standard SQL is untouched: ')' before FROM is a function call, not
+    // a CTE close
+    assert(norm(translate("SELECT max(x) FROM t")) == "SELECT max(x) FROM t")
+    assert(norm(translate("SELECT a, count(*) FROM t GROUP BY a")) ==
+      "SELECT a, count(*) FROM t GROUP BY a")
+    // extract's FROM keyword is not a query start
+    assert(norm(translate("SELECT extract(day FROM ts) FROM t")) ==
+      "SELECT extract(day FROM ts) FROM t")
+  }
+
   test("native passthrough: constructs Spark 4 already parses are untouched") {
     for (sqlStr <- Seq(
       "SELECT a, count(*) FROM t GROUP BY ALL ORDER BY ALL",
