@@ -1832,11 +1832,17 @@ object TpcdsShapes {
         count(when(hour(col("ts")).between(6, 11), lit(1))).as("n_am"),
         count(when(hour(col("ts")).between(18, 23), lit(1))).as("n_pm"))
       .select(col("n_am"), col("n_pm"),
-        (col("n_am").cast("double") / col("n_pm").cast("double")).as("am_pm_ratio"))
+        // empty-slot guard: ANSI Spark raises DIVIDE_BY_ZERO where the
+        // reference would too (q90 divides counts) — NULL ratio on an
+        // empty pm slot is the portable spelling of "no denominator"
+        when(col("n_pm") === 0, lit(null))
+          .otherwise(col("n_am").cast("double") / col("n_pm").cast("double"))
+          .as("am_pm_ratio"))
 
   val dsRatioSlotsSql: String =
     """SELECT n_am, n_pm,
-      |       CAST(n_am AS DOUBLE) / CAST(n_pm AS DOUBLE) AS am_pm_ratio
+      |       CASE WHEN n_pm = 0 THEN NULL
+      |            ELSE CAST(n_am AS DOUBLE) / CAST(n_pm AS DOUBLE) END AS am_pm_ratio
       |FROM (SELECT
       |  count(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 END) AS n_am,
       |  count(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN 1 END) AS n_pm
