@@ -556,6 +556,31 @@ object EdgeQueries {
       |       CAST(quarter(DATE '1969-07-20') AS INT) AS pre_epoch_q,
       |       CAST(year(DATE '0001-01-01') AS INT) AS year_one""".stripMargin
 
+  /** Window-frame direction edges (reference `test/sql/window/`):
+    * RANGE with a DESC ordering ("preceding" walks toward LARGER
+    * values), a FOLLOWING-only ROWS frame (empty at the partition tail →
+    * NULL sum), and a RANGE frame reaching forward (value-based, not
+    * row-based). Same SQL string on both engines. */
+  val edgeFrameDescSql: String =
+    """WITH v AS (SELECT CAST(r_regionkey AS INT) + 1 AS x FROM region)
+      |SELECT x,
+      |  sum(x) OVER (ORDER BY x DESC
+      |               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS rd,
+      |  sum(x) OVER (ORDER BY x
+      |               ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS ff,
+      |  count(*) OVER (ORDER BY x
+      |                 RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) AS cf
+      |FROM v""".stripMargin
+
+  /** Duplicate GROUPING SETS are PRESERVED, not deduplicated — the same
+    * set listed twice emits every group row twice (reference
+    * `test/sql/aggregate/grouping_sets/`; both engines follow the
+    * standard's multiset semantics). */
+  val edgeGroupingDupSql: String =
+    """SELECT r_regionkey % 2 AS k, count(*) AS n
+      |FROM region
+      |GROUP BY GROUPING SETS ((r_regionkey % 2), (r_regionkey % 2))""".stripMargin
+
   private def viaSql(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => Tables.sql(s, dir, sql)
 
@@ -600,7 +625,9 @@ object EdgeQueries {
     "edge_list_index" -> viaSql(edgeListIndexSparkSql),
     "edge_split_regex" -> viaSql(edgeSplitRegexSparkSql),
     "edge_bitops" -> viaSql(edgeBitopsSparkSql),
-    "edge_date_bounds" -> viaSql(edgeDateBoundsSparkSql))
+    "edge_date_bounds" -> viaSql(edgeDateBoundsSparkSql),
+    "edge_frame_desc" -> viaSql(edgeFrameDescSql),
+    "edge_grouping_dup" -> viaSql(edgeGroupingDupSql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -643,5 +670,7 @@ object EdgeQueries {
     "edge_list_index" -> edgeListIndexDuckSql,
     "edge_split_regex" -> edgeSplitRegexDuckSql,
     "edge_bitops" -> edgeBitopsDuckSql,
-    "edge_date_bounds" -> edgeDateBoundsDuckSql)
+    "edge_date_bounds" -> edgeDateBoundsDuckSql,
+    "edge_frame_desc" -> edgeFrameDescSql,
+    "edge_grouping_dup" -> edgeGroupingDupSql)
 }
