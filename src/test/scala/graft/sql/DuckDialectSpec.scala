@@ -440,6 +440,9 @@ class DuckDialectSpec extends AnyFunSuite {
     // a join keeps the whole from-clause together
     assert(norm(translate("FROM a JOIN b ON a.k = b.k SELECT a.x WHERE b.y > 0")) ==
       "SELECT a.x FROM a JOIN b ON a.k = b.k WHERE b.y > 0")
+    // CREATE TABLE … AS FROM (bare AS opens a query body)
+    assert(norm(translate("CREATE TABLE r AS FROM t WHERE x = 1")) ==
+      "CREATE TABLE r AS SELECT * FROM t WHERE x = 1")
     // standard SQL is untouched: ')' before FROM is a function call, not
     // a CTE close
     assert(norm(translate("SELECT max(x) FROM t")) == "SELECT max(x) FROM t")
