@@ -1270,6 +1270,47 @@ object DuckDialect {
     * refused loudly. Mixed ALL/DISTINCT chains and chains mixing BY NAME
     * with positional set ops are refused (left-assoc grouping would need
     * a full parser to get right). */
+  /** `USING SAMPLE n[% | PERCENT | ROWS]` (DuckDB's FROM-clause sampling
+    * modifier) → Spark `TABLESAMPLE (...)` in the same position; a bare
+    * count means ROWS in DuckDB. Method/seed forms — `(system, 42)`,
+    * `reservoir(10%)` — REFUSE loudly: the engines' sampling algebras
+    * differ (reservoir vs bernoulli), so a silent translation would
+    * change the sample distribution; the pointer names the Spark-side
+    * alternatives. Counts are comparable (n ROWS is exact on both,
+    * 100% is total), membership is not — same contract as
+    * `shape_sample`. */
+  private def rewriteUsingSample(toks: Vector[Tok]): Vector[Tok] = {
+    var v = toks
+    var i = 0
+    while (i < v.length) {
+      if (v(i).word == "using") {
+        val s = nextIdx(v, i)
+        if (s < v.length && v(s).word == "sample") {
+          val n = nextIdx(v, s)
+          if (n >= v.length || v(n).kind != 5)
+            throw new GraftSqlException(
+              "USING SAMPLE: only numeric forms translate (n%, n PERCENT, n ROWS) — " +
+                "method/seed sampling differs per engine; use TABLESAMPLE … REPEATABLE or Shaping.sample")
+          val after = nextIdx(v, n)
+          val (unit, endIdx) =
+            if (after < v.length && v(after).is("%")) ("PERCENT", after)
+            else if (after < v.length && v(after).word == "percent") ("PERCENT", after)
+            else if (after < v.length && v(after).word == "rows") ("ROWS", after)
+            else ("ROWS", n)
+          val tail = nextIdx(v, endIdx)
+          if (tail < v.length && v(tail).is("("))
+            throw new GraftSqlException(
+              "USING SAMPLE with a method/seed clause is unsupported (sampling algebras " +
+                "differ per engine) — use TABLESAMPLE … REPEATABLE or Shaping.sample")
+          v = v.take(i) ++ Vector(word("TABLESAMPLE"), ws(" "), sym("("),
+            v(n), ws(" "), word(unit), sym(")")) ++ v.drop(endIdx + 1)
+        }
+      }
+      i += 1
+    }
+    v
+  }
+
   /** DuckDB FROM-first queries → standard SELECT form. The reference
     * accepts `FROM tbl`, `FROM tbl SELECT cols WHERE …` (libpg_query
     * grammar extension; probed on DuckDB 1.0.0: the OPTIONAL select
@@ -1576,6 +1617,7 @@ object DuckDialect {
     var toks = tokenize(duckSql)
     toks = rewriteMacros(toks)
     toks = rewriteFromFirst(toks)
+    toks = rewriteUsingSample(toks)
     toks = refuseUnsupported(toks)
     toks = rewriteUnionByName(toks)
     toks = rewriteBraces(toks)

@@ -334,7 +334,19 @@ object DuckSqlQueries {
       |WHERE o_orderstatus <> 'F'
       |GROUP BY ALL""".stripMargin
 
+  /** USING SAMPLE (count-deterministic forms only: 100% keeps every
+    * row on both engines, `n ROWS` is an exact count on both — sample
+    * MEMBERSHIP is engine-specific and not compared, same contract as
+    * `shape_sample`). */
+  val usingSampleSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM orders USING SAMPLE 100 PERCENT) AS n_all,
+      |  (SELECT count(*) FROM orders USING SAMPLE 100%) AS n_pct,
+      |  (SELECT count(*) FROM lineitem USING SAMPLE 500 ROWS) AS n_rows,
+      |  (SELECT count(*) FROM lineitem USING SAMPLE 500) AS n_bare""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ducksql_using_sample" -> via(usingSampleSql),
     "ducksql_from_first" -> via(fromFirstSql),
     "ducksql_qualify" -> via(qualifySql),
     "ducksql_qualify_cte" -> via(qualifyCteSql),
@@ -373,6 +385,7 @@ object DuckSqlQueries {
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
   val oracle: Map[String, String] = Map(
+    "ducksql_using_sample" -> usingSampleSql,
     "ducksql_from_first" -> fromFirstSql,
     "ducksql_qualify" -> qualifySql,
     "ducksql_qualify_cte" -> qualifyCteSql,

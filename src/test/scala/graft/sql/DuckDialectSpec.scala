@@ -453,6 +453,28 @@ class DuckDialectSpec extends AnyFunSuite {
       "SELECT extract(day FROM ts) FROM t")
   }
 
+  test("USING SAMPLE translates numeric forms, refuses method/seed forms") {
+    assert(norm(translate("SELECT * FROM t USING SAMPLE 10%")) ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(norm(translate("SELECT * FROM t USING SAMPLE 10 PERCENT")) ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(norm(translate("SELECT * FROM t USING SAMPLE 7 ROWS")) ==
+      "SELECT * FROM t TABLESAMPLE (7 ROWS)")
+    // a bare count means ROWS in DuckDB
+    assert(norm(translate("SELECT * FROM t USING SAMPLE 7")) ==
+      "SELECT * FROM t TABLESAMPLE (7 ROWS)")
+    // join USING is untouched
+    assert(norm(translate("SELECT * FROM a JOIN b USING (k)")) ==
+      "SELECT * FROM a JOIN b USING (k)")
+    // method/seed forms refuse loudly (sampling algebras differ)
+    assert(intercept[GraftSqlException](
+      translate("SELECT * FROM t USING SAMPLE 10% (system, 42)"))
+      .getMessage.contains("method/seed"))
+    assert(intercept[GraftSqlException](
+      translate("SELECT * FROM t USING SAMPLE reservoir(10%)"))
+      .getMessage.contains("numeric forms"))
+  }
+
   test("native passthrough: constructs Spark 4 already parses are untouched") {
     for (sqlStr <- Seq(
       "SELECT a, count(*) FROM t GROUP BY ALL ORDER BY ALL",
