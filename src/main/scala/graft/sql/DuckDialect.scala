@@ -256,6 +256,15 @@ object DuckDialect {
     // is begin/end-inclusive, Spark slice is start/length), list_prepend
     // (argument order reversed), list_reverse_sort (needs an extra arg).
     "list_sort" -> "array_sort",
+    // unnest → explode: same one-level flattening in the select list AND
+    // as a FROM-clause table function (Spark allows generators in FROM).
+    // Caveats held by the engines' own loud errors, not silent change:
+    // DuckDB ZIPS multiple unnests in one select list — Spark refuses
+    // ("only one generator allowed"); auto column names differ ("unnest"
+    // vs "col") — alias for portable output; unnest(recursive := true)
+    // keeps its named argument and fails Spark's parse rather than
+    // silently flattening one level.
+    "unnest" -> "explode",
     "array_to_string" -> "array_join",
     "list_append" -> "array_append",
     "list_max" -> "array_max",
@@ -1270,6 +1279,59 @@ object DuckDialect {
     * refused loudly. Mixed ALL/DISTINCT chains and chains mixing BY NAME
     * with positional set ops are refused (left-assoc grouping would need
     * a full parser to get right). */
+  /** DuckDB's integer/temporal series table functions → Spark
+    * equivalents with matching VALUES and matching COLUMN NAME:
+    *   - `generate_series(a, b[, s])` (bounds INCLUSIVE) in a FROM
+    *     position → `(SELECT explode(sequence(a, b[, s])) AS
+    *     generate_series)` — Spark's sequence() is inclusive too, and
+    *     takes timestamp bounds with INTERVAL steps just like the
+    *     original; in a select-list position → `explode(sequence(...))`
+    *     (alias explicitly — DuckDB's default column name
+    *     "generate_series" has no Spark analog).
+    *   - `range(a, b[, s])` table function (end-EXCLUSIVE, matching
+    *     Spark's range) in a FROM position → `(SELECT id AS range FROM
+    *     range(a, b[, s]))` — value-identical, and the projection
+    *     restores DuckDB's "range" column name. Window `RANGE BETWEEN`
+    *     and a column named range are untouched (no `(` follows). */
+  private def rewriteSeriesFns(toks: Vector[Tok]): Vector[Tok] = {
+    var v = toks
+    var i = 0
+    while (i < v.length) {
+      val w = v(i).word
+      if (w == "generate_series" || w == "range") {
+        val open = nextIdx(v, i)
+        if (open < v.length && v(open).is("(")) {
+          val p = prevIdx(v, i)
+          val inFrom = p >= 0 &&
+            (v(p).word == "from" || v(p).is(",") || v(p).word == "join")
+          val close = matching(v, open)
+          val args = v.slice(open + 1, close)
+          if (w == "generate_series") {
+            val core = Vector(word("explode"), sym("("), word("sequence"),
+              sym("(")) ++ args ++ Vector(sym(")"), sym(")"))
+            val repl =
+              if (inFrom)
+                Vector(sym("("), word("SELECT"), ws(" ")) ++ core ++
+                  Vector(ws(" "), word("AS"), ws(" "),
+                    word("generate_series"), sym(")"))
+              else core
+            v = v.take(i) ++ repl ++ v.drop(close + 1)
+            i += repl.length - 1 // skip the replacement — it re-contains the name
+          } else if (inFrom) { // range(...) as a table function only
+            val repl = Vector(sym("("), word("SELECT"), ws(" "), word("id"),
+              ws(" "), word("AS"), ws(" "), word("range"), ws(" "),
+              word("FROM"), ws(" "), word("range"), sym("(")) ++ args ++
+              Vector(sym(")"), sym(")"))
+            v = v.take(i) ++ repl ++ v.drop(close + 1)
+            i += repl.length - 1 // skip — the replacement embeds `FROM range(`
+          }
+        }
+      }
+      i += 1
+    }
+    v
+  }
+
   /** `USING SAMPLE n[% | PERCENT | ROWS]` (DuckDB's FROM-clause sampling
     * modifier) → Spark `TABLESAMPLE (...)` in the same position; a bare
     * count means ROWS in DuckDB. Method/seed forms — `(system, 42)`,
@@ -1618,6 +1680,7 @@ object DuckDialect {
     toks = rewriteMacros(toks)
     toks = rewriteFromFirst(toks)
     toks = rewriteUsingSample(toks)
+    toks = rewriteSeriesFns(toks)
     toks = refuseUnsupported(toks)
     toks = rewriteUnionByName(toks)
     toks = rewriteBraces(toks)

@@ -345,7 +345,18 @@ object DuckSqlQueries {
       |  (SELECT count(*) FROM lineitem USING SAMPLE 500 ROWS) AS n_rows,
       |  (SELECT count(*) FROM lineitem USING SAMPLE 500) AS n_bare""".stripMargin
 
+  /** Series table functions + unnest: generate_series (inclusive) joined
+    * to range (exclusive) on their DuckDB-named columns, plus a
+    * select-list unnest — the same raw string runs on DuckDB. */
+  val seriesUnnestSql: String =
+    """SELECT gs.generate_series AS g, r.range AS r
+      |FROM generate_series(2, 8, 2) gs
+      |JOIN range(0, 10) r ON r.range = gs.generate_series
+      |UNION ALL
+      |SELECT u AS g, u AS r FROM (SELECT unnest([100, 200]) AS u) t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ducksql_series_unnest" -> via(seriesUnnestSql),
     "ducksql_using_sample" -> via(usingSampleSql),
     "ducksql_from_first" -> via(fromFirstSql),
     "ducksql_qualify" -> via(qualifySql),
@@ -385,6 +396,7 @@ object DuckSqlQueries {
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
   val oracle: Map[String, String] = Map(
+    "ducksql_series_unnest" -> seriesUnnestSql,
     "ducksql_using_sample" -> usingSampleSql,
     "ducksql_from_first" -> fromFirstSql,
     "ducksql_qualify" -> qualifySql,

@@ -475,6 +475,21 @@ class DuckDialectSpec extends AnyFunSuite {
       .getMessage.contains("numeric forms"))
   }
 
+  test("series table functions and unnest translate with matching column names") {
+    assert(norm(translate("SELECT unnest(l) FROM t")) == "SELECT explode(l) FROM t")
+    assert(norm(translate("SELECT generate_series(1, 3) AS g")) ==
+      "SELECT explode(sequence(1, 3)) AS g")
+    assert(norm(translate("SELECT * FROM generate_series(1, 5) g")).contains(
+      "(SELECT explode(sequence(1, 5)) AS generate_series) g"))
+    assert(norm(translate("SELECT * FROM range(0, 3) r")).contains(
+      "(SELECT id AS range FROM range(0, 3)) r"))
+    // window RANGE frames and a bare column named range are untouched
+    assert(norm(translate(
+      "SELECT sum(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")) ==
+      "SELECT sum(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    assert(norm(translate("SELECT range FROM t")) == "SELECT range FROM t")
+  }
+
   test("native passthrough: constructs Spark 4 already parses are untouched") {
     for (sqlStr <- Seq(
       "SELECT a, count(*) FROM t GROUP BY ALL ORDER BY ALL",
