@@ -604,6 +604,17 @@ object DuckDialect {
           s"${t.text} is unsupported — Spark has no ENUM type; model enums " +
             "as STRING and use array_position(array('a','b',…), col) for " +
             "codes, or a dimension table for the value set")
+      // POSITIONAL JOIN pairs rows by file/insertion ORDER — a property a
+      // distributed scan does not preserve, so a silent translation via
+      // row numbers would pair DIFFERENT rows run to run. The DataFrame
+      // API form (Joins.positionalJoin, `join_positional`) states its
+      // ordering columns explicitly.
+      if (t.kind == 4 && t.word == "positional" &&
+          { val n = nextIdx(toks, i); n < toks.length && toks(n).word == "join" })
+        throw new GraftSqlException(
+          "POSITIONAL JOIN is unsupported in SQL — row order is not a stable " +
+            "property of a distributed scan; use Joins.positionalJoin with an " +
+            "explicit ordering column (join_positional shows the recipe)")
       if (t.kind == 4 && t.word == "by") {
         val p = prevIdx(toks, i); val n = nextIdx(toks, i)
         val prevW = if (p >= 0) toks(p).word else ""

@@ -110,6 +110,7 @@ class DuckFallbackParserSpec extends SparkSpec {
     refusal("SELECT enum_first(NULL::mood) FROM t", "ENUM", "array_position")
     refusal("SELECT COLUMNS('l_.*') FROM lineitem", "COLUMNS", "explicitly")
     refusal("SELECT DISTINCT ON (g) g FROM t", "ORDER BY")
+    refusal("SELECT * FROM a POSITIONAL JOIN b", "POSITIONAL", "positionalJoin")
     // refused constructs never slip through the session fallback as
     // silently-different SQL: the fallback rethrows the ORIGINAL parse
     // error instead (native Spark diagnostics, no translator artifact)
