@@ -1343,6 +1343,61 @@ object DuckDialect {
     v
   }
 
+  /** `x GLOB 'pat'` → `x LIKE '<converted>'` (`*` → `%`, `?` → `_`,
+    * literal `%`/`_` escaped with backslash — Spark LIKE's default
+    * escape; probed: GLOB's `%` is a literal). `x SIMILAR TO 'p'` →
+    * `x RLIKE '^(?:p)$'` — DuckDB's SIMILAR TO is a fully-anchored
+    * regex (probed: `'widget' SIMILAR TO 'wid'` is FALSE). NOT forms
+    * compose untouched (`NOT LIKE` / `NOT RLIKE`). Only string-literal
+    * patterns translate (conversion needs the text); non-literal
+    * patterns and GLOB character classes refuse loudly. `glob(` as a
+    * file-list table function is left for the engine to reject. */
+  private def rewriteGlobSimilar(toks: Vector[Tok]): Vector[Tok] = {
+    var v = toks
+    var i = 0
+    while (i < v.length) {
+      if (v(i).word == "glob") {
+        val n = nextIdx(v, i)
+        if (n < v.length && v(n).is("(")) { /* table function — skip */ }
+        else if (n >= v.length || v(n).kind != 2)
+          throw new GraftSqlException(
+            "GLOB needs a string-literal pattern to translate — use LIKE or regexp_like")
+        else {
+          val body = v(n).text.drop(1).dropRight(1)
+          if (body.exists(c => c == '[' || c == ']' || c == '\\'))
+            throw new GraftSqlException(
+              "GLOB character classes/escapes are unsupported — use regexp_like")
+          val conv = body.flatMap {
+            case '*' => "%"
+            case '?' => "_"
+            case '%' => "\\%"
+            case '_' => "\\_"
+            case c => c.toString
+          }
+          v = v.take(i) ++ Vector(word("LIKE"), ws(" "), Tok(2, s"'$conv'")) ++
+            v.drop(n + 1)
+          i += 2
+        }
+      } else if (v(i).word == "similar") {
+        val n = nextIdx(v, i)
+        if (n < v.length && v(n).word == "to") {
+          val p = nextIdx(v, n)
+          if (p >= v.length || v(p).kind != 2)
+            throw new GraftSqlException(
+              "SIMILAR TO needs a string-literal pattern to translate — " +
+                "use RLIKE with explicit ^…$ anchors")
+          val body = v(p).text.drop(1).dropRight(1)
+          v = v.take(i) ++
+            Vector(word("RLIKE"), ws(" "), Tok(2, s"'^(?:$body)$$'")) ++
+            v.drop(p + 1)
+          i += 2
+        }
+      }
+      i += 1
+    }
+    v
+  }
+
   /** `USING SAMPLE n[% | PERCENT | ROWS]` (DuckDB's FROM-clause sampling
     * modifier) → Spark `TABLESAMPLE (...)` in the same position; a bare
     * count means ROWS in DuckDB. Method/seed forms — `(system, 42)`,
@@ -1692,6 +1747,7 @@ object DuckDialect {
     toks = rewriteFromFirst(toks)
     toks = rewriteUsingSample(toks)
     toks = rewriteSeriesFns(toks)
+    toks = rewriteGlobSimilar(toks)
     toks = refuseUnsupported(toks)
     toks = rewriteUnionByName(toks)
     toks = rewriteBraces(toks)

@@ -355,7 +355,17 @@ object DuckSqlQueries {
       |UNION ALL
       |SELECT u AS g, u AS r FROM (SELECT unnest([100, 200]) AS u) t""".stripMargin
 
+  /** GLOB (shell wildcards, literal %) and SIMILAR TO (fully-anchored
+    * regex) — the raw string runs unchanged on DuckDB. */
+  val globSimilarSql: String =
+    """SELECT
+      |  count(CASE WHEN p_name GLOB '*re?*' THEN 1 END) AS n_glob,
+      |  count(CASE WHEN p_type SIMILAR TO '(STANDARD|PROMO)' THEN 1 END) AS n_sim,
+      |  count(CASE WHEN p_name NOT SIMILAR TO '.*red.*' THEN 1 END) AS n_notsim
+      |FROM part""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ducksql_glob_similar" -> via(globSimilarSql),
     "ducksql_series_unnest" -> via(seriesUnnestSql),
     "ducksql_using_sample" -> via(usingSampleSql),
     "ducksql_from_first" -> via(fromFirstSql),
@@ -396,6 +406,7 @@ object DuckSqlQueries {
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
   val oracle: Map[String, String] = Map(
+    "ducksql_glob_similar" -> globSimilarSql,
     "ducksql_series_unnest" -> seriesUnnestSql,
     "ducksql_using_sample" -> usingSampleSql,
     "ducksql_from_first" -> fromFirstSql,

@@ -490,6 +490,24 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(norm(translate("SELECT range FROM t")) == "SELECT range FROM t")
   }
 
+  test("GLOB and SIMILAR TO translate to LIKE / anchored RLIKE") {
+    assert(norm(translate("SELECT a GLOB 'wid*' FROM t")) ==
+      "SELECT a LIKE 'wid%' FROM t")
+    assert(norm(translate("SELECT a GLOB 'w?d' FROM t")) ==
+      "SELECT a LIKE 'w_d' FROM t")
+    // GLOB's % is a LITERAL percent — escaped for LIKE
+    assert(norm(translate("SELECT a GLOB 'a%b' FROM t")) ==
+      "SELECT a LIKE 'a\\%b' FROM t")
+    assert(norm(translate("SELECT a SIMILAR TO 'wid.*' FROM t")) ==
+      "SELECT a RLIKE '^(?:wid.*)$' FROM t")
+    assert(norm(translate("SELECT a NOT SIMILAR TO 'x' FROM t")) ==
+      "SELECT a NOT RLIKE '^(?:x)$' FROM t")
+    assert(intercept[GraftSqlException](translate("SELECT a GLOB '[ab]c' FROM t"))
+      .getMessage.contains("character classes"))
+    assert(intercept[GraftSqlException](translate("SELECT a SIMILAR TO p FROM t"))
+      .getMessage.contains("string-literal"))
+  }
+
   test("native passthrough: constructs Spark 4 already parses are untouched") {
     for (sqlStr <- Seq(
       "SELECT a, count(*) FROM t GROUP BY ALL ORDER BY ALL",
