@@ -19,6 +19,7 @@ object SparkEntry {
     operators.CoreQueries.queries ++
       operators.TpchQueries.queries ++
       operators.TpcdsShapes.queries ++
+      operators.OlapSuites.queries ++
       operators.Joins.queries ++
       operators.ScaleJoins.queries ++
       operators.Aggregates.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
     operators.CoreQueries.oracle ++
       operators.TpchQueries.oracle ++
       operators.TpcdsShapes.oracle ++
+      operators.OlapSuites.oracle ++
       operators.Joins.oracle ++
       operators.ScaleJoins.oracle ++
       operators.Aggregates.oracle ++
