@@ -581,6 +581,51 @@ object EdgeQueries {
       |FROM region
       |GROUP BY GROUPING SETS ((r_regionkey % 2), (r_regionkey % 2))""".stripMargin
 
+  /** Composite-value and NULL-bound comparison semantics (reference
+    * `test/sql/types/struct/`, `test/sql/types/list/`): struct `<` is
+    * lexicographic by FIELD ORDER, array `<` is lexicographic with
+    * shorter-prefix-first ([1,2] < [1,2,0]), BETWEEN with a NULL bound
+    * short-circuits on the non-NULL bound (3 BETWEEN 4 AND NULL is
+    * FALSE, not NULL), and NaN compares EQUAL to itself and GREATER than
+    * every finite double on both engines. Struct/array literals are
+    * spelled per dialect; the semantics are the pin. */
+  val edgeCompareSemanticsSparkSql: String =
+    """SELECT named_struct('a', 1, 'b', 2) < named_struct('a', 1, 'b', 3) AS st_lt,
+      |       named_struct('a', 2, 'b', 0) < named_struct('a', 1, 'b', 9) AS st_ge,
+      |       array(1, 2) < array(1, 3) AS ar_lt,
+      |       array(1, 2) < array(1, 2, 0) AS ar_prefix,
+      |       array(2) < array(1, 9) AS ar_first,
+      |       3 BETWEEN NULL AND 5 AS btw_null,
+      |       3 BETWEEN 4 AND NULL AS btw_false,
+      |       CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS nan_eq,
+      |       CAST('NaN' AS DOUBLE) > 1e308 AS nan_top""".stripMargin
+
+  val edgeCompareSemanticsDuckSql: String =
+    """SELECT {'a': 1, 'b': 2} < {'a': 1, 'b': 3} AS st_lt,
+      |       {'a': 2, 'b': 0} < {'a': 1, 'b': 9} AS st_ge,
+      |       [1, 2] < [1, 3] AS ar_lt,
+      |       [1, 2] < [1, 2, 0] AS ar_prefix,
+      |       [2] < [1, 9] AS ar_first,
+      |       3 BETWEEN NULL AND 5 AS btw_null,
+      |       3 BETWEEN 4 AND NULL AS btw_false,
+      |       CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS nan_eq,
+      |       CAST('NaN' AS DOUBLE) > 1e308 AS nan_top""".stripMargin
+
+  /** LIMIT/OFFSET bounds + special-double grouping: OFFSET past the end
+    * is empty (not an error), LIMIT 0 is empty, and DISTINCT collapses
+    * -0.0 with 0.0 AND NaN with NaN (both engines normalize for
+    * grouping) — 4 special values make exactly 2 groups. */
+  val edgeLimitBoundsSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+      |    LIMIT 3 OFFSET 10000000) t1) AS n_beyond,
+      |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders LIMIT 0) t2) AS n_zero,
+      |  (SELECT count(*) FROM (SELECT DISTINCT x FROM (
+      |     SELECT CAST(0.0 AS DOUBLE) AS x
+      |     UNION ALL SELECT CAST('-0.0' AS DOUBLE)
+      |     UNION ALL SELECT CAST('NaN' AS DOUBLE)
+      |     UNION ALL SELECT CAST('NaN' AS DOUBLE)) v) t3) AS n_special""".stripMargin
+
   private def viaSql(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => Tables.sql(s, dir, sql)
 
@@ -627,7 +672,9 @@ object EdgeQueries {
     "edge_bitops" -> viaSql(edgeBitopsSparkSql),
     "edge_date_bounds" -> viaSql(edgeDateBoundsSparkSql),
     "edge_frame_desc" -> viaSql(edgeFrameDescSql),
-    "edge_grouping_dup" -> viaSql(edgeGroupingDupSql))
+    "edge_grouping_dup" -> viaSql(edgeGroupingDupSql),
+    "edge_compare_semantics" -> viaSql(edgeCompareSemanticsSparkSql),
+    "edge_limit_bounds" -> viaSql(edgeLimitBoundsSql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -672,5 +719,7 @@ object EdgeQueries {
     "edge_bitops" -> edgeBitopsDuckSql,
     "edge_date_bounds" -> edgeDateBoundsDuckSql,
     "edge_frame_desc" -> edgeFrameDescSql,
-    "edge_grouping_dup" -> edgeGroupingDupSql)
+    "edge_grouping_dup" -> edgeGroupingDupSql,
+    "edge_compare_semantics" -> edgeCompareSemanticsDuckSql,
+    "edge_limit_bounds" -> edgeLimitBoundsSql)
 }
