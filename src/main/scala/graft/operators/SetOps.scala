@@ -132,6 +132,37 @@ object SetOps {
   def cteRecursiveDates(s: SparkSession, dir: String): DataFrame =
     Tables.sql(s, dir, cteRecursiveDatesSql)
 
+  /** LDBC-style k-hop graph traversal over a DATA-derived edge set (the
+    * reference ships LDBC as a benchmark suite, `benchmark/ldbc/`; its
+    * interactive reads are bounded-depth neighborhood expansions). The
+    * graph is the customer–supplier bipartite projection of the fact
+    * (suppliers encoded as negative node ids), seeded at one supplier,
+    * expanded 2 hops via native WITH RECURSIVE (Spark 4.1 UnionLoop —
+    * the same SQL runs verbatim on DuckDB). Per-depth distinct-node and
+    * path counts are deterministic under UNION ALL recursion; the d < 2
+    * cap bounds the working table (paths, not the node universe, is
+    * what UNION ALL accumulates — the cap is the contract). Unlike
+    * [[cteRecursive]]'s series, each iteration here is a JOIN against a
+    * derived relation — the shape graph workloads actually run. */
+  def cteKhopGraph(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir, cteKhopGraphSql)
+
+  val cteKhopGraphSql: String =
+    """WITH RECURSIVE paths(node, d) AS (
+      |    SELECT CAST(-1 AS BIGINT) AS node, 0 AS d
+      |  UNION ALL
+      |    SELECT e.dst AS node, p.d + 1 AS d
+      |    FROM paths p
+      |    JOIN (SELECT o_custkey AS src, -l_suppkey AS dst
+      |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |          UNION
+      |          SELECT -l_suppkey AS src, o_custkey AS dst
+      |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey) e
+      |      ON e.src = p.node
+      |    WHERE p.d < 2)
+      |SELECT d, count(DISTINCT node) AS n_nodes, count(*) AS n_paths
+      |FROM paths GROUP BY d""".stripMargin
+
   /** Correlated scalar subquery — TPC-H Q17 shape (reference decorrelation
     * `flatten_dependent_join.cpp`; Catalyst RewriteCorrelatedScalarSubquery). */
   def subCorrelated(s: SparkSession, dir: String): DataFrame =
@@ -153,6 +184,7 @@ object SetOps {
     "cte_recursive" -> (cteRecursive _),
     "cte_recursive_sql" -> (cteRecursiveNative _),
     "cte_recursive_dates" -> (cteRecursiveDates _),
+    "cte_khop_graph" -> (cteKhopGraph _),
     "sub_correlated" -> (subCorrelated _))
 
   val oracle: Map[String, String] = Map(
@@ -164,5 +196,6 @@ object SetOps {
     "cte_recursive" -> cteRecursiveSql,
     "cte_recursive_sql" -> cteRecursiveSql,
     "cte_recursive_dates" -> cteRecursiveDatesSql,
+    "cte_khop_graph" -> cteKhopGraphSql,
     "sub_correlated" -> subCorrelatedSql)
 }
