@@ -275,8 +275,20 @@ object DuckDml {
         GraftTable.create(spark, r, sourceQuery(4))
         r
       case "insert" =>
+        // DuckDB's upsert spellings carry per-key conflict semantics a
+        // blind append cannot honor — refuse with the equivalent face
+        if (w(1) == "or")
+          throw new GraftSqlException(
+            s"INSERT OR ${tok(2).text.toUpperCase} is unsupported — upsert " +
+              "semantics need a declared key; use MERGE (DuckDml) or " +
+              "GraftTable.merge with explicit key columns")
         if (w(1) != "into") throw new GraftSqlException("INSERT must be INSERT INTO")
         val r = root(tok(2))
+        if (toks.indices.dropRight(1).exists(j =>
+            toks(j).word == "on" && toks(j + 1).word == "conflict"))
+          throw new GraftSqlException(
+            "INSERT … ON CONFLICT is unsupported — use MERGE (DuckDml) or " +
+              "GraftTable.merge with explicit key columns")
         var i = 3
         var cols: Seq[String] = Nil
         if (i < toks.length && toks(i).is("(")) {

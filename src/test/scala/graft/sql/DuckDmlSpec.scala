@@ -166,6 +166,13 @@ class DuckDmlSpec extends SparkSpec {
     intercept[GraftSqlException](DuckDml.exec(spark, cat, "TRUNCATE t"))
     intercept[GraftSqlException](DuckDml.exec(spark, cat,
       "MERGE INTO t USING s ON t.id = s.id"))
+    // DuckDB upsert spellings name the MERGE alternative
+    assert(intercept[GraftSqlException](DuckDml.exec(spark, cat,
+      "INSERT OR REPLACE INTO t VALUES (1, 'x')"))
+      .getMessage.contains("MERGE"))
+    assert(intercept[GraftSqlException](DuckDml.exec(spark, cat,
+      "INSERT INTO t VALUES (1, 'x') ON CONFLICT DO NOTHING"))
+      .getMessage.contains("MERGE"))
   }
 
   test("CHECKPOINT merges small files; VACUUM reclaims; rows survive both") {
