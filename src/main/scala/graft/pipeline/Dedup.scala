@@ -122,9 +122,9 @@ object Dedup {
     * shingle×function — 32× less hashing on the hot path) and the a·x+b
     * arithmetic never exceeds 2^62, so it is exact, overflow-free BIGINT
     * math that the DuckDB oracle reproduces verbatim. */
-  private[pipeline] val mhP = 2305843009213693951L // 2^61 - 1
-  private[pipeline] def mhA(i: Int): Long = ((2654435761L * (i + 1)) % 536870911L) | 1L
-  private[pipeline] def mhB(i: Int): Long = (2246822519L * (i + 1)) % 536870911L
+  private[graft] val mhP = 2305843009213693951L // 2^61 - 1
+  private[graft] def mhA(i: Int): Long = ((2654435761L * (i + 1)) % 536870911L) | 1L
+  private[graft] def mhB(i: Int): Long = (2246822519L * (i + 1)) % 536870911L
 
   /** MinHash signatures over hash-identity shingles ([[shingleHashes]]
     * output) — k universal-hash functions over one shared md5-derived

@@ -116,6 +116,45 @@ object StreamingOps {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming MinHash NEAR-dup — the streaming face of the pipeline's
+    * dedup_minhash: drop documents whose full 32-hash MinHash signature
+    * was already seen within the watermark horizon. The signature is
+    * computed with PER-ROW array expressions (shingle → hash → 32
+    * universal-hash mins via transform/array_min) — the exact same
+    * normalization, 3-gram shingling, md5-derived base hash, and
+    * (a·x+b) mod p family as the batch path (`Dedup.shingleHashes` +
+    * `minhashSignaturesHashed`; min is duplicate-insensitive, so the
+    * batch path's per-doc DISTINCT is immaterial to the signature) —
+    * verified equal in StreamingSpec. No explode/groupBy, so each
+    * micro-batch is one narrow map + the bounded dedup state.
+    *
+    * CONTRACT vs batch: streaming uses the FULL signature as the key
+    * (bands = 1 × 32) — near-identical docs whose signatures agree on
+    * all 32 mins dedup (j ≈ 1); the batch path's 8×4 banding +
+    * jaccard verification catches lower-j near-dups but needs the
+    * band-bucket SHUFFLE join, which an unbounded stream cannot run
+    * per-batch with bounded state. High precision, reduced recall —
+    * the streaming/batch split production dedup pipelines actually
+    * deploy (stream pre-filter, periodic batch sweep). */
+  def nearDedupStream(docs: DataFrame, textCol: String,
+      horizon: String = "10 minutes", numHashes: Int = 32): DataFrame = {
+    import graft.pipeline.Dedup
+    val withSig = docs
+      .withColumn("__w", split(Dedup.normalized(col(textCol)), " "))
+      .withColumn("__sh", expr(
+        "transform(sequence(1, greatest(size(__w) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(__w, i, 3)))"))
+      .withColumn("__hb",
+        transform(col("__sh"), s => Dedup.hash64(0, s) % lit(4294967296L)))
+      .withColumn("mh_sig", concat_ws("|", (0 until numHashes).map(i =>
+        array_min(transform(col("__hb"), x =>
+          (lit(Dedup.mhA(i)) * x + lit(Dedup.mhB(i))) % lit(Dedup.mhP)))): _*))
+      .drop("__w", "__sh", "__hb")
+    withSig
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("mh_sig")
+  }
+
   /** Stream-stream interval join — the streaming face of
     * ScaleJoins.bandJoin: pairs rows from two streams on an equi-key
     * within a time band. Watermarks on both sides bound the join state

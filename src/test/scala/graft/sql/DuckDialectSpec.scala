@@ -5,7 +5,7 @@ import DuckDialect.{translate, GraftSqlException}
 
 /** String-level contract of the DuckDB→Spark dialect rewriter. The
   * value-level contract (translated SQL ≡ DuckDB on the same relations)
-  * is pinned by the 10 `ducksql_*` entries at the driver's oracle gate;
+  * is pinned by the `ducksql_*` entries at the driver's oracle gate;
   * here we pin the REWRITES themselves: what changes, what must never
   * change (literals, quoted identifiers, comments), and what is refused
   * loudly instead of translated wrong.

@@ -58,6 +58,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup keys on the batch-identical MinHash signature") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "THE  quick   Brown fox jumps over the lazy DOG", // same after norm
+      "a completely different document about spark engines")
+    src.addData((1L, at(0), texts(0)), (2L, at(1), texts(1)), (3L, at(2), texts(2)))
+    val docs = src.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.nearDedupStream(docs, "text")
+      .writeStream.format("memory").queryName("nd").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("nd").select($"doc_id", $"mh_sig").collect()
+      assert(rows.length == 2, "signature-equal docs dedup to one")
+      assert(rows.exists(_.getLong(0) == 3L))
+      // batch-equivalence: the per-row signature must equal the batch
+      // pipeline's (shingleHashes + minhashSignaturesHashed) for the
+      // same text — same normalization, shingling, hash family
+      val static = Seq((10L, texts(0)), (30L, texts(2))).toDF("doc_id", "text")
+      val batchSig = graft.pipeline.Dedup.minhashSignaturesHashed(
+        graft.pipeline.Dedup.shingleHashes(static, "text", 3), 32)
+      val batchCat = batchSig.select($"doc_id",
+        org.apache.spark.sql.functions.concat_ws("|",
+          (0 until 32).map(i => $"h$i"): _*).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val streamSig = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamSig(streamSig.keys.filter(_ != 3L).head) == batchCat(10L))
+      assert(streamSig(3L) == batchCat(30L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch band join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
