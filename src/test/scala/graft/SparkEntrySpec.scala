@@ -14,7 +14,8 @@ class SparkEntrySpec extends SparkSpec {
   test("query names are unique across modules (no silent override)") {
     val all = Seq(
       operators.CoreQueries.queries, operators.TpchQueries.queries,
-      operators.TpcdsShapes.queries, operators.Joins.queries,
+      operators.TpcdsShapes.queries, operators.OlapSuites.queries,
+      operators.Joins.queries,
       operators.ScaleJoins.queries, operators.Aggregates.queries,
       operators.Windows.queries, operators.SetOps.queries,
       operators.Shaping.queries, operators.EdgeQueries.queries,
