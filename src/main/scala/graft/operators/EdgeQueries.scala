@@ -626,6 +626,25 @@ object EdgeQueries {
       |     UNION ALL SELECT CAST('NaN' AS DOUBLE)
       |     UNION ALL SELECT CAST('NaN' AS DOUBLE)) v) t3) AS n_special""".stripMargin
 
+  /** USING / NATURAL join output semantics (reference `test/sql/join/`):
+    * FULL OUTER … USING emits ONE COALESCED key column (never NULL on a
+    * right-only row — `n_null_k` pins 0), and NATURAL JOIN matches on
+    * every shared column name (here exactly `k`; inner and LEFT
+    * variants). Same SQL string on both engines. */
+  val edgeJoinUsingSql: String =
+    """WITH a AS (SELECT o_custkey AS k, count(*) AS n_o FROM orders
+      |           WHERE o_orderstatus = 'O' GROUP BY 1),
+      |b AS (SELECT o_custkey AS k, count(*) AS n_f FROM orders
+      |      WHERE o_orderstatus = 'F' GROUP BY 1),
+      |fo AS (SELECT k, n_o, n_f FROM a FULL OUTER JOIN b USING (k))
+      |SELECT count(*) AS n_rows,
+      |       count(CASE WHEN k IS NULL THEN 1 END) AS n_null_k,
+      |       count(CASE WHEN n_o IS NULL THEN 1 END) AS only_f,
+      |       count(CASE WHEN n_f IS NULL THEN 1 END) AS only_o,
+      |       (SELECT count(*) FROM a NATURAL JOIN b) AS n_nat,
+      |       (SELECT count(*) FROM a NATURAL LEFT JOIN b) AS n_nat_left
+      |FROM fo""".stripMargin
+
   private def viaSql(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => Tables.sql(s, dir, sql)
 
@@ -674,7 +693,8 @@ object EdgeQueries {
     "edge_frame_desc" -> viaSql(edgeFrameDescSql),
     "edge_grouping_dup" -> viaSql(edgeGroupingDupSql),
     "edge_compare_semantics" -> viaSql(edgeCompareSemanticsSparkSql),
-    "edge_limit_bounds" -> viaSql(edgeLimitBoundsSql))
+    "edge_limit_bounds" -> viaSql(edgeLimitBoundsSql),
+    "edge_join_using" -> viaSql(edgeJoinUsingSql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -721,5 +741,6 @@ object EdgeQueries {
     "edge_frame_desc" -> edgeFrameDescSql,
     "edge_grouping_dup" -> edgeGroupingDupSql,
     "edge_compare_semantics" -> edgeCompareSemanticsDuckSql,
-    "edge_limit_bounds" -> edgeLimitBoundsSql)
+    "edge_limit_bounds" -> edgeLimitBoundsSql,
+    "edge_join_using" -> edgeJoinUsingSql)
 }
