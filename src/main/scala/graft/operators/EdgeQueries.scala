@@ -645,6 +645,19 @@ object EdgeQueries {
       |       (SELECT count(*) FROM a NATURAL LEFT JOIN b) AS n_nat_left
       |FROM fo""".stripMargin
 
+  /** SELECT-alias resolution in GROUP BY/ORDER BY (both engines bind the
+    * alias when no source column shadows it) + EXISTS over an
+    * empty-by-predicate and a LIMITed subquery (reference
+    * `test/sql/subquery/exists/`). Row-value IN subqueries —
+    * `(a, b) IN (SELECT …)` — are a documented divergence the other way:
+    * Spark accepts them, DuckDB 1.0.0 raises a binder error; spell as
+    * EXISTS for portability. Same SQL string on both engines. */
+  val edgeAliasExistsSql: String =
+    """SELECT substr(o_orderpriority, 1, 1) AS pri, count(*) AS n,
+      |  (SELECT EXISTS (SELECT 1 FROM orders WHERE o_orderkey < 0)) AS e_empty,
+      |  (SELECT EXISTS (SELECT 1 FROM orders LIMIT 1)) AS e_one
+      |FROM orders GROUP BY pri ORDER BY pri""".stripMargin
+
   private def viaSql(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => Tables.sql(s, dir, sql)
 
@@ -694,7 +707,8 @@ object EdgeQueries {
     "edge_grouping_dup" -> viaSql(edgeGroupingDupSql),
     "edge_compare_semantics" -> viaSql(edgeCompareSemanticsSparkSql),
     "edge_limit_bounds" -> viaSql(edgeLimitBoundsSql),
-    "edge_join_using" -> viaSql(edgeJoinUsingSql))
+    "edge_join_using" -> viaSql(edgeJoinUsingSql),
+    "edge_alias_exists" -> viaSql(edgeAliasExistsSql))
 
   val oracle: Map[String, String] = Map(
     "edge_agg_empty" -> edgeAggEmptySql,
@@ -742,5 +756,6 @@ object EdgeQueries {
     "edge_grouping_dup" -> edgeGroupingDupSql,
     "edge_compare_semantics" -> edgeCompareSemanticsDuckSql,
     "edge_limit_bounds" -> edgeLimitBoundsSql,
-    "edge_join_using" -> edgeJoinUsingSql)
+    "edge_join_using" -> edgeJoinUsingSql,
+    "edge_alias_exists" -> edgeAliasExistsSql)
 }
