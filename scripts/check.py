@@ -91,6 +91,19 @@ def main():
                 # value bug the gate has ever caught. Applied ONLY to
                 # float-dtype columns: integer and string columns compare
                 # exactly (the decimal→double motivation doesn't cover them).
+                # int-vs-float dtype MISMATCH is also a hard fail: it is the
+                # DuckDB HUGEINT-sum artifact (uncasted sum() over INT →
+                # pandas float64 vs Spark int64), never the ulp case — the
+                # driver's exact per-column hash fails on it ("6.0" vs "6"),
+                # so the local gate must too (r11 verdict item 2: this
+                # tolerance previously masked cb_domain_topn/edge_frame_desc).
+                int_vs_float = (
+                    (ptypes.is_integer_dtype(got[c]) and ptypes.is_float_dtype(want[c])) or
+                    (ptypes.is_float_dtype(got[c]) and ptypes.is_integer_dtype(want[c])))
+                if int_vs_float:
+                    print(f"  {c}: dtype mismatch {got[c].dtype} vs {want[c].dtype} "
+                          f"(HUGEINT artifact? CAST the oracle sum to BIGINT)")
+                    return False
                 if not (ptypes.is_float_dtype(got[c]) or ptypes.is_float_dtype(want[c])):
                     return False
                 for (ka, sa), (kb, sb) in zip(gv[c], wv[c]):

@@ -571,7 +571,31 @@ object Bench {
       s""","queries_sf10x":${toJson(resultsSf10x)},"total_sf10x":${finiteSum(resultsSf10x)},"inflate_copies":$inflate"""
     val failedField = if (failedQueries.isEmpty) "" else
       failedQueries.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_aqe":${toJson(resultsAqe)},"total_aqe":$totalAqe$sf10xFields$tunerFields$minhashStageFields$dispersionFields,"floor":$floor,"small_task_fraction_deep_join":$stf$failedField,"sf":"$sfDir"}""")
+    // Two-tier emission (round-11 verdict item 3: the single fat JSON line
+    // outgrew the driver's stdout tail-capture window → BENCH_r11.parsed
+    // was null and the round lost its headline). The FULL record — per-
+    // query dispersion stats, per-run block totals, AQE per-query times,
+    // the minhash 10× stage profile — goes to a sidecar file on disk; the
+    // LAST stdout line is a compact headline (totals + per-query tuned
+    // times + noisy flag + stf) that always fits the capture window.
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_aqe":${toJson(resultsAqe)},"total_aqe":$totalAqe$sf10xFields$tunerFields$minhashStageFields$dispersionFields,"floor":$floor,"small_task_fraction_deep_join":$stf$failedField,"sf":"$sfDir"}"""
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "bench_dispersion.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(sidecar), "UTF-8")
+      try w.println(fullRecord) finally w.close()
+      System.err.println(s"[bench] full dispersion record -> $sidecar")
+    } catch { case e: Throwable =>
+      // Sidecar unwritable (read-only cwd?): fall back to stderr so the
+      // dispersion evidence still survives somewhere without bloating the
+      // parsed stdout line.
+      System.err.println(s"[bench] sidecar write failed (${e.getMessage}); full record follows")
+      System.err.println(fullRecord)
+    }
+    val sf10xHeadline = if (resultsSf10x.isEmpty) "" else
+      s""","total_sf10x":${finiteSum(resultsSf10x)}"""
+    val spreadFields = blocks.map { case (n, ss) =>
+      s""","spread_$n":${"%.3f".format(blockSpread(ss))}""" }.mkString
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"total_aqe":$totalAqe$sf10xHeadline$spreadFields,"noisy_blocks":${noisy.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","floor":$floor,"small_task_fraction_deep_join":$stf$failedField,"dispersion_file":"$sidecar","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -428,21 +428,24 @@ object EdgeQueries {
     * element, INT → BIGINT widening) in ONE cast (reference
     * `test/sql/cast/test_struct_casts.test` / list cast suites). Dialect
     * split on the type syntax only: Spark `ARRAY<STRUCT<...>>` vs DuckDB
-    * `STRUCT(...)[]`; identical nested values out. */
+    * `STRUCT(...)[]`; identical nested values out. Results are
+    * to_json-scalarized on BOTH engines (the driver's pandas compare
+    * cannot hash raw arrays); the two engines' to_json emit the same
+    * compact no-space field-order-preserving text, verified by hand. */
   val edgeCastNestedSparkSql: String =
-    """SELECT CAST(array(named_struct('a', 1, 'b', '2'),
-      |                  named_struct('a', 3, 'b', '4'))
-      |            AS ARRAY<STRUCT<a: BIGINT, b: INT>>) AS xs,
-      |       CAST(array('10', '11') AS ARRAY<BIGINT>) AS ys,
-      |       CAST(named_struct('p', array(1, 2), 'q', '9')
-      |            AS STRUCT<p: ARRAY<BIGINT>, q: INT>) AS zs""".stripMargin
+    """SELECT to_json(CAST(array(named_struct('a', 1, 'b', '2'),
+      |                          named_struct('a', 3, 'b', '4'))
+      |                    AS ARRAY<STRUCT<a: BIGINT, b: INT>>)) AS xs,
+      |       to_json(CAST(array('10', '11') AS ARRAY<BIGINT>)) AS ys,
+      |       to_json(CAST(named_struct('p', array(1, 2), 'q', '9')
+      |                    AS STRUCT<p: ARRAY<BIGINT>, q: INT>)) AS zs""".stripMargin
 
   val edgeCastNestedDuckSql: String =
-    """SELECT CAST([{'a': 1, 'b': '2'}, {'a': 3, 'b': '4'}]
-      |            AS STRUCT(a BIGINT, b INT)[]) AS xs,
-      |       CAST(['10', '11'] AS BIGINT[]) AS ys,
-      |       CAST({'p': [1, 2], 'q': '9'}
-      |            AS STRUCT(p BIGINT[], q INT)) AS zs""".stripMargin
+    """SELECT to_json(CAST([{'a': 1, 'b': '2'}, {'a': 3, 'b': '4'}]
+      |            AS STRUCT(a BIGINT, b INT)[])) AS xs,
+      |       to_json(CAST(['10', '11'] AS BIGINT[])) AS ys,
+      |       to_json(CAST({'p': [1, 2], 'q': '9'}
+      |            AS STRUCT(p BIGINT[], q INT))) AS zs""".stripMargin
 
   /** String ↔ temporal casts: leap-day strings, timestamp truncation to
     * DATE (floor, not round — 23:59 stays the same day), DATE → TIMESTAMP
@@ -560,14 +563,17 @@ object EdgeQueries {
     * RANGE with a DESC ordering ("preceding" walks toward LARGER
     * values), a FOLLOWING-only ROWS frame (empty at the partition tail →
     * NULL sum), and a RANGE frame reaching forward (value-based, not
-    * row-based). Same SQL string on both engines. */
+    * row-based). Same SQL string on both engines; the integer sums are
+    * CAST to BIGINT because DuckDB sums INT into HUGEINT (pandas
+    * float64) while Spark yields int64 — a dtype mismatch the driver's
+    * exact hash would flag even though the values agree. */
   val edgeFrameDescSql: String =
     """WITH v AS (SELECT CAST(r_regionkey AS INT) + 1 AS x FROM region)
       |SELECT x,
-      |  sum(x) OVER (ORDER BY x DESC
-      |               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS rd,
-      |  sum(x) OVER (ORDER BY x
-      |               ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS ff,
+      |  CAST(sum(x) OVER (ORDER BY x DESC
+      |               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rd,
+      |  CAST(sum(x) OVER (ORDER BY x
+      |               ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS ff,
       |  count(*) OVER (ORDER BY x
       |                 RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING) AS cf
       |FROM v""".stripMargin

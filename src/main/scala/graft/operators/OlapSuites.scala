@@ -64,7 +64,8 @@ object OlapSuites {
 
   val cbDomainTopnSql: String =
     """SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 5 AS bucket,
-      |       count(DISTINCT lang) AS u, count(*) AS n, sum(n_chars) AS chars
+      |       count(DISTINCT lang) AS u, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents
       |GROUP BY 1
       |ORDER BY u DESC, n DESC, bucket ASC

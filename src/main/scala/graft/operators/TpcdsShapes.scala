@@ -1590,7 +1590,7 @@ object TpcdsShapes {
   val dsWeekPivotSql: String =
     """WITH wss AS (
       |  SELECT CAST(floor(date_diff('day', DATE '1995-01-01', o_orderdate) / 7) AS BIGINT) AS wk,
-      |         date_diff('day', DATE '1995-01-01', o_orderdate) % 7 AS dow,
+      |         ((date_diff('day', DATE '1995-01-01', o_orderdate) % 7) + 7) % 7 AS dow,
       |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
       |  FROM orders),
       |agg AS (

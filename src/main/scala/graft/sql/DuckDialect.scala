@@ -793,28 +793,77 @@ object DuckDialect {
           (out(p).kind == 3 || out(p).kind == 4 || out(p).is(")") || out(p).is("]"))
         if (isLiteral) {
           val close = closing(i)
-          // list COMPREHENSION `[expr FOR x IN list]` is not a literal we
-          // can translate structurally — refuse with the Spark recipe
+          // list COMPREHENSION `[expr FOR x IN list (IF pred)?]` — the
+          // literal single-variable form translates structurally
+          // (reference src/parser/transform/expression/ parses it into
+          // exactly list_transform(list_filter(...)); probed on DuckDB
+          // 1.0.0: the IF clause filters FIRST, then the expr maps):
+          //   [e FOR x IN l]      → transform(l, x -> e)
+          //   [e FOR x IN l IF p] → transform(filter(l, x -> p), x -> e)
+          // Nested comprehensions in e/l rewrite naturally on later
+          // iterations (the scanner does not advance past the
+          // replacement). Non-literal variable forms refuse loudly.
           var d2 = 0; var k = i
-          while (k < close) {
+          var kFor = -1
+          while (k < close && kFor < 0) {
             if (out(k).is("[") || out(k).is("(")) d2 += 1
             else if (out(k).is("]") || out(k).is(")")) d2 -= 1
-            else if (d2 == 1 && out(k).word == "for")
-              throw new GraftSqlException(
-                "list comprehensions `[e FOR x IN l]` are unsupported — use " +
-                  "transform(l, x -> e) (with filter(l, p) for the IF clause)")
+            else if (d2 == 1 && out(k).word == "for") kFor = k
             k += 1
           }
-          out(close) = sym(")")
-          if (p >= 0 && out(p).word == "array") {
-            out(i) = sym("(")      // ARRAY[…] → array(…): keep the word,
-            out(p) = word("array") // normalize case for readability
+          if (kFor >= 0) {
+            val refusal = new GraftSqlException(
+              "only single-variable list comprehensions `[e FOR x IN l (IF p)?]` " +
+                "translate — rewrite others as transform(l, x -> e) / filter(l, p)")
+            val varIdx = nextIdx(v, kFor)
+            if (varIdx >= close || v(varIdx).kind != 4 ||
+                exprLeadKeywords(v(varIdx).word)) throw refusal
+            val inIdx = nextIdx(v, varIdx)
+            if (inIdx >= close || v(inIdx).word != "in") throw refusal
+            // depth-1 IF / second FOR between the list expr and `]`
+            var d3 = 0; var m = inIdx + 1
+            var kIf = -1
+            while (m < close) {
+              if (v(m).is("[") || v(m).is("(")) d3 += 1
+              else if (v(m).is("]") || v(m).is(")")) d3 -= 1
+              else if (d3 == 0 && v(m).word == "for") throw refusal
+              else if (d3 == 0 && kIf < 0 && v(m).word == "if") kIf = m
+              m += 1
+            }
+            def trimWs(ts: Vector[Tok]): Vector[Tok] =
+              ts.dropWhile(_.isWs).reverse.dropWhile(_.isWs).reverse
+            val exprToks = trimWs(v.slice(i + 1, kFor))
+            val listToks = trimWs(v.slice(inIdx + 1, if (kIf >= 0) kIf else close))
+            val varTok = v(varIdx)
+            val lambda = Vector(sym(","), ws(" "), varTok, ws(" "),
+              sym("->"), ws(" "))
+            val repl: Vector[Tok] =
+              if (kIf < 0)
+                Vector(word("transform"), sym("(")) ++ listToks ++
+                  lambda ++ exprToks ++ Vector(sym(")"))
+              else {
+                val predToks = trimWs(v.slice(kIf + 1, close))
+                Vector(word("transform"), sym("("), word("filter"),
+                  sym("(")) ++ listToks ++ lambda ++ predToks ++
+                  Vector(sym(")")) ++ lambda ++ exprToks ++ Vector(sym(")"))
+              }
+            out.remove(i, close - i + 1)
+            out.insertAll(i, repl)
+            // fall through without marking literal parens: the scanner
+            // re-examines from i (now `transform`) and will translate any
+            // nested brackets inside the spliced expr/list tokens.
           } else {
-            out(i) = sym("(")
-            out.insert(i, word("array"))
+            out(close) = sym(")")
+            if (p >= 0 && out(p).word == "array") {
+              out(i) = sym("(")      // ARRAY[…] → array(…): keep the word,
+              out(p) = word("array") // normalize case for readability
+            } else {
+              out(i) = sym("(")
+              out.insert(i, word("array"))
+            }
+            // do NOT advance past i: the inserted tokens shift indices and
+            // the next iteration re-examines from the constructor onward.
           }
-          // do NOT advance past i: the inserted tokens shift indices and
-          // the next iteration re-examines from the constructor onward.
         } else if (isSubscript) {
           val close = closing(i)
           val inner = v.slice(i + 1, close).filterNot(_.isWs)
@@ -1304,6 +1353,38 @@ object DuckDialect {
     *     range(a, b[, s]))` — value-identical, and the projection
     *     restores DuckDB's "range" column name. Window `RANGE BETWEEN`
     *     and a column named range are untouched (no `(` follows). */
+  /** Is position `i` a FROM-clause (table) position? Scans BACKWARD at
+    * the same paren depth for the nearest clause keyword: `from`/`join`
+    * → table position; `select`/`where`/`on`/… or an enclosing `(`
+    * (function-arg or subquery-start) → expression position. This is
+    * what makes a comma disambiguate correctly: `FROM a, f(...)` is a
+    * from-list comma (nearest kw FROM) while `SELECT x, f(...)` is a
+    * select-list comma (nearest kw SELECT) — the round-11 advisory's
+    * counterexample `SELECT x, generate_series(1,3) FROM t` previously
+    * mis-rewrote into a scalar subquery Spark rejects. */
+  private def inFromClause(v: Vector[Tok], i: Int): Boolean = {
+    var k = prevIdx(v, i)
+    var depth = 0
+    while (k >= 0) {
+      val t = v(k)
+      if (t.is(")")) depth += 1
+      else if (t.is("(")) {
+        if (depth == 0) return false
+        depth -= 1
+      } else if (depth == 0 && t.kind == 4) {
+        t.word match {
+          case "from" | "join" | "lateral" => return true
+          case "select" | "where" | "group" | "having" | "qualify" |
+               "window" | "order" | "limit" | "offset" | "on" | "when" |
+               "set" | "values" | "case" | "returning" => return false
+          case _ =>
+        }
+      }
+      k -= 1
+    }
+    false
+  }
+
   private def rewriteSeriesFns(toks: Vector[Tok]): Vector[Tok] = {
     var v = toks
     var i = 0
@@ -1312,9 +1393,7 @@ object DuckDialect {
       if (w == "generate_series" || w == "range") {
         val open = nextIdx(v, i)
         if (open < v.length && v(open).is("(")) {
-          val p = prevIdx(v, i)
-          val inFrom = p >= 0 &&
-            (v(p).word == "from" || v(p).is(",") || v(p).word == "join")
+          val inFrom = inFromClause(v, i)
           val close = matching(v, open)
           val args = v.slice(open + 1, close)
           if (w == "generate_series") {
@@ -1357,8 +1436,20 @@ object DuckDialect {
     var i = 0
     while (i < v.length) {
       if (v(i).word == "glob") {
+        // Infix-operator position only: the token BEFORE must be an
+        // expression terminator (identifier, quoted identifier, literal,
+        // `)`) or NOT. A standalone identifier actually NAMED glob
+        // (`SELECT glob FROM t`) is valid SQL and stays untouched
+        // (round-11 advisory: the bare-word match rejected it).
+        val pb = prevIdx(v, i)
+        val infix = pb >= 0 && (v(pb).kind == 2 || v(pb).kind == 3 ||
+          v(pb).kind == 5 || v(pb).is(")") || v(pb).word == "not" ||
+          (v(pb).kind == 4 && !Set("select", "from", "where", "and", "or",
+            "by", "as", "on", "join", "when", "then", "else",
+            "distinct", "all").contains(v(pb).word)))
         val n = nextIdx(v, i)
-        if (n < v.length && v(n).is("(")) { /* table function — skip */ }
+        if (!infix) { /* column/alias named glob — leave untouched */ }
+        else if (n < v.length && v(n).is("(")) { /* table function — skip */ }
         else if (n >= v.length || v(n).kind != 2)
           throw new GraftSqlException(
             "GLOB needs a string-literal pattern to translate — use LIKE or regexp_like")
@@ -1430,8 +1521,34 @@ object DuckDialect {
             throw new GraftSqlException(
               "USING SAMPLE with a method/seed clause is unsupported (sampling algebras " +
                 "differ per engine) — use TABLESAMPLE … REPEATABLE or Shaping.sample")
-          v = v.take(i) ++ Vector(word("TABLESAMPLE"), ws(" "), sym("("),
-            v(n), ws(" "), word(unit), sym(")")) ++ v.drop(endIdx + 1)
+          // Spark's grammar puts TABLESAMPLE BEFORE the table alias
+          // (relationPrimary: table temporalClause? sample? tableAlias),
+          // so `FROM orders o USING SAMPLE 5` must become
+          // `FROM orders TABLESAMPLE (5 ROWS) o` — emitting it at the
+          // USING position fails Spark's parse (round-11 advisory).
+          // Detect a trailing alias: prev token is a plain identifier
+          // whose own predecessor is a table-ref end (identifier, quoted
+          // ident, `)`) or AS; insert before the alias (and before AS).
+          val insertAt = {
+            val p = prevIdx(v, i)
+            if (p >= 0 && v(p).kind == 4 &&
+                !Set("from", "join", "lateral").contains(v(p).word)) {
+              val pp = prevIdx(v, p)
+              if (pp >= 0 && v(pp).word == "as") pp
+              else if (pp >= 0 && (v(pp).kind == 3 || v(pp).is(")") ||
+                (v(pp).kind == 4 &&
+                  !Set("from", "join", "lateral").contains(v(pp).word)))) p
+              else i
+            } else i
+          }
+          val sampleToks = Vector(word("TABLESAMPLE"), ws(" "), sym("("),
+            v(n), ws(" "), word(unit), sym(")"), ws(" "))
+          v =
+            if (insertAt == i)
+              v.take(i) ++ sampleToks.dropRight(1) ++ v.drop(endIdx + 1)
+            else
+              v.take(insertAt) ++ sampleToks ++
+                v.slice(insertAt, i) ++ v.drop(endIdx + 1)
         }
       }
       i += 1

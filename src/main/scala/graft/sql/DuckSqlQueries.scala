@@ -82,6 +82,23 @@ object DuckSqlQueries {
       |       list_contains(list_transform(list_value(1, 2, 3), x -> x * 2), n_regionkey) AS has_dbl
       |FROM nation""".stripMargin
 
+  /** DuckDB list comprehensions (reference parses them in
+    * src/parser/transform/expression/ into list_transform(list_filter)):
+    * the literal single-variable forms translate structurally —
+    * `[e FOR x IN l]` → `transform(l, x -> e)`, the IF clause filters
+    * FIRST (probed on DuckDB 1.0.0) → `transform(filter(l, x -> p),
+    * x -> e)`, and a nested comprehension in the element expr rewrites
+    * recursively. Round-11 verdict item 5: this was the one refusal a
+    * pasted-DuckDB-SQL user hit most (the repo's own oracle idiom used
+    * it). Results joined to strings so the gate's compare is
+    * type-stable. */
+  val listComprehensionSql: String =
+    """SELECT n_nationkey,
+      |  array_to_string([lower(p) FOR p IN string_split(n_name, '_')], '.') AS parts,
+      |  array_to_string([x * (n_regionkey + 1) FOR x IN [1, 2, 3] IF x <> 2], '-') AS scaled,
+      |  array_to_string(flatten([[y * x FOR y IN [1, 2]] FOR x IN [n_regionkey + 1, 10]]), ',') AS nested
+      |FROM nation""".stripMargin
+
   /** Native-passthrough block: FILTER clause + ILIKE, no rewrites fire. */
   val filterIlikeSql: String =
     """SELECT count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
@@ -377,6 +394,7 @@ object DuckSqlQueries {
     "ducksql_replace" -> via(replaceSql),
     "ducksql_funcs" -> via(funcsSql),
     "ducksql_lambda" -> via(lambdaSql),
+    "ducksql_list_comprehension" -> via(listComprehensionSql),
     "ducksql_filter_ilike" -> via(filterIlikeSql),
     "ducksql_list_funcs" -> via(listFuncsSql),
     "ducksql_ignore_nulls" -> via(ignoreNullsSql),
@@ -418,6 +436,7 @@ object DuckSqlQueries {
     "ducksql_replace" -> replaceSql,
     "ducksql_funcs" -> funcsSql,
     "ducksql_lambda" -> lambdaSql,
+    "ducksql_list_comprehension" -> listComprehensionSql,
     "ducksql_filter_ilike" -> filterIlikeSql,
     "ducksql_list_funcs" -> listFuncsSql,
     "ducksql_ignore_nulls" -> ignoreNullsSql,

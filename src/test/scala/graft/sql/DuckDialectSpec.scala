@@ -508,6 +508,53 @@ class DuckDialectSpec extends AnyFunSuite {
       .getMessage.contains("string-literal"))
   }
 
+  test("series fns: select-list comma is NOT a from-list comma (r11 advice)") {
+    // previously mis-rewritten into a scalar subquery Spark rejects
+    assert(norm(translate("SELECT x, generate_series(1, 3) FROM t")) ==
+      "SELECT x, explode(sequence(1, 3)) FROM t")
+    // from-list comma still takes the table-function form
+    assert(norm(translate("SELECT * FROM t, generate_series(1, 3)")).contains(
+      "(SELECT explode(sequence(1, 3)) AS generate_series)"))
+    // function-arg position stays scalar
+    assert(norm(translate("SELECT size(generate_series(1, n)) FROM t")) ==
+      "SELECT size(explode(sequence(1, n))) FROM t")
+  }
+
+  test("USING SAMPLE lands before a table alias (r11 advice)") {
+    assert(norm(translate("SELECT * FROM orders o USING SAMPLE 5")) ==
+      "SELECT * FROM orders TABLESAMPLE (5 ROWS) o")
+    assert(norm(translate("SELECT * FROM orders AS o USING SAMPLE 10%")) ==
+      "SELECT * FROM orders TABLESAMPLE (10 PERCENT) AS o")
+    // subquery alias
+    assert(norm(translate("SELECT * FROM (SELECT 1 AS a) s USING SAMPLE 3")) ==
+      "SELECT * FROM (SELECT 1 AS a) TABLESAMPLE (3 ROWS) s")
+  }
+
+  test("a column actually named glob survives (r11 advice)") {
+    assert(norm(translate("SELECT glob FROM t")) == "SELECT glob FROM t")
+    assert(norm(translate("SELECT t.glob FROM t")) == "SELECT t.glob FROM t")
+    // operator position still translates, incl. NOT GLOB
+    assert(norm(translate("SELECT a NOT GLOB 'x*' FROM t")) ==
+      "SELECT a NOT LIKE 'x%' FROM t")
+  }
+
+  test("list comprehensions translate: map, filter-first IF, nesting") {
+    assert(norm(translate("SELECT [x * 2 FOR x IN l] FROM t")) ==
+      "SELECT transform(l, x -> x * 2) FROM t")
+    assert(norm(translate("SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1] FROM t")) ==
+      "SELECT transform(filter(array(1, 2, 3), x -> x > 1), x -> x * 2) FROM t")
+    // nested comprehension in the element expr rewrites recursively
+    assert(norm(translate("SELECT [[y + 1 FOR y IN [x, 2]] FOR x IN l] FROM t")) ==
+      "SELECT transform(l, x -> transform(array(x, 2), y -> y + 1)) FROM t")
+    // comprehension over a function-built list
+    assert(norm(translate("SELECT [upper(p) FOR p IN string_split(s, '_')] FROM t")) ==
+      "SELECT transform(split(s, '_'), p -> upper(p)) FROM t")
+    // non-literal variable forms refuse loudly
+    assert(intercept[GraftSqlException](
+      translate("SELECT [e FOR x, i IN l] FROM t"))
+      .getMessage.contains("single-variable"))
+  }
+
   test("native passthrough: constructs Spark 4 already parses are untouched") {
     for (sqlStr <- Seq(
       "SELECT a, count(*) FROM t GROUP BY ALL ORDER BY ALL",
