@@ -71,11 +71,111 @@ object OlapSuites {
       |ORDER BY u DESC, n DESC, bucket ASC
       |LIMIT 3""".stripMargin
 
+  /** ClickBench's URL-host family (reference
+    * `benchmark/clickbench/queries/q29.sql`: REGEXP-extract the host
+    * from Referer, avg(strlen) + count + min per host, HAVING on the
+    * count, ordered LIMIT). The fixture has no URL column, so a
+    * deterministic referer is synthesized from source+doc_id on BOTH
+    * engines; the host comes back out via the same
+    * `https?://(?:www\.)?([^/]+)/` capture group q29 uses —
+    * regexp_extract has the SAME (str, pattern, group) signature on
+    * Spark and DuckDB, which is why the pin avoids q29's regexp_replace
+    * backreference (spelled `\1` on DuckDB but `$1` on Spark). Scale
+    * posture: regex runs once per row inside the scan's codegen stage;
+    * one hash-aggregate exchange on the extracted host. */
+  def cbUrlHostTopn(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(concat(lit("https://www."), col("source"),
+        lit(".example.com/p/"), (col("doc_id") % 50).cast("string"))
+        .as("referer"))
+      .select(regexp_extract(col("referer"),
+        "https?://(?:www\\.)?([^/]+)/", 1).as("k"),
+        col("referer"))
+      .groupBy(col("k"))
+      .agg(round(avg(length(col("referer"))), 4).as("l"),
+        count(lit(1)).as("c"),
+        min(col("referer")).as("mn"))
+      .filter(col("c") >= 10)
+      .orderBy(col("l").desc, col("k").asc)
+      .limit(25)
+
+  val cbUrlHostTopnSql: String =
+    """WITH urls AS (
+      |  SELECT 'https://www.' || source || '.example.com/p/'
+      |         || CAST(doc_id % 50 AS VARCHAR) AS referer
+      |  FROM documents)
+      |SELECT regexp_extract(referer, 'https?://(?:www\.)?([^/]+)/', 1) AS k,
+      |       round(avg(length(referer)), 4) AS l,
+      |       count(*) AS c, min(referer) AS mn
+      |FROM urls
+      |GROUP BY k HAVING count(*) >= 10
+      |ORDER BY l DESC, k ASC
+      |LIMIT 25""".stripMargin
+
+  /** ClickBench's deep-page top-N (reference
+    * `benchmark/clickbench/queries/q39-q42.sql`: `ORDER BY PageViews
+    * DESC LIMIT 10 OFFSET 100..10000` — pagination INTO an ordered
+    * aggregate). OFFSET composes with the ordered LIMIT as a single
+    * driver-side window over the (tiny) sorted aggregate; the
+    * total-order tie-break keys make the page deterministic on both
+    * engines. Scale posture: the aggregate output (|event_type| ×
+    * 20 buckets) is tiny regardless of fact size, so the global sort +
+    * offset never sees more than the group count. */
+  def cbViewsOffset(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .select(col("event_type"), (col("user_id") % 20).as("ub"))
+      .groupBy(col("event_type"), col("ub"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("event_type").asc, col("ub").asc)
+      .offset(25)
+      .limit(10)
+
+  val cbViewsOffsetSql: String =
+    """SELECT event_type, user_id % 20 AS ub, count(*) AS c
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY c DESC, event_type ASC, ub ASC
+      |LIMIT 10 OFFSET 25""".stripMargin
+
+  /** h2oai groupby q06 (reference
+    * `benchmark/h2oai/group/queries/q06.sql`: `quantile_cont(v3, 0.5)
+    * AS median_v3, stddev(v3) AS sd_v3 GROUP BY id4, id5`) at NEAR-ROW
+    * cardinality — one group per l_orderkey (~4 rows each), so the
+    * HOLISTIC aggregates (exact median needs the group's values
+    * materialized; Spark's `percentile` matches quantile_cont's linear
+    * interpolation) run against the grouping machinery itself rather
+    * than reducing data. stddev is the n-1 sample form on both engines
+    * (NULL for 1-row groups on both). Scale posture: exact percentile
+    * buffers per-group values — fine at ~4 rows/group at ANY corpus
+    * size since group count scales with rows, not group size;
+    * approx_percentile is the documented swap if group sizes (not
+    * counts) ever grow. */
+  def h2oMedianSd(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_q"),
+        round(stddev(col("l_extendedprice")), 4).as("sd_price"),
+        count(lit(1)).as("cnt"))
+
+  val h2oMedianSdSql: String =
+    """SELECT l_orderkey,
+      |       round(quantile_cont(l_quantity, 0.5), 4) AS median_q,
+      |       round(stddev(l_extendedprice), 4) AS sd_price,
+      |       count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h2o_groupby_six" -> (h2oGroupbySix _),
-    "cb_domain_topn" -> (cbDomainTopn _))
+    "h2o_median_sd" -> (h2oMedianSd _),
+    "cb_domain_topn" -> (cbDomainTopn _),
+    "cb_url_host_topn" -> (cbUrlHostTopn _),
+    "cb_views_offset" -> (cbViewsOffset _))
 
   val oracle: Map[String, String] = Map(
     "h2o_groupby_six" -> h2oGroupbySixSql,
-    "cb_domain_topn" -> cbDomainTopnSql)
+    "h2o_median_sd" -> h2oMedianSdSql,
+    "cb_domain_topn" -> cbDomainTopnSql,
+    "cb_url_host_topn" -> cbUrlHostTopnSql,
+    "cb_views_offset" -> cbViewsOffsetSql)
 }

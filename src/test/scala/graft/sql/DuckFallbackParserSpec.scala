@@ -104,7 +104,11 @@ class DuckFallbackParserSpec extends SparkSpec {
     refusal("SELECT a FROM t INTERSECT ALL BY NAME SELECT a FROM u", "BY NAME")
     refusal("INSERT INTO t VALUES (1) RETURNING *", "RETURNING", "GraftTable")
     refusal("DELETE FROM t WHERE a = 1 RETURNING a", "RETURNING")
-    refusal("SELECT [x FOR x IN l] FROM t", "list comprehensions", "transform(")
+    // list comprehensions TRANSLATE since round 12 (literal
+    // single-variable forms); only the non-literal variable forms refuse
+    refusal("SELECT [e FOR x, i IN l] FROM t", "single-variable", "transform(")
+    assert(DuckDialect.translate("SELECT [x FOR x IN l] FROM t")
+      .contains("transform"))
     refusal("SELECT l[1] FROM t", "element_at")
     refusal("SELECT a // 2.5 FROM t", "floor(a / b)")
     refusal("SELECT enum_first(NULL::mood) FROM t", "ENUM", "array_position")
