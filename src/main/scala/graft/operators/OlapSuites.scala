@@ -165,8 +165,90 @@ object OlapSuites {
       |FROM lineitem
       |GROUP BY l_orderkey""".stripMargin
 
+  /** h2oai join battery (reference `benchmark/h2oai/join/queries/q01-q05
+    * .sql`): enrichment joins that keep x.* and verify via aggregates
+    * over the joined result (the reference's own RESULT_QUERY pattern —
+    * `SELECT COUNT(*), SUM(v1) FROM ans`). Three cardinality regimes:
+    *
+    * q01 analog — x JOIN small (tiny key domain): every lineitem row
+    * enriched from the 100x-smaller supplier side. Scale posture: pure
+    * broadcast-hash enrichment, zero fact shuffle. */
+  def h2oJoinSmall(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .join(broadcast(Tables.t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s_acctbal")), 2).as("v_small"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("v_x"))
+
+  val h2oJoinSmallSql: String =
+    """SELECT count(*) AS n,
+      |       round(sum(s_acctbal), 2) AS v_small,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS v_x
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
+
+  /** q03 analog — x LEFT JOIN medium with UNMATCHED keys on a STRING
+    * join column (h2oai's medium table joins on string id5 and its NA
+    * variants leave nulls): only sources with suffix % 3 = 0 exist on
+    * the build side, so two thirds of the probe rows carry NULL payload
+    * — the count(payload) vs count(*) split is what the pin checks.
+    * Scale posture: the dim derives from a pre-aggregated scan (tiny) →
+    * broadcast; the LEFT join preserves probe-side partitioning. */
+  def h2oJoinMediumLeft(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val dim = docs
+      .filter(regexp_extract(col("source"), "src([0-9]+)", 1)
+        .cast("int") % 3 === 0)
+      .groupBy(col("source"))
+      .agg(avg(col("n_chars")).as("src_avg"))
+    docs.select(col("source"), col("n_chars"))
+      .join(broadcast(dim), Seq("source"), "left")
+      .agg(count(lit(1)).as("n"),
+        count(col("src_avg")).as("n_matched"),
+        round(sum(col("src_avg")), 2).as("v_medium"))
+  }
+
+  val h2oJoinMediumLeftSql: String =
+    """WITH dim AS (
+      |  SELECT source, avg(n_chars) AS src_avg
+      |  FROM documents
+      |  WHERE CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 3 = 0
+      |  GROUP BY source)
+      |SELECT count(*) AS n, count(src_avg) AS n_matched,
+      |       round(sum(src_avg), 2) AS v_medium
+      |FROM documents LEFT JOIN dim USING (source)""".stripMargin
+
+  /** q05 analog — x JOIN big at PROBE-SIDE cardinality (h2oai's 1e7⋈1e7
+    * 1:1 join, both sides the full row count): orders against its own
+    * key-complete projection — every row matches exactly once. Scale
+    * posture: this is the one battery member that MUST shuffle at real
+    * scale (neither side fits a broadcast at 1e7+); both sides hash on
+    * the shared key into one co-partitioned exchange pair, and the 1:1
+    * key multiplicity means no post-join inflation. */
+  def h2oJoinBig(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val big = Tables.t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        dec(col("o_totalprice")).as("v2"))
+    x.join(big, col("o_orderkey") === col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("v1"),
+        sum(col("v2")).cast("double").as("v2"))
+  }
+
+  val h2oJoinBigSql: String =
+    """SELECT count(*) AS n,
+      |       CAST(sum(CAST(x.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v1,
+      |       CAST(sum(CAST(big.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v2
+      |FROM orders x JOIN orders big ON x.o_orderkey = big.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h2o_groupby_six" -> (h2oGroupbySix _),
+    "h2o_join_small" -> (h2oJoinSmall _),
+    "h2o_join_medium_left" -> (h2oJoinMediumLeft _),
+    "h2o_join_big" -> (h2oJoinBig _),
     "h2o_median_sd" -> (h2oMedianSd _),
     "cb_domain_topn" -> (cbDomainTopn _),
     "cb_url_host_topn" -> (cbUrlHostTopn _),
@@ -174,6 +256,9 @@ object OlapSuites {
 
   val oracle: Map[String, String] = Map(
     "h2o_groupby_six" -> h2oGroupbySixSql,
+    "h2o_join_small" -> h2oJoinSmallSql,
+    "h2o_join_medium_left" -> h2oJoinMediumLeftSql,
+    "h2o_join_big" -> h2oJoinBigSql,
     "h2o_median_sd" -> h2oMedianSdSql,
     "cb_domain_topn" -> cbDomainTopnSql,
     "cb_url_host_topn" -> cbUrlHostTopnSql,

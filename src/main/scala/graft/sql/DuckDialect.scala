@@ -1505,22 +1505,56 @@ object DuckDialect {
       if (v(i).word == "using") {
         val s = nextIdx(v, i)
         if (s < v.length && v(s).word == "sample") {
-          val n = nextIdx(v, s)
+          var n = nextIdx(v, s)
+          // Function form `USING SAMPLE bernoulli(10%)`: Spark's PERCENT
+          // TABLESAMPLE IS Bernoulli row sampling (each row kept i.i.d.
+          // with probability p — probed both engines), so this method
+          // translates faithfully at the distribution level; reservoir/
+          // system keep refusing (fixed-size draw / block sampling have
+          // no Spark SQL analog — membership SEMANTICS differ, not just
+          // the RNG).
+          var seedTok: Option[Tok] = None
+          var fnFormClose = -1
+          if (n < v.length && v(n).word == "bernoulli") {
+            val open = nextIdx(v, n)
+            if (open >= v.length || !v(open).is("("))
+              throw new GraftSqlException(
+                "USING SAMPLE bernoulli needs a (n%) argument")
+            fnFormClose = matching(v, open)
+            n = nextIdx(v, open)
+          }
           if (n >= v.length || v(n).kind != 5)
             throw new GraftSqlException(
-              "USING SAMPLE: only numeric forms translate (n%, n PERCENT, n ROWS) — " +
-                "method/seed sampling differs per engine; use TABLESAMPLE … REPEATABLE or Shaping.sample")
+              "USING SAMPLE: only numeric and bernoulli forms translate (n%, n PERCENT, " +
+                "n ROWS, bernoulli(n%), n% (bernoulli[, seed])) — reservoir/system " +
+                "sampling differs per engine; use TABLESAMPLE … REPEATABLE or Shaping.sample")
           val after = nextIdx(v, n)
-          val (unit, endIdx) =
+          val (unit, endIdx0) =
             if (after < v.length && v(after).is("%")) ("PERCENT", after)
             else if (after < v.length && v(after).word == "percent") ("PERCENT", after)
             else if (after < v.length && v(after).word == "rows") ("ROWS", after)
             else ("ROWS", n)
-          val tail = nextIdx(v, endIdx)
-          if (tail < v.length && v(tail).is("("))
+          var endIdx = if (fnFormClose >= 0) fnFormClose else endIdx0
+          if (fnFormClose >= 0 && unit != "PERCENT")
             throw new GraftSqlException(
-              "USING SAMPLE with a method/seed clause is unsupported (sampling algebras " +
-                "differ per engine) — use TABLESAMPLE … REPEATABLE or Shaping.sample")
+              "USING SAMPLE bernoulli translates only the n% form")
+          val tail = nextIdx(v, endIdx)
+          if (fnFormClose < 0 && tail < v.length && v(tail).is("(")) {
+            // method clause `n% (method[, seed])`: bernoulli translates
+            // (seed → REPEATABLE), everything else refuses
+            val close = matching(v, tail)
+            val inner = v.slice(tail + 1, close).filterNot(_.isWs)
+            val isBern = inner.headOption.exists(_.word == "bernoulli")
+            if (!isBern || unit != "PERCENT" || inner.length > 3 ||
+                (inner.length == 3 && !inner(1).is(",")) ||
+                (inner.length == 3 && inner(2).kind != 5))
+              throw new GraftSqlException(
+                "USING SAMPLE with a method clause translates only `n% (bernoulli[, seed])` " +
+                  "(Spark PERCENT sampling is Bernoulli; seed → REPEATABLE) — reservoir/system " +
+                  "differ per engine; use TABLESAMPLE … REPEATABLE or Shaping.sample")
+            if (inner.length == 3) seedTok = Some(inner(2))
+            endIdx = close
+          }
           // Spark's grammar puts TABLESAMPLE BEFORE the table alias
           // (relationPrimary: table temporalClause? sample? tableAlias),
           // so `FROM orders o USING SAMPLE 5` must become
@@ -1542,7 +1576,9 @@ object DuckDialect {
             } else i
           }
           val sampleToks = Vector(word("TABLESAMPLE"), ws(" "), sym("("),
-            v(n), ws(" "), word(unit), sym(")"), ws(" "))
+            v(n), ws(" "), word(unit), sym(")")) ++
+            seedTok.toVector.flatMap(t => Vector(ws(" "), word("REPEATABLE"),
+              ws(" "), sym("("), t, sym(")"))) ++ Vector(ws(" "))
           v =
             if (insertAt == i)
               v.take(i) ++ sampleToks.dropRight(1) ++ v.drop(endIdx + 1)

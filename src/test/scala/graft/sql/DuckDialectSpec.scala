@@ -466,13 +466,22 @@ class DuckDialectSpec extends AnyFunSuite {
     // join USING is untouched
     assert(norm(translate("SELECT * FROM a JOIN b USING (k)")) ==
       "SELECT * FROM a JOIN b USING (k)")
-    // method/seed forms refuse loudly (sampling algebras differ)
+    // bernoulli translates (Spark PERCENT sampling IS Bernoulli); a seed
+    // becomes REPEATABLE
+    assert(norm(translate("SELECT * FROM t USING SAMPLE 10% (bernoulli)")) ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(norm(translate("SELECT * FROM t USING SAMPLE 10% (bernoulli, 42)")) ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+    assert(norm(translate("SELECT * FROM t USING SAMPLE bernoulli(10%)")) ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    // reservoir/system forms refuse loudly (membership semantics differ,
+    // not just the RNG)
     assert(intercept[GraftSqlException](
       translate("SELECT * FROM t USING SAMPLE 10% (system, 42)"))
-      .getMessage.contains("method/seed"))
+      .getMessage.contains("bernoulli"))
     assert(intercept[GraftSqlException](
       translate("SELECT * FROM t USING SAMPLE reservoir(10%)"))
-      .getMessage.contains("numeric forms"))
+      .getMessage.contains("bernoulli"))
   }
 
   test("series table functions and unnest translate with matching column names") {

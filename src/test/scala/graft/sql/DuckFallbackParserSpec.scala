@@ -135,5 +135,12 @@ class DuckFallbackParserSpec extends SparkSpec {
       "SELECT k, v FROM fb_t QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1 ORDER BY k"))
       .collect()
     assert(rows.map(r => (r.getInt(0), r.getDouble(1))).toSeq == Seq((1, 20.0), (2, 5.0)))
+    // the translated bernoulli-with-seed sample must be EXECUTABLE Spark
+    // (TABLESAMPLE … REPEATABLE placement before the alias): same seed →
+    // same sample, and 100% keeps everything
+    val sampled = spark.sql(DuckDialect.translate(
+      "SELECT count(*) AS n FROM fb_t s USING SAMPLE 100% (bernoulli, 42)"))
+      .collect().head.getLong(0)
+    assert(sampled == 3L)
   }
 }
