@@ -1953,7 +1953,11 @@ object DuckDialect {
       // the registry; PREPARE itself is a DuckDml.exec statement) and run
       // the bound SQL through the normal translation path
       run(spark, dir, DuckDml.resolveExecute(duckSql).get)
-    else splitLimitPercent(duckSql) match {
+    else ColumnsStar.maybeExpand(spark, dir, duckSql) match {
+      // schema-aware COLUMNS(*) / COLUMNS('regex') star expansion, then
+      // re-enter run() on the expanded text (which has no COLUMNS left)
+      case Some(expanded) => run(spark, dir, expanded)
+      case None => splitLimitPercent(duckSql) match {
       case Some((inner, pct)) =>
         val df = Tables.sql(spark, dir, translate(inner))
         // the reference truncates the DOUBLE percent*count
@@ -1962,6 +1966,7 @@ object DuckDialect {
           Int.MaxValue.toLong).toInt
         df.limit(k)
       case None => Tables.sql(spark, dir, translate(duckSql))
+      }
     }
   }
 }

@@ -99,6 +99,18 @@ object DuckSqlQueries {
       |  array_to_string(flatten([[y * x FOR y IN [1, 2]] FOR x IN [n_regionkey + 1, 10]]), ',') AS nested
       |FROM nation""".stripMargin
 
+  /** COLUMNS('regex') star expansion (reference
+    * `transform_columnref.cpp`): the regex is an unanchored SEARCH over
+    * the schema's column names, and the aggregate-wrapped form keeps the
+    * ORIGINAL column names (probed) — both pinned here; the bare form
+    * rides in `COLUMNS('^l_.*flag$')`. Runs through the session-aware
+    * ColumnsStar expansion in DuckDialect.run; DuckDB binds it natively. */
+  val columnsRegexSql: String =
+    """SELECT l_returnflag, min(COLUMNS('^l_(quantity|discount)$')),
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
   /** Native-passthrough block: FILTER clause + ILIKE, no rewrites fire. */
   val filterIlikeSql: String =
     """SELECT count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
@@ -395,6 +407,7 @@ object DuckSqlQueries {
     "ducksql_funcs" -> via(funcsSql),
     "ducksql_lambda" -> via(lambdaSql),
     "ducksql_list_comprehension" -> via(listComprehensionSql),
+    "ducksql_columns_regex" -> via(columnsRegexSql),
     "ducksql_filter_ilike" -> via(filterIlikeSql),
     "ducksql_list_funcs" -> via(listFuncsSql),
     "ducksql_ignore_nulls" -> via(ignoreNullsSql),
@@ -437,6 +450,7 @@ object DuckSqlQueries {
     "ducksql_funcs" -> funcsSql,
     "ducksql_lambda" -> lambdaSql,
     "ducksql_list_comprehension" -> listComprehensionSql,
+    "ducksql_columns_regex" -> columnsRegexSql,
     "ducksql_filter_ilike" -> filterIlikeSql,
     "ducksql_list_funcs" -> listFuncsSql,
     "ducksql_ignore_nulls" -> ignoreNullsSql,
