@@ -284,11 +284,11 @@ object DuckDml {
               "GraftTable.merge with explicit key columns")
         if (w(1) != "into") throw new GraftSqlException("INSERT must be INSERT INTO")
         val r = root(tok(2))
-        if (toks.indices.dropRight(1).exists(j =>
-            toks(j).word == "on" && toks(j + 1).word == "conflict"))
-          throw new GraftSqlException(
-            "INSERT … ON CONFLICT is unsupported — use MERGE (DuckDml) or " +
-              "GraftTable.merge with explicit key columns")
+        // ON CONFLICT (reference `physical_insert.cpp` DO NOTHING /
+        // DO UPDATE): the conflict clause is parsed AFTER the source
+        // query span is bounded, below
+        val conflictIdx = toks.indices.dropRight(1).find(j =>
+          toks(j).word == "on" && toks(j + 1).word == "conflict").getOrElse(-1)
         var i = 3
         var cols: Seq[String] = Nil
         if (i < toks.length && toks(i).is("(")) {
@@ -303,10 +303,19 @@ object DuckDml {
           cols = listed.filter(t => t.kind == 4 || t.kind == 3).map(identText)
           i = end + 1
         }
-        // remainder is the source query (VALUES … or SELECT …),
-        // dialect-translated; fixture views are registered only when the
-        // caller provides the reserved "__dir" catalog key
-        val df0 = sourceQuery(i)
+        // remainder up to any ON CONFLICT is the source query (VALUES …
+        // or SELECT …), dialect-translated; fixture views are registered
+        // only when the caller provides the reserved "__dir" catalog key
+        val df0 =
+          if (conflictIdx < 0) sourceQuery(i)
+          else {
+            val srcSql = DuckDialect.translate(
+              toks.slice(i, conflictIdx).map(_.text).mkString(" "))
+            tables.get("__dir") match {
+              case Some(dir) => graft.Tables.sql(spark, dir, srcSql)
+              case None => spark.sql(srcSql)
+            }
+          }
         // SQL INSERT is positional: with no column list the source maps
         // to the full table schema in order; with one, to those columns —
         // and unlisted table columns are NULL-filled (SQL semantics).
@@ -327,8 +336,80 @@ object DuckDml {
           .foldLeft(named)((d, c) => d.withColumn(c,
             org.apache.spark.sql.functions.lit(null)
               .cast(schema(c).dataType)))
-        GraftTable.insert(spark, r, filled)
-        r
+        if (conflictIdx < 0) { GraftTable.insert(spark, r, filled); r }
+        else {
+          // `ON CONFLICT (keys) DO NOTHING | DO UPDATE SET c = excluded.c …`
+          // (reference `physical_insert.cpp` OnConflictAction). The key
+          // list is REQUIRED (DuckDB infers it from a unique index;
+          // GraftTable has none to infer from). DO UPDATE supports the
+          // full-row-upsert form only — every non-key column assigned
+          // `col = excluded.col` — which is exactly GraftTable.merge's
+          // WHEN MATCHED THEN UPDATE SET * semantics; partial updates and
+          // expression assignments refuse with the recipe.
+          var j = conflictIdx + 2
+          if (j >= toks.length || !toks(j).is("("))
+            throw new GraftSqlException(
+              "ON CONFLICT needs an explicit (key, …) target — GraftTable has no " +
+                "unique index to infer the conflict key from")
+          val close = toks.indexWhere(_.is(")"), j)
+          if (close < 0) throw new GraftSqlException("unbalanced ( ) in ON CONFLICT target")
+          val keys = toks.slice(j + 1, close)
+            .filter(t => t.kind == 4 || t.kind == 3).map(identText)
+            .map(c => canon.getOrElse(c.toLowerCase,
+              throw new GraftSqlException(
+                s"unknown column '$c' in ON CONFLICT target (table has ${schema.fieldNames.mkString(", ")})")))
+          if (keys.isEmpty) throw new GraftSqlException("empty ON CONFLICT target")
+          j = close + 1
+          if (w(j) != "do")
+            throw new GraftSqlException("ON CONFLICT must be followed by DO NOTHING or DO UPDATE SET")
+          if (w(j + 1) == "nothing") {
+            if (j + 2 < toks.length)
+              throw new GraftSqlException(
+                s"unexpected tokens after DO NOTHING: '${toks(j + 2).text}…'")
+            // duplicate conflict keys WITHIN the source would make the
+            // surviving row depend on partition order — refuse, same
+            // cardinality contract as GraftTable.merge
+            import org.apache.spark.sql.functions.{col, count, lit}
+            val dup = filled.groupBy(keys.map(col): _*)
+              .agg(count(lit(1)).as("__graft_cnt"))
+              .filter(col("__graft_cnt") > 1).limit(1).collect()
+            if (dup.nonEmpty)
+              throw new GraftSqlException(
+                "ON CONFLICT DO NOTHING source has duplicate conflict keys " +
+                  s"(e.g. ${dup.head.toSeq.init.mkString(",")}) — deduplicate per key first")
+            val existing = GraftTable.read(spark, r).select(keys.map(col): _*)
+            GraftTable.insert(spark, r,
+              filled.join(existing, keys, "left_anti"))
+            r
+          } else if (w(j + 1) == "update" && w(j + 2) == "set") {
+            val assignSpan = toks.drop(j + 3)
+            val assigns = splitTop(assignSpan, ",").map { item =>
+              val parts = item.filterNot(_.isWs)
+              // strictly `col = excluded . col` with the SAME column name
+              val ok = parts.length == 5 &&
+                (parts(0).kind == 4 || parts(0).kind == 3) &&
+                parts(1).is("=") && parts(2).word == "excluded" &&
+                parts(3).is(".") &&
+                identText(parts(4)).toLowerCase == identText(parts(0)).toLowerCase
+              if (!ok) throw new GraftSqlException(
+                "ON CONFLICT DO UPDATE supports only the full-row upsert form " +
+                  "`col = excluded.col` for every non-key column — for partial or " +
+                  "computed updates use GraftTable.merge + updateWhere")
+              canon.getOrElse(identText(parts(0)).toLowerCase,
+                throw new GraftSqlException(
+                  s"unknown column '${parts(0).text}' in DO UPDATE SET"))
+            }
+            val nonKeys = schema.fieldNames.toSeq.filterNot(keys.contains)
+            if (assigns.toSet != nonKeys.toSet)
+              throw new GraftSqlException(
+                s"DO UPDATE SET must assign every non-key column exactly once " +
+                  s"(expected ${nonKeys.mkString(", ")}; got ${assigns.mkString(", ")}) — " +
+                  "partial updates: GraftTable.merge + updateWhere")
+            GraftTable.merge(spark, r, filled, keys)
+            r
+          } else throw new GraftSqlException(
+            "ON CONFLICT must be followed by DO NOTHING or DO UPDATE SET")
+        }
       case "delete" =>
         if (w(1) != "from") throw new GraftSqlException("DELETE must be DELETE FROM")
         val r = root(tok(2))

@@ -170,9 +170,43 @@ class DuckDmlSpec extends SparkSpec {
     assert(intercept[GraftSqlException](DuckDml.exec(spark, cat,
       "INSERT OR REPLACE INTO t VALUES (1, 'x')"))
       .getMessage.contains("MERGE"))
+    // ON CONFLICT translates since round 12 — but only with an explicit
+    // key target (no unique index to infer from)
     assert(intercept[GraftSqlException](DuckDml.exec(spark, cat,
-      "INSERT INTO t VALUES (1, 'x') ON CONFLICT DO NOTHING"))
-      .getMessage.contains("MERGE"))
+      "INSERT INTO t VALUES (1, 'x', 0.0) ON CONFLICT DO NOTHING"))
+      .getMessage.contains("unique index"))
+  }
+
+  test("INSERT … ON CONFLICT: DO NOTHING skips existing keys, DO UPDATE upserts") {
+    val (root, cat) = freshTable()
+    // DO NOTHING: id=1 exists (kept as-is), id=9 is new (inserted)
+    DuckDml.exec(spark, cat,
+      "INSERT INTO t VALUES (1, 'zzz', 99.0), (9, 'i', 90.0) ON CONFLICT (id) DO NOTHING")
+    assert(state(root) == Set((1L, "a", 10.0), (2L, "b", 20.0),
+      (3L, "c", 30.0), (9L, "i", 90.0)))
+    // DO UPDATE full-row upsert: id=2 replaced, id=8 inserted
+    DuckDml.exec(spark, cat,
+      "INSERT INTO t VALUES (2, 'B2', 22.0), (8, 'h', 80.0) " +
+        "ON CONFLICT (id) DO UPDATE SET name = excluded.name, bal = excluded.bal")
+    assert(state(root) == Set((1L, "a", 10.0), (2L, "B2", 22.0),
+      (3L, "c", 30.0), (8L, "h", 80.0), (9L, "i", 90.0)))
+    // partial DO UPDATE refuses with the recipe
+    assert(intercept[GraftSqlException](DuckDml.exec(spark, cat,
+      "INSERT INTO t VALUES (2, 'x', 0.0) ON CONFLICT (id) DO UPDATE SET name = excluded.name"))
+      .getMessage.contains("every non-key column"))
+    // computed assignment refuses
+    assert(intercept[GraftSqlException](DuckDml.exec(spark, cat,
+      "INSERT INTO t VALUES (2, 'x', 0.0) ON CONFLICT (id) DO UPDATE SET " +
+        "name = excluded.name, bal = bal + excluded.bal"))
+      .getMessage.contains("full-row upsert"))
+    // duplicate conflict keys in the source refuse (cardinality contract)
+    assert(intercept[GraftSqlException](DuckDml.exec(spark, cat,
+      "INSERT INTO t VALUES (7, 'x', 1.0), (7, 'y', 2.0) ON CONFLICT (id) DO NOTHING"))
+      .getMessage.contains("duplicate"))
+    // unknown conflict-target column refuses
+    assert(intercept[GraftSqlException](DuckDml.exec(spark, cat,
+      "INSERT INTO t VALUES (7, 'x', 1.0) ON CONFLICT (nope) DO NOTHING"))
+      .getMessage.contains("unknown column"))
   }
 
   test("CHECKPOINT merges small files; VACUUM reclaims; rows survive both") {
