@@ -178,7 +178,50 @@ object DmlQueries {
 
   val dmlCompactSql: String = "SELECT c_custkey, c_acctbal FROM customer"
 
+  /** INSERT … ON CONFLICT statement face (reference
+    * `physical_insert.cpp` OnConflictAction): region-derived rows whose
+    * keys 0-4 conflict with existing nations (full-row DO UPDATE
+    * replaces them) and keys 100+ are new (inserted); a second DO
+    * NOTHING pass re-sends key 100 with different values and must leave
+    * it untouched. Oracle: CASE-projection for the updated keys + UNION
+    * ALL for the inserts over the untouched fixtures. */
+  def dmlUpsertConflict(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root,
+      Tables.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"))
+    val cat = Map("t" -> root, "__dir" -> dir)
+    graft.sql.DuckDml.exec(s, cat,
+      """INSERT INTO t
+        |SELECT CAST(r_regionkey AS INT) AS n_nationkey,
+        |       concat('U_', r_name) AS n_name,
+        |       CAST(r_regionkey AS INT) AS n_regionkey FROM region
+        |UNION ALL
+        |SELECT CAST(r_regionkey + 100 AS INT), r_name,
+        |       CAST(r_regionkey AS INT) FROM region
+        |ON CONFLICT (n_nationkey) DO UPDATE
+        |SET n_name = excluded.n_name, n_regionkey = excluded.n_regionkey""".stripMargin)
+    graft.sql.DuckDml.exec(s, cat,
+      """INSERT INTO t
+        |SELECT CAST(r_regionkey + 100 AS INT), concat('X_', r_name),
+        |       CAST(r_regionkey + 7 AS INT) FROM region
+        |ON CONFLICT (n_nationkey) DO NOTHING""".stripMargin)
+    GraftTable.read(s, root)
+  }
+
+  val dmlUpsertConflictSql: String =
+    """SELECT n_nationkey,
+      |  CASE WHEN n_nationkey <= 4 THEN 'U_' ||
+      |    (SELECT r_name FROM region WHERE r_regionkey = n_nationkey)
+      |       ELSE n_name END AS n_name,
+      |  CASE WHEN n_nationkey <= 4 THEN n_nationkey
+      |       ELSE n_regionkey END AS n_regionkey
+      |FROM nation
+      |UNION ALL
+      |SELECT CAST(r_regionkey + 100 AS INTEGER), r_name, r_regionkey
+      |FROM region""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dml_upsert_conflict" -> (dmlUpsertConflict _),
     "dml_compact" -> (dmlCompact _),
     "dml_insert" -> (dmlInsert _),
     "dml_delete" -> (dmlDelete _),
@@ -190,6 +233,7 @@ object DmlQueries {
     "dml_sql_delete" -> (dmlSqlDelete _))
 
   val oracle: Map[String, String] = Map(
+    "dml_upsert_conflict" -> dmlUpsertConflictSql,
     "dml_compact" -> dmlCompactSql,
     "dml_insert" -> dmlInsertSql,
     "dml_delete" -> dmlDeleteSql,
