@@ -188,6 +188,49 @@ object StreamingOps {
     // reference — AnalysisException, or worse a self-comparison.
     events.join(broadcast(dim), events(streamKey) === dim(dimKey), "left")
 
+  /** Streaming ANN lookup — the streaming face of `Similarity`'s LSH
+    * path: each query vector on the stream is bucketed by the SAME
+    * sign-random-projection family as the static index via a pure
+    * per-row expression (the plane weights are inlined as literals, so
+    * bucketing needs NO streaming shuffle — a streaming groupBy before a
+    * join would not even plan), probed against the bucketed corpus
+    * (broadcast, re-read per micro-batch like `enrichStream`'s dim), and
+    * reduced to top-k per query with a sorted-slice aggregate.
+    *
+    * The per-query top-k is a streaming AGGREGATION: run it in update/
+    * complete mode, or add an event-time window + watermark for append —
+    * same trade-off as any streaming ranking. At 10⁹ vectors the probe
+    * touches ~1/2^planes of the corpus per query (the batch path's scale
+    * argument, unchanged); the corpus-side bucket index would be
+    * persisted, not recomputed per batch, in a production job.
+    *
+    * `planes`: (plane-bit, weights-per-dim), from
+    * `Similarity.hyperplanes(...).collect()` — tiny (planes × dim). */
+  def annLookupStream(queries: DataFrame, corpus: DataFrame,
+      planes: Seq[(Int, Seq[Double])], k: Int = 5): DataFrame = {
+    import graft.functions.{GraftFunctions => G}
+    def bucketOf(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      planes.map { case (j, ws) =>
+        val warr = array(ws.map(lit): _*)
+        val dot = aggregate(zip_with(emb, warr, (x, w) => x * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val indexed = corpus.select(col("vec_id"), col("embedding"),
+      bucketOf(col("embedding")).as("bucket"))
+    val probes = queries.select(col("query_id"),
+      col("embedding").as("q_emb"), bucketOf(col("embedding")).as("qbucket"))
+    probes.join(broadcast(indexed), col("qbucket") === col("bucket"))
+      .select(col("query_id"), col("vec_id"),
+        G.list_cosine_similarity(col("q_emb"), col("embedding")).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        slice(sort_array(collect_list(struct((col("cos") * -1).as("nc"),
+          col("vec_id").as("v"))), asc = true), 1, k),
+        s => s.getField("v")).as("neighbors"),
+        max(col("cos")).as("best_cos"))
+  }
+
   /** Batch-equivalence helper: the same windowed aggregation phrased over
     * a static frame (used to validate streaming results in tests). */
   def windowedCountsBatch(events: DataFrame, width: String = "5 minutes"): DataFrame =

@@ -136,6 +136,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN lookup equals the batch LSH lookup, self is nearest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.Tables.t(spark, sf("sf0.001"), "embeddings")
+      .select($"vec_id", $"embedding")
+    // tiny plane family (4 bits) so buckets are populated at 500 vectors
+    val planes = graft.pipeline.Similarity.hyperplanes(spark, 4, 64)
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (p, rows) =>
+        p -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    // three corpus vectors as streaming queries
+    val queryRows = corpus.filter($"vec_id".isin(1L, 7L, 42L))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qs = MemoryStream[(Long, Seq[Float])]
+    qs.addData(queryRows.toSeq: _*)
+    val qdf = qs.toDF().toDF("query_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val q = StreamingOps.annLookupStream(qdf, corpus, planes, k = 3)
+      .writeStream.format("memory").queryName("annq").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("annq").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1),
+          r.getAs[Number](2).doubleValue)).toList
+      assert(streamed.length == 3)
+      // a query vector IS in the corpus: its own id leads the neighbor
+      // list with cosine 1.0 (bucket family is the same on both sides)
+      streamed.foreach { case (qid, ns, best) =>
+        assert(ns.head == qid, s"query $qid nearest should be itself, got $ns")
+        assert(math.abs(best - 1.0) < 1e-6)
+      }
+      // batch equivalence: the same function over a static frame
+      val batchQ = corpus.filter($"vec_id".isin(1L, 7L, 42L))
+        .select($"vec_id".as("query_id"), $"embedding")
+      val batch = StreamingOps.annLookupStream(batchQ, corpus, planes, k = 3)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      streamed.foreach { case (qid, ns, _) =>
+        assert(batch(qid) == ns, s"stream/batch neighbor mismatch for $qid")
+      }
+    } finally q.stop()
+  }
+
   test("sessionization counts per-user events with gap splits") {
     val events = Seq(
       StreamingOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
