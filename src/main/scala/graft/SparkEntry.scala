@@ -33,6 +33,7 @@ object SparkEntry {
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++
+      pipeline.Mixture.queries ++
       pipeline.Chunking.queries ++
       pipeline.Multimodal.queries ++
       sources.DmlQueries.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
       pipeline.TextAnalysis.oracle ++
+      pipeline.Mixture.oracle ++
       pipeline.Chunking.oracle ++
       pipeline.Multimodal.oracle ++
       sources.DmlQueries.oracle ++

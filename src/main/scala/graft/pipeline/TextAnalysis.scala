@@ -125,6 +125,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _),
     "text_fingerprint_rolling" -> (textFingerprintRolling _),
     "text_quality" -> (textQuality _),
+    "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _))
 
   /** The same stopword-hit argmax (ties → lexicographically larger lang)
@@ -191,6 +192,125 @@ object TextAnalysis {
        |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
        |        FROM documents) base) flags""".stripMargin
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models", Table A1: duplicate word/n-gram fractions and top-n-gram
+    * dominance) — the redundancy gate a curation pipeline applies next to
+    * [[textQuality]]'s shape rules: boilerplate-heavy and loop-generated
+    * documents show high duplicate-n-gram fractions long before exact or
+    * near dedup can catch them (those compare ACROSS documents; this
+    * measures repetition WITHIN one).
+    *
+    * Every signal is an exact integer-derived ratio (one division at the
+    * end), so the values are bit-identical across engines and cluster
+    * sizes. Scale posture: one codegen projection over the scan — the
+    * per-distinct-element occurrence count is O(d·n) per DOCUMENT,
+    * bounded by document length, never by corpus size; no shuffle at any
+    * scale. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.t(s, dir, "documents"))
+
+  /** doc_id + text → repetition signals (split out for unit tests). */
+  def repetitionOf(df: DataFrame): DataFrame = {
+    // staged selects: each stage aliases the expensive list expressions
+    // once, and CollapseProject declines to inline a non-trivial alias
+    // referenced more than once downstream — so the words/grams/fold
+    // trees are evaluated once per row instead of once per REFERENCE
+    // (the single-select spelling re-derived the fold for each of its
+    // three output columns)
+    val staged = df
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val ws = col("ws")
+    // word k-grams as strings; sequence() would count DOWN for start >
+    // stop, so short documents take the explicit empty branch
+    def ngrams(k: Int): Column =
+      when(size(ws) >= k,
+        transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val grams = staged.select(col("doc_id"), ws,
+      ngrams(2).as("bg"), ngrams(3).as("tg"))
+    val bg = col("bg")
+    val tg = col("tg")
+    val nbg = size(bg).cast("long")
+    val ntg = size(tg).cast("long")
+    // argmax via a run-length fold over the SORTED bigram list — O(n log n)
+    // per document. The obvious transform(distinct, b -> count(filter(bg)))
+    // spelling is O(n²) comparisons AND re-evaluates the bigram
+    // construction inside the lambda body per element (higher-order
+    // function arguments are bound once, lambda-body subtrees are not) —
+    // measured 140 s vs ~2 s on the sf0.01 corpus. Tie-break: at equal
+    // run length the later (lexicographically larger) gram wins, which in
+    // a sorted list is simply "take the current gram on ties".
+    val folded = aggregate(
+      array_sort(bg),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("c"), lit(null).cast("string").as("b")),
+      (st, x) => {
+        val newRun = when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(1L)
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(newRun, st.getField("c")).as("c"),
+          when(newRun >= st.getField("c"), x)
+            .otherwise(st.getField("b")).as("b"))
+      })
+    // empty list: the fold returns its (0, null) init — map the count
+    // back to NULL so short documents agree with the oracle's outer join
+    val withTop = grams.select(col("doc_id"), ws, bg, tg, folded.as("folded"))
+    val top = struct(nullif(col("folded").getField("c"), lit(0L)).as("c"),
+      col("folded").getField("b").as("b"))
+    withTop.select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      (lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
+        .as("dup_word_frac"),
+      nbg.as("n_bigrams"),
+      ((nbg - size(array_distinct(bg)).cast("long")).cast("double") /
+        nullif(nbg, lit(0L))).as("dup_bigram_frac"),
+      top.getField("c").as("top_bigram_count"),
+      (top.getField("c").cast("double") / nullif(nbg, lit(0L)))
+        .as("top_bigram_frac"),
+      top.getField("b").as("top_bigram"),
+      ((ntg - size(array_distinct(tg)).cast("long")).cast("double") /
+        nullif(ntg, lit(0L))).as("dup_trigram_frac"))
+  }
+
+  /** Same signals in the oracle dialect: 1-indexed `range(1, len)` n-gram
+    * construction (empty below k words, matching the guarded Spark
+    * branch), the argmax phrased RELATIONALLY (unnest → count → struct
+    * max, the same (count, gram) lexicographic comparison as the engine's
+    * sorted-run fold), NULLIF-guarded divisions. Verified: DuckDB
+    * `range(1, 0)` is `[]`, and the LEFT JOIN leaves short documents'
+    * top-gram columns NULL, matching the fold's nullified init. */
+  val textRepetitionSql: String =
+    raw"""WITH base AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, ws,
+       |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg,
+       |    list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg
+       |  FROM base),
+       |tops AS (
+       |  SELECT doc_id, max(struct_pack(c := CAST(cnt AS BIGINT), b := b)) AS tp
+       |  FROM (SELECT doc_id, b, count(*) AS cnt
+       |        FROM (SELECT doc_id, unnest(bg) AS b FROM grams)
+       |        GROUP BY doc_id, b)
+       |  GROUP BY doc_id)
+       |SELECT g.doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
+       |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+       |  CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+       |    / nullif(len(bg), 0) AS dup_bigram_frac,
+       |  tp.c AS top_bigram_count,
+       |  CAST(tp.c AS DOUBLE) / nullif(len(bg), 0) AS top_bigram_frac,
+       |  tp.b AS top_bigram,
+       |  CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+       |    / nullif(len(tg), 0) AS dup_trigram_frac
+       |FROM grams g LEFT JOIN tops USING (doc_id)""".stripMargin
+
   /** PII redaction — the scrubbing stage of a training-data pipeline:
     * emails, dotted-quad IPs, and phone-shaped digit runs are replaced
     * with typed placeholders, and the pass is accounted for (counts per
@@ -255,5 +375,6 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprintSql,
     "text_fingerprint_rolling" -> textFingerprintRollingSql,
     "text_quality" -> textQualitySql,
+    "text_repetition" -> textRepetitionSql,
     "text_redact" -> textRedactSql)
 }

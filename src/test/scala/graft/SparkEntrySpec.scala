@@ -23,7 +23,8 @@ class SparkEntrySpec extends SparkSpec {
       functions.FunctionQueries.queries,
       functions.GraftMacros.queries,
       pipeline.Dedup.queries, pipeline.Similarity.queries,
-      pipeline.TextAnalysis.queries, pipeline.Chunking.queries,
+      pipeline.TextAnalysis.queries, pipeline.Mixture.queries,
+      pipeline.Chunking.queries,
       pipeline.Multimodal.queries,
       sources.DmlQueries.queries,
       compaction.CompactionQueries.queries)

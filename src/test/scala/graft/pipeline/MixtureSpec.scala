@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uniform cap: min source keeps everything, others land near n_min") {
+    val rows = Mixture.mixDomainUniform(spark, sf("sf0.001"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("rate_ppm"), r.getAs[Long]("n_kept")))
+    assert(rows.nonEmpty)
+    val nMin = rows.map(_._2).min
+    for ((src, total, ppm, kept) <- rows) {
+      if (total == nMin) {
+        assert(ppm == 1000000L, s"$src: min source must keep all (ppm=$ppm)")
+        assert(kept == total)
+      }
+      // expectation is ~n_min per source; hash-Bernoulli at fixture sizes
+      // stays well within a factor-2 band
+      assert(kept <= total)
+      assert(kept >= nMin / 2 && kept <= nMin * 2,
+        s"$src: kept=$kept far from n_min=$nMin")
+    }
+  }
+
+  test("temperature α=0.5 interpolates: uniform rate ≤ rate ≤ 1") {
+    val uni = Mixture.mixDomainUniform(spark, sf("sf0.001"))
+      .select("source", "rate_ppm").as[(String, Long)].collect().toMap
+    val temp = Mixture.mixTemperature(spark, sf("sf0.001"))
+      .select("source", "rate_ppm").as[(String, Long)].collect().toMap
+    assert(temp.keySet == uni.keySet)
+    for ((src, tPpm) <- temp) {
+      assert(tPpm >= uni(src), s"$src: temperature below uniform cap")
+      assert(tPpm <= 1000000L)
+      // sqrt(r) ≥ r with equality only at 0/1: strictly above for
+      // non-min sources (floor can cost at most 1 ppm)
+      if (uni(src) < 999999L) assert(tPpm > uni(src))
+    }
+  }
+
+  test("sample is deterministic and matches the audit's kept counts") {
+    val kept1 = Mixture.sampleUniform(spark, sf("sf0.001"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val kept2 = Mixture.sampleUniform(spark, sf("sf0.001"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept1 == kept2, "hash-Bernoulli sample must be deterministic")
+    val audit = Mixture.mixDomainUniform(spark, sf("sf0.001"))
+      .agg(sum("n_kept")).as[Long].head
+    assert(kept1.size.toLong == audit,
+      "sampleUniform and the audit entry must agree on the kept set size")
+  }
+
+  test("single-source corpus keeps everything under both policies") {
+    val df = Seq((1L, "s0"), (2L, "s0"), (3L, "s0"))
+      .toDF("doc_id", "source")
+    // route through the same frame by staging a one-source documents dir
+    val dir = java.nio.file.Files.createTempDirectory("mixture").toString
+    df.withColumn("text", lit("t")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", lit(1))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Mixture.mixDomainUniform(spark, dir).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("rate_ppm") == 1000000L
+      && r.head.getAs[Long]("n_kept") == 3L)
+    val t = Mixture.mixTemperature(spark, dir).collect()
+    assert(t.head.getAs[Long]("rate_ppm") == 1000000L
+      && t.head.getAs[Long]("n_kept") == 3L)
+  }
+}

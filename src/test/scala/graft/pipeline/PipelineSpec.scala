@@ -163,6 +163,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == got(3L) && got(1L) != got(2L))
   }
 
+  test("repetition signals on crafted documents") {
+    val df = Seq(
+      (1L, "a b a b"),        // bigrams: [a b, b a, a b] — "a b" twice
+      (2L, "word"),           // too short for any n-gram
+      (3L, "x y z"),          // all distinct
+      (4L, "spam spam spam spam")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionOf(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_bigrams") == 3L)
+    assert(r1.getAs[Long]("top_bigram_count") == 2L)
+    assert(r1.getAs[String]("top_bigram") == "a b")
+    assert(math.abs(r1.getAs[Double]("top_bigram_frac") - 2.0 / 3) < 1e-15)
+    assert(math.abs(r1.getAs[Double]("dup_bigram_frac") - 1.0 / 3) < 1e-15)
+    assert(math.abs(r1.getAs[Double]("dup_word_frac") - 0.5) < 1e-15)
+
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n_bigrams") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("top_bigram_count")))
+    assert(r2.isNullAt(r2.fieldIndex("dup_bigram_frac")))
+    assert(r2.getAs[Double]("dup_word_frac") == 0.0)
+
+    val r3 = got(3L)
+    assert(r3.getAs[Long]("top_bigram_count") == 1L)
+    assert(r3.getAs[Double]("dup_bigram_frac") == 0.0)
+    // 1 trigram, distinct → 0.0
+    assert(r3.getAs[Double]("dup_trigram_frac") == 0.0)
+
+    val r4 = got(4L)
+    assert(r4.getAs[Double]("dup_word_frac") == 0.75)
+    assert(r4.getAs[Long]("top_bigram_count") == 3L)
+    assert(r4.getAs[Double]("top_bigram_frac") == 1.0)
+    assert(r4.getAs[Double]("dup_trigram_frac") == 0.5)
+  }
+
+  test("repetition tie-break is the lexicographically larger bigram") {
+    val df = Seq((1L, "b a b a")).toDF("doc_id", "text")
+    // bigrams [b a, a b, b a]: "b a" wins on count; flip the counts and
+    // "z z" vs "a a" at equal count picks "z z"
+    val r = TextAnalysis.repetitionOf(df).head
+    assert(r.getAs[String]("top_bigram") == "b a")
+    val tie = TextAnalysis.repetitionOf(
+      Seq((1L, "a a z z")).toDF("doc_id", "text")).head
+    // bigrams [a a, a z, z z] all count 1 → max struct picks "z z"
+    assert(tie.getAs[String]("top_bigram") == "z z")
+  }
+
   test("fingerprint is order-invariant and content-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"), (2L, "gamma alpha beta"), (3L, "alpha beta delta"))
