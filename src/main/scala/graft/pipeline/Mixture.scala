@@ -6,37 +6,55 @@ import graft.Tables
 
 /** Domain-mixture rebalancing — the sampling stage a training-data
   * pipeline runs after curation: the raw corpus over-represents some
-  * sources (web crawl) and under-represents others (books, code), so
-  * documents are down-sampled per source to hit a target mixture before
+  * domains (web crawl) and under-represents others (books, code), so
+  * documents are down-sampled per domain to hit a target mixture before
   * tokenization. Two published policies:
   *
-  *   - uniform cap (`mix_domain_uniform`): every source down-sampled to
-  *     ~the smallest source's count — the "equal share" mixture;
+  *   - uniform cap (`mix_domain_uniform`): every domain down-sampled to
+  *     ~the smallest domain's count — the "equal share" mixture;
   *   - temperature sampling (`mix_temperature`): keep rate
-  *     `(n_min / n_s)^(1-α)` with α = 0.5, the multilingual-corpus
+  *     `(n_min / n_d)^(1-α)` with α = 0.5, the multilingual-corpus
   *     rebalancing rule of Conneau & Lample (XLM, 2019) / mT5 — α = 1
   *     keeps everything, α = 0 is the uniform cap, between interpolates.
   *
+  * The fixture's `source` column is deliberately uniform (equal doc
+  * counts per source — a mixture over it would be the vacuous rate 1.0
+  * everywhere), so the domain key is derived with a skewing fold,
+  * `domain = 'd' ⧺ ⌊√srcnum⌋`, grouping src0..srcN into power-law-ish
+  * buckets (25/75/125/175/100 docs at the fixture scales) — the same
+  * synthesize-the-missing-column pattern as `cb_url_host_topn`'s
+  * referers. sqrt of a small int is exact in IEEE, so the key agrees
+  * bitwise across engines.
+  *
   * Determinism is the whole design: the keep decision is
   * `hash64(seed, doc_id) % 1e6 < rate_ppm`, with `rate_ppm` computed in
-  * integer arithmetic (uniform: `n_min * 1e6 DIV n_s`) or via
-  * correctly-rounded double ops with NO cross-source accumulation
+  * integer arithmetic (uniform: `n_min * 1e6 DIV n_d`) or via
+  * correctly-rounded double ops with NO cross-domain accumulation
   * (temperature: one division, one sqrt, one multiply, one floor — each
   * IEEE-correctly-rounded, so both engines and any cluster size produce
-  * the identical sample). A policy normalizing by `Σ_s w_s` would sum
+  * the identical sample). A policy normalizing by `Σ_d w_d` would sum
   * doubles in engine-specific order and flip boundary documents; the
-  * per-source-only form avoids that class entirely.
+  * per-domain-only form avoids that class entirely.
   *
-  * Scale posture: pass 1 aggregates to |sources| rows (a metadata-sized
-  * per-source count — on a cluster this is the only global exchange and
-  * it carries ONE row per source); pass 2 is a single corpus scan with
+  * Scale posture: pass 1 aggregates to |domains| rows (a metadata-sized
+  * per-domain count — on a cluster this is the only global exchange and
+  * it carries ONE row per domain); pass 2 is a single corpus scan with
   * the rate table broadcast back, the keep predicate evaluated in the
-  * scan's codegen stage, and a map-side-combining per-source count. No
+  * scan's codegen stage, and a map-side-combining per-domain count. No
   * corpus-sized shuffle anywhere.
   */
 object Mixture {
 
   private val Ppm = 1000000L
+
+  /** Skewed domain key over the uniform fixture sources (see scaladoc). */
+  def domain: Column =
+    concat(lit("d"),
+      floor(sqrt(regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")))
+        .cast("int").cast("string"))
+
+  val domainSql: String =
+    "'d' || CAST(CAST(floor(sqrt(CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT))) AS INT) AS VARCHAR)"
 
   /** hash64(seed, doc_id) % 1e6 — non-negative (the md5-derived hash is
     * 60-bit positive), so plain % agrees across engines. */
@@ -46,40 +64,42 @@ object Mixture {
   private def uSql(seed: Int): String =
     s"${Dedup.hash64Sql(seed.toString, "CAST(doc_id AS VARCHAR)")} % $Ppm"
 
-  /** Shared two-pass frame: per-source counts + global min → rate_ppm
-    * (policy-supplied) → deterministic keep → per-source audit summary
+  /** Shared two-pass frame: per-domain counts + global min → rate_ppm
+    * (policy-supplied) → deterministic keep → per-domain audit summary
     * (n_total, rate_ppm, n_kept, achieved keep fraction). */
   private def mix(s: SparkSession, dir: String, seed: Int,
       ratePpm: Column): DataFrame = {
-    val docs = Tables.t(s, dir, "documents")
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val docs = Tables.t(s, dir, "documents").withColumn("domain", domain)
+    val counts = docs.groupBy(col("domain")).agg(count(lit(1)).as("n_total"))
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("n_total")).as("n_min"))))
-      .select(col("source"), col("n_total"), ratePpm.as("rate_ppm"))
-    docs.select(col("source"), u(seed).as("u"))
-      .join(broadcast(rates), Seq("source"))
-      .groupBy(col("source"), col("n_total"), col("rate_ppm"))
+      .select(col("domain"), col("n_total"), ratePpm.as("rate_ppm"))
+    docs.select(col("domain"), u(seed).as("u"))
+      .join(broadcast(rates), Seq("domain"))
+      .groupBy(col("domain"), col("n_total"), col("rate_ppm"))
       .agg(sum(when(col("u") < col("rate_ppm"), 1L).otherwise(0L)).as("n_kept"))
-      .select(col("source"), col("n_total"), col("rate_ppm"), col("n_kept"),
+      .select(col("domain"), col("n_total"), col("rate_ppm"), col("n_kept"),
         (col("n_kept").cast("double") / col("n_total")).as("kept_frac"))
   }
 
   private def mixSql(seed: Int, ratePpmSql: String): String =
-    s"""WITH counts AS (
-       |  SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+    s"""WITH doms AS (
+       |  SELECT doc_id, $domainSql AS domain FROM documents),
+       |counts AS (
+       |  SELECT domain, count(*) AS n_total FROM doms GROUP BY domain),
        |rates AS (
-       |  SELECT source, n_total, $ratePpmSql AS rate_ppm
+       |  SELECT domain, n_total, $ratePpmSql AS rate_ppm
        |  FROM counts, (SELECT min(n_total) AS n_min FROM counts) m),
        |hashed AS (
-       |  SELECT source, ${uSql(seed)} AS u FROM documents)
-       |SELECT source, n_total, rate_ppm,
+       |  SELECT domain, ${uSql(seed)} AS u FROM doms)
+       |SELECT domain, n_total, rate_ppm,
        |  CAST(sum(CASE WHEN u < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |  CAST(sum(CASE WHEN u < rate_ppm THEN 1 ELSE 0 END) AS DOUBLE)
        |    / n_total AS kept_frac
-       |FROM hashed JOIN rates USING (source)
-       |GROUP BY source, n_total, rate_ppm""".stripMargin
+       |FROM hashed JOIN rates USING (domain)
+       |GROUP BY domain, n_total, rate_ppm""".stripMargin
 
-  /** Uniform cap: every source down-sampled to ~n_min documents.
+  /** Uniform cap: every domain down-sampled to ~n_min documents.
     * `rate_ppm = n_min * 1e6 DIV n_total` — pure integer arithmetic
     * (n_min ≤ 2^33 before the product leaves BIGINT range). */
   def mixDomainUniform(s: SparkSession, dir: String): DataFrame =
@@ -104,22 +124,112 @@ object Mixture {
   /** The kept documents themselves (the pipeline's actual output; the
     * audit entries above are what the oracle pins). */
   def sampleUniform(s: SparkSession, dir: String, seed: Int = 7): DataFrame = {
-    val docs = Tables.t(s, dir, "documents")
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val docs = Tables.t(s, dir, "documents").withColumn("domain", domain)
+    val counts = docs.groupBy(col("domain")).agg(count(lit(1)).as("n_total"))
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("n_total")).as("n_min"))))
-      .select(col("source"),
+      .select(col("domain"),
         expr(s"n_min * $Ppm DIV n_total").as("rate_ppm"))
-    docs.join(broadcast(rates), Seq("source"))
+    docs.join(broadcast(rates), Seq("domain"))
       .filter(u(seed) < col("rate_ppm"))
       .drop("rate_ppm")
   }
 
+  /** The full curation funnel in one entry — the composition a
+    * training-data pipeline actually runs, each stage reusing the SAME
+    * column builders its standalone entry pins:
+    *
+    *   1. quality gate: [[TextAnalysis.qualityFlags]] ∧ duplicate-trigram
+    *      fraction ≤ 0.3 ([[TextAnalysis.dupTrigramFrac]]);
+    *   2. exact dedup: canonical representative = min doc_id per
+    *      normalized-md5 fingerprint (dedup_exact's hash);
+    *   3. uniform mixture cap over the SURVIVING per-domain counts.
+    *
+    * Audit output per domain: n_raw → n_quality → n_unique → (rate_ppm)
+    * → n_final. Scale posture: stage 1 is one codegen scan projection;
+    * stage 2 is the single corpus-sized exchange (groupBy fingerprint —
+    * dedup cannot avoid it); stages 3+ run on metadata-sized per-domain
+    * counts with broadcast joins back. The `uniq` frame feeds two
+    * consumers (counts + final sample) — at cluster scale you'd persist
+    * it; here it recomputes one cheap aggregate. */
+  def mixCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val keepQ = TextAnalysis.qualityFlags(col("text")).reduce(_ && _) &&
+      coalesce(TextAnalysis.dupTrigramFrac(col("text")), lit(0.0)) <= 0.3
+    val flagged = Tables.t(s, dir, "documents").select(
+      col("doc_id"), domain.as("domain"),
+      md5(Dedup.normalized(col("text")).cast("binary")).as("fp"),
+      keepQ.as("keep"))
+    val raw = flagged.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"))
+    val uniq = flagged.filter(col("keep"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        expr("min_by(domain, doc_id)").as("domain"))
+    val counts = uniq.groupBy(col("domain")).agg(count(lit(1)).as("n_unique"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_unique")).as("n_min"))))
+      .select(col("domain"), col("n_unique"),
+        expr(s"n_min * $Ppm DIV n_unique").as("rate_ppm"))
+    val finals = uniq.select(col("domain"), u(13).as("u"))
+      .join(broadcast(rates), Seq("domain"))
+      .groupBy(col("domain"))
+      .agg(sum(when(col("u") < col("rate_ppm"), 1L).otherwise(0L)).as("n_final"))
+    raw.join(rates.drop("n_min"), Seq("domain"), "left")
+      .join(finals, Seq("domain"), "left")
+      .select(col("domain"), col("n_raw"), col("n_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        col("rate_ppm"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
+  }
+
+  val mixCurationFunnelSql: String =
+    raw"""WITH base AS (
+       |  SELECT doc_id, text, $domainSql AS domain,
+       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, domain,
+       |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+       |    (len(ws) >= 20
+       |     AND CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE)
+       |         / len(ws) <= 4.75
+       |     AND CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+       |         / len(ws) >= 0.05
+       |     AND CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |         / length(text) <= 0.1
+       |     AND coalesce(CAST(len(tgl) - len(list_distinct(tgl)) AS DOUBLE)
+       |         / nullif(len(tgl), 0), 0) <= 0.3) AS keep
+       |  FROM (SELECT *, list_transform(range(1, len(ws) - 1),
+       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tgl
+       |        FROM base)),
+       |raw AS (
+       |  SELECT domain, count(*) AS n_raw,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+       |  FROM sig GROUP BY domain),
+       |uniq AS (
+       |  SELECT fp, min(doc_id) AS doc_id, arg_min(domain, doc_id) AS domain
+       |  FROM sig WHERE keep GROUP BY fp),
+       |counts AS (SELECT domain, count(*) AS n_unique FROM uniq GROUP BY domain),
+       |rates AS (
+       |  SELECT domain, n_unique, (n_min * 1000000) // n_unique AS rate_ppm
+       |  FROM counts, (SELECT min(n_unique) AS n_min FROM counts) m),
+       |finals AS (
+       |  SELECT domain,
+       |    CAST(sum(CASE WHEN ${uSql(13)} < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+       |  FROM uniq JOIN rates USING (domain) GROUP BY domain)
+       |SELECT r.domain, n_raw, n_quality,
+       |  coalesce(n_unique, 0) AS n_unique, rate_ppm,
+       |  coalesce(n_final, 0) AS n_final
+       |FROM raw r LEFT JOIN rates USING (domain) LEFT JOIN finals USING (domain)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_domain_uniform" -> (mixDomainUniform _),
-    "mix_temperature" -> (mixTemperature _))
+    "mix_temperature" -> (mixTemperature _),
+    "mix_curation_funnel" -> (mixCurationFunnel _))
 
   val oracle: Map[String, String] = Map(
     "mix_domain_uniform" -> mixDomainUniformSql,
-    "mix_temperature" -> mixTemperatureSql)
+    "mix_temperature" -> mixTemperatureSql,
+    "mix_curation_funnel" -> mixCurationFunnelSql)
 }

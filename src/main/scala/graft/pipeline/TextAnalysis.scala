@@ -154,20 +154,37 @@ object TextAnalysis {
     * exact integer ratio compared against a constant, so the decision is
     * bit-identical across engines and cluster sizes; the whole operator
     * is one codegen projection over the scan (no shuffle at any scale). */
-  def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
+  /** The four rule flags over a text column — shared by [[textQuality]]
+    * and the curation funnel so the keep definition cannot drift. */
+  def qualityFlags(text: Column): Seq[Column] = {
+    val ws = words(text)
     val nw = size(ws).cast("double")
-    val awl = expr("aggregate(transform(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), w -> length(w)), 0, (acc, x) -> acc + x)")
-      .cast("double") / nw
+    val awl = aggregate(transform(ws, w => length(w)), lit(0),
+      (acc, x) => acc + x).cast("double") / nw
     val stopRatio = size(filter(ws,
       w => w.isin(Seq("the", "a", "of", "and", "to", "in", "is").map(lit(_)): _*)))
       .cast("double") / nw
-    val symRatio = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
-      .cast("double") / length(col("text"))
-    val okLen = nw >= 20
-    val okShape = awl <= 4.75
-    val okStop = stopRatio >= 0.05
-    val okSym = symRatio <= 0.1
+    val symRatio = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
+      .cast("double") / length(text)
+    Seq(nw >= 20, awl <= 4.75, stopRatio >= 0.05, symRatio <= 0.1)
+  }
+
+  /** Duplicate-trigram fraction over a text column (NULL below 3 words)
+    * — the funnel's repetition gate; the same trigram construction and
+    * NULLIF-guarded division as [[repetitionOf]]. */
+  def dupTrigramFrac(text: Column): Column = {
+    val ws = words(text)
+    val tg = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    (size(tg).cast("long") - size(array_distinct(tg)).cast("long"))
+      .cast("double") / nullif(size(tg).cast("long"), lit(0L))
+  }
+
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val Seq(okLen, okShape, okStop, okSym) = qualityFlags(col("text"))
     Tables.t(s, dir, "documents").select(
       col("doc_id"),
       okLen.as("ok_len"), okShape.as("ok_shape"),

@@ -6,15 +6,15 @@ import org.apache.spark.sql.functions._
 class MixtureSpec extends SparkSpec {
   import spark.implicits._
 
-  test("uniform cap: min source keeps everything, others land near n_min") {
+  test("uniform cap: min domain keeps everything, others land near n_min") {
     val rows = Mixture.mixDomainUniform(spark, sf("sf0.001"))
-      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_total"),
+      .collect().map(r => (r.getAs[String]("domain"), r.getAs[Long]("n_total"),
         r.getAs[Long]("rate_ppm"), r.getAs[Long]("n_kept")))
     assert(rows.nonEmpty)
     val nMin = rows.map(_._2).min
     for ((src, total, ppm, kept) <- rows) {
       if (total == nMin) {
-        assert(ppm == 1000000L, s"$src: min source must keep all (ppm=$ppm)")
+        assert(ppm == 1000000L, s"$src: min domain must keep all (ppm=$ppm)")
         assert(kept == total)
       }
       // expectation is ~n_min per source; hash-Bernoulli at fixture sizes
@@ -27,9 +27,9 @@ class MixtureSpec extends SparkSpec {
 
   test("temperature α=0.5 interpolates: uniform rate ≤ rate ≤ 1") {
     val uni = Mixture.mixDomainUniform(spark, sf("sf0.001"))
-      .select("source", "rate_ppm").as[(String, Long)].collect().toMap
+      .select("domain", "rate_ppm").as[(String, Long)].collect().toMap
     val temp = Mixture.mixTemperature(spark, sf("sf0.001"))
-      .select("source", "rate_ppm").as[(String, Long)].collect().toMap
+      .select("domain", "rate_ppm").as[(String, Long)].collect().toMap
     assert(temp.keySet == uni.keySet)
     for ((src, tPpm) <- temp) {
       assert(tPpm >= uni(src), s"$src: temperature below uniform cap")
@@ -52,8 +52,8 @@ class MixtureSpec extends SparkSpec {
       "sampleUniform and the audit entry must agree on the kept set size")
   }
 
-  test("single-source corpus keeps everything under both policies") {
-    val df = Seq((1L, "s0"), (2L, "s0"), (3L, "s0"))
+  test("single-domain corpus keeps everything under both policies") {
+    val df = Seq((1L, "src0"), (2L, "src0"), (3L, "src0"))
       .toDF("doc_id", "source")
     // route through the same frame by staging a one-source documents dir
     val dir = java.nio.file.Files.createTempDirectory("mixture").toString
