@@ -231,6 +231,43 @@ object StreamingOps {
         max(col("cos")).as("best_cos"))
   }
 
+  case class DocIn(doc_id: Long, domain: String)
+  case class QuotaState(admitted: Long)
+  case class AdmitOut(domain: String, doc_id: Long, admit_seq: Long)
+
+  /** Streaming per-domain quota admission — the streaming face of the
+    * mixture stage (`pipeline/Mixture`): an ingest stream admits at most
+    * `quota` documents per domain and drops the rest, the admission
+    * control a continuously-fed training-data pipeline runs where the
+    * batch path would compute mixture rates after the fact.
+    *
+    * State is ONE counter per domain (`QuotaState(admitted)`) — bounded
+    * by |domains|, not by stream length, the essential property at
+    * ∞-stream scale; a saturated domain's group keeps a single long and
+    * emits nothing. Admission is arrival-order dependent ACROSS
+    * micro-batches by design (quota semantics); WITHIN a batch the group
+    * iterator is sorted by doc_id so replays of the same batch admit the
+    * same prefix. Emitted rows carry their admission sequence number
+    * (1-based per domain) so downstream audit can verify the cap. */
+  def quotaAdmitStream(docs: Dataset[DocIn], quota: Long): Dataset[AdmitOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.domain)
+      .flatMapGroupsWithState[QuotaState, AdmitOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, rows: Iterator[DocIn], state: GroupState[QuotaState]) =>
+          var n = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AdmitOut]
+          rows.toSeq.sortBy(_.doc_id).iterator
+            .takeWhile(_ => n < quota)
+            .foreach { d =>
+              n += 1
+              out += AdmitOut(domain, d.doc_id, n)
+            }
+          state.update(QuotaState(n))
+          out.iterator
+      }
+  }
+
   /** Batch-equivalence helper: the same windowed aggregation phrased over
     * a static frame (used to validate streaming results in tests). */
   def windowedCountsBatch(events: DataFrame, width: String = "5 minutes"): DataFrame =

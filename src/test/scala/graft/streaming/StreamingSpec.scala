@@ -179,6 +179,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quota admission caps each domain across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[StreamingOps.DocIn]
+    // batch 1: a gets 2, b gets 1 — under the quota of 3
+    src.addData(StreamingOps.DocIn(1L, "a"), StreamingOps.DocIn(2L, "a"),
+      StreamingOps.DocIn(3L, "b"))
+    val q = StreamingOps.quotaAdmitStream(src.toDS(), quota = 3L)
+      .writeStream.format("memory").queryName("qa").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a offers 3 more but only 1 slot remains; b fills up
+      src.addData(StreamingOps.DocIn(4L, "a"), StreamingOps.DocIn(5L, "a"),
+        StreamingOps.DocIn(6L, "a"), StreamingOps.DocIn(7L, "b"),
+        StreamingOps.DocIn(8L, "b"))
+      q.processAllAvailable()
+      // batch 3: both saturated — nothing admitted
+      src.addData(StreamingOps.DocIn(9L, "a"), StreamingOps.DocIn(10L, "b"))
+      q.processAllAvailable()
+      val out = spark.table("qa").as[StreamingOps.AdmitOut].collect()
+      val byDomain = out.groupBy(_.domain).view.mapValues(_.sortBy(_.admit_seq)).toMap
+      assert(byDomain("a").map(_.doc_id).toSeq == Seq(1L, 2L, 4L),
+        "domain a admits the first 2, then the doc_id-sorted head of batch 2")
+      assert(byDomain("b").map(_.doc_id).toSeq == Seq(3L, 7L, 8L))
+      assert(out.forall(_.admit_seq <= 3L), "admission sequence exceeds quota")
+      assert(byDomain("a").map(_.admit_seq).toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionization counts per-user events with gap splits") {
     val events = Seq(
       StreamingOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
