@@ -52,6 +52,23 @@ class MixtureSpec extends SparkSpec {
       "sampleUniform and the audit entry must agree on the kept set size")
   }
 
+  test("plan pins: broadcast rate joins, fp exchange is the only corpus shuffle") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pu = plan(Mixture.mixDomainUniform(spark, sf()))
+    assert(pu.contains("BroadcastHashJoin"),
+      "the rate table must broadcast back to the corpus scan")
+    assert(!pu.contains("SortMergeJoin"),
+      "no corpus-scale shuffle join in the mixture audit")
+    val pf = plan(Mixture.mixCurationFunnel(spark, sf()))
+    assert(pf.contains("hashpartitioning(fp"),
+      "exact dedup must exchange on the fingerprint")
+    assert(pf.contains("BroadcastHashJoin") && !pf.contains("SortMergeJoin"),
+      "all rate/audit joins are broadcast — only the dedup exchange " +
+        "touches corpus-sized data")
+  }
+
   test("single-domain corpus keeps everything under both policies") {
     val df = Seq((1L, "src0"), (2L, "src0"), (3L, "src0"))
       .toDF("doc_id", "source")

@@ -199,6 +199,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r4.getAs[Double]("dup_trigram_frac") == 0.5)
   }
 
+  test("repetition plan is one codegen projection: no exchange, no join") {
+    val p = TextAnalysis.textRepetition(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "repetition signals must stay shuffle-free at any corpus size")
+  }
+
   test("repetition tie-break is the lexicographically larger bigram") {
     val df = Seq((1L, "b a b a")).toDF("doc_id", "text")
     // bigrams [b a, a b, b a]: "b a" wins on count; flip the counts and
