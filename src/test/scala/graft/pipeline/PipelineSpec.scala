@@ -199,6 +199,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r4.getAs[Double]("dup_trigram_frac") == 0.5)
   }
 
+  test("repetition fold equals a naive reference on random word lists") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny alphabet so duplicate bigrams and count ties actually occur
+    val word = Gen.oneOf("a", "b", "c", "ab")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val prop = Prop.forAll(Gen.listOfN(24, doc)) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.repetitionOf(df).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (Option(r.getAs[java.lang.Long]("top_bigram_count")).map(_.toLong),
+            Option(r.getAs[String]("top_bigram")))).toMap
+      docs.zipWithIndex.forall { case (wsRaw, i) =>
+        // the engine normalizes: empty text still splits to [""]
+        val ws = wsRaw.mkString(" ").trim.toLowerCase
+          .replaceAll("\\s+", " ").split(" ", -1).toSeq
+        val bg = if (ws.length >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq
+          else Seq.empty
+        val want =
+          if (bg.isEmpty) (None, None)
+          else {
+            val counts = bg.groupBy(identity).view.mapValues(_.size.toLong)
+            // max by (count, gram) — larger gram wins ties
+            val (b, c) = counts.toSeq.maxBy { case (g, n) => (n, g) }
+            (Some(c), Some(b))
+          }
+        got(i.toLong) == want
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("repetition plan is one codegen projection: no exchange, no join") {
     val p = TextAnalysis.textRepetition(spark, sf())
       .queryExecution.explainString(
