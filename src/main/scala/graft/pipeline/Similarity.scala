@@ -112,6 +112,78 @@ object Similarity {
        |SELECT qid, vec_id, cos FROM scored WHERE rn <= 5""".stripMargin
   }
 
+  /** BANDED LSH ANN — the recall fix for [[annLsh]]'s measured failure
+    * mode: with a single 8-plane bucket, a true neighbor must match all
+    * 8 sign bits, and on this corpus (top cosines ≈ 0.3–0.37, per-plane
+    * agreement p ≈ 0.6) that is p⁸ ≈ 2% — `ann_recall` measured recall@5
+    * = 0.0 across every probe. Banding is the standard remedy (same OR-
+    * of-bands construction as the MinHash dedup path): 8 bands × 4
+    * planes, candidate if ANY band's 4-bit bucket matches, then exact
+    * cosine re-rank. Expected neighbor match 1-(1-p⁴)⁸ ≈ 0.67 at p=0.6
+    * vs ~2% single-band; the measured value is pinned by `ann_recall`.
+    * Scale posture: per-band joins are the same sub-linear bucket joins,
+    * the DISTINCT collapses multi-band hits before the (more expensive)
+    * cosine re-rank, and the candidate fraction rises with band count —
+    * the recall/candidate-volume dial every production LSH exposes. */
+  def annLshBanded(s: SparkSession, dir: String): DataFrame = {
+    val bands = 8
+    val perBand = 4
+    val e = Tables.t(s, dir, "embeddings")
+    val planes = hyperplanes(s, numPlanes = bands * perBand, dim = 64)
+    val bb = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("x") * col("w")).as("dot"))
+      .withColumn("band", expr(s"plane DIV $perBand"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(when(col("dot") > 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(plane % $perBand AS INT))"))
+        .otherwise(0L)).as("bucket"))
+    val probes = bb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+    val cands = bb.join(probes, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    cands
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("q")), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        G.list_cosine_similarity(col("embedding"), col("q")).as("cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("cos"))
+  }
+
+  val annLshBandedSql: String = {
+    val h = Dedup.hash64Sql("42", "(p.plane*64+d.d)")
+    s"""WITH planes AS (
+       |  SELECT p.plane, d.d, CAST(($h % 1024) - 512 AS DOUBLE) AS w
+       |  FROM (SELECT unnest(range(32)) AS plane) p, (SELECT unnest(range(64)) AS d) d),
+       |dots AS (
+       |  SELECT e.vec_id, pl.plane, sum(e.embedding[pl.d+1] * pl.w) AS dot
+       |  FROM embeddings e, planes pl
+       |  WHERE e.embedding IS NOT NULL
+       |  GROUP BY e.vec_id, pl.plane),
+       |bb AS (
+       |  SELECT vec_id, plane // 4 AS band,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(plane % 4 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |probes AS (SELECT vec_id AS qid, band, bucket FROM bb WHERE vec_id < 5),
+       |cands AS (
+       |  SELECT DISTINCT p.qid, w.vec_id
+       |  FROM bb w JOIN probes p USING (band, bucket) WHERE w.vec_id <> p.qid),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id, list_cosine_similarity(e.embedding, q2.embedding) AS cos,
+       |    row_number() OVER (PARTITION BY c.qid
+       |      ORDER BY list_cosine_similarity(e.embedding, q2.embedding) DESC, c.vec_id) AS rn
+       |  FROM cands c
+       |  JOIN embeddings e ON c.vec_id = e.vec_id
+       |  JOIN embeddings q2 ON c.qid = q2.vec_id)
+       |SELECT qid, vec_id, cos FROM scored WHERE rn <= 5""".stripMargin
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into nlist cells by nearest centroid; a probe searches only its
     * nprobe nearest cells. At 10⁹ vectors each probe touches
@@ -156,12 +228,18 @@ object Similarity {
 
   /** IVF probe: the first 3 vectors each search their nprobe=2 nearest
     * cells and rank candidates by exact cosine (top-5). */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    ivfTopk(s, dir, probeMax = 3)
+
+  /** The same IVF probe with a parameterized probe set (`vec_id <
+    * probeMax`) — `ann_recall` evaluates it on the recall battery's
+    * shared probe set. */
+  def ivfTopk(s: SparkSession, dir: String, probeMax: Int): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
     val nlist = 16
     val cells = ivfCells(e, nlist)
     val cents = ivfCentroids(e, nlist)
-    val probeCells = e.filter(col("vec_id") < 3)
+    val probeCells = e.filter(col("vec_id") < probeMax)
       .select(col("vec_id").as("qid"), col("embedding").as("q"))
       .join(broadcast(cents))
       .withColumn("pcos", G.list_cosine_similarity(col("q"), col("cvec")))
@@ -182,8 +260,10 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"))
   }
 
-  val annIvfSql: String =
-    """WITH cents AS (
+  val annIvfSql: String = ivfSqlFor(3)
+
+  def ivfSqlFor(probeMax: Int): String =
+    s"""WITH cents AS (
       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
       |cells AS (
       |  SELECT vec_id, embedding, cid FROM (
@@ -198,7 +278,7 @@ object Similarity {
       |    SELECT e.vec_id AS qid, e.embedding AS q, c.cid,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
-      |    FROM embeddings e, cents c WHERE e.vec_id < 3
+      |    FROM embeddings e, cents c WHERE e.vec_id < $probeMax
       |      AND NOT isnan(list_cosine_similarity(e.embedding, c.cvec))) a
       |  WHERE rn <= 2),
       |scored AS (
@@ -208,13 +288,93 @@ object Similarity {
       |  FROM cells s JOIN probe_cells p USING (cid) WHERE s.vec_id <> p.qid)
       |SELECT qid, vec_id, cos FROM scored WHERE rn <= 5""".stripMargin
 
+  /** Recall@5 of the two approximate paths against the exact baseline —
+    * "measure, don't guess" applied to ANN quality: per probe (the first
+    * 5 vectors), how many of the exact top-5 neighbors the LSH-bucketed
+    * and IVF searches actually returned. Both approximate pipelines are
+    * the very frames the `ann_lsh`/`ann_ivf` entries pin, so the recall
+    * numbers are properties of the shipped operators, not of a test
+    * double. NaN cosines are filtered before ranking (the cross-engine
+    * NaN-ordering hazard documented at [[ivfCells]]). Scale posture: the
+    * exact baseline is probe-count × corpus (evaluation-sized, not
+    * production-sized — recall is measured on a sampled probe set); the
+    * approximate sides keep their sub-linear plans. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        G.list_cosine_similarity(col("embedding"), col("q")).as("cos"))
+      .filter(!isnan(col("cos")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame = {
+      val hits = approx.select(col("qid"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      probes.select(col("qid"))
+        .join(broadcast(hits), Seq("qid"), "left")
+        .select(lit(method).as("method"), col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) / lit(5.0)).as("recall"))
+    }
+    recallOf("lsh", annLsh(s, dir))
+      .unionByName(recallOf("lsh_banded", annLshBanded(s, dir)))
+      .unionByName(recallOf("ivf", ivfTopk(s, dir, probeMax = 5)))
+  }
+
+  val annRecallSql: String =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < 5),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT p.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY list_cosine_similarity(e.embedding, p.q) DESC, e.vec_id) AS rn
+       |    FROM embeddings e, probes p
+       |    WHERE e.vec_id <> p.qid
+       |      AND NOT isnan(list_cosine_similarity(e.embedding, p.q))) a
+       |  WHERE rn <= 5),
+       |lshr AS (SELECT qid, vec_id FROM ($annLshSql) l),
+       |bndr AS (SELECT qid, vec_id FROM ($annLshBandedSql) b),
+       |ivfr AS (SELECT qid, vec_id FROM (${ivfSqlFor(5)}) i),
+       |lsh_hits AS (
+       |  SELECT qid, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM lshr JOIN exact USING (qid, vec_id) GROUP BY qid),
+       |bnd_hits AS (
+       |  SELECT qid, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM bndr JOIN exact USING (qid, vec_id) GROUP BY qid),
+       |ivf_hits AS (
+       |  SELECT qid, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM ivfr JOIN exact USING (qid, vec_id) GROUP BY qid)
+       |SELECT 'lsh' AS method, p.qid, coalesce(h.n_hit, 0) AS n_hit,
+       |       coalesce(h.n_hit, 0) / 5.0 AS recall
+       |FROM probes p LEFT JOIN lsh_hits h USING (qid)
+       |UNION ALL
+       |SELECT 'lsh_banded' AS method, p.qid, coalesce(h.n_hit, 0) AS n_hit,
+       |       coalesce(h.n_hit, 0) / 5.0 AS recall
+       |FROM probes p LEFT JOIN bnd_hits h USING (qid)
+       |UNION ALL
+       |SELECT 'ivf' AS method, p.qid, coalesce(h.n_hit, 0) AS n_hit,
+       |       coalesce(h.n_hit, 0) / 5.0 AS recall
+       |FROM probes p LEFT JOIN ivf_hits h USING (qid)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
-    "ann_ivf" -> (annIvf _))
+    "ann_lsh_banded" -> (annLshBanded _),
+    "ann_ivf" -> (annIvf _),
+    "ann_recall" -> (annRecall _))
 
   val oracle: Map[String, String] = Map(
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
-    "ann_ivf" -> annIvfSql)
+    "ann_lsh_banded" -> annLshBandedSql,
+    "ann_ivf" -> annIvfSql,
+    "ann_recall" -> annRecallSql)
 }

@@ -127,6 +127,19 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.hyperplanes(spark, 4, 8).collect().toSeq
     assert(a.toSet == b.toSet)
   }
+
+  test("banding lifts LSH recall; recall is bounded and IVF stays strong") {
+    val r = Similarity.annRecall(spark, sf("sf0.001")).collect()
+      .map(x => (x.getString(0), x.getAs[Number]("qid").longValue(),
+        x.getAs[Number]("n_hit").longValue()))
+    val byMethod = r.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byMethod.keySet == Set("lsh", "lsh_banded", "ivf"))
+    // 5 probes × k=5 → 25 possible hits per method
+    assert(byMethod.values.forall(h => h >= 0 && h <= 25))
+    assert(byMethod("lsh_banded") > byMethod("lsh"),
+      s"banding must lift recall over the single 8-plane bucket: $byMethod")
+    assert(byMethod("ivf") >= byMethod("lsh"), s"ivf should not trail single-band lsh: $byMethod")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
