@@ -48,6 +48,8 @@ object GraftFunctions {
     udaf(new GraftAggregators.EntropyAggregator).apply(c)
   def histogram_map(c: Column): Column =
     udaf(new GraftAggregators.HistogramAggregator).apply(c)
+  def approx_top_k(c: Column, capacity: Int = 64, k: Int = 5): Column =
+    udaf(new GraftAggregators.SpaceSavingAggregator(capacity, k)).apply(c)
 
   /** Register the custom scalar functions for `spark.sql` use. */
   def register(spark: SparkSession): Unit = {

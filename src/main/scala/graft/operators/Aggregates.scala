@@ -271,6 +271,33 @@ object Aggregates {
       |  abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5)) <= 2 AS p50_within_2
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Space-Saving heavy hitters (`functions.GraftFunctions.approx_top_k`,
+    * a custom `Aggregator` — Metwally et al. 2005): top-k frequent values
+    * in O(capacity) memory per partition regardless of row count, the
+    * scalable answer when an exact GROUP BY's key domain would blow the
+    * hash table. On this column the distinct count (5) sits far below
+    * capacity (64), where the sketch is provably EXACT (no eviction, all
+    * errors 0) — so the oracle is the plain GROUP BY twin; the
+    * under-capacity approximation bound is spec-tested on synthetic skew
+    * (AggregatorsSpec). */
+  def aggTopkSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GraftFunctions => G}
+    Tables.t(s, dir, "events")
+      .agg(G.approx_top_k(col("event_type"), capacity = 64, k = 5).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.value").as("value"),
+        col("h.count_est").as("count_est"),
+        col("h.max_err").as("max_err"))
+  }
+
+  val aggTopkSketchSql: String =
+    """SELECT event_type AS value, count(*) AS count_est,
+      |       CAST(0 AS BIGINT) AS max_err
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY count_est DESC, value
+      |LIMIT 5""".stripMargin
+
   /** Linear-regression aggregates (reference
     * `src/core_functions/aggregate/regression/` regr_*.cpp files). */
   def aggRegr(s: SparkSession, dir: String): DataFrame =
@@ -347,7 +374,8 @@ object Aggregates {
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_regr" -> (aggRegr _),
     "agg_product" -> (aggProduct _),
-    "agg_quantile_disc" -> (aggQuantileDisc _))
+    "agg_quantile_disc" -> (aggQuantileDisc _),
+    "agg_topk_sketch" -> (aggTopkSketch _))
 
   val oracle: Map[String, String] = Map(
     "agg_grouping_fn" -> aggGroupingFnSql,
@@ -367,5 +395,6 @@ object Aggregates {
     "agg_approx_distinct" -> aggApproxDistinctSql,
     "agg_regr" -> aggRegrSql,
     "agg_product" -> aggProductSql,
-    "agg_quantile_disc" -> aggQuantileDiscSql)
+    "agg_quantile_disc" -> aggQuantileDiscSql,
+    "agg_topk_sketch" -> aggTopkSketchSql)
 }

@@ -288,6 +288,45 @@ object Similarity {
       |  FROM cells s JOIN probe_cells p USING (cid) WHERE s.vec_id <> p.qid)
       |SELECT qid, vec_id, cos FROM scored WHERE rn <= 5""".stripMargin
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * project the 64-dim embeddings onto 8 deterministic pseudo-random
+    * integer-weight directions — the preprocessing step a pipeline runs
+    * before indexing when the raw dimension is too wide (JL preserves
+    * pairwise distances within (1±ε) at k = O(log n / ε²) dims). The
+    * projection directions ARE [[hyperplanes]] rows (same hash64-derived
+    * integer weights that keep every x·w product exactly representable,
+    * so the projected values are bit-identical across engines). Output
+    * is LONG format (vec_id, j, p) — array columns crash the driver's
+    * pandas hasher, and the relational shape is what a downstream
+    * re-pack or index build consumes anyway. Scale posture: explode →
+    * broadcast-join the (k×dim)-row direction table → per (vec, j)
+    * partial-agg sum — one corpus-sized exchange on vec_id×j with
+    * map-side combine, the same plan the LSH bucketer runs. */
+  def embProject(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val dirs = hyperplanes(s, numPlanes = 8, dim = 64, seed = 17)
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .join(broadcast(dirs), "d")
+      .groupBy(col("vec_id"), col("plane"))
+      // float32 x × integer w ≤ 2⁹: every product is exact in a double
+      // (24+10 mantissa bits) and the 64-term sum stays exact (≤40 bits)
+      // — so the sum is ORDER-INDEPENDENT and engine-exact, the same
+      // argument that makes the LSH bucket signs oracle-checkable
+      .agg(sum(col("x") * col("w")).as("p"))
+      .select(col("vec_id"), col("plane").as("j"), col("p"))
+  }
+
+  val embProjectSql: String = {
+    val h = Dedup.hash64Sql("17", "(p.plane*64+d.d)")
+    s"""WITH dirs AS (
+       |  SELECT p.plane, d.d, CAST(($h % 1024) - 512 AS DOUBLE) AS w
+       |  FROM (SELECT unnest(range(8)) AS plane) p, (SELECT unnest(range(64)) AS d) d)
+       |SELECT e.vec_id, dd.plane AS j, sum(e.embedding[dd.d+1] * dd.w) AS p
+       |FROM embeddings e, dirs dd
+       |WHERE e.embedding IS NOT NULL
+       |GROUP BY e.vec_id, dd.plane""".stripMargin
+  }
+
   /** Recall@5 of the two approximate paths against the exact baseline —
     * "measure, don't guess" applied to ANN quality: per probe (the first
     * 5 vectors), how many of the exact top-5 neighbors the LSH-bucketed
@@ -369,12 +408,14 @@ object Similarity {
     "ann_lsh" -> (annLsh _),
     "ann_lsh_banded" -> (annLshBanded _),
     "ann_ivf" -> (annIvf _),
-    "ann_recall" -> (annRecall _))
+    "ann_recall" -> (annRecall _),
+    "emb_project" -> (embProject _))
 
   val oracle: Map[String, String] = Map(
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "ann_lsh_banded" -> annLshBandedSql,
     "ann_ivf" -> annIvfSql,
-    "ann_recall" -> annRecallSql)
+    "ann_recall" -> annRecallSql,
+    "emb_project" -> embProjectSql)
 }

@@ -36,4 +36,37 @@ class AggregatorsSpec extends SparkSpec {
       .agg(G.histogram_map($"v")).head.getMap[String, Long](0)
     assert(m("a") == 3L && m("b") == 1L && m("c") == 1L)
   }
+
+  private def topk(df: org.apache.spark.sql.DataFrame, cap: Int, k: Int) =
+    df.agg(G.approx_top_k($"v", cap, k).as("hh"))
+      .select(org.apache.spark.sql.functions.explode($"hh").as("h"))
+      .select($"h.value", $"h.count_est", $"h.max_err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  test("approx_top_k is exact (zero error) when distincts fit capacity") {
+    val df = spark.range(0, 1000, 1, 8)
+      .select(($"id" % 7).cast("string").as("v"))
+    val hh = topk(df, cap = 16, k = 7)
+    assert(hh.length == 7)
+    assert(hh.forall(_._3 == 0L), s"no eviction → all errors zero: ${hh.toSeq}")
+    // ids 0..999 % 7: 143 each for 0..5 (plus 1 extra for 0..5? compute exactly)
+    val exact = (0L until 1000L).groupBy(_ % 7).view.mapValues(_.size.toLong).toMap
+    hh.foreach { case (v, c, _) => assert(c == exact(v.toLong), s"$v: $c") }
+  }
+
+  test("approx_top_k under eviction: bound holds, heavy hitter survives") {
+    // skewed stream: "hot" 500×, 100 singletons — capacity 8 forces
+    // eviction; the Space-Saving guarantees to check:
+    //   true ≤ count_est ≤ true + max_err   (overestimate, bounded error)
+    //   any value with freq > N/capacity is tracked  (hot: 500 > 600/8)
+    val rows = (Seq.fill(500)("hot") ++ (0 until 100).map(i => s"cold$i"))
+    val df = spark.sparkContext.parallelize(rows, 4).toDF("v")
+    val hh = topk(df, cap = 8, k = 8)
+    val hot = hh.find(_._1 == "hot")
+    assert(hot.isDefined, s"frequency-500 value must be tracked: ${hh.toSeq}")
+    val (_, c, e) = hot.get
+    assert(c >= 500L, s"space-saving never underestimates: $c")
+    assert(c - e <= 500L, s"true count must lie in [est-err, est]: est=$c err=$e")
+    assert(hh.length <= 8)
+  }
 }

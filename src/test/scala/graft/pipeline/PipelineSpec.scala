@@ -128,6 +128,26 @@ class SimilaritySpec extends SparkSpec {
     assert(a.toSet == b.toSet)
   }
 
+  test("random projection is linear and deterministic (JL preprocessing)") {
+    val p1 = Similarity.embProject(spark, sf("sf0.001")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("j").intValue()) ->
+        r.getAs[Double]("p")).toMap
+    val p2 = Similarity.embProject(spark, sf("sf0.001")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("j").intValue()) ->
+        r.getAs[Double]("p")).toMap
+    assert(p1 == p2, "projection must be bit-deterministic")
+    assert(p1.keys.map(_._2).toSet == (0 until 8).toSet, "8 output dims")
+    // linearity check against a scalar reference for one vector
+    val e = graft.Tables.t(spark, sf("sf0.001"), "embeddings")
+      .filter($"vec_id" === 3L).select($"embedding").head.getSeq[Float](0)
+    val w = Similarity.hyperplanes(spark, 8, 64, seed = 17).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (j <- 0 until 8) {
+      val want = e.zipWithIndex.map { case (x, d) => x * w((j, d)) }.sum
+      assert(p1((3L, j)) == want, s"dim $j: ${p1((3L, j))} != $want")
+    }
+  }
+
   test("banding lifts LSH recall; recall is bounded and IVF stays strong") {
     val r = Similarity.annRecall(spark, sf("sf0.001")).collect()
       .map(x => (x.getString(0), x.getAs[Number]("qid").longValue(),
