@@ -135,6 +135,33 @@ object Mixture {
       .drop("rate_ppm")
   }
 
+  /** Deterministic train/val/test split (90/5/5) — the assignment every
+    * training pipeline needs to be REPRODUCIBLE and LEAK-FREE: membership
+    * is a pure function of doc_id (`hash64(19, doc_id) % 1e6` against ppm
+    * boundaries), so re-runs, backfills, and incremental ingests place
+    * every document in the same split without coordination, and a
+    * document can never drift between train and eval. Audit output:
+    * per-(domain, split) counts. Scale posture: one scan, the split is a
+    * scan-stage codegen CASE, one map-side-combining aggregate to
+    * |domains|×3 rows. */
+  def mixSplit(s: SparkSession, dir: String): DataFrame = {
+    val split = when(u(19) < 900000L, "train")
+      .when(u(19) < 950000L, "val").otherwise("test")
+    Tables.t(s, dir, "documents")
+      .select(domain.as("domain"), split.as("split"))
+      .groupBy(col("domain"), col("split"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val mixSplitSql: String =
+    s"""WITH assigned AS (
+       |  SELECT $domainSql AS domain,
+       |    CASE WHEN u < 900000 THEN 'train'
+       |         WHEN u < 950000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, source, ${uSql(19)} AS u FROM documents) h)
+       |SELECT domain, split, count(*) AS n
+       |FROM assigned GROUP BY domain, split""".stripMargin
+
   /** The full curation funnel in one entry — the composition a
     * training-data pipeline actually runs, each stage reusing the SAME
     * column builders its standalone entry pins:
@@ -226,10 +253,12 @@ object Mixture {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_domain_uniform" -> (mixDomainUniform _),
     "mix_temperature" -> (mixTemperature _),
+    "mix_split" -> (mixSplit _),
     "mix_curation_funnel" -> (mixCurationFunnel _))
 
   val oracle: Map[String, String] = Map(
     "mix_domain_uniform" -> mixDomainUniformSql,
     "mix_temperature" -> mixTemperatureSql,
+    "mix_split" -> mixSplitSql,
     "mix_curation_funnel" -> mixCurationFunnelSql)
 }

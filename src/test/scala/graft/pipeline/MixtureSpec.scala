@@ -52,6 +52,21 @@ class MixtureSpec extends SparkSpec {
       "sampleUniform and the audit entry must agree on the kept set size")
   }
 
+  test("split is exhaustive, deterministic, and ~90/5/5") {
+    val rows = Mixture.mixSplit(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = rows.map(_._3).sum
+    assert(total == 500L, "every document lands in exactly one split")
+    val bySplit = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 90/5/5 in expectation; generous bands at n=500
+    assert(bySplit("train") > 400L && bySplit("train") < 490L, bySplit.toString)
+    assert(bySplit("val") < 60L && bySplit("test") < 60L, bySplit.toString)
+    val again = Mixture.mixSplit(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(again == rows.toSet, "split assignment must be reproducible")
+  }
+
   test("plan pins: broadcast rate joins, fp exchange is the only corpus shuffle") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.explainString(
