@@ -126,6 +126,7 @@ object TextAnalysis {
     "text_fingerprint_rolling" -> (textFingerprintRolling _),
     "text_quality" -> (textQuality _),
     "text_repetition" -> (textRepetition _),
+    "text_boilerplate" -> (textBoilerplate _),
     "text_redact" -> (textRedact _))
 
   /** The same stopword-hit argmax (ties → lexicographically larger lang)
@@ -328,6 +329,69 @@ object TextAnalysis {
        |    / nullif(len(tg), 0) AS dup_trigram_frac
        |FROM grams g LEFT JOIN tops USING (doc_id)""".stripMargin
 
+  /** Cross-document boilerplate removal (CCNet-style, Wenzek et al.
+    * 2020): segment every document into fixed 8-word windows over the
+    * normalized text, count each segment's DOCUMENT frequency across the
+    * corpus, and strip segments appearing in ≥ 3 documents — the
+    * sub-document dedup that catches shared headers/footers/templates
+    * which whole-document dedup (same hash) and near-dup (still below
+    * threshold) both miss. Output per document: segment counts and the
+    * normalized text reassembled without boilerplate (order-preserving).
+    *
+    * Scale posture: the same explode → groupBy(segment) shape as the
+    * shingle pipelines — one corpus-scale exchange for the DF count, one
+    * join back (both on the segment string), one per-doc reassembly
+    * aggregate; every stage map-side combines. The df ≥ 3 threshold and
+    * 8-word window are the CCNet defaults scaled to the fixture corpus. */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val ws = docs.select(col("doc_id"),
+      split(Dedup.normalized(col("text")), " ").as("w"))
+    val segs = ws.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(1), ceil(size(col("w")) / lit(8.0)).cast("int")),
+        i => concat_ws(" ", slice(col("w"), (i - 1) * 8 + 1, lit(8)))))
+        .as(Seq("pos", "s")))
+    val dfreq = segs.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(dfreq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"),
+        concat_ws(" ", transform(
+          filter(
+            array_sort(collect_list(struct(col("pos"),
+              col("s").as("seg"), (col("df") < 3).as("k")))),
+            x => x.getField("k")),
+          x => x.getField("seg"))).as("clean_text"))
+  }
+
+  /** Oracle twin: DuckDB's zipped parallel unnest enumerates segment
+    * ordinals, 1-based inclusive list slicing builds the same windows
+    * (both slicers clamp the final partial window), and the reassembly
+    * is the same sort-filter-join over (pos, seg, keep) structs. The
+    * all-boilerplate edge needs the coalesce: DuckDB's
+    * `array_to_string([], ' ')` is NULL where Spark's concat_ws is ''
+    * (caught by the sf1 sweep — only the inflated corpus produces
+    * fully-boilerplate documents). */
+  val textBoilerplateSql: String =
+    raw"""WITH ws AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, i AS pos, array_to_string(w[(i-1)*8+1:i*8], ' ') AS s
+       |  FROM ws, unnest(range(1, CAST(ceil(len(w)/8.0) AS INT)+1)) t(i)),
+       |dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM seg GROUP BY s),
+       |j AS (SELECT doc_id, pos, s, df FROM seg JOIN dfreq USING (s))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+       |  CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  coalesce(array_to_string(list_transform(list_filter(
+       |    list_sort(list(struct_pack(p := pos, seg := s, k := df < 3))),
+       |    x -> x.k), x -> x.seg), ' '), '') AS clean_text
+       |FROM j GROUP BY doc_id""".stripMargin
+
   /** PII redaction — the scrubbing stage of a training-data pipeline:
     * emails, dotted-quad IPs, and phone-shaped digit runs are replaced
     * with typed placeholders, and the pass is accounted for (counts per
@@ -393,5 +457,6 @@ object TextAnalysis {
     "text_fingerprint_rolling" -> textFingerprintRollingSql,
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
+    "text_boilerplate" -> textBoilerplateSql,
     "text_redact" -> textRedactSql)
 }

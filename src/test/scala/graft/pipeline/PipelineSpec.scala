@@ -286,6 +286,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tie.getAs[String]("top_bigram") == "z z")
   }
 
+  test("boilerplate removal strips shared segments, keeps unique ones") {
+    // 8-word segments; "one two three four five six seven eight" shared
+    // by 3 docs → boilerplate; each doc's second segment is unique
+    val shared = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"$shared doc one tail"),
+      (2L, s"$shared doc two tail"),
+      (3L, s"$shared doc three tail"),
+      (4L, "totally different words here make no shared segment at all"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("ignored")
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    df.withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.textBoilerplate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_seg"), r.getAs[Long]("n_boiler"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((2L, 1L, "doc one tail")))
+    assert(out(2L) == ((2L, 1L, "doc two tail")))
+    assert(out(3L) == ((2L, 1L, "doc three tail")))
+    val (n4, b4, t4) = out(4L)
+    assert(n4 == 2L && b4 == 0L &&
+      t4 == "totally different words here make no shared segment at all")
+  }
+
   test("fingerprint is order-invariant and content-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"), (2L, "gamma alpha beta"), (3L, "alpha beta delta"))
