@@ -162,6 +162,59 @@ object Mixture {
        |SELECT domain, split, count(*) AS n
        |FROM assigned GROUP BY domain, split""".stripMargin
 
+  /** Train/test contamination audit — decontamination's measurement
+    * step: with the SAME deterministic split as [[mixSplit]] and the
+    * SAME 8-word segments as `text_boilerplate`
+    * ([[TextAnalysis.segmentsOf]]), count the distinct segments that
+    * appear in BOTH a train and a test document. Overlapping n-grams
+    * between train data and eval sets silently inflate benchmark scores,
+    * so pipelines measure (and then scrub) exactly this set. Output: one
+    * audit row — distinct train segments, distinct test segments, the
+    * overlap, and overlap/test (the contaminated fraction of the eval
+    * vocabulary). Scale posture: one exchange on the segment string with
+    * max/sum flags folded map-side; no join — presence in each split is
+    * a per-segment aggregate, not a self-join. */
+  def mixContamination(s: SparkSession, dir: String): DataFrame = {
+    val splitCol = when(u(19) < 900000L, "train")
+      .when(u(19) < 950000L, "val").otherwise("test")
+    TextAnalysis.segmentsOf(Tables.t(s, dir, "documents"))
+      .select(col("s"), splitCol.as("split"))
+      .filter(col("split").isin("train", "test"))
+      .groupBy(col("s"))
+      .agg(max(when(col("split") === "train", 1).otherwise(0)).as("in_tr"),
+        max(when(col("split") === "test", 1).otherwise(0)).as("in_te"))
+      .agg(sum(col("in_tr")).as("n_train_segs"),
+        sum(col("in_te")).as("n_test_segs"),
+        sum(col("in_tr") * col("in_te")).as("n_overlap"))
+      .select(col("n_train_segs"), col("n_test_segs"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_test_segs"))
+          .as("contamination"))
+  }
+
+  val mixContaminationSql: String =
+    raw"""WITH ws AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, array_to_string(w[(i-1)*8+1:i*8], ' ') AS s
+       |  FROM ws, unnest(range(1, CAST(ceil(len(w)/8.0) AS INT)+1)) t(i)),
+       |assigned AS (
+       |  SELECT s.s,
+       |    CASE WHEN u < 900000 THEN 'train'
+       |         WHEN u < 950000 THEN 'val' ELSE 'test' END AS split
+       |  FROM seg s JOIN (SELECT doc_id, ${uSql(19)} AS u FROM documents) h
+       |    USING (doc_id)),
+       |flags AS (
+       |  SELECT s, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+       |         max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_te
+       |  FROM assigned WHERE split IN ('train', 'test') GROUP BY s)
+       |SELECT CAST(sum(in_tr) AS BIGINT) AS n_train_segs,
+       |       CAST(sum(in_te) AS BIGINT) AS n_test_segs,
+       |       CAST(sum(in_tr * in_te) AS BIGINT) AS n_overlap,
+       |       CAST(sum(in_tr * in_te) AS DOUBLE) / sum(in_te) AS contamination
+       |FROM flags""".stripMargin
+
   /** The full curation funnel in one entry — the composition a
     * training-data pipeline actually runs, each stage reusing the SAME
     * column builders its standalone entry pins:
@@ -254,11 +307,13 @@ object Mixture {
     "mix_domain_uniform" -> (mixDomainUniform _),
     "mix_temperature" -> (mixTemperature _),
     "mix_split" -> (mixSplit _),
+    "mix_contamination" -> (mixContamination _),
     "mix_curation_funnel" -> (mixCurationFunnel _))
 
   val oracle: Map[String, String] = Map(
     "mix_domain_uniform" -> mixDomainUniformSql,
     "mix_temperature" -> mixTemperatureSql,
     "mix_split" -> mixSplitSql,
+    "mix_contamination" -> mixContaminationSql,
     "mix_curation_funnel" -> mixCurationFunnelSql)
 }

@@ -343,15 +343,21 @@ object TextAnalysis {
     * join back (both on the segment string), one per-doc reassembly
     * aggregate; every stage map-side combines. The df ≥ 3 threshold and
     * 8-word window are the CCNet defaults scaled to the fixture corpus. */
+  /** Fixed-width word segments over the normalized text: (doc_id, pos,
+    * s) — shared by [[textBoilerplate]] and the contamination audit so
+    * the window definition cannot drift. */
+  def segmentsOf(docs: DataFrame, segWords: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+      split(Dedup.normalized(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), ceil(size(col("w")) / lit(segWords.toDouble)).cast("int")),
+          i => concat_ws(" ", slice(col("w"), (i - 1) * segWords + 1, lit(segWords)))))
+          .as(Seq("pos", "s")))
+
   def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
-    val ws = docs.select(col("doc_id"),
-      split(Dedup.normalized(col("text")), " ").as("w"))
-    val segs = ws.select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(1), ceil(size(col("w")) / lit(8.0)).cast("int")),
-        i => concat_ws(" ", slice(col("w"), (i - 1) * 8 + 1, lit(8)))))
-        .as(Seq("pos", "s")))
+    val segs = segmentsOf(docs)
     val dfreq = segs.groupBy(col("s"))
       .agg(countDistinct(col("doc_id")).as("df"))
     segs.join(dfreq, Seq("s"))
