@@ -127,6 +127,7 @@ object TextAnalysis {
     "text_quality" -> (textQuality _),
     "text_repetition" -> (textRepetition _),
     "text_boilerplate" -> (textBoilerplate _),
+    "text_vocab" -> (textVocab _),
     "text_redact" -> (textRedact _))
 
   /** The same stopword-hit argmax (ties → lexicographically larger lang)
@@ -398,6 +399,36 @@ object TextAnalysis {
        |    x -> x.k), x -> x.seg), ' '), '') AS clean_text
        |FROM j GROUP BY doc_id""".stripMargin
 
+  /** Vocabulary induction — the corpus statistics pass before tokenizer
+    * training: top-k tokens by DOCUMENT frequency (one vote per document
+    * via array_distinct, so a single spammy document cannot dominate),
+    * computed with the Space-Saving sketch
+    * (`GraftFunctions.approx_top_k`) — O(capacity) memory per partition
+    * at any corpus size, where an exact GROUP BY over a web-scale token
+    * domain would not fit. The fixture vocabulary (≈40 tokens) sits far
+    * below capacity 4096, the provably-exact regime, so the oracle is
+    * the plain relational twin. */
+  def textVocab(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GraftFunctions => G}
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
+      .agg(G.approx_top_k(col("w"), capacity = 4096, k = 20).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.value").as("value"),
+        col("h.count_est").as("doc_freq"),
+        col("h.max_err").as("max_err"))
+  }
+
+  val textVocabSql: String =
+    raw"""SELECT w AS value, count(*) AS doc_freq, CAST(0 AS BIGINT) AS max_err
+       |FROM (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS w
+       |  FROM documents) t
+       |GROUP BY w
+       |ORDER BY doc_freq DESC, value
+       |LIMIT 20""".stripMargin
+
   /** PII redaction — the scrubbing stage of a training-data pipeline:
     * emails, dotted-quad IPs, and phone-shaped digit runs are replaced
     * with typed placeholders, and the pass is accounted for (counts per
@@ -464,5 +495,6 @@ object TextAnalysis {
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
     "text_boilerplate" -> textBoilerplateSql,
+    "text_vocab" -> textVocabSql,
     "text_redact" -> textRedactSql)
 }
