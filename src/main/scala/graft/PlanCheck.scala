@@ -19,7 +19,8 @@ object PlanCheck {
       else if (args.length > 1) args.tail.toSeq
       else Seq("q1_pricing", "q3_shipping", "q5_region", "q10_returned",
         "job_deep_join", "join_asof", "agg_rollup", "win_rank",
-        "shape_unnest", "ann_topk", "text_stats", "compact_filter")
+        "shape_unnest", "ann_topk", "text_stats", "compact_filter",
+        "text_repetition", "mix_curation_funnel", "text_boilerplate")
     // static mode: explain + smell-check without executing (fast full sweep)
     val static = sys.env.get("SPARK_GRAFT_PLANCHECK_STATIC").contains("1")
     val spark = EngineSession.local(8)

@@ -255,7 +255,7 @@ object Mixture {
       .join(broadcast(rates), Seq("domain"))
       .groupBy(col("domain"))
       .agg(sum(when(col("u") < col("rate_ppm"), 1L).otherwise(0L)).as("n_final"))
-    raw.join(broadcast(rates.drop("n_min")), Seq("domain"), "left")
+    raw.join(broadcast(rates), Seq("domain"), "left")
       .join(broadcast(finals), Seq("domain"), "left")
       .select(col("domain"), col("n_raw"), col("n_quality"),
         coalesce(col("n_unique"), lit(0L)).as("n_unique"),
