@@ -268,6 +268,35 @@ object StreamingOps {
       }
   }
 
+  /** Streaming curation — the streaming face of the batch
+    * `mix_curation_funnel`, composed from the same three stages with
+    * streaming state semantics:
+    *
+    *   1. quality ∧ repetition gate — STATELESS (the same
+    *      `TextAnalysis.qualityFlags`/`dupTrigramFrac` column builders
+    *      the batch entries pin, evaluated in the scan's codegen stage);
+    *   2. exact dedup — watermark-bounded state
+    *      ([[dedupStream]]'s `dropDuplicatesWithinWatermark` keyed by
+    *      normalized-content hash);
+    *   3. per-domain quota admission — |domains|-bounded state
+    *      ([[quotaAdmitStream]]).
+    *
+    * Input needs (doc_id, ts, text, domain). Total state: dedup hashes
+    * within the watermark horizon + one counter per domain — bounded at
+    * ∞-stream scale. */
+  def curateStream(docs: DataFrame, quota: Long,
+      horizon: String = "10 minutes"): Dataset[AdmitOut] = {
+    import docs.sparkSession.implicits._
+    import graft.pipeline.TextAnalysis
+    val qualified = docs.filter(
+      TextAnalysis.qualityFlags(col("text")).reduce(_ && _) &&
+        coalesce(TextAnalysis.dupTrigramFrac(col("text")), lit(0.0)) <= 0.3)
+    quotaAdmitStream(
+      dedupStream(qualified, "doc_id", "text", horizon)
+        .select(col("doc_id"), col("domain")).as[DocIn],
+      quota)
+  }
+
   /** Batch-equivalence helper: the same windowed aggregation phrased over
     * a static frame (used to validate streaming results in tests). */
   def windowedCountsBatch(events: DataFrame, width: String = "5 minutes"): DataFrame =

@@ -208,6 +208,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: quality gate, dedup, quota compose") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "the cat runs to the big park in warm sun"
+    val src = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // batch 1: a good doc, a quality reject, an exact duplicate
+    src.addData(
+      (1L, at(0), s"$good light", "a"),
+      (5L, at(1), "zz zz", "a"),
+      (2L, at(2), s"$good light", "a"))
+    val docs = src.toDF().toDF("doc_id", "ts", "text", "domain")
+    val q = StreamingOps.curateStream(docs, quota = 2L)
+      .writeStream.format("memory").queryName("cs").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: two more good distinct docs — only one quota slot left
+      src.addData(
+        (3L, at(3), s"$good glow", "a"),
+        (4L, at(4), s"$good rays", "a"))
+      q.processAllAvailable()
+      val admitted = spark.table("cs").as[StreamingOps.AdmitOut].collect()
+      assert(admitted.length == 2, admitted.mkString(","))
+      val ids = admitted.map(_.doc_id).toSet
+      assert(!ids.contains(5L), "quality reject must not be admitted")
+      assert((ids & Set(1L, 2L)).size == 1, "exactly one of the dups")
+      assert(ids.contains(3L), "doc_id-sorted head of batch 2 takes the last slot")
+      assert(admitted.map(_.admit_seq).toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionization counts per-user events with gap splits") {
     val events = Seq(
       StreamingOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
