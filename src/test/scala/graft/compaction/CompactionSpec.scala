@@ -133,6 +133,59 @@ class DeepJoinCompactionSpec extends SparkSpec {
   }
 }
 
+class PipelineCompactionSpec extends SparkSpec {
+
+  /** The paper's fragment-proliferation story on the curation funnel —
+    * the new flagship pipeline shape: its fingerprint-dedup exchange and
+    * domain-level aggregates run over a heavily-filtered corpus, so at a
+    * misconfigured shuffle width most tasks carry near-empty chunks. AQE
+    * coalescing (the dynamic-compaction analog) must consolidate them
+    * with an identical result. */
+  test("AQE compaction consolidates the funnel's fragmented exchanges") {
+    val m = new ChunkMetrics().install(spark)
+    def measure(): (Long, Double) = {
+      m.reset()
+      graft.pipeline.Mixture.mixCurationFunnel(spark, sf("sf0.01"))
+        .write.format("noop").mode("overwrite").save()
+      val deadline = System.currentTimeMillis() + 10000
+      while (m.snapshot.values.map(_.tasks).sum == 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      Thread.sleep(500)
+      (m.snapshot.values.map(_.tasks).sum, m.smallTaskFraction(1024))
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    val width = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // a 64-way shuffle over a 500-document corpus: the fragmented regime
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (tasksFragmented, fracFragmented) = measure()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val (tasksCompacted, fracCompacted) = measure()
+      assert(tasksCompacted < tasksFragmented,
+        s"coalescing did not reduce tasks: $tasksCompacted vs $tasksFragmented")
+      assert(fracCompacted <= fracFragmented)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", width)
+    }
+  }
+
+  test("funnel result is identical under compaction") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plain = graft.pipeline.Mixture.mixCurationFunnel(spark, sf("sf0.01"))
+        .collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val compacted = graft.pipeline.Mixture.mixCurationFunnel(spark, sf("sf0.01"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(plain == compacted && plain.nonEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}
+
 class AdaptiveCompactSpec extends SparkSpec {
   import spark.implicits._
 
