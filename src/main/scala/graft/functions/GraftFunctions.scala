@@ -51,6 +51,21 @@ object GraftFunctions {
   def approx_top_k(c: Column, capacity: Int = 64, k: Int = 5): Column =
     udaf(new GraftAggregators.SpaceSavingAggregator(capacity, k)).apply(c)
 
+  /** Expression-level LET binding: evaluate `c` ONCE per row and make it
+    * available to `f` as a lambda variable. Spark evaluates higher-order
+    * function ARGUMENTS once but re-evaluates LAMBDA-BODY subtrees on
+    * every element — so an expensive expression (a normalize+split, an
+    * n-gram build) referenced inside a transform/filter/aggregate lambda
+    * multiplies by the array length. `bind(x)(f)` = `transform(array(x),
+    * v -> f(v))[1]` routes the expensive tree through the argument
+    * position. Measured on the curation funnel's trigram gate: 32 s →
+    * 0.9 s at sf0.1 (the unbound spelling re-derived the word split
+    * 3 × |trigrams| times per document). */
+  def bind(c: Column)(f: Column => Column): Column = {
+    import org.apache.spark.sql.functions.{array, element_at, transform}
+    element_at(transform(array(c), f), 1)
+  }
+
   /** Register the custom scalar functions for `spark.sql` use. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -175,14 +175,20 @@ object TextAnalysis {
     * — the funnel's repetition gate; the same trigram construction and
     * NULLIF-guarded division as [[repetitionOf]]. */
   def dupTrigramFrac(text: Column): Column = {
-    val ws = words(text)
-    val tg = when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    (size(tg).cast("long") - size(array_distinct(tg)).cast("long"))
-      .cast("double") / nullif(size(tg).cast("long"), lit(0L))
+    import graft.functions.{GraftFunctions => G}
+    // let-bind the split and the trigram list: referenced from lambda
+    // bodies, an unbound `words(text)` re-evaluates per element —
+    // measured 32 s vs 0.9 s over sf0.1 (see GraftFunctions.bind)
+    G.bind(words(text)) { ws =>
+      G.bind(when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            element_at(ws, i + 2))))
+        .otherwise(array().cast("array<string>"))) { tg =>
+        (size(tg).cast("long") - size(array_distinct(tg)).cast("long"))
+          .cast("double") / nullif(size(tg).cast("long"), lit(0L))
+      }
+    }
   }
 
   def textQuality(s: SparkSession, dir: String): DataFrame = {
