@@ -187,8 +187,11 @@ object Mixture {
         sum(col("in_te")).as("n_test_segs"),
         sum(col("in_tr") * col("in_te")).as("n_overlap"))
       .select(col("n_train_segs"), col("n_test_segs"), col("n_overlap"),
-        (col("n_overlap").cast("double") / col("n_test_segs"))
-          .as("contamination"))
+        // NULLIF: a corpus whose every segment lands in train has zero
+        // test segments — contamination is undefined, not an ANSI
+        // divide-by-zero crash (caught by the one-row adversarial sweep)
+        (col("n_overlap").cast("double") /
+          nullif(col("n_test_segs"), lit(0L))).as("contamination"))
   }
 
   val mixContaminationSql: String =
@@ -212,7 +215,8 @@ object Mixture {
        |SELECT CAST(sum(in_tr) AS BIGINT) AS n_train_segs,
        |       CAST(sum(in_te) AS BIGINT) AS n_test_segs,
        |       CAST(sum(in_tr * in_te) AS BIGINT) AS n_overlap,
-       |       CAST(sum(in_tr * in_te) AS DOUBLE) / sum(in_te) AS contamination
+       |       CAST(sum(in_tr * in_te) AS DOUBLE)
+       |         / nullif(sum(in_te), 0) AS contamination
        |FROM flags""".stripMargin
 
   /** The full curation funnel in one entry — the composition a
