@@ -91,7 +91,16 @@ object Aggregates {
     Tables.t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
       round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
       round(var_samp(col("l_quantity")), 6).as("var_qty"),
-      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+      // corr spelled covar_pop / (σ_pop·σ_pop) with a NULLIF guard:
+      // Spark's corr aggregate divides 0/0 on a zero-variance group,
+      // which ANSI mode (the Spark 4 default) turns into a
+      // DIVIDE_BY_ZERO crash — the constant-corpus sweep caught it.
+      // DuckDB's corr returns NULL there; so does this spelling.
+      // (Algebraically identical to corr; agrees with the oracle at the
+      // entry's round-6 grain.)
+      round(covar_pop(col("l_quantity"), col("l_extendedprice")) /
+        nullif(stddev_pop(col("l_quantity")) *
+          stddev_pop(col("l_extendedprice")), lit(0.0)), 6).as("corr_qp"),
       round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covar_qd"),
       // integral sum / count: bit-identical division in both engines
       avg(col("l_quantity")).as("avg_qty"),

@@ -27,15 +27,23 @@ class EdgeCaseSweepSpec extends SparkSpec {
     * (via Tables.t so the events TIMESTAMP(NANOS) quirk is normalized
     * exactly as the engine reads it). Fresh temp paths per run keep the
     * Tables schema-cache invariant (never rewrite a cached path). */
-  private lazy val dirs: (String, String) = {
+  private lazy val dirs: (String, String, String) = {
     val base = java.nio.file.Files.createTempDirectory("graft_edge_").toString
-    val (e, o) = (s"$base/empty", s"$base/onerow")
+    val (e, o, c) = (s"$base/empty", s"$base/onerow", s"$base/constant")
     Tables.names.foreach { n =>
       val src = Tables.t(spark, sf(), n)
       src.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$e/$n.parquet")
-      src.limit(1).coalesce(1).write.mode("overwrite").parquet(s"$o/$n.parquet")
+      val one = src.limit(1)
+      one.coalesce(1).write.mode("overwrite").parquet(s"$o/$n.parquet")
+      // CONSTANT corpus: the same row 8 times — every value a duplicate,
+      // every key a tie. Exercises all-duplicate dedup, single-cluster
+      // funnels, 100%-contamination splits, all-peer window frames, and
+      // degenerate-variance statistics (the sqllogictest habit the empty/
+      // one-row fixtures don't reach: n > 1 with zero diversity).
+      Seq.fill(8)(one).reduce(_ union _)
+        .coalesce(1).write.mode("overwrite").parquet(s"$c/$n.parquet")
     }
-    (e, o)
+    (e, o, c)
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -46,6 +54,18 @@ class EdgeCaseSweepSpec extends SparkSpec {
     test(s"$name on one-row corpus") {
       val rows = fn(spark, dirs._2).collect()
       assert(rows != null)
+    }
+    test(s"$name on constant corpus (8 identical rows)") {
+      try assert(fn(spark, dirs._3).collect() != null)
+      catch {
+        // the one acceptable outcome besides a result: the engine's own
+        // TYPED loud refusal — merging a source with duplicate keys is
+        // ambiguous by contract (GraftTable.merge documents the
+        // dedupe-first recipe), and a constant corpus is all duplicates
+        case e: IllegalArgumentException
+          if String.valueOf(e.getMessage).contains(
+            "MERGE source has duplicate keys") => ()
+      }
     }
   }
 }
