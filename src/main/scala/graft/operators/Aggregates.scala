@@ -107,11 +107,15 @@ object Aggregates {
       // Spark's skewness/kurtosis are population moments; the reference
       // reports bias-corrected sample statistics — convert (verified
       // identical to 1e-9 against the oracle engine).
+      // NULLIF on the bias-correction denominators: they hit zero on 2-
+      // and 3-row groups, where ANSI mode would crash and the reference
+      // (like any SQL engine) reports NULL for the undefined statistic
       round(skewness(col("l_quantity")) *
-        sqrt(count(lit(1)) * (count(lit(1)) - 1)) / (count(lit(1)) - 2), 6)
+        sqrt(count(lit(1)) * (count(lit(1)) - 1)) /
+        nullif(count(lit(1)) - 2, lit(0L)), 6)
         .as("skew_s"),
       round(((count(lit(1)) - 1).cast("double") /
-        ((count(lit(1)) - 2) * (count(lit(1)) - 3))) *
+        nullif((count(lit(1)) - 2) * (count(lit(1)) - 3), lit(0L))) *
         ((count(lit(1)) + 1) * kurtosis(col("l_quantity")) + 6), 6)
         .as("kurt_s"))
 

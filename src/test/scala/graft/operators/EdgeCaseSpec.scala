@@ -172,4 +172,21 @@ class TypeEdgeSpec extends SparkSpec {
       .head.getTimestamp(0).toString
     assert(r.startsWith("2024-01-02 12:30:00"))
   }
+
+  test("agg_stats 2- and 3-row groups: NULL bias-corrected stats, no ANSI crash") {
+    // the sample-skew denominator is n-2 and the kurtosis one (n-2)(n-3):
+    // under ANSI (Spark 4 default) an unguarded division crashes on tiny
+    // groups where the statistic is undefined
+    val li = graft.Tables.t(spark, sf(), "lineitem")
+    val flag = li.select($"l_returnflag").head.getString(0)
+    for (n <- Seq(2, 3)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"aggstats$n").toString
+      li.filter($"l_returnflag" === flag).limit(n)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val r = Aggregates.aggStats(spark, dir).collect()
+      assert(r.length == 1)
+      assert(r.head.isNullAt(r.head.fieldIndex("kurt_s")), s"n=$n kurt_s")
+      if (n == 2) assert(r.head.isNullAt(r.head.fieldIndex("skew_s")), "n=2 skew_s")
+    }
+  }
 }
