@@ -166,8 +166,11 @@ object TextAnalysis {
     val stopRatio = size(filter(ws,
       w => w.isin(Seq("the", "a", "of", "and", "to", "in", "is").map(lit(_)): _*)))
       .cast("double") / nw
+    // NULLIF: an empty-text document has length 0 — ANSI mode (Spark 4
+    // default) would crash the division; DuckDB's double/0 is NULL, so
+    // the guard also keeps the two engines' keep-flag semantics aligned
     val symRatio = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
-      .cast("double") / length(text)
+      .cast("double") / nullif(length(text), lit(0))
     Seq(nw >= 20, awl <= 4.75, stopRatio >= 0.05, symRatio <= 0.1)
   }
 

@@ -286,6 +286,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tie.getAs[String]("top_bigram") == "z z")
   }
 
+  test("empty-text documents flow through quality/repetition without a crash") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "real words here")).toDF("doc_id", "text")
+    val q = df.select($"doc_id",
+      TextAnalysis.qualityFlags($"text").reduce(_ && _).as("keep"),
+      TextAnalysis.dupTrigramFrac($"text").as("dtf")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // '' has length 0: the symbol-ratio division is NULL, keep resolves
+    // false-ish (never true), and nothing throws under ANSI mode
+    assert(q(1L).isNullAt(1) || !q(1L).getBoolean(1))
+    assert(q(1L).isNullAt(2) && q(2L).isNullAt(2)) // <3 words → no trigrams
+    val rep = TextAnalysis.repetitionOf(df).collect()
+    assert(rep.length == 3)
+  }
+
   test("boilerplate removal strips shared segments, keeps unique ones") {
     // 8-word segments; "one two three four five six seven eight" shared
     // by 3 docs → boilerplate; each doc's second segment is unique
