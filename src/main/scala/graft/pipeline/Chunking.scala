@@ -136,12 +136,45 @@ object Chunking {
       |       CAST(sum(n_tokens) AS BIGINT) AS tok
       |FROM packed GROUP BY bucket""".stripMargin
 
+  /** Behavior-sequence construction — the events-side analog of document
+    * chunking: per user, the time-ordered event-type sequence truncated
+    * to the most recent 20 (the fixed context window a sequential
+    * recommender / behavioral LM trains on). Ordering is total — (ts,
+    * event_id) — so the sequence is deterministic under any partitioning
+    * and ties; truncation is arithmetic (`slice(a, max(n-19, 1), 20)` ≡
+    * DuckDB `a[-20:]`, both clamping short lists). The sequence is
+    * emitted as a '|'-joined string: the driver's pandas hasher cannot
+    * sort raw arrays, and the flat string is what a tokenizer consumes.
+    * Scale posture: one map-side-combining collect per user — state
+    * bounded by the per-user event count, the same bound any
+    * sessionization pass carries. */
+  def seqUserEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws("|", transform(
+          org.apache.spark.sql.functions.slice(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type").as("ty")))),
+            greatest(size(collect_list(col("event_id"))) - 19, lit(1)),
+            lit(20)),
+          x => x.getField("ty"))).as("recent"))
+
+  val seqUserEventsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  array_to_string(list_transform(
+      |    (list_sort(list(struct_pack(t := ts, e := event_id, ty := event_type))))[-20:],
+      |    x -> x.ty), '|') AS recent
+      |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq_user_events" -> (seqUserEvents _),
     "text_chunk" -> (textChunk _),
     "text_pack" -> (textPack _),
     "pipeline_prepare" -> (pipelinePrepare _))
 
   val oracle: Map[String, String] = Map(
+    "seq_user_events" -> seqUserEventsSql,
     "text_chunk" -> textChunkSql,
     "text_pack" -> textPackSql,
     "pipeline_prepare" -> pipelinePrepareSql)
