@@ -142,12 +142,84 @@ object Joins {
   val joinCrossSql: String =
     "SELECT r_name, n_name FROM region CROSS JOIN nation"
 
-  /** AS-OF join (reference `physical_asof_join.cpp`): for each click, the
-    * most recent purchase at-or-before it by the same user. Spark lacks a
-    * native as-of join; the scalable recipe is union + last(ignoreNulls)
-    * over a per-user time-ordered window — one shuffle on user_id, no
-    * range explosion, works at any scale. */
+  /** GENERIC as-of join (reference `physical_asof_join.cpp` — all four
+    * inequality directions, LEFT and INNER): for each left row, the
+    * nearest right row sharing the equality keys under `leftOrder <op>
+    * rightOrder`. Spark has no native as-of join; the scale-safe plan is
+    * the union + last(ignoreNulls) window — ONE shuffle on the equality
+    * keys, no domain product, any data size (the lateral/BNLJ form the
+    * SQL translator emits for pasted DuckDB ASOF is O(|keys|·|right|)).
+    *
+    * Semantics: `op` compares left to right (">=" = most recent right
+    * at-or-before, ">" strictly before, "<="/"<" the forward variants).
+    * Ties: at equal order values an INCLUSIVE op admits the right row
+    * (build sorts before probe), a STRICT op does not (build sorts
+    * after); among multiple right rows at the same order value the
+    * lexicographically largest payload wins (deterministic under any
+    * partitioning). NULL order values never match on either side (the
+    * reference's comparison semantics). Output: every left column, then
+    * right's non-key columns — a name colliding with a left column gets
+    * the `_r` suffix. */
+  def asofJoin(left: DataFrame, right: DataFrame, eqKeys: Seq[String],
+      leftOrder: String, rightOrder: String, op: String = ">=",
+      joinType: String = "left"): DataFrame = {
+    require(Seq(">=", ">", "<=", "<").contains(op), s"unsupported op $op")
+    require(Seq("left", "inner").contains(joinType),
+      s"as-of supports left/inner, got $joinType (mirror the sides for right)")
+    require(eqKeys.nonEmpty, "as-of needs at least one equality key")
+    val backward = op.startsWith(">")
+    val inclusive = op.endsWith("=")
+    val lCols = left.columns.toSeq
+    val rPayload = right.columns.toSeq.filterNot(eqKeys.contains)
+    val collide = rPayload.filter(lCols.contains).toSet
+    def rName(c: String) = if (collide(c)) c + "_r" else c
+    val lStructT = left.select(struct(lCols.map(col): _*)).schema.head.dataType
+    val rStructT = right.select(struct(rPayload.map(col): _*)).schema.head.dataType
+    // probes tag 1; builds tag 0 when ties admit (inclusive), 2 when not
+    val probe = left.select(
+      eqKeys.map(col) ++ Seq(col(leftOrder).as("__ord"), lit(1).as("__tag"),
+        struct(lCols.map(col): _*).as("__l"),
+        lit(null).cast(rStructT).as("__r")): _*)
+    val build = right.filter(col(rightOrder).isNotNull).select(
+      eqKeys.map(col) ++ Seq(col(rightOrder).as("__ord"),
+        lit(if (inclusive) 0 else 2).as("__tag"),
+        lit(null).cast(lStructT).as("__l"),
+        struct(rPayload.map(col): _*).as("__r")): _*)
+    // nulls FIRST in both directions: a null-order probe precedes every
+    // build, so it can never match
+    val ordCol = if (backward) col("__ord").asc_nulls_first
+      else col("__ord").desc_nulls_first
+    val w = Window.partitionBy(eqKeys.map(col): _*)
+      .orderBy(ordCol, col("__tag").asc, col("__r").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = probe.unionByName(build)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val kept = if (joinType == "inner") matched.filter(col("__m").isNotNull)
+      else matched
+    kept.select(
+      lCols.map(c => col("__l").getField(c).as(c)) ++
+        rPayload.map(c => col("__m").getField(c).as(rName(c))): _*)
+  }
+
+  /** AS-OF join entry (reference `physical_asof_join.cpp`): for each
+    * click, the most recent purchase at-or-before it by the same user —
+    * phrased through the generic [[asofJoin]], so the oracle pins the
+    * generic operator, not a hand-rolled twin. */
   def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    asofJoin(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts")),
+      eqKeys = Seq("user_id"), leftOrder = "ts", rightOrder = "ts")
+      .select(col("event_id"), col("ts_r").as("purchase_ts"))
+  }
+
+  /** The round-4 hand-rolled form, kept as the spec's independent
+    * reference implementation for the generic [[asofJoin]]. */
+  private[operators] def joinAsofLegacy(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("ts").as("pts"),

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The generic as-of join: all four inequality ops and both join types
+  * against a plain-Scala reference, bit-identity with the round-4
+  * hand-rolled recipe, null-order semantics, and collision suffixing. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    // (key, ord, lid)
+    (1L, 10L, "a"), (1L, 20L, "b"), (1L, 20L, "b2"), (1L, 35L, "c"),
+    (2L, 5L, "d"), (3L, 7L, "e"))
+    .toDF("k", "o", "lid")
+  private val right = Seq(
+    // (key, ord, rid)
+    (1L, 10L, "P10"), (1L, 30L, "P30"), (2L, 9L, "P9"))
+    .toDF("k", "o", "rid")
+
+  private def run(op: String, jt: String): Map[String, Option[String]] =
+    Joins.asofJoin(left, right, Seq("k"), "o", "o", op, jt)
+      .collect().map(r => r.getString(2) -> Option(r.getString(4))).toMap
+
+  private def reference(op: String): Map[String, Option[String]] = {
+    val rs = Seq((1L, 10L, "P10"), (1L, 30L, "P30"), (2L, 9L, "P9"))
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 20L, "b2"), (1L, 35L, "c"),
+      (2L, 5L, "d"), (3L, 7L, "e")).map { case (k, o, lid) =>
+      val cands = rs.filter(_._1 == k).filter { case (_, ro, _) =>
+        op match {
+          case ">=" => o >= ro; case ">" => o > ro
+          case "<=" => o <= ro; case "<" => o < ro
+        }
+      }
+      // nearest by order: max ro for backward ops, min ro for forward
+      val best =
+        if (cands.isEmpty) None
+        else if (op.startsWith(">")) Some(cands.maxBy(c => (c._2, c._3))._3)
+        else Some(cands.minBy(_._2) match { case m =>
+          cands.filter(_._2 == m._2).maxBy(_._3)._3 })
+      lid -> best
+    }.toMap
+  }
+
+  for (op <- Seq(">=", ">", "<=", "<")) {
+    test(s"asofJoin '$op' left matches the scala reference") {
+      assert(run(op, "left") == reference(op))
+    }
+    test(s"asofJoin '$op' inner drops unmatched probes") {
+      val exp = reference(op).collect { case (l, Some(r)) => l -> Option(r) }.toMap
+      assert(run(op, "inner") == exp)
+    }
+  }
+
+  test("null order values never match, on either side") {
+    val l = Seq((1L, Some(10L), "a"), (1L, None, "b")).toDF("k", "o", "lid")
+    val r = Seq((1L, Some(5L), "P5"), (1L, None, "PNULL")).toDF("k", "o", "rid")
+    val got = Joins.asofJoin(l, r, Seq("k"), "o", "o", ">=", "left")
+      .collect().map(x => x.getString(2) -> Option(x.getString(4))).toMap
+    assert(got == Map("a" -> Some("P5"), "b" -> None))
+  }
+
+  test("colliding right columns get the _r suffix; left columns unchanged") {
+    val out = Joins.asofJoin(left, right, Seq("k"), "o", "o")
+    assert(out.columns.toSeq == Seq("k", "o", "lid", "o_r", "rid"))
+  }
+
+  test("generic asofJoin reproduces the hand-rolled entry bit-for-bit") {
+    val viaGeneric = Joins.joinAsof(spark, sf())
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toSet
+    val viaLegacy = Joins.joinAsofLegacy(spark, sf())
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toSet
+    assert(viaGeneric == viaLegacy && viaGeneric.nonEmpty)
+  }
+
+  test("plan: one exchange on the equality keys, no nested-loop join") {
+    val p = Joins.asofJoin(left, right, Seq("k"), "o", "o")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "as-of must not plan a domain product")
+    assert(p.contains("Window"), "the union+window recipe plans a Window")
+  }
+}
