@@ -189,8 +189,15 @@ object Joins {
     // build, so it can never match
     val ordCol = if (backward) col("__ord").asc_nulls_first
       else col("__ord").desc_nulls_first
+    // deterministic build tie-break via the payload struct — only when
+    // the payload is orderable (a MAP column would fail analysis; ties
+    // are then engine-unspecified, as in the reference)
+    val rOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(rStructT)
+    val orderCols = Seq(ordCol, col("__tag").asc) ++
+      (if (rOrderable) Seq(col("__r").asc_nulls_first) else Nil)
     val w = Window.partitionBy(eqKeys.map(col): _*)
-      .orderBy(ordCol, col("__tag").asc, col("__r").asc_nulls_first)
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = probe.unionByName(build)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -1953,7 +1953,15 @@ object DuckDialect {
       // the registry; PREPARE itself is a DuckDml.exec statement) and run
       // the bound SQL through the normal translation path
       run(spark, dir, DuckDml.resolveExecute(duckSql).get)
-    else ColumnsStar.maybeExpand(spark, dir, duckSql) match {
+    // schema-aware ASOF scale rewrite: the canonical single-join shape
+    // reroutes through Joins.asofJoin (union+window — one shuffle, no
+    // domain product); anything else falls through to the faithful
+    // lateral translation below. Measured: ~160 s → ~2 s per ASOF query
+    // at sf0.1.
+    else (if (tokenize(duckSql).exists(t => t.kind == 4 && t.word == "asof"))
+      AsofRewrite.maybeRun(spark, dir, duckSql) else None) match {
+      case Some(asofFast) => asofFast
+      case None => ColumnsStar.maybeExpand(spark, dir, duckSql) match {
       // schema-aware COLUMNS(*) / COLUMNS('regex') star expansion, then
       // re-enter run() on the expanded text (which has no COLUMNS left)
       case Some(expanded) => run(spark, dir, expanded)
@@ -1967,6 +1975,7 @@ object DuckDialect {
         df.limit(k)
       case None => Tables.sql(spark, dir, translate(duckSql))
       }
+    }
     }
   }
 }
