@@ -37,8 +37,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("inventory breadth: 70+ queries, 70+ oracle-checked") {
-    assert(SparkEntry.queries.size >= 70, s"only ${SparkEntry.queries.size} queries")
-    assert(SparkEntry.oracleSql.size >= 65, s"only ${SparkEntry.oracleSql.size} oracles")
+  test("inventory breadth: 300+ queries, 300+ oracle-checked") {
+    // round-12 floor — a regression that silently drops a module's
+    // registry (a bad merge of the ++ chain) must fail loudly
+    assert(SparkEntry.queries.size >= 300, s"only ${SparkEntry.queries.size} queries")
+    assert(SparkEntry.oracleSql.size >= 300, s"only ${SparkEntry.oracleSql.size} oracles")
   }
 }
