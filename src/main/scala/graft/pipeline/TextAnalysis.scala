@@ -128,6 +128,7 @@ object TextAnalysis {
     "text_repetition" -> (textRepetition _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_vocab" -> (textVocab _),
+    "text_lm_score" -> (textLmScore _),
     "text_redact" -> (textRedact _))
 
   /** The same stopword-hit argmax (ties → lexicographically larger lang)
@@ -438,6 +439,56 @@ object TextAnalysis {
        |ORDER BY doc_freq DESC, value
        |LIMIT 20""".stripMargin
 
+  /** Corpus-LM quality scoring — the CCNet-style language-model filter
+    * with the model the engine can actually train in-query: a unigram LM
+    * fit on the corpus itself (pass 1: global token counts), then each
+    * document scored by its mean token log₂-probability and perplexity
+    * (pass 2). Low-probability-mass documents (gibberish, wrong-language,
+    * OCR noise) score far below the corpus mode — the same decision
+    * CCNet makes with a pretrained KenLM, here self-contained and
+    * oracle-checkable. No smoothing is needed: the vocabulary IS the
+    * corpus, so every scored token has positive count by construction.
+    *
+    * Determinism: one `log2(count/total)` per distinct token (division
+    * before log, the same op order both engines), averaged per document
+    * and rounded to 4 decimals — transcendental libraries may differ in
+    * the last ulp, which rounding absorbs (the same policy as
+    * `agg_stats`' float statistics); perplexity is derived from the
+    * ALREADY-ROUNDED mean so both engines exponentiate the identical
+    * input. Scale posture: pass 1 is one token-count exchange; pass 2
+    * re-tokenizes and joins on the token string (vocabulary-sized build
+    * side — broadcastable for real vocabularies) with the scalar total
+    * broadcast; one map-side-combining per-document average. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = counts.agg(sum(col("n_w")).as("n_total"))
+    tok.join(counts, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(log2(col("n_w").cast("double") / col("n_total"))), 4)
+          .as("avg_logprob"))
+      .withColumn("ppl", round(pow(lit(2.0), -col("avg_logprob")), 4))
+  }
+
+  val textLmScoreSql: String =
+    raw"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+       |  FROM documents),
+       |counts AS (SELECT w, count(*) AS n_w FROM tok GROUP BY w),
+       |tot AS (SELECT sum(n_w) AS n_total FROM counts),
+       |scored AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    round(avg(log2(CAST(n_w AS DOUBLE) / n_total)), 4) AS avg_logprob
+       |  FROM tok JOIN counts USING (w), tot
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_words, avg_logprob,
+       |  round(pow(2.0, -avg_logprob), 4) AS ppl
+       |FROM scored""".stripMargin
+
   /** PII redaction — the scrubbing stage of a training-data pipeline:
     * emails, dotted-quad IPs, and phone-shaped digit runs are replaced
     * with typed placeholders, and the pass is accounted for (counts per
@@ -505,5 +556,6 @@ object TextAnalysis {
     "text_repetition" -> textRepetitionSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_vocab" -> textVocabSql,
+    "text_lm_score" -> textLmScoreSql,
     "text_redact" -> textRedactSql)
 }

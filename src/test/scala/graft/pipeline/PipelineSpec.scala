@@ -300,6 +300,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep.length == 3)
   }
 
+  test("lm score ranks rare-token documents below common-token ones") {
+    val dir = java.nio.file.Files.createTempDirectory("lmscore").toString
+    Seq(
+      (1L, "the cat the cat the cat"),     // all high-frequency tokens
+      (2L, "the cat zyx qwv ptk"),         // half singletons
+      (3L, "zzz yyy xxx www vvv"))         // all singletons
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.textLmScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logprob"), r.getAs[Double]("ppl"))).toMap
+    assert(got(1L)._1 > got(2L)._1 && got(2L)._1 > got(3L)._1,
+      s"mean log-prob must order common > mixed > rare: $got")
+    assert(got(1L)._2 < got(2L)._2 && got(2L)._2 < got(3L)._2,
+      "perplexity orders the other way")
+    // closed form for doc 1: corpus has 16 tokens, 'the' and 'cat' occur
+    // 4 times each (3 in doc 1 + 1 in doc 2) → every doc-1 token scores
+    // log2(4/16) = -2
+    val want = math.round(math.log(4.0 / 16) / math.log(2.0) * 10000) / 10000.0
+    assert(math.abs(got(1L)._1 - want) < 1e-9, s"${got(1L)._1} vs $want")
+  }
+
   test("boilerplate removal strips shared segments, keeps unique ones") {
     // 8-word segments; "one two three four five six seven eight" shared
     // by 3 docs → boilerplate; each doc's second segment is unique
