@@ -327,6 +327,52 @@ object Similarity {
        |GROUP BY e.vec_id, dd.plane""".stripMargin
   }
 
+  /** Per-label embedding diversity — the mode-collapse / duplication
+    * diagnostic a synthetic-data pipeline runs on generated corpora: the
+    * MEAN PAIRWISE COSINE within each label, computed exactly in O(n·d)
+    * via the sum-vector identity `Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − n` over
+    * L2-normalized vectors — no pairwise join at any scale (the naive
+    * spelling is O(n²·d) per label). Near 0 = healthy spread; → 1 =
+    * collapse onto one direction (PipelineSpec plants a collapsed label
+    * to pin the signal). Zero-norm / NaN vectors are excluded on both
+    * engines; the 1-vector-label division guards with NULLIF. Summation
+    * order drifts ~1e-13 across engines — the round-6 output grain
+    * absorbs it (values sit at 1e-3..1). */
+  def embDomainDiversity(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val withNorm = e
+      .withColumn("n2", G.list_inner_product(col("embedding"), col("embedding")))
+      .filter(col("n2") > 0 && !isnan(col("n2")))
+    val u = withNorm.select(col("label"),
+      posexplode(transform(col("embedding"),
+        x => x.cast("double") / sqrt(col("n2")))).as(Seq("d", "x")))
+    val comp = u.groupBy(col("label"), col("d")).agg(sum(col("x")).as("s"))
+    val norm2 = comp.groupBy(col("label")).agg(sum(col("s") * col("s")).as("norm2"))
+    val n = withNorm.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    norm2.join(n, Seq("label"))
+      .select(col("label"), col("n"),
+        round((col("norm2") - col("n")) /
+          nullif(col("n") * (col("n") - 1), lit(0L)), 6).as("mean_cos"))
+  }
+
+  val embDomainDiversitySql: String =
+    """WITH u AS (
+      |  SELECT label,
+      |    list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) / sqrt(list_inner_product(embedding, embedding))) AS uv
+      |  FROM embeddings
+      |  WHERE list_inner_product(embedding, embedding) > 0
+      |    AND NOT isnan(list_inner_product(embedding, embedding))),
+      |comp AS (
+      |  SELECT label, d.i AS dim, sum(uv[d.i]) AS s
+      |  FROM u, (SELECT unnest(range(1, 65)) AS i) d
+      |  GROUP BY label, d.i),
+      |agg AS (SELECT label, sum(s*s) AS norm2 FROM comp GROUP BY label),
+      |cnt AS (SELECT label, count(*) AS n FROM u GROUP BY label)
+      |SELECT label, n,
+      |  round((norm2 - n) / nullif(n * (n - 1), 0), 6) AS mean_cos
+      |FROM agg JOIN cnt USING (label)""".stripMargin
+
   /** Recall@5 of the two approximate paths against the exact baseline —
     * "measure, don't guess" applied to ANN quality: per probe (the first
     * 5 vectors), how many of the exact top-5 neighbors the LSH-bucketed
@@ -409,7 +455,8 @@ object Similarity {
     "ann_lsh_banded" -> (annLshBanded _),
     "ann_ivf" -> (annIvf _),
     "ann_recall" -> (annRecall _),
-    "emb_project" -> (embProject _))
+    "emb_project" -> (embProject _),
+    "emb_domain_diversity" -> (embDomainDiversity _))
 
   val oracle: Map[String, String] = Map(
     "ann_topk" -> annTopkSql,
@@ -417,5 +464,6 @@ object Similarity {
     "ann_lsh_banded" -> annLshBandedSql,
     "ann_ivf" -> annIvfSql,
     "ann_recall" -> annRecallSql,
-    "emb_project" -> embProjectSql)
+    "emb_project" -> embProjectSql,
+    "emb_domain_diversity" -> embDomainDiversitySql)
 }

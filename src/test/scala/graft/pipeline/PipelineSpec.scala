@@ -148,6 +148,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("diversity diagnostic: collapsed label → 1.0, spread label near 0") {
+    val dir = java.nio.file.Files.createTempDirectory("diversity").toString
+    val collapsed = (0 until 10).map(i =>
+      (i.toLong, Array.fill(8)(0.5f) :+ 1.0f, "collapsed"))
+    // orthogonal one-hot vectors: every pairwise cosine is exactly 0
+    val spread = (0 until 9).map(i =>
+      (100L + i, Array.tabulate(9)(d => if (d == i) 1.0f else 0.0f), "spread"))
+    (collapsed ++ spread).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embDomainDiversity(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("mean_cos")))
+      .toMap
+    assert(got("collapsed") == ((10L, 1.0)),
+      s"identical vectors → mean pairwise cosine 1.0: $got")
+    assert(got("spread")._2 == 0.0,
+      s"orthogonal vectors → mean pairwise cosine 0.0: $got")
+  }
+
   test("banding lifts LSH recall; recall is bounded and IVF stays strong") {
     val r = Similarity.annRecall(spark, sf("sf0.001")).collect()
       .map(x => (x.getString(0), x.getAs[Number]("qid").longValue(),
