@@ -53,6 +53,46 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin matches the reference on random data, every op and type") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val row = for {
+      k <- Gen.chooseNum(1L, 4L)   // few keys → partners and misses
+      o <- Gen.chooseNum(0L, 12L)  // small range → plenty of order ties
+    } yield (k, o)
+    val side = Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, row))
+    val opG = Gen.oneOf(">=", ">", "<=", "<")
+    val jtG = Gen.oneOf("left", "inner")
+    val prop = Prop.forAll(side, side, opG, jtG) { (ls, rs, op, jt) =>
+      val lrows = ls.zipWithIndex.map { case ((k, o), i) => (k, o, s"l$i") }
+      val rrows = rs.zipWithIndex.map { case ((k, o), i) => (k, o, s"r$i") }
+      val expected = lrows.map { case (k, o, lid) =>
+        val cands = rrows.filter(_._1 == k).filter { case (_, ro, _) =>
+          op match {
+            case ">=" => o >= ro; case ">" => o > ro
+            case "<=" => o <= ro; case "<" => o < ro
+          }
+        }
+        val best =
+          if (cands.isEmpty) None
+          else if (op.startsWith(">")) {
+            val m = cands.map(_._2).max
+            Some(cands.filter(_._2 == m).maxBy(_._3)._3)
+          } else {
+            val m = cands.map(_._2).min
+            Some(cands.filter(_._2 == m).maxBy(_._3)._3)
+          }
+        lid -> best
+      }.filter { case (_, b) => jt == "left" || b.isDefined }.toMap
+      val got = Joins.asofJoin(
+        lrows.toDF("k", "o", "lid"), rrows.toDF("k", "o", "rid"),
+        Seq("k"), "o", "o", op, jt)
+        .collect().map(r => r.getString(2) -> Option(r.getString(4))).toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("null order values never match, on either side") {
     val l = Seq((1L, Some(10L), "a"), (1L, None, "b")).toDF("k", "o", "lid")
     val r = Seq((1L, Some(5L), "P5"), (1L, None, "PNULL")).toDF("k", "o", "rid")
