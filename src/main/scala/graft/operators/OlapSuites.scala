@@ -244,6 +244,50 @@ object OlapSuites {
       |       CAST(sum(CAST(big.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v2
       |FROM orders x JOIN orders big ON x.o_orderkey = big.o_orderkey""".stripMargin
 
+  /** Sequential conversion funnel (the product-analytics shape ClickBench
+    * doesn't carry): per user, first VIEW, first CLICK strictly after
+    * that view, first PURCHASE strictly after that click. Each stage's
+    * bound depends on the previous stage's RESULT — three chained
+    * conditional mins over one user-partitioned window (ONE shuffle; the
+    * oracle phrases the same cascade as three grouped joins). NULL
+    * propagation is the semantics: a user with no view can convert at no
+    * later stage (`ts > NULL` filters everything on both engines). */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    Tables.t(s, dir, "events")
+      .withColumn("v",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c",
+        min(when(col("event_type") === "click" && col("ts") > col("v"),
+          col("ts"))).over(w))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(first(col("v")).as("first_view"),
+        first(col("c")).as("first_click"),
+        first(col("p")).as("first_purchase"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      |  FROM events GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS first_click
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.first_view
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS first_purchase
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.first_click
+      |  GROUP BY e.user_id)
+      |SELECT user_id, first_view, first_click, first_purchase
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h2o_groupby_six" -> (h2oGroupbySix _),
     "h2o_join_small" -> (h2oJoinSmall _),
@@ -252,7 +296,8 @@ object OlapSuites {
     "h2o_median_sd" -> (h2oMedianSd _),
     "cb_domain_topn" -> (cbDomainTopn _),
     "cb_url_host_topn" -> (cbUrlHostTopn _),
-    "cb_views_offset" -> (cbViewsOffset _))
+    "cb_views_offset" -> (cbViewsOffset _),
+    "events_funnel" -> (eventsFunnel _))
 
   val oracle: Map[String, String] = Map(
     "h2o_groupby_six" -> h2oGroupbySixSql,
@@ -262,5 +307,6 @@ object OlapSuites {
     "h2o_median_sd" -> h2oMedianSdSql,
     "cb_domain_topn" -> cbDomainTopnSql,
     "cb_url_host_topn" -> cbUrlHostTopnSql,
-    "cb_views_offset" -> cbViewsOffsetSql)
+    "cb_views_offset" -> cbViewsOffsetSql,
+    "events_funnel" -> eventsFunnelSql)
 }

@@ -129,6 +129,7 @@ object TextAnalysis {
     "text_boilerplate" -> (textBoilerplate _),
     "text_vocab" -> (textVocab _),
     "text_lm_score" -> (textLmScore _),
+    "text_zipf" -> (textZipf _),
     "text_redact" -> (textRedact _))
 
   /** The same stopword-hit argmax (ties → lexicographically larger lang)
@@ -489,6 +490,44 @@ object TextAnalysis {
        |  round(pow(2.0, -avg_logprob), 4) AS ppl
        |FROM scored""".stripMargin
 
+  /** Zipf-fit corpus diagnostic — token frequencies in natural language
+    * follow a power law `freq ∝ rank^(-s)` with s ≈ 1 (Zipf 1949); a
+    * corpus whose fitted slope or R² departs sharply flags template
+    * spam, deduplication damage, or synthetic-generation artifacts. Per
+    * language: distinct-token count and the least-squares fit of
+    * ln(freq) on ln(rank) (slope + R², both engines' regr_* aggregates).
+    * Ranks are total-ordered (count desc, token asc) so the fit is
+    * deterministic; the round-4 grain absorbs cross-engine ln/summation
+    * drift. Scale posture: one token-count exchange, one per-language
+    * rank window, one regression aggregate. */
+  def textZipf(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.t(s, dir, "documents")
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("w"))))
+    ranked.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_distinct"),
+      round(regr_slope(log(col("n")), log(col("r"))), 4).as("zipf_slope"),
+      round(regr_r2(log(col("n")), log(col("r"))), 4).as("zipf_r2"))
+  }
+
+  val textZipfSql: String =
+    raw"""WITH tok AS (
+       |  SELECT lang,
+       |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+       |  FROM documents),
+       |counts AS (SELECT lang, w, count(*) AS n FROM tok GROUP BY lang, w),
+       |ranked AS (
+       |  SELECT lang, n,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS r
+       |  FROM counts)
+       |SELECT lang, count(*) AS n_distinct,
+       |  round(regr_slope(ln(n), ln(r)), 4) AS zipf_slope,
+       |  round(regr_r2(ln(n), ln(r)), 4) AS zipf_r2
+       |FROM ranked GROUP BY lang""".stripMargin
+
   /** PII redaction — the scrubbing stage of a training-data pipeline:
     * emails, dotted-quad IPs, and phone-shaped digit runs are replaced
     * with typed placeholders, and the pass is accounted for (counts per
@@ -557,5 +596,6 @@ object TextAnalysis {
     "text_boilerplate" -> textBoilerplateSql,
     "text_vocab" -> textVocabSql,
     "text_lm_score" -> textLmScoreSql,
+    "text_zipf" -> textZipfSql,
     "text_redact" -> textRedactSql)
 }
