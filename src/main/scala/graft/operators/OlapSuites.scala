@@ -288,6 +288,40 @@ object OlapSuites {
       |SELECT user_id, first_view, first_click, first_purchase
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
 
+  /** Weekly cohort retention — the other canonical product-analytics
+    * shape: users cohorted by their first-seen epoch week, then counted
+    * distinctly at each week offset (0..3). Epoch-week arithmetic is
+    * pure integer (`days-since-1970 DIV 7` — the dsWeekPivot parity
+    * lesson: spell the floor identically on both engines), so the
+    * cohort matrix is exact. Scale posture: one per-user min aggregate,
+    * one broadcastable join back (per-user cohort is |users|-sized), one
+    * grouped multi-distinct aggregate. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events").select(col("user_id"),
+      expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7").as("wk"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    ev.join(cohorts, Seq("user_id"))
+      .select(col("user_id"), col("cohort"), (col("wk") - col("cohort")).as("off"))
+      .groupBy(col("cohort"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("off") === 1, col("user_id"))).as("w1"),
+        countDistinct(when(col("off") === 2, col("user_id"))).as("w2"),
+        countDistinct(when(col("off") === 3, col("user_id"))).as("w3"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+      |SELECT cohort, count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT CASE WHEN wk - cohort = 1 THEN user_id END) AS w1,
+      |  count(DISTINCT CASE WHEN wk - cohort = 2 THEN user_id END) AS w2,
+      |  count(DISTINCT CASE WHEN wk - cohort = 3 THEN user_id END) AS w3
+      |FROM ev JOIN cohorts USING (user_id)
+      |GROUP BY cohort""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h2o_groupby_six" -> (h2oGroupbySix _),
     "h2o_join_small" -> (h2oJoinSmall _),
@@ -297,7 +331,8 @@ object OlapSuites {
     "cb_domain_topn" -> (cbDomainTopn _),
     "cb_url_host_topn" -> (cbUrlHostTopn _),
     "cb_views_offset" -> (cbViewsOffset _),
-    "events_funnel" -> (eventsFunnel _))
+    "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _))
 
   val oracle: Map[String, String] = Map(
     "h2o_groupby_six" -> h2oGroupbySixSql,
@@ -308,5 +343,6 @@ object OlapSuites {
     "cb_domain_topn" -> cbDomainTopnSql,
     "cb_url_host_topn" -> cbUrlHostTopnSql,
     "cb_views_offset" -> cbViewsOffsetSql,
-    "events_funnel" -> eventsFunnelSql)
+    "events_funnel" -> eventsFunnelSql,
+    "events_retention" -> eventsRetentionSql)
 }
