@@ -216,6 +216,22 @@ object DuckSqlQueries {
   val asofLeftSql: String = graft.operators.Joins.joinAsofSql
   val asofInnerSql: String = graft.operators.Joins.joinAsofInnerSql
 
+  /** The LATERAL translation path, pinned explicitly now that the
+    * canonical shape takes the `AsofRewrite` fast path: the `+ INTERVAL`
+    * expression on the inequality's right side is OUTSIDE the fast
+    * path's `alias.col <cmp> alias.col` contract, so this string
+    * exercises the faithful fallback end to end. The user_id bound keeps
+    * the decorrelated domain join cheap at EVERY scale (its cost grows
+    * with distinct order keys, not corpus size). Semantically identical
+    * to `ducksql_asof` restricted to those users — DuckDB evaluates the
+    * same interval arithmetic. */
+  val asofLateralSql: String =
+    """SELECT c.event_id, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id < 20) c
+      |ASOF LEFT JOIN (SELECT * FROM events
+      |                WHERE event_type = 'purchase' AND user_id < 20) p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts + INTERVAL '0' SECOND""".stripMargin
+
   /** `UNION ALL BY NAME` with disjoint measures: each side contributes a
     * column the other lacks (NULL-filled) and the key appears in a
     * different position — the full by-name alignment surface
@@ -412,6 +428,7 @@ object DuckSqlQueries {
     "ducksql_list_funcs" -> via(listFuncsSql),
     "ducksql_ignore_nulls" -> via(ignoreNullsSql),
     "ducksql_asof" -> via(asofLeftSql),
+    "ducksql_asof_lateral" -> via(asofLateralSql),
     "ducksql_asof_inner" -> via(asofInnerSql),
     "ducksql_list_position" -> via(listPositionSql),
     "ducksql_struct_literal" -> via(structLiteralSql),
@@ -455,6 +472,7 @@ object DuckSqlQueries {
     "ducksql_list_funcs" -> listFuncsSql,
     "ducksql_ignore_nulls" -> ignoreNullsSql,
     "ducksql_asof" -> asofLeftSql,
+    "ducksql_asof_lateral" -> asofLateralSql,
     "ducksql_asof_inner" -> asofInnerSql,
     "ducksql_list_position" -> listPositionSql,
     "ducksql_struct_literal" -> structLiteralSql,

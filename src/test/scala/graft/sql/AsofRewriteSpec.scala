@@ -64,7 +64,9 @@ class AsofRewriteSpec extends SparkSpec {
         "ON a.user_id = b.user_id AND a.ts >= b.ts"),
     "WITH prefix" ->
       ("WITH c AS (SELECT * FROM events) SELECT a.event_id FROM c a " +
-        "ASOF JOIN events b ON a.user_id = b.user_id AND a.ts >= b.ts"))) {
+        "ASOF JOIN events b ON a.user_id = b.user_id AND a.ts >= b.ts"),
+    "expression on the inequality side (the ducksql_asof_lateral pin)" ->
+      DuckSqlQueries.asofLateralSql)) {
     test(s"fallback: $label declines the fast path") {
       assert(AsofRewrite.maybeRun(spark, sf(), sql).isEmpty, label)
     }
