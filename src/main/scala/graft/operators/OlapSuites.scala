@@ -322,6 +322,154 @@ object OlapSuites {
       |FROM ev JOIN cohorts USING (user_id)
       |GROUP BY cohort""".stripMargin
 
+  /** Rolling 7-day active users (DAU/WAU/stickiness) — the sliding
+    * DISTINCT shape none of the `win_*` family covers (windowed
+    * count-distinct is unsupported as a window function on BOTH engines,
+    * so the published formulation is this one): pre-distinct the fact to
+    * (day, user) grain, then range-join against the day dimension and
+    * count distinct per report day. Scale posture: the day dimension is
+    * calendar-bounded (tiny forever) → broadcast; the fact side is
+    * pre-shrunk to |users|×|days| BEFORE the 7-way inflation, and the
+    * per-day distinct shuffles on the report day. Stickiness (DAU/WAU,
+    * Facebook's engagement ratio) is a quotient of two exact integers,
+    * so the rounding agrees bitwise across engines. */
+  def eventsWau(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.t(s, dir, "events")
+      .select(col("ts").cast("date").as("ud"), col("user_id")).distinct()
+    val days = du.select(col("ud").as("d")).distinct()
+    du.join(broadcast(days),
+        col("ud") >= date_sub(col("d"), 6) && col("ud") <= col("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(when(col("ud") === col("d"), col("user_id")))
+          .as("dau"),
+        countDistinct(col("user_id")).as("wau"))
+      .select(col("d"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
+
+  val eventsWauSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS ud, user_id FROM events),
+      |days AS (SELECT DISTINCT ud AS d FROM du)
+      |SELECT d,
+      |       count(DISTINCT CASE WHEN ud = d THEN user_id END) AS dau,
+      |       count(DISTINCT user_id) AS wau,
+      |       round(CAST(count(DISTINCT CASE WHEN ud = d THEN user_id END) AS DOUBLE)
+      |             / count(DISTINCT user_id), 4) AS stickiness
+      |FROM du JOIN days ON ud BETWEEN d - 6 AND d
+      |GROUP BY d""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event streams —
+    * the path-analysis shape behind "where do users go after X":
+    * lag(event_type) over (user, ts, event_id order) pairs each event
+    * with its predecessor, transitions are counted, and each row carries
+    * its conditional probability P(cur | prev) as a share of the prev
+    * state's outgoing total. The (ts, event_id) compound order key makes
+    * the pairing total-order deterministic under same-timestamp events.
+    * Scale posture: one shuffle on user_id for the lag window, then a
+    * 25-row (|types|²) aggregate; the probability share is a window over
+    * that tiny aggregate. n/total is a quotient of exact integers. */
+  def eventsPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev"))), 4))
+  }
+
+  val eventsPathsSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_type AS cur,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (
+      |  SELECT prev, cur, count(*) AS n
+      |  FROM lagged WHERE prev IS NOT NULL
+      |  GROUP BY prev, cur)
+      |SELECT prev, cur, n,
+      |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 4) AS p
+      |FROM t""".stripMargin
+
+  /** Per-type inter-arrival latency profile — the gap statistics behind
+    * rate-limit tuning and session-timeout selection: consecutive
+    * same-user same-type events are paired by a lag window and the gap
+    * distribution summarized per type (count, mean, exact median, max).
+    * Gaps stay INTEGER MICROSECONDS (`unix_micros`/`epoch_us` — the
+    * same clock on both engines) through every aggregate: avg divides an
+    * exact int128/long sum once, the exact median interpolates between
+    * two integers — both correctly-rounded single operations, so the
+    * doubles agree bitwise and no engine-order float accumulation
+    * exists anywhere. Scale posture: one shuffle on (user, type) for the
+    * window, then a |types|-row aggregate; the holistic exact median
+    * buffers per-(type) gap lists — the documented approx_percentile
+    * swap applies if per-type volumes outgrow an executor. */
+  def eventsInterarrival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .withColumn("gap",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap")) / 1e6, 4).as("mean_s"),
+        round(expr("percentile(gap, 0.5)") / 1e6, 4).as("median_s"),
+        round(max(col("gap")) / 1e6, 4).as("max_s"))
+  }
+
+  val eventsInterarrivalSql: String =
+    """WITH lagged AS (
+      |  SELECT event_type,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |           PARTITION BY user_id, event_type
+      |           ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |       round(avg(gap) / 1e6, 4) AS mean_s,
+      |       round(quantile_cont(gap, 0.5) / 1e6, 4) AS median_s,
+      |       round(max(gap) / 1e6, 4) AS max_s
+      |FROM lagged WHERE gap IS NOT NULL
+      |GROUP BY event_type""".stripMargin
+
+  /** Daily-volume anomaly scan — the ops-dashboard z-score pass: daily
+    * counts per type, each day scored against its type's across-days
+    * mean/sample-sd, |z| ≥ 2 flagged. Every aggregate input is an exact
+    * integer (daily counts), and a ~30-day series of counts keeps sums
+    * and sums-of-squares integer-valued below 2^53 — so mean and sd are
+    * order-independent bitwise-identical doubles on any engine or
+    * cluster size. The NULLIF guards the all-days-equal sd = 0 corpus
+    * (the ANSI divide-by-zero lesson). Scale posture: one grouped count
+    * (map-side combining), then a window over the |types|×|days|
+    * metadata-sized aggregate. */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("z", round((col("c") - avg(col("c")).over(w)) /
+        nullif(stddev(col("c")).over(w), lit(0.0)), 4))
+      .withColumn("is_anomaly", abs(col("z")) >= 2.0)
+  }
+
+  val eventsAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, d, c,
+      |       round((c - avg(c) OVER (PARTITION BY event_type))
+      |             / NULLIF(stddev(c) OVER (PARTITION BY event_type), 0), 4) AS z,
+      |       abs(round((c - avg(c) OVER (PARTITION BY event_type))
+      |             / NULLIF(stddev(c) OVER (PARTITION BY event_type), 0), 4)) >= 2.0
+      |         AS is_anomaly
+      |FROM daily""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h2o_groupby_six" -> (h2oGroupbySix _),
     "h2o_join_small" -> (h2oJoinSmall _),
@@ -332,7 +480,11 @@ object OlapSuites {
     "cb_url_host_topn" -> (cbUrlHostTopn _),
     "cb_views_offset" -> (cbViewsOffset _),
     "events_funnel" -> (eventsFunnel _),
-    "events_retention" -> (eventsRetention _))
+    "events_retention" -> (eventsRetention _),
+    "events_wau" -> (eventsWau _),
+    "events_paths" -> (eventsPaths _),
+    "events_interarrival" -> (eventsInterarrival _),
+    "events_anomaly" -> (eventsAnomaly _))
 
   val oracle: Map[String, String] = Map(
     "h2o_groupby_six" -> h2oGroupbySixSql,
@@ -344,5 +496,9 @@ object OlapSuites {
     "cb_url_host_topn" -> cbUrlHostTopnSql,
     "cb_views_offset" -> cbViewsOffsetSql,
     "events_funnel" -> eventsFunnelSql,
-    "events_retention" -> eventsRetentionSql)
+    "events_retention" -> eventsRetentionSql,
+    "events_wau" -> eventsWauSql,
+    "events_paths" -> eventsPathsSql,
+    "events_interarrival" -> eventsInterarrivalSql,
+    "events_anomaly" -> eventsAnomalySql)
 }
