@@ -470,6 +470,58 @@ object OlapSuites {
       |         AS is_anomaly
       |FROM daily""".stripMargin
 
+  /** Calendar gap-fill + forward-fill — the resampling pass every
+    * time-series pipeline runs before charting or joining irregular
+    * observations: sparsify the fact (1-in-97 sample makes real gaps),
+    * build the dense type×day grid from a generated calendar, LEFT join
+    * the observations back, and carry the last observation forward with
+    * its age. The fill is `last_value IGNORE NULLS` over a running
+    * frame — rows before a type's first observation stay NULL on both
+    * engines (no fabricated zero). Scale posture: the calendar is
+    * generated, not scanned (bounded by date range forever); the grid is
+    * |types|×|days| metadata-sized; the only fact-sized work is the
+    * grouped count, which map-side combines. */
+  def tsGapfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.t(s, dir, "events")
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_type"), col("ts").cast("date").as("d"))
+    val daily = ev.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("c_obs"))
+    val cal = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(cal))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("event_type", "d"), "left")
+      .withColumn("c_fill", last(col("c_obs"), ignoreNulls = true).over(w))
+      .withColumn("last_obs_d",
+        last(when(col("c_obs").isNotNull, col("d")), ignoreNulls = true).over(w))
+      .withColumn("gap_days",
+        datediff(col("d"), col("last_obs_d")).cast("long"))
+  }
+
+  val tsGapfillSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d
+      |  FROM events WHERE event_id % 97 = 0),
+      |daily AS (SELECT event_type, d, count(*) AS c_obs FROM ev GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM (SELECT min(d) AS lo, max(d) AS hi FROM ev)),
+      |grid AS (SELECT event_type, d FROM (SELECT DISTINCT event_type FROM ev), cal)
+      |SELECT g.event_type, g.d, c_obs,
+      |       last_value(c_obs IGNORE NULLS) OVER w AS c_fill,
+      |       last_value(CASE WHEN c_obs IS NOT NULL THEN g.d END IGNORE NULLS)
+      |         OVER w AS last_obs_d,
+      |       date_diff('day',
+      |         last_value(CASE WHEN c_obs IS NOT NULL THEN g.d END IGNORE NULLS)
+      |           OVER w, g.d) AS gap_days
+      |FROM grid g LEFT JOIN daily USING (event_type, d)
+      |WINDOW w AS (PARTITION BY g.event_type ORDER BY g.d
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h2o_groupby_six" -> (h2oGroupbySix _),
     "h2o_join_small" -> (h2oJoinSmall _),
@@ -484,7 +536,8 @@ object OlapSuites {
     "events_wau" -> (eventsWau _),
     "events_paths" -> (eventsPaths _),
     "events_interarrival" -> (eventsInterarrival _),
-    "events_anomaly" -> (eventsAnomaly _))
+    "events_anomaly" -> (eventsAnomaly _),
+    "ts_gapfill" -> (tsGapfill _))
 
   val oracle: Map[String, String] = Map(
     "h2o_groupby_six" -> h2oGroupbySixSql,
@@ -500,5 +553,6 @@ object OlapSuites {
     "events_wau" -> eventsWauSql,
     "events_paths" -> eventsPathsSql,
     "events_interarrival" -> eventsInterarrivalSql,
-    "events_anomaly" -> eventsAnomalySql)
+    "events_anomaly" -> eventsAnomalySql,
+    "ts_gapfill" -> tsGapfillSql)
 }

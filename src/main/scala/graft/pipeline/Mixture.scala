@@ -316,7 +316,50 @@ object Mixture {
        |  coalesce(n_final, 0) AS n_final
        |FROM raw r LEFT JOIN rates USING (domain) LEFT JOIN finals USING (domain)""".stripMargin
 
+  /** Token-budget-equalizing importance sampling — the per-DOCUMENT
+    * weighting policy (vs the per-domain policies above): each document
+    * is kept with probability min(1, B / n_chars) for a fixed char
+    * budget B = 500, so every kept document's expected char
+    * contribution is ≈ B and long documents stop dominating the token
+    * mix (the inverse-length reweighting used when equalizing per-doc
+    * token budgets). The keep threshold is pure integer arithmetic —
+    * `keep_ppm = least(1e6, 5e8 DIV max(n_chars, 1))` — and the decision
+    * is the standard `hash64(seed, doc_id) % 1e6 < keep_ppm`, so the
+    * sample is reproducible on any engine or cluster size with NO
+    * per-corpus statistics pass at all (B is config, not data). Audit
+    * output per lang: doc and char totals before/after — chars_kept
+    * flattens toward n_kept·B while short docs pass untouched. Scale
+    * posture: one scan, keep decision in the scan's codegen stage, one
+    * map-side-combining aggregate to |langs| rows. */
+  def mixImportance(s: SparkSession, dir: String): DataFrame = {
+    val keepPpm = least(lit(Ppm),
+      expr("500000000 DIV greatest(n_chars, 1)"))
+    val kept = u(23) < keepPpm
+    Tables.t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(kept, col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_total"), 4))
+  }
+
+  val mixImportanceSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, n_chars,
+       |    ${uSql(23)} < least($Ppm, 500000000 // greatest(n_chars, 1)) AS kept
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+       |  round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 4) AS kept_frac
+       |FROM d GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_importance" -> (mixImportance _),
     "mix_domain_uniform" -> (mixDomainUniform _),
     "mix_temperature" -> (mixTemperature _),
     "mix_split" -> (mixSplit _),
@@ -324,6 +367,7 @@ object Mixture {
     "mix_curation_funnel" -> (mixCurationFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "mix_importance" -> mixImportanceSql,
     "mix_domain_uniform" -> mixDomainUniformSql,
     "mix_temperature" -> mixTemperatureSql,
     "mix_split" -> mixSplitSql,

@@ -118,7 +118,59 @@ object TextAnalysis {
       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ')) AS fp
       |FROM documents""".stripMargin
 
+  /** TF-IDF keyword extraction — top-3 distinguishing terms per document
+    * (Spärck Jones 1972; the keyword pass behind BM25-ish retrieval and
+    * topic tagging). The score is kept EXACTLY INTEGER:
+    * `score_q = (tf · N_docs · 1000) DIV df` — the same ranking order as
+    * tf·(N/df) but computed with one integer multiply chain and one
+    * integer floor-division, so ranks and tie-breaks (score desc, term
+    * asc) are bit-identical across engines and cluster sizes; a float
+    * log-idf would rank identically but compare at engine-dependent
+    * ulps. Scale posture: the explode and both aggregates shuffle on the
+    * term (hash-distributed, map-side combining); N_docs is a broadcast
+    * scalar; the top-3 window partitions by doc_id — no global sort. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(Dedup.normalized(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .withColumn("score_q", expr("tf * n_docs * 1000 DIV df"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_q").desc, col("term").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score_q"))
+  }
+
+  val textTfidfSql: String =
+    raw"""WITH w AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+       |           ' ')) AS term
+       |  FROM documents),
+       |t1 AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM w WHERE len(term) > 0 GROUP BY doc_id, term),
+       |t2 AS (SELECT term, count(*) AS df FROM t1 GROUP BY term),
+       |tot AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, t1.term, tf, df, (tf * n_docs * 1000) // df AS score_q
+       |  FROM t1 JOIN t2 USING (term), tot)
+       |SELECT doc_id, rk, term, tf, df, score_q
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score_q DESC, term ASC) AS rk
+       |      FROM scored)
+       |WHERE rk <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
     "text_stats" -> (textStats _),
     "text_tokens" -> (textTokens _),
     "text_langid" -> (textLangid _),
@@ -593,6 +645,7 @@ object TextAnalysis {
     "text_fingerprint_rolling" -> textFingerprintRollingSql,
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
+    "text_tfidf" -> textTfidfSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_vocab" -> textVocabSql,
     "text_lm_score" -> textLmScoreSql,
