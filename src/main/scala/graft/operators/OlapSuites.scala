@@ -522,6 +522,114 @@ object OlapSuites {
       |WINDOW w AS (PARTITION BY g.event_type ORDER BY g.d
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Deterministic A/B experiment readout — the two-proportion z-test
+    * every growth team runs: users are assigned to arms by
+    * `hash64(seed, user_id) % 1e6 < 500000` (the same salted-hash
+    * bucketing the mixture samplers use — assignment is reproducible on
+    * any engine, cluster size, or re-run, which is the property that
+    * makes an experiment auditable), conversion = "has ≥1 purchase", and
+    * the readout is one row: both arms' counts, rates, and the pooled
+    * two-proportion z statistic. Every float is derived from four exact
+    * integers through an identically-spelled chain of correctly-rounded
+    * ops, so the rounded z agrees bitwise. The NULLIF guards the
+    * degenerate all-convert/none-convert corpus. Scale posture: one
+    * per-user aggregate (map-side combining), then a 2-row → 1-row
+    * reduction. */
+  def eventsAbAssign(s: SparkSession, dir: String): DataFrame = {
+    val arm = when(
+      graft.pipeline.Dedup.hash64(29, col("user_id").cast("string"))
+        % 1000000L < 500000L, "A").otherwise("B")
+    val perUser = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(arm.as("arm"), col("conv"))
+    perUser.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("k_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("k_b"))
+      .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        round(col("k_a").cast("double") / col("n_a"), 4).as("rate_a"),
+        round(col("k_b").cast("double") / col("n_b"), 4).as("rate_b"),
+        round((col("k_a").cast("double") / col("n_a")
+            - col("k_b").cast("double") / col("n_b")) /
+          nullif(sqrt(
+            ((col("k_a") + col("k_b")).cast("double") / (col("n_a") + col("n_b")))
+              * (lit(1.0) - (col("k_a") + col("k_b")).cast("double")
+                  / (col("n_a") + col("n_b")))
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0)), 4)
+          .as("z"))
+  }
+
+  val eventsAbAssignSql: String = {
+    val u = graft.pipeline.Dedup.hash64Sql("29", "CAST(user_id AS VARCHAR)")
+    s"""WITH per_user AS (
+       |  SELECT CASE WHEN $u % 1000000 < 500000 THEN 'A' ELSE 'B' END AS arm,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id),
+       |c AS (
+       |  SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS k_a,
+       |         CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |         CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS k_b
+       |  FROM per_user)
+       |SELECT n_a, k_a, n_b, k_b,
+       |  round(CAST(k_a AS DOUBLE) / n_a, 4) AS rate_a,
+       |  round(CAST(k_b AS DOUBLE) / n_b, 4) AS rate_b,
+       |  round((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+       |    / NULLIF(sqrt(
+       |        (CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+       |        * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+       |        * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z
+       |FROM c""".stripMargin
+  }
+
+  /** RFM customer segmentation — the classic marketing cube: per
+    * customer recency (last order date), frequency (order count), and
+    * monetary (exact DECIMAL revenue sum), each scored into quintiles by
+    * ntile(5) under a TOTAL order (metric, then custkey — both engines
+    * split ntile remainders identically per the SQL standard, and the
+    * tie-break makes the permutation unique), then the 125-cell segment
+    * cube summarized. Scale posture: one per-customer aggregate, then
+    * three global ntile sorts over the |customers| summary — the
+    * documented swap at real scale is approx-quantile CUT POINTS
+    * (percentile_approx) instead of exact global sorts; the quintile
+    * SEMANTICS (equal-count bins) are what the entry pins. */
+  def custRfm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("r"),
+        count(lit(1)).as("f"),
+        sum(dec(col("o_totalprice"))).as("m"))
+    perCust
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("r").asc, col("o_custkey").asc)))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("f").asc, col("o_custkey").asc)))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("m").asc, col("o_custkey").asc)))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("m")).cast("double").as("m_total"))
+  }
+
+  val custRfmSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, max(o_orderdate) AS r, count(*) AS f,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      |  FROM orders GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT ntile(5) OVER (ORDER BY r ASC, o_custkey ASC) AS r_score,
+      |         ntile(5) OVER (ORDER BY f ASC, o_custkey ASC) AS f_score,
+      |         ntile(5) OVER (ORDER BY m ASC, o_custkey ASC) AS m_score,
+      |         m
+      |  FROM per_cust)
+      |SELECT r_score, f_score, m_score, count(*) AS n_cust,
+      |       CAST(sum(m) AS DOUBLE) AS m_total
+      |FROM scored GROUP BY r_score, f_score, m_score""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h2o_groupby_six" -> (h2oGroupbySix _),
     "h2o_join_small" -> (h2oJoinSmall _),
@@ -537,7 +645,9 @@ object OlapSuites {
     "events_paths" -> (eventsPaths _),
     "events_interarrival" -> (eventsInterarrival _),
     "events_anomaly" -> (eventsAnomaly _),
-    "ts_gapfill" -> (tsGapfill _))
+    "ts_gapfill" -> (tsGapfill _),
+    "events_ab_assign" -> (eventsAbAssign _),
+    "cust_rfm" -> (custRfm _))
 
   val oracle: Map[String, String] = Map(
     "h2o_groupby_six" -> h2oGroupbySixSql,
@@ -554,5 +664,7 @@ object OlapSuites {
     "events_paths" -> eventsPathsSql,
     "events_interarrival" -> eventsInterarrivalSql,
     "events_anomaly" -> eventsAnomalySql,
-    "ts_gapfill" -> tsGapfillSql)
+    "ts_gapfill" -> tsGapfillSql,
+    "events_ab_assign" -> eventsAbAssignSql,
+    "cust_rfm" -> custRfmSql)
 }

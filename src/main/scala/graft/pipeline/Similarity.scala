@@ -449,7 +449,67 @@ object Similarity {
        |       coalesce(h.n_hit, 0) / 5.0 AS recall
        |FROM probes p LEFT JOIN ivf_hits h USING (qid)""".stripMargin
 
+  /** Int8 scalar quantization audit — the compression pass a vector
+    * store runs before serving (per-dimension min/max affine quantization
+    * to 0..255, the scalar baseline of product quantization): each
+    * dimension's corpus [min, max] is mapped to the byte range, every
+    * value is rounded to its code, and the reconstruction error is
+    * reported per label. Determinism is engineered end-to-end: min/max
+    * over doubles are order-independent, every subsequent step ((x−mn),
+    * /scale, round, reconstruct, square) is ONE correctly-rounded IEEE
+    * op on identical inputs, and the per-element squared error is
+    * floor-quantized to INTEGER picounits BEFORE any aggregation — so
+    * the sums are exact integers and no engine-order float accumulation
+    * exists. Scale posture: the per-dim stats aggregate is |dims|-sized
+    * (broadcast back); everything else is one scan + two
+    * map-side-combining aggregates keyed on vec_id then label. */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("vec_id"), col("label"), col("d"),
+        col("xf").cast("double").as("x"))
+    val stats = u.groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val scale = (col("mx") - col("mn")) / 255.0d
+    val q = when(col("mx") === col("mn"), 0)
+      .otherwise(round((col("x") - col("mn")) / scale).cast("int"))
+    val err = col("x") - (col("mn") + q.cast("double") * scale)
+    u.join(broadcast(stats), Seq("d"))
+      .select(col("vec_id"), col("label"),
+        floor(err * err * 1e12).cast("long").as("e_q"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("e_q")).as("mse_q"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(mse_q) DIV count(*)").as("mse_q_avg"),
+        max(col("mse_q")).as("mse_q_max"))
+  }
+
+  val embQuantizeSql: String =
+    """WITH u AS (
+      |  SELECT vec_id, label, d - 1 AS d, CAST(x AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+      |               unnest(range(1, len(embedding) + 1)) AS d
+      |        FROM embeddings)),
+      |stats AS (SELECT d, min(x) AS mn, max(x) AS mx FROM u GROUP BY d),
+      |coded AS (
+      |  SELECT vec_id, label,
+      |    x - (mn + CAST(CASE WHEN mx = mn THEN 0
+      |                ELSE CAST(round((x - mn) / ((mx - mn) / 255.0)) AS INT)
+      |                END AS DOUBLE) * ((mx - mn) / 255.0)) AS err
+      |  FROM u JOIN stats USING (d)),
+      |pervec AS (
+      |  SELECT vec_id, label,
+      |         CAST(sum(CAST(floor(err * err * 1e12) AS BIGINT)) AS BIGINT) AS mse_q
+      |  FROM coded GROUP BY vec_id, label)
+      |SELECT label, count(*) AS n_vecs,
+      |       CAST(sum(mse_q) AS BIGINT) // count(*) AS mse_q_avg,
+      |       max(mse_q) AS mse_q_max
+      |FROM pervec GROUP BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_quantize" -> (embQuantize _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_lsh_banded" -> (annLshBanded _),
@@ -459,6 +519,7 @@ object Similarity {
     "emb_domain_diversity" -> (embDomainDiversity _))
 
   val oracle: Map[String, String] = Map(
+    "emb_quantize" -> embQuantizeSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "ann_lsh_banded" -> annLshBandedSql,
