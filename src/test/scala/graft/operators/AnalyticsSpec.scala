@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan pins for the product-analytics tranche (rolling
+  * DAU/WAU, Markov paths, inter-arrival, anomaly scan, gap-fill, A/B
+  * readout, RFM). Each test recomputes the entry's core invariant from
+  * the raw fixture rather than trusting the entry's own arithmetic. */
+class AnalyticsSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("events_wau: dau matches per-day distinct, wau >= dau, day dim broadcast") {
+    val rows = OlapSuites.eventsWau(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val dauByDay = graft.Tables.t(spark, sf(), "events")
+      .select(col("ts").cast("date").as("d"), col("user_id")).distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (d, dau, wau) = (r.getDate(0).toString, r.getLong(1), r.getLong(2))
+      assert(dau == dauByDay(d), s"dau mismatch on $d")
+      assert(wau >= dau && r.getDouble(3) <= 1.0)
+    }
+    assert(plan(OlapSuites.eventsWau(spark, sf())).contains("Broadcast"),
+      "the calendar-bounded day dimension must broadcast")
+  }
+
+  test("events_paths: outgoing probabilities sum to 1 per prev state") {
+    val rows = OlapSuites.eventsPaths(spark, sf()).collect()
+    val byPrev = rows.groupBy(_.getString(0))
+    byPrev.foreach { case (prev, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 0.01, s"P(.|$prev) sums to $pSum")
+    }
+    // total transitions = events - one first-event per active user
+    val ev = graft.Tables.t(spark, sf(), "events")
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
+  test("events_interarrival: gap count is events minus per-(user,type) firsts") {
+    val rows = OlapSuites.eventsInterarrival(spark, sf()).collect()
+    val ev = graft.Tables.t(spark, sf(), "events")
+    val expected = ev.groupBy(col("event_type"))
+      .agg((count(lit(1)) - countDistinct(col("user_id"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == expected(r.getString(0)))
+      assert(r.getDouble(2) >= 0 && r.getDouble(4) >= r.getDouble(3),
+        "max >= median >= 0")
+    }
+  }
+
+  test("events_anomaly: grid is types x days and the flag mirrors |z| >= 2") {
+    val df = OlapSuites.eventsAnomaly(spark, sf())
+    val rows = df.collect()
+    val ev = graft.Tables.t(spark, sf(), "events")
+      .select(col("event_type"), col("ts").cast("date").as("d"))
+    val expected = ev.distinct().count()
+    assert(rows.length == expected)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getBoolean(4) == (math.abs(r.getDouble(3)) >= 2.0))
+    }
+  }
+
+  test("ts_gapfill: dense grid, fill carries the last observation, gap age is exact") {
+    val rows = OlapSuites.tsGapfill(spark, sf()).collect()
+    val types = rows.map(_.getString(0)).distinct.length
+    val days = rows.map(_.getDate(1).toString).distinct.length
+    assert(rows.length == types * days, "grid must be dense")
+    val obs = rows.filter(!_.isNullAt(2))
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    rows.filter(!_.isNullAt(5)).foreach { r =>
+      val lastD = r.getDate(4).toString
+      assert(r.getLong(3) == obs((r.getString(0), lastD)),
+        "c_fill must equal the observation at last_obs_d")
+      if (!r.isNullAt(2)) assert(r.getLong(5) == 0L, "observed rows have age 0")
+    }
+    // rows before a type's first observation stay NULL (no fabricated zero)
+    assert(rows.forall(r => !r.isNullAt(3) || r.isNullAt(2)))
+  }
+
+  test("events_ab_assign: arms partition the users and z recomputes") {
+    val r = OlapSuites.eventsAbAssign(spark, sf()).collect().head
+    val users = graft.Tables.t(spark, sf(), "events")
+      .select(col("user_id")).distinct().count()
+    val (na, ka, nb, kb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na + nb == users && ka <= na && kb <= nb)
+    val (p1, p2) = (ka.toDouble / na, kb.toDouble / nb)
+    val p = (ka + kb).toDouble / (na + nb)
+    val se = math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    if (se > 0) assert(math.abs(r.getDouble(6) -
+      BigDecimal((p1 - p2) / se).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+  }
+
+  test("cust_rfm: segments partition the customers and quintiles are balanced") {
+    val rows = OlapSuites.custRfm(spark, sf()).collect()
+    val nCust = graft.Tables.t(spark, sf(), "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nCust)
+    (0 to 2).foreach { i =>
+      val marginal = rows.groupBy(_.getInt(i)).view
+        .mapValues(_.map(_.getLong(3)).sum).toMap
+      assert(marginal.keySet.subsetOf((1 to 5).toSet))
+      // ntile balance: bucket sizes differ by at most 1
+      assert(marginal.values.max - marginal.values.min <= 1,
+        s"score column $i must be quintile-balanced: $marginal")
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-12 session-3 pipeline additions:
+  * TF-IDF keyword extraction, token-budget importance sampling, and the
+  * int8 scalar-quantization audit. */
+class CurationExtrasSpec extends SparkSpec {
+
+  test("text_tfidf: at most 3 ranked terms per doc, scores non-increasing, df sane") {
+    val rows = TextAnalysis.textTfidf(spark, sf()).collect()
+    val nDocs = graft.Tables.t(spark, sf(), "documents").count()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length),
+        "ranks are 1..k dense")
+      val scores = sorted.map(_.getLong(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "score must not increase with rank")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(4) >= 1 && r.getLong(4) <= nDocs)
+      // a corpus-universal term (df == N) scores tf * 1000 exactly
+      if (r.getLong(4) == nDocs) assert(r.getLong(5) == r.getLong(3) * 1000)
+    }
+  }
+
+  test("text_tfidf: rarer terms outrank commoner ones at equal tf") {
+    // directly from the definition: score = tf*N*1000 DIV df is
+    // monotonically decreasing in df — spot-check on the real output
+    val rows = TextAnalysis.textTfidf(spark, sf()).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      rs.filter(_.getLong(3) == rs.head.getLong(3)) // equal tf
+        .sortBy(_.getInt(1)).sliding(2).foreach {
+          case Array(hi, lo) => assert(hi.getLong(4) <= lo.getLong(4),
+            "at equal tf, better rank implies smaller (or equal) df")
+          case _ =>
+        }
+    }
+  }
+
+  test("mix_importance: keep rate falls with document length") {
+    val rows = Mixture.mixImportance(spark, sf()).collect()
+    val docs = graft.Tables.t(spark, sf(), "documents")
+    val total = docs.count()
+    assert(rows.map(_.getLong(1)).sum == total, "lang rows partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(4) <= r.getLong(3))
+      assert(math.abs(r.getDouble(5) - BigDecimal(r.getLong(2).toDouble /
+        r.getLong(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        < 1e-9)
+    }
+    // the policy's point: expected kept chars per doc are capped near the
+    // budget B=500, so the kept sample's mean length sits well under the
+    // corpus mean (fixture docs average far above B)
+    val meanAll = rows.map(_.getLong(3)).sum.toDouble / total
+    val kept = rows.map(_.getLong(2)).sum
+    if (kept > 0 && meanAll > 1000) {
+      val meanKept = rows.map(_.getLong(4)).sum.toDouble / kept
+      assert(meanKept < meanAll,
+        s"inverse-length sampling must shorten the mean ($meanKept vs $meanAll)")
+    }
+  }
+
+  test("emb_quantize: labels partition the vectors and error respects the step bound") {
+    val rows = Similarity.embQuantize(spark, sf()).collect()
+    val vecs = graft.Tables.t(spark, sf(), "embeddings")
+    assert(rows.map(_.getLong(1)).sum == vecs.count())
+    // per-element error is at most half a quantization step; with the
+    // widest per-dim step s, a 64-dim vector's picounit SSE is bounded by
+    // 64 * (s/2)^2 * 1e12 (plus rounding slack)
+    val dims = vecs.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg((max(col("x").cast("double")) - min(col("x").cast("double")))
+        .as("range"))
+    val sMax = dims.agg(max(col("range"))).collect().head.getDouble(0) / 255.0
+    val bound = (64.0 * math.pow(sMax / 2.0, 2) * 1e12 * 1.01 + 64).toLong
+    rows.foreach { r =>
+      assert(r.getLong(3) <= bound,
+        s"mse_q_max ${r.getLong(3)} exceeds the step bound $bound")
+      assert(r.getLong(2) <= r.getLong(3), "avg <= max")
+    }
+  }
+}
