@@ -220,7 +220,26 @@ object DmlQueries {
       |SELECT CAST(r_regionkey + 100 AS INTEGER), r_name, r_regionkey
       |FROM region""".stripMargin
 
+  /** OPTIMIZE ZORDER BY — multi-dimensional clustering rewrite: the
+    * orders snapshot re-laid-out along the (o_custkey, o_totalprice)
+    * Z-curve. The oracle pins the LAYOUT-INVARIANCE contract (same row
+    * multiset as the plain fixture — clustering moves rows between
+    * files, never changes them); the pruning-selectivity win the layout
+    * exists for is pinned by ZorderSpec, which shows point predicates on
+    * BOTH dimensions each skipping most files. */
+  def dmlZorder(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root, Tables.t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice").repartition(8))
+    GraftTable.zorderBy(s, root, Seq("o_custkey", "o_totalprice"), 8)
+    GraftTable.read(s, root)
+  }
+
+  val dmlZorderSql: String =
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dml_zorder" -> (dmlZorder _),
     "dml_upsert_conflict" -> (dmlUpsertConflict _),
     "dml_compact" -> (dmlCompact _),
     "dml_insert" -> (dmlInsert _),
@@ -233,6 +252,7 @@ object DmlQueries {
     "dml_sql_delete" -> (dmlSqlDelete _))
 
   val oracle: Map[String, String] = Map(
+    "dml_zorder" -> dmlZorderSql,
     "dml_upsert_conflict" -> dmlUpsertConflictSql,
     "dml_compact" -> dmlCompactSql,
     "dml_insert" -> dmlInsertSql,

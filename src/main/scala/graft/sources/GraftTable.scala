@@ -715,6 +715,68 @@ object GraftTable {
     commit(root, large ++ writeFiles(rewritten, root))
   }
 
+  /** OPTIMIZE … ZORDER BY (the multi-dimensional clustering face of
+    * table maintenance): rewrite the CURRENT snapshot ordered along the
+    * Z-curve of `cols`, so the per-file min/max stats written by
+    * [[writeFiles]] become selective on EVERY clustering dimension at
+    * once. A linear sort makes stats tight on its leading column only —
+    * exactly the layout problem at 100 TB, where a point predicate on
+    * the second dimension must otherwise touch every file. Numeric,
+    * date, and timestamp columns cluster; anything else refuses loudly
+    * (a string Z-rank needs a sampled range-id dictionary — use a
+    * leading-column sort for string keys). Each dimension is affinely
+    * quantized to 16 bits off a one-row min/max pre-pass
+    * (metadata-sized), bits are interleaved into one LONG rank, and the
+    * rewrite is repartitionByRange + in-partition sort on that rank —
+    * ~nFiles contiguous Z-tiles, each file a tight hyper-rectangle in
+    * the clustered dimensions. NULLs rank 0 (cluster first, stay
+    * prunable). Content is untouched: same row multiset, new layout. */
+  def zorderBy(spark: SparkSession, root: String, cols: Seq[String],
+      nFiles: Int): Int = {
+    import org.apache.spark.sql.types._
+    require(cols.size >= 2 && cols.size <= 4,
+      s"ZORDER BY takes 2-4 columns (1 column is a plain sort): $cols")
+    require(nFiles >= 1, s"nFiles must be >= 1: $nFiles")
+    val df = read(spark, root)
+    val schema = df.schema
+    val basis: Seq[Column] = cols.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $c"))
+      f.dataType match {
+        case _: NumericType => col(c).cast("double")
+        case DateType => unix_date(col(c)).cast("double")
+        case TimestampType => unix_micros(col(c)).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"ZORDER BY supports numeric/date/timestamp columns; '$c' is " +
+            s"$other — sort linearly or derive a numeric rank first")
+      }
+    }
+    val aggExprs = basis.zipWithIndex.flatMap { case (b, i) =>
+      Seq(min(b).as(s"mn$i"), max(b).as(s"mx$i")) }
+    val statsRow = df.agg(aggExprs.head, aggExprs.tail: _*).collect().head
+    val quantized: Seq[Column] = basis.zipWithIndex.map { case (b, i) =>
+      val (mnv, mxv) = (statsRow.get(i * 2), statsRow.get(i * 2 + 1))
+      if (mnv == null || mxv == null || mnv == mxv) lit(0L)
+      else {
+        val mn = lit(mnv.asInstanceOf[Double])
+        val span = lit(mxv.asInstanceOf[Double] - mnv.asInstanceOf[Double])
+        coalesce(floor((b - mn) / span * 65535.0d).cast("long"), lit(0L))
+      }
+    }
+    val k = cols.size
+    val z = (0 until 16).flatMap { i =>
+      quantized.zipWithIndex.map { case (q, j) =>
+        shiftleft(shiftright(q, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ + _)
+    val zc = "__graft_zrank"
+    val out = df.withColumn(zc, z)
+      .repartitionByRange(nFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
+    commit(root, writeFiles(out, root))
+  }
+
   /** Reclaim storage: delete data files not referenced by any of the
     * latest `keepVersions` manifests, and drop the older manifests
     * themselves. Time travel to vacuumed versions is gone afterwards —
