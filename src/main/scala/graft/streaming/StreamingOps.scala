@@ -297,6 +297,37 @@ object StreamingOps {
       quota)
   }
 
+  /** Static side of the streaming anomaly detector: per-type mean and
+    * sample-sd of DAILY counts, learned offline from history — the
+    * versioned profile a monitoring pipeline refreshes on its own cadence
+    * and broadcasts to the stream. Metadata-sized (|types| rows). */
+  def anomalyProfile(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(avg(col("c")).as("mu"), stddev(col("c")).as("sd"))
+
+  /** Streaming volume-anomaly detector — the streaming face of
+    * `OlapSuites.eventsAnomaly`: daily windowed counts per type, scored
+    * live against the static profile. The profile joins BEFORE the
+    * aggregation (Structured Streaming permits static joins only
+    * upstream of a streaming aggregation; mu/sd are per-type constants,
+    * so carrying them as grouping keys changes nothing) — each
+    * micro-batch is a broadcast probe plus a map-side-combining count,
+    * never a history re-aggregation. The z arithmetic is spelled
+    * op-for-op like the batch entry, so a full replay produces
+    * bit-identical flags (proved in StreamingSpec). */
+  def anomalyStream(events: DataFrame, profile: DataFrame): DataFrame =
+    events.select(col("ts"), col("event_type"))
+      .join(broadcast(profile), Seq("event_type"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"),
+        col("mu"), col("sd"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("window.start").cast("date").as("d"),
+        col("c"),
+        round((col("c") - col("mu")) / nullif(col("sd"), lit(0.0)), 4).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) >= 2.0)
+
   /** Batch-equivalence helper: the same windowed aggregation phrased over
     * a static frame (used to validate streaming results in tests). */
   def windowedCountsBatch(events: DataFrame, width: String = "5 minutes"): DataFrame =

@@ -19,6 +19,24 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampType)
   }
 
+  test("streaming anomaly flags are bit-identical to the batch entry on replay") {
+    val batchEvents = graft.Tables.t(spark, sf("sf0.001"), "events")
+    val profile = StreamingOps.anomalyProfile(batchEvents)
+    val q = StreamingOps.anomalyStream(
+        StreamingOps.eventStream(spark, sf("sf0.001")), profile)
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("anom")
+        .select($"event_type", $"d", $"c", $"z", $"is_anomaly")
+        .orderBy($"event_type", $"d").collect().toSeq
+      val batch = graft.operators.OlapSuites.eventsAnomaly(spark, sf("sf0.001"))
+        .orderBy($"event_type", $"d").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal the batch equivalent (complete mode)") {
     val stream = StreamingOps.eventStream(spark, sf("sf0.001"))
     val q = StreamingOps.windowedCounts(stream)
