@@ -20,6 +20,7 @@ object SparkEntry {
       operators.TpchQueries.queries ++
       operators.TpcdsShapes.queries ++
       operators.OlapSuites.queries ++
+      operators.BizAnalytics.queries ++
       operators.Joins.queries ++
       operators.ScaleJoins.queries ++
       operators.Aggregates.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       operators.TpchQueries.oracle ++
       operators.TpcdsShapes.oracle ++
       operators.OlapSuites.oracle ++
+      operators.BizAnalytics.oracle ++
       operators.Joins.oracle ++
       operators.ScaleJoins.oracle ++
       operators.Aggregates.oracle ++

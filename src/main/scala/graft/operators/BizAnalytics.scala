@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Business-analytics shapes over the event and order fixtures — the
+  * session/attribution/Pareto/cohort-value battery that rounds out the
+  * product-analytics tranche in [[OlapSuites]]. Everything is
+  * engineered integer-or-decimal-exact before any division, so both
+  * engines agree bitwise (the established determinism contract). */
+object BizAnalytics {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Batch sessionization + session statistics — the 30-minute-gap rule
+    * (the `win_session` window pinned the mechanism; this entry delivers
+    * the product metric): a session starts at the first event or after a
+    * >30 min silence, sessions get per-user ordinals from a running sum
+    * of start flags, and the readout is per event-type-of-first-event…
+    * no — per session-length bucket: how many sessions, their event
+    * counts, and exact median duration. Duration stays integer
+    * microseconds until one rounded division. Scale posture: ONE shuffle
+    * on user_id drives both windows (same partition key), then a
+    * |sessions|-grain aggregate and a bucket-grain summary. */
+  def eventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.t(s, dir, "events")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_start",
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("is_start")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("dur_us"))
+    sess.groupBy(
+        when(col("n_events") === 1, "bounce")
+          .when(col("n_events") <= 5, "short").otherwise("long").as("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        round(expr("percentile(dur_us, 0.5)") / 1e6, 4).as("median_dur_s"))
+  }
+
+  val eventsSessionsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS is_start,
+      |    event_id
+      |  FROM g),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, sid, count(*) AS n_events,
+      |         max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+      |  FROM numbered GROUP BY user_id, sid)
+      |SELECT CASE WHEN n_events = 1 THEN 'bounce'
+      |            WHEN n_events <= 5 THEN 'short' ELSE 'long' END AS bucket,
+      |       count(*) AS n_sessions,
+      |       CAST(sum(n_events) AS BIGINT) AS n_events,
+      |       round(quantile_cont(dur_us, 0.5) / 1e6, 4) AS median_dur_s
+      |FROM sess GROUP BY 1""".stripMargin
+
+  /** Last-touch attribution — each purchase credited to the latest
+    * strictly-earlier view/click by the same user (the marketing
+    * last-non-direct-click model). The credited channel rides a
+    * `last(_, ignoreNulls)` over the (ts, event_id)-ordered user window
+    * — frame ends one row BEFORE current, so a purchase can never credit
+    * itself or a simultaneous purchase; purchases with no prior
+    * touchpoint land in 'direct'. Revenue sums in DECIMAL (exact), cast
+    * once at the end. Scale posture: one shuffle on user_id, then a
+    * |channels|-row aggregate. */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.t(s, dir, "events")
+      .withColumn("touch",
+        last(when(col("event_type").isin("view", "click"), col("event_type")),
+          ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(dec(col("value"))).cast("double").as("revenue"))
+  }
+
+  val eventsAttributionSql: String =
+    """WITH touched AS (
+      |  SELECT event_type, value,
+      |    last_value(CASE WHEN event_type IN ('view', 'click')
+      |                    THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events)
+      |SELECT coalesce(touch, 'direct') AS channel,
+      |       count(*) AS n_purchases,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM touched WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
+  /** Pareto / ABC inventory classification — parts ranked by exact
+    * DECIMAL revenue, the running share computed from DECIMAL cumulative
+    * and grand totals (cum/total compares via cross-multiplication-free
+    * decimal division — both engines divide the same exact decimals), A
+    * = first 80% of revenue, B = next 15%, C = the tail. The cumulative
+    * window orders by (revenue DESC, partkey) — a total order, so the
+    * running sum is the same permutation everywhere. Scale posture: one
+    * aggregate to |parts|, one global range-partitioned cumulative sort
+    * (the documented approx swap is a two-pass bucketed cumsum), one
+    * 3-row summary. */
+  def paretoAbc(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum", sum(col("rev")).over(w))
+      .crossJoin(broadcast(rev.agg(sum(col("rev")).as("total"))))
+      // Compare in scaled DECIMALS (cum·100 ≤ total·80), never through a
+      // double: DuckDB would evaluate `total * 0.80` as an exact decimal
+      // product while Spark's 0.80 literal is a double — a boundary part
+      // could land in different classes. Integer-scaled decimal algebra
+      // is exact and identical on both engines.
+      .withColumn("cls",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B").otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).cast("double").as("class_rev"))
+  }
+
+  val paretoAbcSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |cum AS (
+      |  SELECT l_partkey, rev,
+      |    sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    (SELECT sum(rev) FROM rev) AS total
+      |  FROM rev)
+      |SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+      |            WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS cls,
+      |       count(*) AS n_parts,
+      |       CAST(sum(rev) AS DOUBLE) AS class_rev
+      |FROM cum GROUP BY 1""".stripMargin
+
+  /** Cohort lifetime value — customers cohorted by FIRST-order year,
+    * revenue laid out by years-since-first (the monetary sibling of
+    * `events_retention`): the cohort×age matrix every LTV model starts
+    * from. Years are integer extracts, revenue is exact DECIMAL until
+    * the final cast. Scale posture: per-customer min aggregate,
+    * broadcast-sized cohort map joined back, one grouped sum. */
+  def custCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        dec(col("o_totalprice")).as("v"))
+    val cohorts = o.groupBy(col("o_custkey")).agg(min(col("yr")).as("cohort"))
+    o.join(cohorts, Seq("o_custkey"))
+      .groupBy(col("cohort"), (col("yr") - col("cohort")).as("age"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        sum(col("v")).cast("double").as("revenue"))
+  }
+
+  val custCohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      |  FROM orders),
+      |cohorts AS (SELECT o_custkey, min(yr) AS cohort FROM o GROUP BY o_custkey)
+      |SELECT cohort, yr - cohort AS age,
+      |       count(DISTINCT o_custkey) AS n_cust,
+      |       count(*) AS n_orders,
+      |       CAST(sum(v) AS DOUBLE) AS revenue
+      |FROM o JOIN cohorts USING (o_custkey)
+      |GROUP BY cohort, age""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sessions" -> (eventsSessions _),
+    "events_attribution" -> (eventsAttribution _),
+    "pareto_abc" -> (paretoAbc _),
+    "cust_cohort_ltv" -> (custCohortLtv _))
+
+  val oracle: Map[String, String] = Map(
+    "events_sessions" -> eventsSessionsSql,
+    "events_attribution" -> eventsAttributionSql,
+    "pareto_abc" -> paretoAbcSql,
+    "cust_cohort_ltv" -> custCohortLtvSql)
+}
