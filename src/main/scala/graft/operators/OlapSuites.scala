@@ -550,15 +550,22 @@ object OlapSuites {
         sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
         sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("k_b"))
       .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
-        round(col("k_a").cast("double") / col("n_a"), 4).as("rate_a"),
-        round(col("k_b").cast("double") / col("n_b"), 4).as("rate_b"),
-        round((col("k_a").cast("double") / col("n_a")
-            - col("k_b").cast("double") / col("n_b")) /
+        // every divisor goes through nullif: a one-arm corpus (all users
+        // hash to A) must yield NULL rates/z, matching DuckDB's native
+        // divide-by-zero → NULL, not an ANSI DIVIDE_BY_ZERO error
+        round(col("k_a").cast("double") / nullif(col("n_a"), lit(0L)), 4)
+          .as("rate_a"),
+        round(col("k_b").cast("double") / nullif(col("n_b"), lit(0L)), 4)
+          .as("rate_b"),
+        round((col("k_a").cast("double") / nullif(col("n_a"), lit(0L))
+            - col("k_b").cast("double") / nullif(col("n_b"), lit(0L))) /
           nullif(sqrt(
-            ((col("k_a") + col("k_b")).cast("double") / (col("n_a") + col("n_b")))
+            ((col("k_a") + col("k_b")).cast("double")
+                / nullif(col("n_a") + col("n_b"), lit(0L)))
               * (lit(1.0) - (col("k_a") + col("k_b")).cast("double")
-                  / (col("n_a") + col("n_b")))
-              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0)), 4)
+                  / nullif(col("n_a") + col("n_b"), lit(0L)))
+              * (lit(1.0) / nullif(col("n_a"), lit(0L))
+                  + lit(1.0) / nullif(col("n_b"), lit(0L)))), lit(0.0)), 4)
           .as("z"))
   }
 
@@ -575,13 +582,14 @@ object OlapSuites {
        |         CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS k_b
        |  FROM per_user)
        |SELECT n_a, k_a, n_b, k_b,
-       |  round(CAST(k_a AS DOUBLE) / n_a, 4) AS rate_a,
-       |  round(CAST(k_b AS DOUBLE) / n_b, 4) AS rate_b,
-       |  round((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+       |  round(CAST(k_a AS DOUBLE) / NULLIF(n_a, 0), 4) AS rate_a,
+       |  round(CAST(k_b AS DOUBLE) / NULLIF(n_b, 0), 4) AS rate_b,
+       |  round((CAST(k_a AS DOUBLE) / NULLIF(n_a, 0)
+       |         - CAST(k_b AS DOUBLE) / NULLIF(n_b, 0))
        |    / NULLIF(sqrt(
-       |        (CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
-       |        * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
-       |        * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z
+       |        (CAST(k_a + k_b AS DOUBLE) / NULLIF(n_a + n_b, 0))
+       |        * (1.0 - CAST(k_a + k_b AS DOUBLE) / NULLIF(n_a + n_b, 0))
+       |        * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0), 4) AS z
        |FROM c""".stripMargin
   }
 

@@ -15,6 +15,7 @@ class SparkEntrySpec extends SparkSpec {
     val all = Seq(
       operators.CoreQueries.queries, operators.TpchQueries.queries,
       operators.TpcdsShapes.queries, operators.OlapSuites.queries,
+      operators.GraphShapes.queries, operators.BizAnalytics.queries,
       operators.Joins.queries,
       operators.ScaleJoins.queries, operators.Aggregates.queries,
       operators.Windows.queries, operators.SetOps.queries,
