@@ -20,6 +20,7 @@ object SparkEntry {
       operators.TpchQueries.queries ++
       operators.TpcdsShapes.queries ++
       operators.OlapSuites.queries ++
+      operators.GraphShapes.queries ++
       operators.BizAnalytics.queries ++
       operators.Joins.queries ++
       operators.ScaleJoins.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       operators.TpchQueries.oracle ++
       operators.TpcdsShapes.oracle ++
       operators.OlapSuites.oracle ++
+      operators.GraphShapes.oracle ++
       operators.BizAnalytics.oracle ++
       operators.Joins.oracle ++
       operators.ScaleJoins.oracle ++
