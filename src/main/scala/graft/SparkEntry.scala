@@ -34,6 +34,7 @@ object SparkEntry {
       functions.GraftMacros.queries ++
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
+      pipeline.Clustering.queries ++
       pipeline.TextAnalysis.queries ++
       pipeline.Mixture.queries ++
       pipeline.Chunking.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       functions.GraftMacros.oracle ++
       pipeline.Dedup.oracle ++
       pipeline.Similarity.oracle ++
+      pipeline.Clustering.oracle ++
       pipeline.TextAnalysis.oracle ++
       pipeline.Mixture.oracle ++
       pipeline.Chunking.oracle ++

@@ -24,6 +24,7 @@ class SparkEntrySpec extends SparkSpec {
       functions.FunctionQueries.queries,
       functions.GraftMacros.queries,
       pipeline.Dedup.queries, pipeline.Similarity.queries,
+      pipeline.Clustering.queries,
       pipeline.TextAnalysis.queries, pipeline.Mixture.queries,
       pipeline.Chunking.queries,
       pipeline.Multimodal.queries,
