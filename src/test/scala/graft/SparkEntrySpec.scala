@@ -16,8 +16,8 @@ class SparkEntrySpec extends SparkSpec {
       operators.CoreQueries.queries, operators.TpchQueries.queries,
       operators.TpcdsShapes.queries, operators.OlapSuites.queries,
       operators.GraphShapes.queries, operators.BizAnalytics.queries,
-      operators.Joins.queries,
-      operators.ScaleJoins.queries, operators.Aggregates.queries,
+      operators.Joins.queries, operators.ScaleJoins.queries,
+      operators.Aggregates.queries,
       operators.Windows.queries, operators.SetOps.queries,
       operators.Shaping.queries, operators.EdgeQueries.queries,
       sql.DuckSqlQueries.queries,
