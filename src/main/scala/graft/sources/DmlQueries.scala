@@ -238,7 +238,50 @@ object DmlQueries {
   val dmlZorderSql: String =
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
 
+  /** Train Benchmark's full inject→repair→revalidate cycle (reference
+    * `benchmark/trainbenchmark/` — its README describes the benchmark as
+    * validate / inject faults / REPAIR by DML / validate again; the
+    * `switchmonitored` query finds switches with no monitoredBy edge).
+    * Here the monitoredBy table is a GraftTable seeded from the lineitem
+    * flow (a part is "monitored" if a line item observed it), the
+    * validation is the left-anti probe of part against it, and the REPAIR
+    * is a MERGE that inserts a monitor row for every violating switch.
+    * The read-back summary proves the repair drove violations to zero —
+    * the oracle reproduces the pre/post counts from the untouched
+    * fixtures. violations_before is counted EAGERLY (before the merge
+    * commits) because the lazy plan would otherwise re-read the repaired
+    * snapshot. */
+  def dmlRepairValidation(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root, Tables.t(s, dir, "lineitem")
+      .select(col("l_partkey").as("te"),
+        pmod(col("l_partkey"), lit(100)).as("sensor"))
+      .distinct())
+    val part = Tables.t(s, dir, "part")
+    val violations = part.join(GraftTable.read(s, root),
+      col("p_partkey") === col("te"), "left_anti")
+    val nBefore = violations.count()
+    GraftTable.merge(s, root,
+      violations.select(col("p_partkey").as("te"),
+        pmod(col("p_partkey"), lit(100)).as("sensor")),
+      Seq("te"))
+    val after = GraftTable.read(s, root)
+    part.join(after, col("p_partkey") === col("te"), "left")
+      .agg(lit(nBefore).as("violations_before"),
+        count(col("te")).as("monitored_switches"),
+        sum(when(col("te").isNull, 1L).otherwise(0L)).as("violations_after"))
+  }
+
+  val dmlRepairValidationSql: String =
+    """WITH mon AS (SELECT DISTINCT l_partkey AS te FROM lineitem),
+      |miss AS (SELECT p_partkey FROM part
+      |         WHERE p_partkey NOT IN (SELECT te FROM mon))
+      |SELECT (SELECT count(*) FROM miss) AS violations_before,
+      |       (SELECT count(*) FROM part) AS monitored_switches,
+      |       CAST(0 AS BIGINT) AS violations_after""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dml_repair_validation" -> (dmlRepairValidation _),
     "dml_zorder" -> (dmlZorder _),
     "dml_upsert_conflict" -> (dmlUpsertConflict _),
     "dml_compact" -> (dmlCompact _),
@@ -252,6 +295,7 @@ object DmlQueries {
     "dml_sql_delete" -> (dmlSqlDelete _))
 
   val oracle: Map[String, String] = Map(
+    "dml_repair_validation" -> dmlRepairValidationSql,
     "dml_zorder" -> dmlZorderSql,
     "dml_upsert_conflict" -> dmlUpsertConflictSql,
     "dml_compact" -> dmlCompactSql,
