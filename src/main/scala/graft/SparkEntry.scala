@@ -26,6 +26,7 @@ object SparkEntry {
       operators.ScaleJoins.queries ++
       operators.Aggregates.queries ++
       operators.Windows.queries ++
+      operators.HolisticWindows.queries ++
       operators.SetOps.queries ++
       operators.Shaping.queries ++
       operators.EdgeQueries.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       operators.ScaleJoins.oracle ++
       operators.Aggregates.oracle ++
       operators.Windows.oracle ++
+      operators.HolisticWindows.oracle ++
       operators.SetOps.oracle ++
       operators.Shaping.oracle ++
       operators.EdgeQueries.oracle ++
