@@ -307,7 +307,86 @@ object FunctionQueries {
       |FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
       |WHERE doc_id < 100""".stripMargin
 
+  /** MAP type surface over DATA-DRIVEN maps (reference
+    * `src/core_functions/scalar/map/`: map construction, extraction,
+    * map_keys/map_values, map_concat, map_from_entries;
+    * `benchmark/micro/map/`). Semantics pinned across engines:
+    * missing-key lookup is NULL (Spark `try_element_at` — plain
+    * element_at THROWS under ANSI; DuckDB `m['k']` yields a LIST, so the
+    * oracle takes `[1]` of it), key/value order is insertion order on
+    * both engines, and map_concat appends disjoint key sets. */
+  def fnMapOps(s: SparkSession, dir: String): DataFrame = {
+    val m = map_from_arrays(
+      array(lit("pri"), lit("stat")),
+      array(col("o_orderpriority"), col("o_orderstatus")))
+    val m2 = map_concat(m, map(lit("ok"), col("o_orderkey").cast("string")))
+    Tables.t(s, dir, "orders").filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        try_element_at(m, lit("pri")).as("v_pri"),
+        try_element_at(m, lit("zz")).as("v_miss"),
+        size(m).cast("long").as("n"),
+        array_join(map_keys(m2), ",").as("ks"),
+        array_join(map_values(m2), ",").as("vs"),
+        size(m2).cast("long").as("n3"),
+        try_element_at(
+          map_from_entries(array(
+            struct(lit("a").as("k"), col("o_custkey").as("v")),
+            struct(lit("b").as("k"), (col("o_custkey") * 2).as("v")))),
+          lit("b")).as("mfe_b"))
+  }
+
+  val fnMapOpsSql: String =
+    """SELECT o_orderkey,
+      |  m['pri'][1] AS v_pri,
+      |  m['zz'][1] AS v_miss,
+      |  CAST(cardinality(m) AS BIGINT) AS n,
+      |  array_to_string(map_keys(m2), ',') AS ks,
+      |  array_to_string(map_values(m2), ',') AS vs,
+      |  CAST(cardinality(m2) AS BIGINT) AS n3,
+      |  map_from_entries([{'k': 'a', 'v': o_custkey},
+      |                    {'k': 'b', 'v': o_custkey * 2}])['b'][1] AS mfe_b
+      |FROM (SELECT o_orderkey, o_custkey,
+      |        map(['pri', 'stat'], [o_orderpriority, o_orderstatus]) AS m,
+      |        map_concat(map(['pri', 'stat'], [o_orderpriority, o_orderstatus]),
+      |                   map(['ok'], [CAST(o_orderkey AS VARCHAR)])) AS m2
+      |      FROM orders WHERE o_orderkey < 100)""".stripMargin
+
+  /** Timezone conversion (reference `extension/icu/icu-timezones.cpp` —
+    * the reference bundles ICU; DuckDB's `timezone(tz, TIMESTAMP)`
+    * interprets a naive timestamp in tz and returns the instant, which
+    * is exactly Spark's `to_utc_timestamp`, and `timezone(tz,
+    * TIMESTAMPTZ)` renders an instant as tz-local wall time, which is
+    * `from_utc_timestamp`). Instants compare as epoch seconds (BIGINT —
+    * timezone-setting-independent on both engines); wall times compare
+    * as formatted strings. The January/June fixture spread inside one
+    * month is widened with a +150-day shift so the DST boundary is
+    * actually exercised. */
+  def fnTimezone(s: SparkSession, dir: String): DataFrame = {
+    val t = col("ts2")
+    Tables.t(s, dir, "events").filter(col("event_id") < 500)
+      // second grain: epoch() keeps microseconds as a fractional DOUBLE
+      // and DuckDB's double->BIGINT cast ROUNDS while unix_timestamp
+      // floors — truncate before converting so both are integral
+      .withColumn("ts2", date_trunc("second", col("ts") + expr("INTERVAL 150 DAYS")))
+      .select(col("event_id"),
+        unix_timestamp(to_utc_timestamp(t, "America/New_York")).as("ny_utc_s"),
+        unix_timestamp(to_utc_timestamp(t, "Asia/Tokyo")).as("tokyo_utc_s"),
+        date_format(from_utc_timestamp(to_utc_timestamp(t, "America/New_York"),
+          "Europe/Berlin"), "yyyy-MM-dd HH:mm:ss").as("ny_as_berlin"))
+  }
+
+  val fnTimezoneSql: String =
+    """SELECT event_id,
+      |  CAST(epoch(timezone('America/New_York', ts2)) AS BIGINT) AS ny_utc_s,
+      |  CAST(epoch(timezone('Asia/Tokyo', ts2)) AS BIGINT) AS tokyo_utc_s,
+      |  strftime(timezone('Europe/Berlin', timezone('America/New_York', ts2)),
+      |           '%Y-%m-%d %H:%M:%S') AS ny_as_berlin
+      |FROM (SELECT event_id, date_trunc('second', ts + INTERVAL 150 DAY) AS ts2
+      |      FROM events WHERE event_id < 500)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_map_ops" -> (fnMapOps _),
+    "fn_timezone" -> (fnTimezone _),
     "fn_collection" -> (fnCollection _),
     "fn_string" -> (fnString _),
     "fn_math" -> (fnMath _),
@@ -322,6 +401,8 @@ object FunctionQueries {
     "agg_entropy" -> (aggEntropy _))
 
   val oracle: Map[String, String] = Map(
+    "fn_map_ops" -> fnMapOpsSql,
+    "fn_timezone" -> fnTimezoneSql,
     "fn_collection" -> fnCollectionSql,
     "fn_string" -> fnStringSql,
     "fn_math" -> fnMathSql,

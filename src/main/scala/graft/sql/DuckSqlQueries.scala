@@ -409,7 +409,23 @@ object DuckSqlQueries {
       |  count(CASE WHEN p_name NOT SIMILAR TO '.*red.*' THEN 1 END) AS n_notsim
       |FROM part""".stripMargin
 
+  /** Ordered-set aggregates — `percentile_cont/_disc(p) WITHIN GROUP
+    * (ORDER BY x)` (reference binds WITHIN GROUP in
+    * `src/parser/transform/expression/transform_function.cpp`; kernels in
+    * `src/core_functions/aggregate/holistic/quantile.cpp`). Spark 4
+    * parses the clause natively, so the identical raw string runs on
+    * both engines — a passthrough pin. l_quantity is integer-valued, so
+    * the cont interpolation lands on dyadic rationals (exact). */
+  val withinGroupSql: String =
+    """SELECT l_returnflag,
+      |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1,
+      |  percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS q2,
+      |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS md,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ducksql_within_group" -> via(withinGroupSql),
     "ducksql_glob_similar" -> via(globSimilarSql),
     "ducksql_series_unnest" -> via(seriesUnnestSql),
     "ducksql_using_sample" -> via(usingSampleSql),
@@ -454,6 +470,7 @@ object DuckSqlQueries {
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
   val oracle: Map[String, String] = Map(
+    "ducksql_within_group" -> withinGroupSql,
     "ducksql_glob_similar" -> globSimilarSql,
     "ducksql_series_unnest" -> seriesUnnestSql,
     "ducksql_using_sample" -> usingSampleSql,
