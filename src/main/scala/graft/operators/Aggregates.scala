@@ -161,6 +161,31 @@ object Aggregates {
       |  count(*) AS n
       |FROM supplier GROUP BY s_nationkey""".stripMargin
 
+  /** Ordered LIST aggregation — `list(x ORDER BY y DESC, x)` (reference
+    * `benchmark/micro/list/list_order_by.benchmark`, kernel
+    * `src/core_functions/aggregate/nested/list.cpp`). Spark's
+    * collect_list has no ORDER BY clause; the recomposition collects
+    * (key, value) structs and sorts ONCE per group — struct comparison
+    * is lexicographic, so `ORDER BY s_acctbal DESC, s_name` is
+    * `array_sort` over `struct(-s_acctbal, s_name)` (negation of a
+    * double is exact). Same shuffle count as an unordered collect. */
+  def aggListOrdered(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "supplier").groupBy(col("s_nationkey")).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(
+            (-col("s_acctbal")).as("k"), col("s_name").as("v")))),
+          e => e.getField("v")),
+        ",").as("names_by_bal"),
+      count(lit(1)).as("n"))
+
+  val aggListOrderedSql: String =
+    """SELECT s_nationkey,
+      |  array_to_string(list(s_name ORDER BY s_acctbal DESC, s_name), ',')
+      |    AS names_by_bal,
+      |  count(*) AS n
+      |FROM supplier GROUP BY s_nationkey""".stripMargin
+
   /** bool_and/bool_or + bitwise aggregates (reference
     * `distributive/bool.cpp`, `bitagg.cpp`). */
   def aggBoolBit(s: SparkSession, dir: String): DataFrame =
@@ -379,6 +404,7 @@ object Aggregates {
     "agg_stats" -> (aggStats _),
     "agg_argmax" -> (aggArgmax _),
     "agg_string_agg" -> (aggStringAgg _),
+    "agg_list_ordered" -> (aggListOrdered _),
     "agg_bool_bit" -> (aggBoolBit _),
     "agg_percentile" -> (aggPercentile _),
     "agg_mode" -> (aggMode _),
@@ -400,6 +426,7 @@ object Aggregates {
     "agg_stats" -> aggStatsSql,
     "agg_argmax" -> aggArgmaxSql,
     "agg_string_agg" -> aggStringAggSql,
+    "agg_list_ordered" -> aggListOrderedSql,
     "agg_bool_bit" -> aggBoolBitSql,
     "agg_percentile" -> aggPercentileSql,
     "agg_mode" -> aggModeSql,
