@@ -604,6 +604,20 @@ object DuckDialect {
           s"${t.text} is unsupported — Spark has no ENUM type; model enums " +
             "as STRING and use array_position(array('a','b',…), col) for " +
             "codes, or a dimension table for the value set")
+      // UNION-type functions (reference `src/function/scalar/union/` —
+      // union_value/union_extract/union_tag over DuckDB's tagged-union
+      // logical type): Spark has no UNION type; refuse with the modeling
+      // alternative (the struct-of-nullable-fields + tag column every
+      // Spark schema uses for sum types).
+      if (t.kind == 4 && (t.word == "union_value" || t.word == "union_extract" ||
+          t.word == "union_tag") &&
+          { val n = nextIdx(toks, i); n < toks.length && toks(n).is("(") })
+        throw new GraftSqlException(
+          s"${t.text} is unsupported — Spark has no UNION (tagged sum) type; " +
+            "model it as STRUCT<tag: STRING, <member>: <type> …> with one " +
+            "nullable field per member: union_tag(u) → u.tag, " +
+            "union_extract(u, 'm') → u.m, union_value(m := x) → " +
+            "named_struct('tag', 'm', 'm', x)")
       // POSITIONAL JOIN pairs rows by file/insertion ORDER — a property a
       // distributed scan does not preserve, so a silent translation via
       // row numbers would pair DIFFERENT rows run to run. The DataFrame
@@ -1948,6 +1962,7 @@ object DuckDialect {
     if (head == "summarize") Summarize.run(spark, dir, duckSql)
     else if (head == "describe") Describe.run(spark, dir, duckSql)
     else if (head == "pivot") PivotStatement.run(spark, dir, duckSql)
+    else if (head == "unpivot") UnpivotStatement.run(spark, dir, duckSql)
     else if (head == "execute")
       // EXECUTE name(args) — bind the stored PREPARE text (DuckDml holds
       // the registry; PREPARE itself is a DuckDml.exec statement) and run

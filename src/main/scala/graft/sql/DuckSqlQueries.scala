@@ -424,7 +424,17 @@ object DuckSqlQueries {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** UNPIVOT statement (DuckDB grammar; executes via
+    * [[UnpivotStatement]] → Spark's native UNPIVOT clause). The raw
+    * string runs unchanged on DuckDB; NULL cells drop on both engines. */
+  val unpivotStmtSql: String =
+    """UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_tax, l_discount
+      |         FROM lineitem WHERE l_orderkey < 60)
+      |ON l_quantity, l_tax, l_discount
+      |INTO NAME measure VALUE val""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ducksql_unpivot_stmt" -> via(unpivotStmtSql),
     "ducksql_within_group" -> via(withinGroupSql),
     "ducksql_glob_similar" -> via(globSimilarSql),
     "ducksql_series_unnest" -> via(seriesUnnestSql),
@@ -470,6 +480,7 @@ object DuckSqlQueries {
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
   val oracle: Map[String, String] = Map(
+    "ducksql_unpivot_stmt" -> unpivotStmtSql,
     "ducksql_within_group" -> withinGroupSql,
     "ducksql_glob_similar" -> globSimilarSql,
     "ducksql_series_unnest" -> seriesUnnestSql,

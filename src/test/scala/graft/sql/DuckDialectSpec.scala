@@ -144,6 +144,15 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(out.startsWith("SELECT * EXCEPT(__graft_rn) FROM"))
   }
 
+  test("UNION-type functions refuse with the struct+tag modeling pointer") {
+    for (fn <- Seq("union_value(a := 1)", "union_extract(u, 'a')", "union_tag(u)")) {
+      val e = intercept[GraftSqlException](translate(s"SELECT $fn FROM t"))
+      assert(e.getMessage.contains("tagged sum"), s"wrong refusal for $fn")
+    }
+    // a plain column named union_tag must NOT trip the refusal
+    translate("SELECT union_tag FROM t")
+  }
+
   test("refusals: the constructs we cannot translate faithfully") {
     intercept[GraftSqlException](translate(
       "SELECT DISTINCT ON (g) g, v FROM t")) // no ORDER BY → nondeterministic
