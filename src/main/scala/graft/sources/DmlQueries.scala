@@ -280,7 +280,68 @@ object DmlQueries {
       |       (SELECT count(*) FROM part) AS monitored_switches,
       |       CAST(0 AS BIGINT) AS violations_after""".stripMargin
 
+  /** Incremental aggregate maintenance from CDC — the materialized-view
+    * pattern a 100 TB summary pipeline runs instead of full recomputes:
+    * a per-segment summary built at v1 is advanced to the final version
+    * using ONLY the change feed (signed partial aggregates from
+    * `changes()` — insert rows count +1, delete rows −1 — full-outer-
+    * joined onto the stale summary), never rescanning the table. The
+    * CoW manifest makes the feed cheap: only rewritten files are read.
+    * An UPDATE surfaces as delete(old)+insert(new), so SUM/COUNT
+    * maintenance is exact; groups whose count reaches 0 drop, matching
+    * the recompute. Money sums go through DECIMAL on both engines so
+    * the incremental path is bit-equal to the oracle's one-shot
+    * aggregate. The oracle reproduces the final table state from the
+    * untouched fixture (UPDATE ≡ CASE, DELETE ≡ filter, INSERT ≡ UNION
+    * ALL) and aggregates once. */
+  def dmlIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    GraftTable.create(s, root, Tables.t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    // stale summary, pinned to v1 by time travel (not laziness)
+    val summary0 = GraftTable.read(s, root, Some(1))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(dec(col("c_acctbal"))).as("bal0"), count(lit(1)).as("n0"))
+    // three DML commits: update, delete, insert
+    GraftTable.update(s, root, col("c_mktsegment") === "BUILDING",
+      Map("c_acctbal" -> (col("c_acctbal") + lit(100.0d))))
+    GraftTable.delete(s, root, col("c_acctbal") < 500)
+    GraftTable.insert(s, root,
+      Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_mktsegment"), (col("c_acctbal") + 5.0d).as("c_acctbal")))
+    // advance the summary from the feed alone
+    val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+    val delta = GraftTable.changes(s, root, 1, GraftTable.currentVersion(root))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(dec(col("c_acctbal")) * sign).as("dbal"), sum(sign).as("dn"))
+    summary0.join(delta, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        (coalesce(col("bal0"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("dbal"), lit(0).cast("decimal(18,2)"))).cast("double").as("bal"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+  }
+
+  val dmlIncrementalAggSql: String =
+    """WITH updated AS (
+      |  SELECT c_mktsegment,
+      |         CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+      |              ELSE c_acctbal END AS b
+      |  FROM customer),
+      |kept AS (SELECT * FROM updated WHERE NOT (b < 500)),
+      |ins AS (SELECT c_mktsegment, c_acctbal + 5.0 AS b
+      |        FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+      |allrows AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |SELECT c_mktsegment,
+      |       CAST(sum(CAST(b AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+      |       count(*) AS n
+      |FROM allrows GROUP BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dml_incremental_agg" -> (dmlIncrementalAgg _),
     "dml_repair_validation" -> (dmlRepairValidation _),
     "dml_zorder" -> (dmlZorder _),
     "dml_upsert_conflict" -> (dmlUpsertConflict _),
@@ -295,6 +356,7 @@ object DmlQueries {
     "dml_sql_delete" -> (dmlSqlDelete _))
 
   val oracle: Map[String, String] = Map(
+    "dml_incremental_agg" -> dmlIncrementalAggSql,
     "dml_repair_validation" -> dmlRepairValidationSql,
     "dml_zorder" -> dmlZorderSql,
     "dml_upsert_conflict" -> dmlUpsertConflictSql,
