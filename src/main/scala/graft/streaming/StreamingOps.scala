@@ -268,6 +268,86 @@ object StreamingOps {
       }
   }
 
+  case class QuantIn(user_id: Long, value: Double)
+  case class QuantState(counts: Map[Int, Long])
+  case class QuantOut(user_id: Long, n: Long, p50: Double, p95: Double,
+      bins_used: Int)
+
+  /** Fixed-grid histogram bin for a value (clamped into the edge bins). */
+  private[streaming] def binOf(v: Double, lo: Double, hi: Double,
+      nbins: Int): Int = {
+    val w = (hi - lo) / nbins
+    math.min(nbins - 1, math.max(0, math.floor((v - lo) / w).toInt))
+  }
+
+  /** p-quantile estimate from bin counts: midpoint of the bin holding the
+    * ceil(p·n)-th value — deterministic, no interpolation across bins. */
+  private[streaming] def binQuantile(counts: Map[Int, Long], lo: Double,
+      hi: Double, nbins: Int, p: Double): Double = {
+    val w = (hi - lo) / nbins
+    val n = counts.valuesIterator.sum
+    val rank = math.max(1L, math.ceil(p * n).toLong)
+    var c = 0L
+    for (i <- 0 until nbins) {
+      c += counts.getOrElse(i, 0L)
+      if (c >= rank) return lo + (i + 0.5) * w
+    }
+    lo + (nbins - 0.5) * w
+  }
+
+  /** Streaming per-key quantiles with BOUNDED state — the holistic
+    * aggregate (median/p95) the batch `win_median_frame` family computes
+    * exactly, recomposed for an unbounded stream: per key the state is a
+    * fixed-grid histogram of at most `nbins` longs, NEVER the values
+    * themselves, so state size is O(keys × nbins) regardless of stream
+    * length (an exact streaming median would need all values — unbounded).
+    * Estimates are midpoints of the declared grid, so the answer is
+    * within w/2 = (hi−lo)/2·nbins of an exact quantile, and — the property
+    * [[graft.streaming]] pins everywhere — BIT-IDENTICAL to the batch
+    * twin [[quantileSketchBatch]] over the same data: histogram merge is
+    * commutative/associative integer addition, so micro-batch arrival
+    * order cannot change the result (unlike value-order-sensitive
+    * sketches). Emits the updated estimate per touched key each batch. */
+  def quantileSketchStream(rows: Dataset[QuantIn], lo: Double, hi: Double,
+      nbins: Int): Dataset[QuantOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[QuantState, QuantOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[QuantIn], state: GroupState[QuantState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Int, Long])
+          it.foreach { r =>
+            val b = binOf(r.value, lo, hi, nbins)
+            counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+          }
+          state.update(QuantState(counts))
+          Iterator.single(QuantOut(uid, counts.valuesIterator.sum,
+            binQuantile(counts, lo, hi, nbins, 0.5),
+            binQuantile(counts, lo, hi, nbins, 0.95),
+            counts.size))
+      }
+  }
+
+  /** One-shot batch twin of [[quantileSketchStream]]: same grid, same
+    * midpoint rule, computed in one pass (typed groups so the two paths
+    * share `binOf`/`binQuantile` literally — the identity the spec pins
+    * is that incremental state accumulation across micro-batches equals
+    * the single-pass result). */
+  def quantileSketchBatch(rows: Dataset[QuantIn], lo: Double, hi: Double,
+      nbins: Int): Dataset[QuantOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id).mapGroups { (uid, it) =>
+      val counts = it.foldLeft(Map.empty[Int, Long]) { (m, r) =>
+        val b = binOf(r.value, lo, hi, nbins)
+        m.updated(b, m.getOrElse(b, 0L) + 1L)
+      }
+      QuantOut(uid, counts.valuesIterator.sum,
+        binQuantile(counts, lo, hi, nbins, 0.5),
+        binQuantile(counts, lo, hi, nbins, 0.95),
+        counts.size)
+    }
+  }
+
   /** Streaming curation — the streaming face of the batch
     * `mix_curation_funnel`, composed from the same three stages with
     * streaming state semantics:

@@ -226,6 +226,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch: final estimate equals the one-shot batch twin, state is bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // deterministic synthetic stream: 2 users, 300 values in [0, 100)
+    val all = (0 until 300).map(i =>
+      StreamingOps.QuantIn(i % 2, (i * 37 % 1000) / 10.0))
+    val (lo, hi, nbins) = (0.0, 100.0, 16)
+    val src = MemoryStream[StreamingOps.QuantIn]
+    val q = StreamingOps.quantileSketchStream(src.toDS(), lo, hi, nbins)
+      .writeStream.format("memory").queryName("qs").outputMode("append").start()
+    try {
+      // three arrival orders of the same multiset would give the same
+      // histogram; drive one split across three micro-batches
+      src.addData(all.take(100): _*); q.processAllAvailable()
+      src.addData(all.slice(100, 250): _*); q.processAllAvailable()
+      src.addData(all.drop(250): _*); q.processAllAvailable()
+      val emitted = spark.table("qs").as[StreamingOps.QuantOut].collect()
+      // the LAST emission per key is the full-data estimate
+      val fin = emitted.groupBy(_.user_id).view
+        .mapValues(_.maxBy(_.n)).values.toSeq.sortBy(_.user_id)
+      val batch = StreamingOps.quantileSketchBatch(
+        spark.createDataset(all), lo, hi, nbins).collect().sortBy(_.user_id).toSeq
+      assert(fin == batch, s"stream $fin != batch $batch")
+      assert(fin.forall(_.bins_used <= nbins), "state exceeded the declared grid")
+      assert(fin.forall(o => o.n == 150), "each user saw 150 values")
+      // the estimate is within half a bin width of the exact quantile
+      val w = (hi - lo) / nbins
+      for (u <- Seq(0L, 1L)) {
+        val vs = all.filter(_.user_id == u).map(_.value).sorted
+        val exact50 = vs((vs.length / 2) - 1)
+        val got = fin.find(_.user_id == u).get.p50
+        assert(math.abs(got - exact50) <= w,
+          s"p50 estimate $got too far from exact $exact50")
+      }
+    } finally q.stop()
+  }
+
   test("streaming curation: quality gate, dedup, quota compose") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
