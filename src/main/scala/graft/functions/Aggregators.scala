@@ -50,6 +50,96 @@ object GraftAggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Reservoir-sampled quantile (reference
+    * `src/core_functions/aggregate/holistic/reservoir_quantile.cpp`) —
+    * the bounded-memory quantile DuckDB ships for corpora too large to
+    * sort: a uniform reservoir of at most `capacity` values per group,
+    * quantile_disc over the sample. The sample is maintained as
+    * BOTTOM-K BY RANDOM KEY (the mergeable formulation of reservoir
+    * sampling), so Spark's partial→merge→finish path keeps the state ≤
+    * 2·capacity at every stage regardless of corpus size and the merge
+    * is order-independent given the keys.
+    *
+    * Semantics contract, mirroring the reference exactly: when the
+    * group's row count exceeds `capacity` the result is SAMPLED — a
+    * bounded-error estimate whose draw depends on partitioning, just
+    * as the reference's depends on thread interleaving (its docs call
+    * the function non-deterministic). When the row count is ≤ capacity
+    * the reservoir never evicts, the merge degenerates to
+    * concatenation, and the result is the EXACT quantile_disc
+    * (ceil(q·n) convention, the one `agg_quantile_disc` pins) — the
+    * regime the oracle entry runs in; the sampled regime's error bound
+    * is property-tested in the suite. */
+  class ReservoirQuantileAggregator(q: Double, capacity: Int, seed: Long)
+      extends Aggregator[java.lang.Double, (Long, Vector[(Long, Double)], Long), java.lang.Double] {
+    require(q > 0 && q <= 1, s"quantile fraction out of (0,1]: $q")
+    require(capacity > 0, s"capacity must be positive: $capacity")
+
+    // The sample is BOTTOM-K BY RANDOM KEY: every observed value draws a
+    // pseudo-random key; the reservoir is the `capacity` smallest-keyed
+    // items seen so far. That makes the sample an exactly-uniform
+    // k-subset AND the merge trivially order-independent (bottom-k of a
+    // union = bottom-k of the two bottom-ks) — the property the first
+    // cut of this aggregator (sequential weighted draw between two
+    // Algorithm-R reservoirs) measurably lacked: under Spark's
+    // accumulate-left merge chain it over-represented late partitions
+    // (simulated median of uniform 1..20000 at cap 512 drifted to
+    // 13133). Buffers compact lazily at 2·capacity so the exact regime
+    // (n ≤ capacity) never sorts and the hot path stays append-only.
+    private def next(s: Long): Long = {
+      var x = if (s == 0L) 0x9E3779B97F4A7C15L else s
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+
+    private def bottomK(s: Vector[(Long, Double)]): Vector[(Long, Double)] =
+      if (s.size <= capacity) s else s.sortBy(_._1).take(capacity)
+
+    override def zero: (Long, Vector[(Long, Double)], Long) = (0L, Vector.empty, seed)
+
+    override def reduce(b: (Long, Vector[(Long, Double)], Long),
+        v: java.lang.Double): (Long, Vector[(Long, Double)], Long) =
+      if (v == null) b
+      else {
+        val (n, sample, rng) = b
+        // mix the value bits into the evolving state: every partition
+        // starts from the same seed, so a state-only chain would hand
+        // IDENTICAL keys to same-ordinal items of different partitions
+        // (bottom-k would then sample by partition position, not
+        // uniformly)
+        val r = next(rng ^ (java.lang.Double.doubleToLongBits(v.doubleValue)
+          * 0x9E3779B97F4A7C15L))
+        val s1 = sample :+ (r, v.doubleValue)
+        (n + 1, if (s1.size >= 2 * capacity) bottomK(s1) else s1, r)
+      }
+
+    override def merge(a: (Long, Vector[(Long, Double)], Long),
+        b: (Long, Vector[(Long, Double)], Long)): (Long, Vector[(Long, Double)], Long) = {
+      val (na, sa, ra) = a
+      val (nb, sb, rb) = b
+      if (na == 0) b
+      else if (nb == 0) a
+      else (na + nb, bottomK(sa ++ sb), ra ^ next(rb))
+    }
+
+    override def finish(b: (Long, Vector[(Long, Double)], Long)): java.lang.Double = {
+      val sample = bottomK(b._2)
+      val m = sample.size
+      if (m == 0) null
+      else {
+        val sorted = sample.map(_._2).sorted
+        // exact for dyadic q (0.25/0.5/0.75): q·m is an exact double, so
+        // ceil introduces no float hazard (non-dyadic q near an integer
+        // boundary would need rational index arithmetic)
+        val idx = math.max(math.ceil(q * m).toInt - 1, 0)
+        sorted(math.min(idx, m - 1))
+      }
+    }
+
+    override def bufferEncoder: Encoder[(Long, Vector[(Long, Double)], Long)] =
+      Encoders.kryo[(Long, Vector[(Long, Double)], Long)]
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
   /** Value histogram as a sorted (value, count) association — the map-typed
     * sibling of the relational `GROUP BY value` phrasing. */
   class HistogramAggregator extends Aggregator[String, Map[String, Long], Map[String, Long]] {

@@ -50,6 +50,9 @@ object GraftFunctions {
     udaf(new GraftAggregators.HistogramAggregator).apply(c)
   def approx_top_k(c: Column, capacity: Int = 64, k: Int = 5): Column =
     udaf(new GraftAggregators.SpaceSavingAggregator(capacity, k)).apply(c)
+  def reservoir_quantile(c: Column, q: Double,
+      capacity: Int = 1 << 21, seed: Long = 42L): Column =
+    udaf(new GraftAggregators.ReservoirQuantileAggregator(q, capacity, seed)).apply(c)
 
   /** Expression-level LET binding: evaluate `c` ONCE per row and make it
     * available to `f` as a lambda variable. Spark evaluates higher-order

@@ -371,6 +371,35 @@ object Aggregates {
       |  count(*) AS n
       |FROM nation GROUP BY n_regionkey""".stripMargin
 
+  /** reservoir_quantile (reference
+    * `src/core_functions/aggregate/holistic/reservoir_quantile.cpp`) —
+    * the bounded-memory sampled quantile, as a distributed Aggregator
+    * (see `GraftAggregators.ReservoirQuantileAggregator` for the
+    * algorithm and merge). This entry runs the EXACT regime (per-group
+    * rows ≪ the 2²¹ capacity at every gate scale, so the reservoir
+    * never evicts and the answer equals quantile_disc — what makes the
+    * sketch oracle-checkable); the sampled regime's error bound is
+    * pinned by the suite's eviction property test. Dyadic fractions
+    * only, so the index math carries no float hazard. */
+  def aggReservoirQuantile(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GraftFunctions => G}
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        G.reservoir_quantile(col("value"), 0.25).as("rq25"),
+        G.reservoir_quantile(col("value"), 0.5).as("rq50"),
+        G.reservoir_quantile(col("value"), 0.75).as("rq75"),
+        count(lit(1)).as("n"))
+  }
+
+  val aggReservoirQuantileSql: String =
+    """SELECT event_type,
+      |  quantile_disc(value, 0.25) AS rq25,
+      |  quantile_disc(value, 0.5) AS rq50,
+      |  quantile_disc(value, 0.75) AS rq75,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** GROUPING()/GROUPING_ID() super-aggregate flags (reference
     * `src/execution/operator/aggregate/physical_hash_aggregate.cpp`
     * grouping-set id columns): distinguishes a real NULL group key from
@@ -414,6 +443,7 @@ object Aggregates {
     "agg_regr" -> (aggRegr _),
     "agg_product" -> (aggProduct _),
     "agg_quantile_disc" -> (aggQuantileDisc _),
+    "agg_reservoir_quantile" -> (aggReservoirQuantile _),
     "agg_topk_sketch" -> (aggTopkSketch _))
 
   val oracle: Map[String, String] = Map(
@@ -436,5 +466,6 @@ object Aggregates {
     "agg_regr" -> aggRegrSql,
     "agg_product" -> aggProductSql,
     "agg_quantile_disc" -> aggQuantileDiscSql,
+    "agg_reservoir_quantile" -> aggReservoirQuantileSql,
     "agg_topk_sketch" -> aggTopkSketchSql)
 }

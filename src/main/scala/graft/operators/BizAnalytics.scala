@@ -191,13 +191,79 @@ object BizAnalytics {
       |FROM o JOIN cohorts USING (o_custkey)
       |GROUP BY cohort, age""".stripMargin
 
+  /** Exponentially-weighted moving average — the smoothing pass every
+    * monitoring/forecasting pipeline runs over a metric stream. The
+    * kernel is the BOUNDED-HORIZON EWMA (8 taps, α = 1/2): weights
+    * halve per step back, so an 8-tap window carries ≥ 99.6% of the
+    * infinite-horizon mass — the standard truncation that turns the
+    * sequential recurrence ewmaₜ = α·xₜ + (1−α)·ewmaₜ₋₁ into a
+    * WINDOWED, hence distributable, operator (the exact recurrence is
+    * inherently serial per key; `dml_incremental_agg` shows the
+    * streaming-state alternative).
+    *
+    * INTEGER-EXACT: values are cents (the fixture's 2-decimal grain,
+    * round(value·100) is exact), α = 1/2 makes the tap weights the
+    * integers 128, 64, …, 1, the weighted sum and the weight sum are
+    * BIGINT, and the single division is truncating integer division —
+    * bit-identical across engines; a float EWMA would drift in the
+    * pow() and accumulation order. Partial heads (rows with < 8
+    * predecessors) renormalize over the PRESENT taps' weights, the
+    * same convention pandas `ewm(adjust=True)` uses. Scale posture:
+    * one shuffle on user_id drives the whole window; 8 lag() calls
+    * share one window frame (a single WindowExec pass), no
+    * self-join. */
+  def tsEwma(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val taps = (0 to 7).map { k =>
+      val w = 128L >> k
+      val x = if (k == 0) col("cents") else lag(col("cents"), k).over(byUser)
+      (coalesce(x * w, lit(0L)), when(x.isNotNull, lit(w)).otherwise(lit(0L)))
+    }
+    Tables.t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"),
+        taps.map(_._1).reduce(_ + _).as("num"),
+        taps.map(_._2).reduce(_ + _).as("den"))
+      // nullif guard: a NULL metric row has den = 0 (ANSI divide-by-zero
+      // otherwise); its EWMA is NULL on both engines.
+      .select(col("event_id"), col("user_id"),
+        expr("num DIV nullif(den, 0)").as("ewma_cents"))
+  }
+
+  val tsEwmaSql: String = {
+    val num = (0 to 7).map { k =>
+      val w = 128L >> k
+      val x = if (k == 0) "cents"
+        else s"lag(cents, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+      s"coalesce($x * $w, 0)"
+    }.mkString(" + ")
+    val den = (0 to 7).map { k =>
+      val w = 128L >> k
+      val x = if (k == 0) "cents"
+        else s"lag(cents, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+      s"CASE WHEN $x IS NOT NULL THEN $w ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT event_id, user_id, ts,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |t AS (SELECT event_id, user_id, ($num) AS num, ($den) AS den FROM c)
+       |SELECT event_id, user_id,
+       |       CAST(num // nullif(den, 0) AS BIGINT) AS ewma_cents
+       |FROM t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ewma" -> (tsEwma _),
     "events_sessions" -> (eventsSessions _),
     "events_attribution" -> (eventsAttribution _),
     "pareto_abc" -> (paretoAbc _),
     "cust_cohort_ltv" -> (custCohortLtv _))
 
   val oracle: Map[String, String] = Map(
+    "ts_ewma" -> tsEwmaSql,
     "events_sessions" -> eventsSessionsSql,
     "events_attribution" -> eventsAttributionSql,
     "pareto_abc" -> paretoAbcSql,

@@ -296,7 +296,99 @@ object GraphShapes {
       |JOIN e e2 ON e2.u = e1.v
       |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
 
+  /** PageRank, 3 synchronous iterations (Page, Brin, Motwani, Winograd
+    * 1999; the LDBC Graphalytics core kernel the reference's graph
+    * benchmarks build toward) over the same deterministic multigraph as
+    * [[graphTriangles]], symmetrized so every node has out-degree ≥ 1
+    * (no dangling-mass redistribution term to keep the kernel pure).
+    *
+    * INTEGER-EXACT by construction: ranks live in integer units of
+    * 10⁻¹² of total mass (r₀ = 10¹² DIV n), each contribution is
+    * `r(u) DIV outdeg(u)`, and the update is
+    * `r'(v) = (15·10¹² DIV 100) DIV n + 85·Σcontrib DIV 100` — every
+    * op BIGINT, truncating division on both engines, so the ranks are
+    * bit-identical across engines, partitionings, and join orders (a
+    * double-valued PageRank would accumulate in engine-specific order).
+    *
+    * Spark side: the idiomatic bounded driver loop — K is a constant,
+    * each step one join edge⋈rank + one groupBy(dst) with map-side
+    * combine; the loop composes plans, it never collects. The oracle
+    * unrolls the same 3 steps as CTEs. 100 TB posture: per step one
+    * shuffle on dst (the contribution aggregate); degree and rank
+    * frames stay keyed on the node id so AQE can reuse the
+    * partitioning; real jobs add localCheckpoint every ~5 steps to cut
+    * lineage (as `pipeline_curate` demonstrates) — at 3 steps the plan
+    * stays compact without it. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.t(s, dir, "orders").filter(col("o_custkey") < 300)
+      .select(col("o_custkey").as("a"), (col("o_orderkey") % 300).as("b"))
+      .where(col("a") =!= col("b"))
+    val und = raw.select(least(col("a"), col("b")).as("u"),
+      greatest(col("a"), col("b")).as("v")).distinct()
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = deg.select(col("src").as("node"), col("outdeg"))
+    val n = nodes.select(count(lit(1)).as("n"))
+    var rank = nodes.crossJoin(broadcast(n))
+      .select(col("node"), col("outdeg"), col("n"),
+        expr("1000000000000 DIV n").as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(rank.select(col("node").as("src"),
+          expr("r DIV outdeg").as("c")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inmass"))
+      rank = rank.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), col("outdeg"), col("n"),
+          (expr("150000000000 DIV n") +
+            expr("85 * coalesce(inmass, CAST(0 AS BIGINT)) DIV 100")).as("r"))
+    }
+    rank.select(col("node"), col("r").as("rank_e12"))
+  }
+
+  val graphPagerankSql: String =
+    """WITH raw AS (
+      |  SELECT o_custkey AS a, o_orderkey % 300 AS b
+      |  FROM orders WHERE o_custkey < 300),
+      |und AS (
+      |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM raw WHERE a <> b),
+      |edges AS (
+      |  SELECT u AS src, v AS dst FROM und
+      |  UNION ALL SELECT v AS src, u AS dst FROM und),
+      |deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+      |nn AS (SELECT count(*) AS n FROM deg),
+      |r0 AS (
+      |  SELECT node, outdeg, n, CAST(1000000000000 // n AS BIGINT) AS r
+      |  FROM deg, nn),
+      |r1 AS (
+      |  SELECT p.node, p.outdeg, p.n,
+      |    CAST((150000000000 // p.n) +
+      |         85 * coalesce(m.inmass, 0) // 100 AS BIGINT) AS r
+      |  FROM r0 p LEFT JOIN (
+      |    SELECT e.dst, sum(p.r // p.outdeg) AS inmass
+      |    FROM edges e JOIN r0 p ON e.src = p.node GROUP BY e.dst) m
+      |  ON p.node = m.dst),
+      |r2 AS (
+      |  SELECT p.node, p.outdeg, p.n,
+      |    CAST((150000000000 // p.n) +
+      |         85 * coalesce(m.inmass, 0) // 100 AS BIGINT) AS r
+      |  FROM r1 p LEFT JOIN (
+      |    SELECT e.dst, sum(p.r // p.outdeg) AS inmass
+      |    FROM edges e JOIN r1 p ON e.src = p.node GROUP BY e.dst) m
+      |  ON p.node = m.dst),
+      |r3 AS (
+      |  SELECT p.node, p.outdeg, p.n,
+      |    CAST((150000000000 // p.n) +
+      |         85 * coalesce(m.inmass, 0) // 100 AS BIGINT) AS r
+      |  FROM r2 p LEFT JOIN (
+      |    SELECT e.dst, sum(p.r // p.outdeg) AS inmass
+      |    FROM edges e JOIN r2 p ON e.src = p.node GROUP BY e.dst) m
+      |  ON p.node = m.dst)
+      |SELECT node, r AS rank_e12 FROM r3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "tb_connected_chain" -> (tbConnectedChain _),
     "tb_route_validation" -> (tbRouteValidation _),
@@ -305,6 +397,7 @@ object GraphShapes {
     "ldbc_shortest_path" -> (ldbcShortestPath _))
 
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
     "tb_connected_chain" -> tbConnectedChainSql,
     "tb_route_validation" -> tbRouteValidationSql,

@@ -288,6 +288,126 @@ object Similarity {
       |  FROM cells s JOIN probe_cells p USING (cid) WHERE s.vec_id <> p.qid)
       |SELECT qid, vec_id, cos FROM scored WHERE rn <= 5""".stripMargin
 
+  /** Product quantization ADC search (Jégou, Douze, Schmid, TPAMI 2011 —
+    * "Product quantization for nearest neighbor search"): the third
+    * classic ANN scale path next to LSH and IVF, and the one production
+    * vector stores actually serve from. The 64-dim space splits into
+    * m=8 subspaces of 8 dims; each subspace has its own ks=4-entry
+    * codebook; a vector's index entry is just its m sub-codes (m·log₂ks
+    * = 16 bits here vs 2048 bits raw — the 128× memory compression is
+    * the point at 10⁹ vectors). A query computes one m×ks distance
+    * table, and every candidate's approximate distance is m table
+    * lookups + adds (Asymmetric Distance Computation) — no float math
+    * per candidate at query time.
+    *
+    * Codebook: the sub-vectors of vec_id < 4, the same deterministic
+    * offline-k-means stand-in as [[ivfCentroids]] (codebook training is
+    * orthogonal to the PQ plumbing — encode, distance table, ADC scan —
+    * which is the Spark-side deliverable; `emb_kmeans` supplies the
+    * trained-codebook path).
+    *
+    * Determinism is engineered like [[embQuantize]]: every per-dimension
+    * squared difference is ONE sequence of correctly-rounded IEEE ops on
+    * identical inputs (float32→double cast, subtract, square, ×1e12,
+    * floor), quantized to INTEGER picounits BEFORE any aggregation — so
+    * sub-distances, code assignments (min_by with cid tie-break), ADC
+    * tables, and final distances are exact integers, order-independent
+    * and engine-identical: the whole index is oracle-checkable.
+    *
+    * Scale posture: the codebook is m·ks·dim rows (tiny, broadcast);
+    * encoding is one corpus scan → explode → broadcast-join → two
+    * map-side-combining aggregates keyed on (vec_id, sub[, cid]) —
+    * linear, no corpus-corpus join; the ADC scan joins the m·ks-row
+    * probe table (broadcast) against the N·m code list and reduces per
+    * (qid, vec_id) with map-side combine. Nothing is quadratic in the
+    * corpus; the candidate set here is the full corpus (exhaustive-ADC
+    * flavor), and composing with [[annIvf]]'s cell routing gives
+    * IVFADC, the standard billion-scale configuration. */
+  private val pqKs = 4       // codebook entries per subspace
+  private val pqSubDim = 8   // dims per subspace (64 / 8 subspaces)
+
+  /** Per-(vec, sub, cid) integer-picounit squared L2 sub-distance between
+    * corpus sub-vectors and codebook sub-vectors. `vecs` must be
+    * (vec_id, embedding); codebook rows come from `cents` (cid, d, c). */
+  private def pqSubDists(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
+      .join(broadcast(cents), Seq("d"))
+      .select(col("vec_id"), expr(s"d DIV $pqSubDim").as("sub"), col("cid"),
+        floor((col("xf").cast("double") - col("c")) *
+          (col("xf").cast("double") - col("c")) * 1e12).cast("long").as("t"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum(col("t")).as("dist"))
+
+  /** The deterministic PQ codebook: sub-vectors of vec_id < pqKs, keyed
+    * by global dimension (cid, d, c). */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < pqKs)
+      .select(col("vec_id").as("cid"), posexplode(col("embedding")).as(Seq("d", "cf")))
+      .select(col("cid"), col("d"), col("cf").cast("double").as("c"))
+
+  /** PQ-encode the corpus: (vec_id, sub, code) — each sub-vector's
+    * nearest codebook entry by integer sub-distance, cid tie-break. */
+  def pqCodes(e: DataFrame): DataFrame =
+    pqSubDists(e, pqCodebook(e))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"))
+
+  /** ADC top-5 for probes vec_id < 3: distance table per probe, m
+    * lookups + integer sum per candidate, (adist, vec_id) total order. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val codes = pqCodes(e)
+    // Distance table: probe sub-vectors vs codebook, same integer grain.
+    val dtable = pqSubDists(
+      e.filter(col("vec_id") < 3).select(col("vec_id").as("vec_id"), col("embedding")),
+      pqCodebook(e))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid").as("code"),
+        col("dist").as("qd"))
+    codes.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd")).as("adist"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("adist"))
+  }
+
+  /** The full PQ index reproduced in DuckDB on the same integer-picounit
+    * grain: codebook, sub-distances, min-by-(dist,cid) codes, probe
+    * distance table, ADC join — every aggregate an exact integer. */
+  val annPqSql: String =
+    s"""WITH dims AS (SELECT unnest(range(64)) AS d),
+       |cb AS (
+       |  SELECT vec_id AS cid, d.d, CAST(embedding[d.d+1] AS DOUBLE) AS c
+       |  FROM embeddings, dims d WHERE vec_id < $pqKs AND embedding IS NOT NULL),
+       |sd AS (
+       |  SELECT e.vec_id, d.d // $pqSubDim AS sub, cb.cid,
+       |         sum(CAST(floor((CAST(e.embedding[d.d+1] AS DOUBLE) - cb.c)
+       |             * (CAST(e.embedding[d.d+1] AS DOUBLE) - cb.c) * 1e12 ) AS BIGINT)) AS dist
+       |  FROM embeddings e, dims d
+       |  JOIN cb ON cb.d = d.d
+       |  WHERE e.embedding IS NOT NULL
+       |  GROUP BY e.vec_id, sub, cb.cid),
+       |codes AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM sd) a WHERE rn = 1),
+       |dtable AS (
+       |  SELECT vec_id AS qid, sub, cid AS code, dist AS qd
+       |  FROM sd WHERE vec_id < 3),
+       |adc AS (
+       |  SELECT t.qid, c.vec_id, CAST(sum(t.qd) AS BIGINT) AS adist
+       |  FROM codes c JOIN dtable t USING (sub, code)
+       |  WHERE c.vec_id <> t.qid
+       |  GROUP BY t.qid, c.vec_id)
+       |SELECT qid, vec_id, adist FROM (
+       |  SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+       |  FROM adc) z WHERE rn <= 5""".stripMargin
+
   /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
     * project the 64-dim embeddings onto 8 deterministic pseudo-random
     * integer-weight directions — the preprocessing step a pipeline runs
@@ -514,6 +634,7 @@ object Similarity {
     "ann_lsh" -> (annLsh _),
     "ann_lsh_banded" -> (annLshBanded _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
     "ann_recall" -> (annRecall _),
     "emb_project" -> (embProject _),
     "emb_domain_diversity" -> (embDomainDiversity _))
@@ -524,6 +645,7 @@ object Similarity {
     "ann_lsh" -> annLshSql,
     "ann_lsh_banded" -> annLshBandedSql,
     "ann_ivf" -> annIvfSql,
+    "ann_pq" -> annPqSql,
     "ann_recall" -> annRecallSql,
     "emb_project" -> embProjectSql,
     "emb_domain_diversity" -> embDomainDiversitySql)

@@ -69,4 +69,35 @@ class AggregatorsSpec extends SparkSpec {
     assert(c - e <= 500L, s"true count must lie in [est-err, est]: est=$c err=$e")
     assert(hh.length <= 8)
   }
+
+  test("reservoir_quantile is EXACT when the group fits capacity (merge = concat)") {
+    // 1000 rows over 8 partitions, capacity 2048 → no eviction anywhere;
+    // result must equal quantile_disc's ceil(q·n) element exactly
+    val df = spark.range(0, 1000, 1, 8).select(($"id" + 1).cast("double").as("v"))
+    for ((q, want) <- Seq(0.25 -> 250.0, 0.5 -> 500.0, 0.75 -> 750.0)) {
+      val got = df.agg(G.reservoir_quantile($"v", q, capacity = 2048))
+        .head.getDouble(0)
+      assert(got == want, s"q=$q: $got != $want")
+    }
+  }
+
+  test("reservoir_quantile under eviction: bounded error on a uniform stream") {
+    // 20k uniform values, capacity 512 → heavy eviction; the sampled
+    // median of a uniform 1..20000 stream concentrates near 10000
+    // (binomial tail: P(|p̂-0.5| > 0.15) at m=512 is ~1e-11)
+    val df = spark.range(0, 20000, 1, 16).select(($"id" + 1).cast("double").as("v"))
+    val got = df.agg(G.reservoir_quantile($"v", 0.5, capacity = 512))
+      .head.getDouble(0)
+    assert(math.abs(got - 10000.0) < 3000.0, s"sampled median wildly off: $got")
+  }
+
+  test("reservoir_quantile skips NULLs and returns NULL on an all-NULL group") {
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("b", None))
+      .toDF("k", "v")
+    val rows = df.groupBy($"k").agg(G.reservoir_quantile($"v", 0.5).as("m"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(rows("a") == Some(1.0), s"median of {1,3} at ceil(0.5·2)=1st: ${rows("a")}")
+    assert(rows("b").isEmpty, "all-NULL group → NULL")
+  }
 }

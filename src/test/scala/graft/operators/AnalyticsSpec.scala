@@ -98,6 +98,43 @@ class AnalyticsSpec extends SparkSpec {
         .toDouble) < 1e-9)
   }
 
+  test("ts_ewma: hand-computed taps, head renormalization, integer truncation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    // one user, values 1.00 then 2.00 one second apart
+    Seq((1L, 1L, 1.00), (2L, 2L, 2.00)).toDF("event_id", "tsn", "value")
+      .select(col("event_id"), timestamp_seconds(col("tsn")).as("ts"),
+        lit(7L).as("user_id"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = BizAnalytics.tsEwma(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("ewma_cents")).toMap
+    // row 1: only tap0 present → 100·128/128 = 100
+    assert(got(1L) == 100L)
+    // row 2: (200·128 + 100·64) / (128+64) = 32000/192 = 166.67 → 166
+    assert(got(2L) == 166L)
+  }
+
+  test("ts_ewma on the fixture: one window pass, bounded by the tap extremes") {
+    val df = BizAnalytics.tsEwma(spark, sf())
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // all 8 lags share one frame → exactly one Window node ("(n) Window"
+    // in formatted mode)
+    assert(plan.linesIterator.count(_.matches(""".*\(\d+\) Window\s*""")) == 1)
+    // formatted mode puts the Exchange's partitioning on its Arguments
+    // line; exactly one hashpartitioning(user_id…) may appear anywhere
+    assert(plan.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,
+      "the 8 taps must ride ONE user_id shuffle")
+    // EWMA is a convex combination of the taps → lies within the running
+    // min/max of the last 8 values per user; spot-check global bounds
+    val stats = graft.Tables.t(spark, sf(), "events")
+      .agg(min(round(col("value") * 100)).as("mn"),
+        max(round(col("value") * 100)).as("mx")).head
+    val (mn, mx) = (stats.getDouble(0).toLong, stats.getDouble(1).toLong)
+    val out = df.agg(min(col("ewma_cents")), max(col("ewma_cents"))).head
+    assert(out.getLong(0) >= mn - 1 && out.getLong(1) <= mx)
+  }
+
   test("cust_rfm: segments partition the customers and quintiles are balanced") {
     val rows = OlapSuites.custRfm(spark, sf()).collect()
     val nCust = graft.Tables.t(spark, sf(), "orders")

@@ -36,6 +36,34 @@ class GraphShapesSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("sensor") == "click"))
   }
 
+  test("graph_pagerank: symmetric 3-cycle converges to the exact uniform integer rank") {
+    import spark.implicits._
+    // orders rows wiring the triangle {1,2,3}: raw edges (custkey,
+    // orderkey%300) = (1,2), (2,3), (3,1) → symmetric 3-cycle, all
+    // degrees 2 → the integer kernel holds every node at
+    // 10¹²DIV3 − 1 = 333333333332 from iteration 1 onward (one unit of
+    // truncation loss in 85·Σ DIV 100).
+    val dir = java.nio.file.Files.createTempDirectory("pagerank").toString
+    Seq((302L, 1L), (603L, 2L), (301L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = GraphShapes.graphPagerank(spark, dir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_e12")).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(_ == 333333333332L), s"uniform rank: $got")
+  }
+
+  test("graph_pagerank on the fixture: mass conserved within truncation loss, ranks positive") {
+    val rows = GraphShapes.graphPagerank(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("rank_e12")).sum
+    // every DIV truncates at most 1 unit per node per term; total mass
+    // stays within 0.1% of 10¹²
+    assert(total <= 1000000000000L && total > 999000000000L,
+      s"mass conservation: $total")
+    assert(rows.forall(_.getAs[Long]("rank_e12") > 0L))
+  }
+
   test("tb_connected_chain plan: self-join chain stays equi-join, no cartesian") {
     val df = GraphShapes.tbConnectedChain(spark, sf())
     val p = plan(df)

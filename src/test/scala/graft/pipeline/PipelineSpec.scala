@@ -166,6 +166,47 @@ class SimilaritySpec extends SparkSpec {
       s"orthogonal vectors → mean pairwise cosine 0.0: $got")
   }
 
+  test("PQ: codebook vectors encode to their own codes; ADC to a codebook vector is the exact table distance") {
+    val e = graft.Tables.t(spark, sf("sf0.001"), "embeddings")
+      .filter($"embedding".isNotNull)
+    val codes = Similarity.pqCodes(e).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("sub").longValue()) ->
+        r.getAs[Number]("code").longValue()).toMap
+    // every non-null vector has exactly 8 sub-codes, all in [0, 4)
+    val byVec = codes.keys.groupBy(_._1)
+    assert(byVec.values.forall(_.size == 8), "8 subspaces per vector")
+    assert(codes.values.forall(c => c >= 0 && c < 4), "codes within codebook")
+    // a codebook vector's nearest codebook entry in every subspace is itself
+    for (cid <- 0L until 4L; sub <- 0L until 8L)
+      assert(codes((cid, sub)) == cid, s"codebook vec $cid sub $sub self-code")
+    // ADC distance from probe 0 to codebook vector 1 equals the directly
+    // computed integer-picounit squared L2 distance (codes(1,·) = 1, so the
+    // ADC sum IS the full distance table row)
+    val adc = Similarity.annPq(spark, sf("sf0.001")).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Long]("adist")).toMap
+    val vecs = e.filter($"vec_id" < 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    val want = vecs(0L).zip(vecs(1L)).map { case (x, c) =>
+      val d = x.toDouble - c.toDouble
+      math.floor(d * d * 1e12).toLong
+    }.sum
+    adc.get((0L, 1L)).foreach(got => assert(got == want,
+      s"ADC(0,1) $got != direct integer distance $want"))
+    // top-5 per probe, self excluded, sorted output contract
+    val perProbe = adc.keys.groupBy(_._1)
+    assert(perProbe.values.forall(_.size == 5), "top-5 per probe")
+    assert(adc.keys.forall { case (q, v) => q != v }, "self excluded")
+  }
+
+  test("PQ plan: codebook and distance table broadcast; no cartesian product") {
+    val plan = Similarity.annPq(spark, sf("sf0.001"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"), "codebook/dtable joins must broadcast")
+    assert(!plan.contains("CartesianProduct"), "ADC must not plan a cartesian")
+  }
+
   test("banding lifts LSH recall; recall is bounded and IVF stays strong") {
     val r = Similarity.annRecall(spark, sf("sf0.001")).collect()
       .map(x => (x.getString(0), x.getAs[Number]("qid").longValue(),
