@@ -408,6 +408,108 @@ object Similarity {
        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
        |  FROM adc) z WHERE rn <= 5""".stripMargin
 
+  /** IVFADC — IVF cell routing composed with PQ ADC scoring (Jégou et
+    * al. 2011 §IV; the configuration billion-scale ANN services deploy:
+    * FAISS's `IVFx,PQy` index family): a probe searches only its
+    * nprobe=2 nearest coarse cells, and candidates within those cells
+    * are ranked by the integer ADC distance of [[annPq]] — the cell
+    * routing bounds the candidate set sub-linearly while PQ bounds the
+    * per-candidate cost to m table lookups. This entry scores raw-vector
+    * PQ codes (IVF-Flat routing + PQ scoring); production IVFADC
+    * quantizes the RESIDUAL x − centroid(cell) — a per-cell recentering
+    * that reuses this exact plumbing with `embedding` replaced by the
+    * residual column, orthogonal to the plan shape pinned here.
+    * Scale posture: inherits [[annIvf]]'s broadcast cell routing and
+    * [[annPq]]'s broadcast distance tables; the only corpus-sized frames
+    * are the cell assignment and code list, both built by linear
+    * map-side-combining passes and joined on (cid)/(sub, code). */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val nlist = 16
+    val cells = ivfCells(e, nlist)
+    val cents = ivfCentroids(e, nlist)
+    val probeCells = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+      .join(broadcast(cents))
+      .withColumn("pcos", G.list_cosine_similarity(col("q"), col("cvec")))
+      .filter(!isnan(col("pcos")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("pcos").desc, col("cid"))))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("cid"))
+    val codes = pqCodes(e)
+    val dtable = pqSubDists(
+      e.filter(col("vec_id") < 3), pqCodebook(e))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid").as("code"),
+        col("dist").as("qd"))
+    cells.select(col("vec_id"), col("cid"))
+      .join(broadcast(probeCells), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(dtable), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd")).as("adist"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("adist"))
+  }
+
+  val annIvfPqSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+       |cells AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+       |    FROM embeddings e, cents c
+       |    WHERE e.embedding IS NOT NULL
+       |      AND NOT isnan(list_cosine_similarity(e.embedding, c.cvec))) a
+       |  WHERE rn = 1),
+       |probe_cells AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT e.vec_id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+       |    FROM embeddings e, cents c WHERE e.vec_id < 3
+       |      AND NOT isnan(list_cosine_similarity(e.embedding, c.cvec))) a
+       |  WHERE rn <= 2),
+       |dims AS (SELECT unnest(range(64)) AS d),
+       |cb AS (
+       |  SELECT vec_id AS pcid, d.d, CAST(embedding[d.d+1] AS DOUBLE) AS c
+       |  FROM embeddings, dims d WHERE vec_id < 4 AND embedding IS NOT NULL),
+       |sd AS (
+       |  SELECT e.vec_id, d.d // 8 AS sub, cb.pcid,
+       |         sum(CAST(floor((CAST(e.embedding[d.d+1] AS DOUBLE) - cb.c)
+       |             * (CAST(e.embedding[d.d+1] AS DOUBLE) - cb.c) * 1e12 ) AS BIGINT)) AS dist
+       |  FROM embeddings e, dims d
+       |  JOIN cb ON cb.d = d.d
+       |  WHERE e.embedding IS NOT NULL
+       |  GROUP BY e.vec_id, sub, cb.pcid),
+       |codes AS (
+       |  SELECT vec_id, sub, pcid AS code FROM (
+       |    SELECT vec_id, sub, pcid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, pcid) AS rn
+       |    FROM sd) a WHERE rn = 1),
+       |dtable AS (
+       |  SELECT vec_id AS qid, sub, pcid AS code, dist AS qd
+       |  FROM sd WHERE vec_id < 3),
+       |adc AS (
+       |  SELECT p.qid, s.vec_id, CAST(sum(t.qd) AS BIGINT) AS adist
+       |  FROM cells s
+       |  JOIN probe_cells p USING (cid)
+       |  JOIN codes c ON c.vec_id = s.vec_id
+       |  JOIN dtable t ON t.qid = p.qid AND t.sub = c.sub AND t.code = c.code
+       |  WHERE s.vec_id <> p.qid
+       |  GROUP BY p.qid, s.vec_id)
+       |SELECT qid, vec_id, adist FROM (
+       |  SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+       |  FROM adc) z WHERE rn <= 5""".stripMargin
+
   /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
     * project the 64-dim embeddings onto 8 deterministic pseudo-random
     * integer-weight directions — the preprocessing step a pipeline runs
@@ -635,6 +737,7 @@ object Similarity {
     "ann_lsh_banded" -> (annLshBanded _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfPq _),
     "ann_recall" -> (annRecall _),
     "emb_project" -> (embProject _),
     "emb_domain_diversity" -> (embDomainDiversity _))
@@ -646,6 +749,7 @@ object Similarity {
     "ann_lsh_banded" -> annLshBandedSql,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
+    "ann_ivfpq" -> annIvfPqSql,
     "ann_recall" -> annRecallSql,
     "emb_project" -> embProjectSql,
     "emb_domain_diversity" -> embDomainDiversitySql)

@@ -207,6 +207,43 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "ADC must not plan a cartesian")
   }
 
+  test("IVFADC: candidates come only from the probe's routed cells; ADC agrees with exhaustive PQ") {
+    val e = graft.Tables.t(spark, sf("sf0.001"), "embeddings")
+      .filter($"embedding".isNotNull)
+    val cellOf = Similarity.ivfCells(e, 16).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    val got = Similarity.annIvfPq(spark, sf("sf0.001")).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Long]("adist")))
+    assert(got.nonEmpty && got.groupBy(_._1).values.forall(_.length <= 5))
+    // every returned candidate sits in one of its probe's nprobe=2 cells —
+    // recompute the routing from the shipped cell assignment
+    val probes = got.map(_._1).distinct
+    val routed: Map[Long, Set[Long]] = probes.map { q =>
+      val cents = Similarity.ivfCentroids(e, 16)
+      val qv = e.filter($"vec_id" === q).select($"embedding").head.getSeq[Float](0)
+      val top2 = cents.collect().map { r =>
+        val cv = r.getSeq[Float](1)
+        val dot = qv.zip(cv).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        val cos = dot / (math.sqrt(qv.map(x => x.toDouble * x).sum) *
+          math.sqrt(cv.map(x => x.toDouble * x).sum))
+        (r.getLong(0), cos)
+      }.filterNot(_._2.isNaN).sortBy { case (cid, cos) => (-cos, cid) }
+        .take(2).map(_._1).toSet
+      q -> top2
+    }.toMap
+    got.foreach { case (q, v, _) =>
+      assert(routed(q).contains(cellOf(v)), s"candidate $v outside probe $q's cells")
+    }
+    // where a pair also appears in exhaustive PQ's top-5, the ADC
+    // distances are the same integers (same codes, same tables)
+    val pq = Similarity.annPq(spark, sf("sf0.001")).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) -> r.getAs[Long]("adist"))
+      .toMap
+    got.foreach { case (q, v, d) =>
+      pq.get((q, v)).foreach(dd => assert(dd == d, s"ADC mismatch for ($q,$v)"))
+    }
+  }
+
   test("banding lifts LSH recall; recall is bounded and IVF stays strong") {
     val r = Similarity.annRecall(spark, sf("sf0.001")).collect()
       .map(x => (x.getString(0), x.getAs[Number]("qid").longValue(),
