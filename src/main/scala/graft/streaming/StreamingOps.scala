@@ -377,6 +377,62 @@ object StreamingOps {
       quota)
   }
 
+  case class EwmaIn(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+    value: Double)
+  case class EwmaState(last: Long)
+  case class EwmaOut(user_id: Long, event_id: Long, ewma_cents: Long)
+
+  /** The exact per-key EWMA recurrence eₜ = (centsₜ + eₜ₋₁) DIV 2 as a
+    * shared fold — ONE definition for the streaming operator and its
+    * batch twin, so the bit-identity proof compares deployments of the
+    * same arithmetic, not two spellings of it. Integer cents + α = 1/2
+    * keep every step exact (the established determinism contract); the
+    * truncation per step is part of the defined semantics. */
+  private def ewmaFold(user: Long, rows: Seq[EwmaIn], st0: EwmaState)
+      : (Vector[EwmaOut], EwmaState) = {
+    var st = st0
+    val out = Vector.newBuilder[EwmaOut]
+    rows.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val c = math.round(e.value * 100)
+      val next = if (st.last == Long.MinValue) c
+        else Math.floorDiv(c + st.last, 2L)
+      st = EwmaState(next)
+      out += EwmaOut(user, e.event_id, next)
+    }
+    (out.result(), st)
+  }
+
+  /** Streaming EWMA — the UNBOUNDED-horizon recurrence the batch
+    * `ts_ewma` entry truncates to 8 taps to stay windowed/distributable:
+    * streaming state is where the true serial recurrence lives naturally
+    * (O(1) state per key — just the last smoothed value), the
+    * stream-vs-batch split a production metrics pipeline runs. Emitted
+    * per event in Append mode; state never times out (a real deployment
+    * sets a TTL matched to key churn). */
+  def ewmaStream(rows: Dataset[EwmaIn]): Dataset[EwmaOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[EwmaIn], state: GroupState[EwmaState]) =>
+          val (out, st) = ewmaFold(user, it.toSeq,
+            state.getOption.getOrElse(EwmaState(Long.MinValue)))
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** One-shot batch twin of [[ewmaStream]]: the same fold over each key's
+    * full history (mapGroups — the per-key serial recurrence is the
+    * documented non-distributable core; batch pipelines use the windowed
+    * `ts_ewma` instead). */
+  def ewmaBatch(rows: Dataset[EwmaIn]): Dataset[EwmaOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id).flatMapGroups { (user, it) =>
+      ewmaFold(user, it.toSeq, EwmaState(Long.MinValue))._1.iterator
+    }
+  }
+
   /** Static side of the streaming anomaly detector: per-type mean and
     * sample-sd of DAILY counts, learned offline from history — the
     * versioned profile a monitoring pipeline refreshes on its own cadence

@@ -54,6 +54,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA across micro-batches is bit-identical to the one-shot batch fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def at(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // two users, 6 events each, values chosen so truncation fires
+    val rows = for (u <- 1L to 2L; i <- 0L until 6L)
+      yield StreamingOps.EwmaIn(u, at(u * 1000 + i * 60), u * 100 + i,
+        (i + 1) * 1.01 * u)
+    val (first, second) = rows.partition(_.event_id % 100 < 3)
+    val src = MemoryStream[StreamingOps.EwmaIn]
+    val q = StreamingOps.ewmaStream(src.toDS())
+      .writeStream.format("memory").queryName("ewma").outputMode("append").start()
+    try {
+      // time-ordered micro-batches per key: the state hand-off is what's
+      // under test — the incremental recurrence must equal the full fold
+      src.addData(first: _*)
+      q.processAllAvailable()
+      src.addData(second: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma")
+        .orderBy($"user_id", $"event_id")
+        .as[StreamingOps.EwmaOut].collect().toSeq
+      val batch = StreamingOps.ewmaBatch(rows.toDS())
+        .orderBy($"user_id", $"event_id").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        "incremental state hand-off must reproduce the one-shot fold")
+      // spot-check the recurrence arithmetic by hand for user 1:
+      // cents = 101, 202, 303, ... ; e1=101, e2=(202+101)/2=151 (floor), …
+      val u1 = batch.filter(_.user_id == 1L).map(_.ewma_cents)
+      assert(u1.head == 101L && u1(1) == 151L)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per normalized content hash") {
     // memory-source stream of doc-shaped rows with planted duplicates
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
