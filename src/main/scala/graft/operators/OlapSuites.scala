@@ -71,6 +71,57 @@ object OlapSuites {
       |ORDER BY u DESC, n DESC, bucket ASC
       |LIMIT 3""".stripMargin
 
+  /** ClickBench q30 (reference `benchmark/clickbench/queries/q30.sql`:
+    * `SUM(ResolutionWidth), SUM(ResolutionWidth + 1), …, SUM(+ 89)` —
+    * NINETY aggregates over one scan): the WIDE-AGGREGATE stress no
+    * other entry hits — it measures whether 90 accumulators stay in one
+    * codegen'd partial-aggregate pass (one scan, one exchange of a
+    * single 90-column row) instead of 90 passes. Values are exact cents
+    * integers so all 90 BIGINT sums are engine-identical; both the
+    * Spark columns and the oracle string are generated from the same
+    * k-range so the battery cannot drift. */
+  def cbWideSums(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .select(round(col("value") * 100).cast("long").as("cents"))
+      .agg(sum(col("cents") + 0).as("s0"),
+        (1 until 90).map(k => sum(col("cents") + k).as(s"s$k")): _*)
+
+  val cbWideSumsSql: String =
+    (0 until 90).map(k =>
+      s"CAST(sum(CAST(round(value * 100) AS BIGINT) + $k) AS BIGINT) AS s$k")
+      .mkString("SELECT ", ",\n       ", "\nFROM events")
+
+  /** ClickBench q22 (reference `benchmark/clickbench/queries/q22.sql`:
+    * `WHERE Title LIKE '%Google%' AND URL NOT LIKE '%.google.%' AND
+    * SearchPhrase <> '' … MIN(URL), MIN(Title), COUNT(*),
+    * COUNT(DISTINCT UserID) … ORDER BY c DESC LIMIT 10` — the suite's
+    * hardest query): a positive LIKE + a NEGATED LIKE + an inequality
+    * all pushed to the scan, feeding MIN-over-strings + a count-distinct
+    * in one grouped pass, then an ordered LIMIT with a total-order
+    * tie-break. The distinct forces the two-phase
+    * distinct-aggregate expansion; the string mins ride the same
+    * hash aggregate. */
+  def cbSearchPhrases(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .filter(col("text").like("%data%") &&
+        !col("source").like("%7%") && col("lang") =!= "")
+      .groupBy(col("lang"))
+      .agg(min(col("source")).as("min_src"),
+        min(col("text")).as("min_text"),
+        count(lit(1)).as("c"),
+        countDistinct(col("n_chars")).as("u"))
+      .orderBy(col("c").desc, col("lang").asc)
+      .limit(10)
+
+  val cbSearchPhrasesSql: String =
+    """SELECT lang, min(source) AS min_src, min(text) AS min_text,
+      |       count(*) AS c, count(DISTINCT n_chars) AS u
+      |FROM documents
+      |WHERE text LIKE '%data%' AND source NOT LIKE '%7%' AND lang <> ''
+      |GROUP BY lang
+      |ORDER BY c DESC, lang ASC
+      |LIMIT 10""".stripMargin
+
   /** ClickBench's URL-host family (reference
     * `benchmark/clickbench/queries/q29.sql`: REGEXP-extract the host
     * from Referer, avg(strlen) + count + min per host, HAVING on the
@@ -645,6 +696,8 @@ object OlapSuites {
     "h2o_join_big" -> (h2oJoinBig _),
     "h2o_median_sd" -> (h2oMedianSd _),
     "cb_domain_topn" -> (cbDomainTopn _),
+    "cb_wide_sums" -> (cbWideSums _),
+    "cb_search_phrases" -> (cbSearchPhrases _),
     "cb_url_host_topn" -> (cbUrlHostTopn _),
     "cb_views_offset" -> (cbViewsOffset _),
     "events_funnel" -> (eventsFunnel _),
@@ -664,6 +717,8 @@ object OlapSuites {
     "h2o_join_big" -> h2oJoinBigSql,
     "h2o_median_sd" -> h2oMedianSdSql,
     "cb_domain_topn" -> cbDomainTopnSql,
+    "cb_wide_sums" -> cbWideSumsSql,
+    "cb_search_phrases" -> cbSearchPhrasesSql,
     "cb_url_host_topn" -> cbUrlHostTopnSql,
     "cb_views_offset" -> cbViewsOffsetSql,
     "events_funnel" -> eventsFunnelSql,

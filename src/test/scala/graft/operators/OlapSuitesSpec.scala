@@ -34,6 +34,47 @@ class OlapSuitesSpec extends SparkSpec {
     assert(ls.sameElements(ls.sortBy(-_)), "avg-length order must hold")
   }
 
+  test("cb wide sums: 90 accumulators ride ONE aggregate pass over ONE scan") {
+    val df = OlapSuites.cbWideSums(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("Join"))
+    val scans = p.split("\n").count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, "one scan for all 90 sums")
+    // partial + final of ONE hash aggregate, not 90 passes
+    val aggs = p.split("\n").count(_.trim.matches("""\(\d+\) HashAggregate.*"""))
+    assert(aggs == 2, s"expected partial+final pair, got $aggs")
+    val row = df.collect().head
+    assert(row.length == 90)
+    // SUM(x + k) = SUM(x) + k·n — verify the whole battery from s0 and n
+    val n = graft.Tables.t(spark, sf(), "events").count()
+    val s0 = row.getLong(0)
+    (1 until 90).foreach(k => assert(row.getLong(k) == s0 + k * n, s"s$k"))
+  }
+
+  test("cb search phrases: pushed filters, distinct aggregate, ordered limit") {
+    val df = OlapSuites.cbSearchPhrases(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("Join"))
+    // the three scan-stage predicates must run before the aggregate:
+    // formatted plan shows them in a Filter above the single scan
+    assert(p.contains("Contains") || p.contains("LIKE") || p.contains("like"),
+      "LIKE predicates present in the scan stage")
+    val rows = df.collect()
+    assert(rows.length <= 10)
+    val cs = rows.map(_.getLong(3))
+    assert(cs.sameElements(cs.sortBy(-_)), "count order must hold")
+    // recompute one group's (c, u) from the raw fixture
+    import org.apache.spark.sql.functions._
+    rows.headOption.foreach { r =>
+      val lang = r.getString(0)
+      val raw = graft.Tables.t(spark, sf(), "documents")
+        .filter(col("text").like("%data%") && !col("source").like("%7%") &&
+          col("lang") === lang)
+      assert(raw.count() == r.getLong(3))
+      assert(raw.select(col("n_chars")).distinct().count() == r.getLong(4))
+    }
+  }
+
   test("cb views offset: pagination window is deterministic and sorted") {
     val df = OlapSuites.cbViewsOffset(spark, sf())
     val rows = df.collect()
