@@ -90,6 +90,41 @@ object Shaping {
       |FROM lineitem
       |WHERE CAST(('0x' || substr(md5(l_orderkey || ':' || l_linenumber),1,15)) AS BIGINT) % 10 = 0""".stripMargin
 
+  /** Stratified exact-k sampling — k rows per stratum, the split every
+    * evaluation/debug pipeline needs ("5 examples from each class"),
+    * which a Bernoulli fraction cannot deliver (small strata come back
+    * empty, large ones oversized). The draw is deterministic hash-order
+    * (row_number over the md5 of the row key within each stratum, the
+    * retry-stable convention `shape_sample_hash` set) so both engines —
+    * and any two cluster runs — pick the identical rows. Scale posture:
+    * one shuffle on the stratum key drives the ranking window; with
+    * thousands of strata the k·|strata| result stays tiny while the
+    * scan/exchange stream once; a heavily-skewed stratum ranks in
+    * O(n log n) within its partition (the documented alternative for a
+    * single monster stratum is a per-stratum TakeOrdered). */
+  def shapeSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        md5(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))
+          .cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("rk"))
+  }
+
+  val shapeSampleStratifiedSql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, rk FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY md5(l_orderkey || ':' || l_linenumber),
+      |               l_orderkey, l_linenumber) AS rk
+      |  FROM lineitem) t
+      |WHERE rk <= 5""".stripMargin
+
   /** VALUES list as a relation (reference `physical_expression_scan.cpp`). */
   def shapeValues(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -254,6 +289,7 @@ object Shaping {
     "shape_limit_offset" -> (shapeLimitOffset _),
     "shape_sample" -> (shapeSample _),
     "shape_sample_hash" -> (shapeSampleHash _),
+    "shape_sample_stratified" -> (shapeSampleStratified _),
     "shape_values" -> (shapeValues _),
     "shape_range" -> (shapeRange _),
     "shape_json" -> (shapeJson _),
@@ -272,6 +308,7 @@ object Shaping {
     "shape_topn_distinct" -> shapeTopnDistinctSql,
     "shape_limit_offset" -> shapeLimitOffsetSql,
     "shape_sample_hash" -> shapeSampleHashSql,
+    "shape_sample_stratified" -> shapeSampleStratifiedSql,
     "shape_values" -> shapeValuesSql,
     "shape_range" -> shapeRangeSql,
     "shape_json" -> shapeJsonSql,

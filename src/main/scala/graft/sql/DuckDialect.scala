@@ -1909,6 +1909,13 @@ object DuckDialect {
 
   /** DuckDB SQL → Spark SQL. Deterministic, token-level, literal-safe. */
   def translate(duckSql: String): String = {
+    // Statement-head UNPIVOT is a pure text rewrite (explicit ON list, no
+    // schema discovery) — route it here so the session fallback parser
+    // rescues it like any other parse-level dialect; PIVOT/SUMMARIZE/
+    // DESCRIBE stay session-only in [[run]] (their expansion needs the
+    // source schema).
+    if (tokenize(duckSql).find(!_.isWs).exists(_.word == "unpivot"))
+      return UnpivotStatement.spell(duckSql)
     var toks = tokenize(duckSql)
     toks = rewriteMacros(toks)
     toks = rewriteFromFirst(toks)

@@ -18,7 +18,8 @@ class SparkEntrySpec extends SparkSpec {
       operators.GraphShapes.queries, operators.BizAnalytics.queries,
       operators.Joins.queries, operators.ScaleJoins.queries,
       operators.Aggregates.queries,
-      operators.Windows.queries, operators.SetOps.queries,
+      operators.Windows.queries, operators.HolisticWindows.queries,
+      operators.SetOps.queries,
       operators.Shaping.queries, operators.EdgeQueries.queries,
       sql.DuckSqlQueries.queries,
       functions.FunctionQueries.queries,
