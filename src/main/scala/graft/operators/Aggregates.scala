@@ -371,6 +371,32 @@ object Aggregates {
       |  count(*) AS n
       |FROM nation GROUP BY n_regionkey""".stripMargin
 
+  /** bitstring_agg (reference
+    * `src/core_functions/aggregate/distributive/bitstring_agg.cpp`):
+    * presence bitmap over a bounded integer domain — DuckDB materializes
+    * a BIT with one position per domain value. Spark has no BIT type;
+    * the faithful relational spelling is collect_set (the distributive
+    * presence state, map-side combined) rendered to the same
+    * left-to-right '0'/'1' string the oracle gets from
+    * `CAST(bitstring_agg(x, lo, hi) AS VARCHAR)` — probed: position 1
+    * is the LEFTMOST character. Domain bounds are explicit literals on
+    * both engines (DuckDB's unbounded form scans min/max first; the
+    * bounded form is the distributed-friendly one — a fixed-width state
+    * independent of data). */
+  def aggBitstring(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(collect_set(col("l_linenumber")).as("present"))
+      .select(col("l_returnflag"),
+        concat_ws("", transform(sequence(lit(1), lit(7)),
+          i => when(array_contains(col("present"), i), "1").otherwise("0")))
+          .as("bits"))
+
+  val aggBitstringSql: String =
+    """SELECT l_returnflag,
+      |       CAST(bitstring_agg(l_linenumber, 1, 7) AS VARCHAR) AS bits
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** reservoir_quantile (reference
     * `src/core_functions/aggregate/holistic/reservoir_quantile.cpp`) —
     * the bounded-memory sampled quantile, as a distributed Aggregator
@@ -444,6 +470,7 @@ object Aggregates {
     "agg_product" -> (aggProduct _),
     "agg_quantile_disc" -> (aggQuantileDisc _),
     "agg_reservoir_quantile" -> (aggReservoirQuantile _),
+    "agg_bitstring" -> (aggBitstring _),
     "agg_topk_sketch" -> (aggTopkSketch _))
 
   val oracle: Map[String, String] = Map(
@@ -467,5 +494,6 @@ object Aggregates {
     "agg_product" -> aggProductSql,
     "agg_quantile_disc" -> aggQuantileDiscSql,
     "agg_reservoir_quantile" -> aggReservoirQuantileSql,
+    "agg_bitstring" -> aggBitstringSql,
     "agg_topk_sketch" -> aggTopkSketchSql)
 }
