@@ -296,6 +296,30 @@ object Windows {
       |FROM orders
       |QUALIFY rn <= 3""".stripMargin
 
+  /** RANGE frame bounded by a TIME INTERVAL over a timestamp ordering —
+    * the trailing-window form every monitoring query uses ("events and
+    * spend in the last hour, per entity, at every event"), a different
+    * executor path from the numeric RANGE frame `win_range` pins (frame
+    * edges move by calendar arithmetic on the ORDER column, and peers
+    * are timestamp-equal rows). The IDENTICAL SQL text runs on both
+    * engines — `INTERVAL 1 HOUR` parses in both grammars — so the pin
+    * is also a dialect-compatibility statement. count + exact cents sum
+    * keep the outputs integer-deterministic regardless of peer order.
+    * Scale posture: one shuffle on user_id; the frame scan is the
+    * standard sliding two-pointer over each partition's sorted run. */
+  def winRangeInterval(s: SparkSession, dir: String): DataFrame =
+    Tables.sql(s, dir, winRangeIntervalSql)
+
+  val winRangeIntervalSql: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id
+      |    ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cents_1h
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_qualify" -> (winQualify _),
     "win_exclude" -> (winExclude _),
@@ -305,6 +329,7 @@ object Windows {
     "win_running" -> (winRunning _),
     "win_leadlag" -> (winLeadLag _),
     "win_range" -> (winRange _),
+    "win_range_interval" -> (winRangeInterval _),
     "win_dist" -> (winDist _),
     "win_firstlast" -> (winFirstLast _))
 
@@ -317,6 +342,7 @@ object Windows {
     "win_running" -> winRunningSql,
     "win_leadlag" -> winLeadLagSql,
     "win_range" -> winRangeSql,
+    "win_range_interval" -> winRangeIntervalSql,
     "win_dist" -> winDistSql,
     "win_firstlast" -> winFirstLastSql)
 }

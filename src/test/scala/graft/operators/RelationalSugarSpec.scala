@@ -79,6 +79,29 @@ class RelationalSugarSpec extends SparkSpec {
     assert(df.count() == df.select("o_custkey").distinct().count())
   }
 
+  test("win_range_interval: trailing-hour frame matches a hand fold for the busiest user") {
+    import org.apache.spark.sql.functions._
+    val got = Windows.winRangeInterval(spark, sf()).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_1h"), r.getAs[Long]("cents_1h"))).toMap
+    val u = graft.Tables.t(spark, sf(), "events")
+      .groupBy(col("user_id")).count().orderBy(col("count").desc, col("user_id"))
+      .head.getLong(0)
+    val rows = graft.Tables.t(spark, sf(), "events")
+      .filter(col("user_id") === u)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    assert(rows.length >= 2, "busiest user must have several events")
+    rows.foreach { case (id, t, _) =>
+      // peers (equal ts) and the hour bound are both INCLUSIVE
+      val in = rows.filter { case (_, t2, _) => t2 <= t && t2 >= t - 3600L * 1000000L }
+      assert(got(id) == ((in.length.toLong, in.map(_._3).sum)),
+        s"event $id trailing-hour mismatch")
+    }
+  }
+
   test("win_qualify keeps at most 3 rows per customer, ranked") {
     val perKey = Windows.winQualify(spark, sf())
       .groupBy("o_custkey").agg(count(lit(1)).as("k"), max("rn").as("maxrn"))
