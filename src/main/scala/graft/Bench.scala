@@ -329,7 +329,7 @@ object Bench {
     // line below reaches the driver unprefixed either way.
     if (!sys.env.contains("SPARK_GRAFT_BENCH_CHILD") &&
         !sys.env.get("SPARK_GRAFT_BENCH_NO_REEXEC").contains("1"))
-      reexecPinned().foreach(sys.exit)
+      reexecPinned().foreach(c => sys.exit(c))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt

@@ -216,6 +216,36 @@ object FunctionQueries {
       |  upper(hex(c_name)) AS hx
       |FROM customer WHERE c_custkey < 100""".stripMargin
 
+  /** Human-readable formatting scalars (reference `format_bytes.cpp`,
+    * `to_base.cpp`, `bar.cpp` — see [[Formatting]] for the two
+    * documented version skews vs the oracle engine: binary-unit bytes,
+    * rtrim'd bars). The cents→bytes scaling spans the bytes/KiB/MiB
+    * unit range and both signs. */
+  def fnFormat(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    Tables.t(s, dir, "orders").filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        G.format_bytes(cents).as("fb"),
+        G.format_bytes(cents - 25000000L).as("fb_signed"),
+        G.format_bytes(cents % 1024).as("fb_small"),
+        G.to_base(col("o_orderkey"), lit(16)).as("hex16"),
+        G.to_base(col("o_orderkey"), lit(2), lit(16)).as("bin_pad"),
+        G.to_base(col("o_orderkey"), lit(36)).as("b36"),
+        G.bar(col("o_totalprice"), lit(0), lit(500000), lit(12)).as("price_bar"))
+  }
+
+  val fnFormatSql: String =
+    """SELECT o_orderkey,
+      |  format_bytes(CAST(round(o_totalprice * 100) AS BIGINT)) AS fb,
+      |  format_bytes(CAST(round(o_totalprice * 100) AS BIGINT) - 25000000) AS fb_signed,
+      |  format_bytes(CAST(round(o_totalprice * 100) AS BIGINT) % 1024) AS fb_small,
+      |  to_base(o_orderkey, 16) AS hex16,
+      |  to_base(o_orderkey, 2, 16) AS bin_pad,
+      |  to_base(o_orderkey, 36) AS b36,
+      |  rtrim(bar(o_totalprice, 0, 500000, 12)) AS price_bar
+      |FROM orders WHERE o_orderkey < 500""".stripMargin
+
   /** String-similarity metrics — built-in levenshtein + the custom
     * expressions (verified against the reference semantics). */
   def fnStrsim(s: SparkSession, dir: String): DataFrame =
@@ -397,6 +427,7 @@ object FunctionQueries {
     "fn_case_cast" -> (fnCaseCast _),
     "fn_hash" -> (fnHash _),
     "fn_strsim" -> (fnStrsim _),
+    "fn_format" -> (fnFormat _),
     "fn_vector" -> (fnVector _),
     "agg_entropy" -> (aggEntropy _))
 
@@ -413,6 +444,7 @@ object FunctionQueries {
     "fn_case_cast" -> fnCaseCastSql,
     "fn_hash" -> fnHashSql,
     "fn_strsim" -> fnStrsimSql,
+    "fn_format" -> fnFormatSql,
     "fn_vector" -> fnVectorSql,
     "agg_entropy" -> aggEntropySql)
 }

@@ -29,6 +29,21 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(c)))
 
+  // ---- human-readable formatting ----
+  def format_bytes(c: Column): Column =
+    Bridge.column(FormatBytes(Bridge.expression(c.cast("long"))))
+  def to_base(n: Column, radix: Column, minLength: Column): Column =
+    Bridge.column(ToBase(Bridge.expression(n.cast("long")),
+      Bridge.expression(radix.cast("int")), Bridge.expression(minLength.cast("int"))))
+  def to_base(n: Column, radix: Column): Column =
+    to_base(n, radix, org.apache.spark.sql.functions.lit(0))
+  def bar(x: Column, min: Column, max: Column, width: Column): Column =
+    Bridge.column(BarChart(Bridge.expression(x.cast("double")),
+      Bridge.expression(min.cast("double")), Bridge.expression(max.cast("double")),
+      Bridge.expression(width.cast("double"))))
+  def bar(x: Column, min: Column, max: Column): Column =
+    bar(x, min, max, org.apache.spark.sql.functions.lit(80.0))
+
   /** Non-string inputs take the same to-string cast the composed concat()
     * spelling applied (a LONG id hashes as its decimal rendering — what
     * the DuckDB `seed || ':' || v` dialect does too). */
@@ -92,6 +107,16 @@ object GraftFunctions {
       es => Lcm(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash",
       es => RollingHash(es.head), "built-in")
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    reg.createOrReplaceTempFunction("format_bytes",
+      es => FormatBytes(Cast(es.head, LongType)), "built-in")
+    reg.createOrReplaceTempFunction("to_base", es => ToBase(
+      Cast(es.head, LongType), Cast(es(1), IntegerType),
+      if (es.length > 2) Cast(es(2), IntegerType) else Literal(0)), "built-in")
+    reg.createOrReplaceTempFunction("bar", es => BarChart(
+      Cast(es.head, DoubleType), Cast(es(1), DoubleType), Cast(es(2), DoubleType),
+      if (es.length > 3) Cast(es(3), DoubleType) else Literal(80.0)), "built-in")
     // md5_hash64(seed, v): seed must be an integer literal (it is baked
     // into the generated code, mirroring the Column API's Int parameter).
     reg.createOrReplaceTempFunction("md5_hash64", es => {

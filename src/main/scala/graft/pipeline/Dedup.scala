@@ -314,6 +314,65 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Substring-level (span) duplication: which documents share an exact
+    * run of `k` consecutive tokens with ANOTHER document. This is the
+    * span-granular family of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better" — their suffix-array ExactSubstr
+    * at 50-token spans), distinct from [[dedupNgram]]'s DOC-level
+    * jaccard: a boilerplate footer shared by two otherwise-different
+    * pages is invisible to set-jaccard but exactly what span dedup
+    * flags. The suffix array is replaced by the shuffle-native
+    * equivalent: every k-token window keyed by its md5, duplicated
+    * spans found by a count-distinct-docs ≥ 2 aggregate on that key —
+    * linear in corpus size, shuffles on the span hash (uniform by
+    * construction), no driver state; at 100 TB this is one wide
+    * exchange of (doc_id, 16-byte hash) pairs, the same scale posture
+    * as the shingle exchange in [[dedupMinhash]].
+    *
+    * Returns per-doc span-duplication stats: distinct duplicated spans,
+    * total distinct spans, and their ratio (the "fraction of the doc
+    * that is someone else's text" signal curation thresholds on). Only
+    * docs with at least one cross-doc span survive. The ONE distinct
+    * exchange of (doc_id, h) feeds both the duplicated-span aggregate
+    * and the membership join (AQE stage reuse, as in dedupMinhash). */
+  def dedupSubstring(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val wins = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), split(normalized(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (k - 1))).as("i"), col("t"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("t"), col("i"), lit(k)))).as("h"))
+      .distinct()
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val tot = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("tot_spans"))
+    wins.join(dup, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_spans"))
+      .join(tot, "doc_id")
+      .select(col("doc_id"), col("dup_spans"), col("tot_spans"),
+        round(col("dup_spans") * 1.0 / col("tot_spans"), 6).as("dup_ratio"))
+  }
+
+  /** Oracle: the identical window/md5/count-distinct chain in DuckDB
+    * (list slice `t[i:i+7]` ≡ Spark `slice(t, i, 8)`; generate_series
+    * yields nothing for docs under k tokens, matching the size filter). */
+  val dedupSubstringSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |wins AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g
+      |  WHERE len(t) >= 8),
+      |dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |tot AS (SELECT doc_id, count(*) AS tot_spans FROM wins GROUP BY doc_id)
+      |SELECT w.doc_id, count(*) AS dup_spans, t.tot_spans,
+      |  round(count(*) * 1.0 / t.tot_spans, 6) AS dup_ratio
+      |FROM wins w JOIN dup USING (h) JOIN tot t ON t.doc_id = w.doc_id
+      |GROUP BY w.doc_id, t.tot_spans""".stripMargin
+
   /** Embedding-cosine near-dup, exact all-pairs (oracle-checkable; the
     * LSH-bucketed scale path is Similarity.lshBuckets + verify). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
@@ -461,6 +520,7 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> ((s: SparkSession, dir: String) => dedupNgram(s, dir)),
+    "dedup_substring" -> ((s: SparkSession, dir: String) => dedupSubstring(s, dir)),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_embedding_lsh_wide" -> (dedupEmbeddingLshWide _))
@@ -600,6 +660,7 @@ object Dedup {
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "dedup_embedding_lsh_wide" -> dedupEmbeddingLshWideSql,
     "dedup_ngram" -> dedupNgramSql,
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "pipeline_curate" -> pipelineCurateSql)

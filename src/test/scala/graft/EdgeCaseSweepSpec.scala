@@ -35,13 +35,29 @@ class EdgeCaseSweepSpec extends SparkSpec {
       src.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$e/$n.parquet")
       val one = src.limit(1)
       one.coalesce(1).write.mode("overwrite").parquet(s"$o/$n.parquet")
-      // CONSTANT corpus: the same row 8 times — every value a duplicate,
-      // every key a tie. Exercises all-duplicate dedup, single-cluster
-      // funnels, 100%-contamination splits, all-peer window frames, and
-      // degenerate-variance statistics (the sqllogictest habit the empty/
-      // one-row fixtures don't reach: n > 1 with zero diversity).
-      Seq.fill(8)(one).reduce(_ union _)
-        .coalesce(1).write.mode("overwrite").parquet(s"$c/$n.parquet")
+      // CONSTANT corpus: the same row 8 times — every PAYLOAD value a
+      // duplicate, every grouping key a tie. Exercises all-duplicate
+      // dedup, single-cluster funnels, 100%-contamination splits,
+      // all-peer window frames, and degenerate-variance statistics (the
+      // sqllogictest habit the empty/one-row fixtures don't reach:
+      // n > 1 with zero diversity). The table's ROW-IDENTITY column
+      // stays a valid key (base + 0..7): no real fixture can violate
+      // the key contract, and duplicating e.g. event_id would turn the
+      // event graph into a 7-fold self-loop multigraph whose 5-hop path
+      // enumeration (tb_connected_chain) is combinatorially large BY
+      // SEMANTICS — any engine asked for it must materialize ~8^6 rows
+      // per chain, which is an OOM in a test harness, not a finding.
+      val eight = Seq.fill(8)(one).reduce(_ union _)
+      val constant = EdgeCaseSweepSpec.rowIdentity.get(n) match {
+        case Some(k) =>
+          import org.apache.spark.sql.expressions.Window
+          import org.apache.spark.sql.functions.{col, lit, row_number}
+          eight.withColumn(k,
+            (col(k) + row_number().over(Window.orderBy(lit(1))) - 1)
+              .cast(src.schema(k).dataType))
+        case None => eight
+      }
+      constant.coalesce(1).write.mode("overwrite").parquet(s"$c/$n.parquet")
     }
     (e, o, c)
   }
@@ -68,4 +84,17 @@ class EdgeCaseSweepSpec extends SparkSpec {
       }
     }
   }
+}
+
+object EdgeCaseSweepSpec {
+  /** Per-table row-identity column (the fixtures' key contract —
+    * TESTDATA.md): kept unique in the constant corpus. lineitem's key is
+    * composite (l_orderkey, l_linenumber); uniquifying the line number
+    * yields the sharpest degenerate case ("one order, 8 identical lines"). */
+  val rowIdentity: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_linenumber", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
 }

@@ -88,6 +88,38 @@ class DedupSpec extends SparkSpec {
     assert(strict.subsetOf(default))
   }
 
+  test("substring dedup flags exactly the docs sharing a k-token span") {
+    val dir = java.nio.file.Files.createTempDirectory("spandedup").toString
+    Seq(
+      (1L, "a b c d e f g h unique1 tail1"),   // shares the 8-run a..h with 2
+      (2L, "prefix2 a b c d e f g h tail2"),
+      (3L, "p q r s t u v w x y"),             // no cross-doc span
+      (4L, "too short for any"))               // under k tokens: no windows
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupSubstring(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_spans"), r.getAs[Long]("tot_spans"),
+          r.getAs[Double]("dup_ratio"))).toMap
+    // docs 1+2 each have 3 distinct windows, exactly one shared (a..h)
+    assert(got.keySet == Set(1L, 2L), s"flagged: ${got.keySet}")
+    assert(got(1L) == ((1L, 3L, 0.333333)))
+    assert(got(2L) == ((1L, 3L, 0.333333)))
+  }
+
+  test("substring dedup: longer spans flag a subset of shorter-span docs") {
+    // two docs sharing k consecutive tokens share every (k-2)-token
+    // sub-run, so the k=10 flagged-doc set must nest inside k=8's
+    def flagged(k: Int) = Dedup.dedupSubstring(spark, sf("sf0.001"), k = k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at8 = flagged(8)
+    val at10 = flagged(10)
+    assert(at10.subsetOf(at8), s"k=10 set ⊄ k=8 set: ${at10 -- at8}")
+    assert(at8.nonEmpty, "fixture is known to carry cross-doc 8-spans")
+  }
+
   test("embedding LSH candidates verify to a subset of exact pairs") {
     val exact = Dedup.dedupEmbedding(spark, sf("sf0.001"))
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
