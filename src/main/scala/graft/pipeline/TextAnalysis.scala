@@ -169,8 +169,104 @@ object TextAnalysis {
        |      FROM scored)
        |WHERE rk <= 3""".stripMargin
 
+  /** BM25 lexical retrieval — top-k documents for a fixed term query
+    * (Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework:
+    * BM25 and Beyond"; the scoring the reference engine ships as its FTS
+    * extension's `match_bm25`). All three BM25 ingredients are present —
+    * tf saturation (k1 = 1.2), document-length normalization (b = 0.75),
+    * and df-based term rarity — but computed EXACTLY IN INTEGERS so
+    * ranks, scores, and tie-breaks are bit-identical across engines,
+    * partitionings, and join orders (the [[textTfidf]] posture):
+    *
+    *   - idf_q      = (2·(N−df)+1)·10⁶  DIV (2·df+1)
+    *                  (the Robertson idf ratio (N−df+0.5)/(df+0.5) in
+    *                  millionths, without the engine-ulp-dependent log —
+    *                  same df ordering, strictly positive)
+    *   - tfpart_q   = 44·tf·L·10⁶  DIV (20·tf·L + 6·L + 18·dl·N)
+    *                  (tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    *                  k1 = 6/5, b = 3/4, avgdl = L/N cleared to one
+    *                  integer quotient; bounded by 2.2·10⁶)
+    *   - score_q    = Σ_terms (idf_q · tfpart_q) DIV 10⁶
+    *
+    * Long-range audit at the 10×-inflated sweep scale (N = 5·10⁴ docs,
+    * L = 1.5·10⁶ tokens, tf ≤ ~30): max intermediate 44·tf·L·10⁶ ≈ 2·10¹⁵
+    * and idf_q·tfpart_q ≤ 3.4·10¹⁰ · 2.2·10⁶ ≈ 7.3·10¹⁶ — both inside
+    * BIGINT on both engines.
+    *
+    * Scale posture: the token explode and tf aggregate shuffle on
+    * (doc_id, term) with map-side combining; the query-term filter lands
+    * BEFORE the tf shuffle so only matching postings move; df (≤ one row
+    * per query term) and the (N, L) scalars broadcast; doc length joins
+    * on doc_id; the final top-k is orderBy+limit (TakeOrderedAndProject —
+    * per-partition heaps, no global sort). At 100 TB the tf/dl relations
+    * are exactly the inverted index + doclen table an FTS index
+    * pre-materializes (bucketed by term), and this query becomes the
+    * broadcast-probe of that index. */
+  def searchBm25(s: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("dup", "vector", "hash"),
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.t(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(Dedup.normalized(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = broadcast(
+      dl.agg(sum(col("dl")).as("l_tot"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs"))))
+    val qtf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = broadcast(
+      qtf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val scored = qtf.join(dfq, Seq("term")).join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .withColumn("s",
+        expr("""((2*(n_docs - df) + 1) * 1000000 DIV (2*df + 1))
+               | * ((44*tf*l_tot*1000000)
+               |    DIV (20*tf*l_tot + 6*l_tot + 18*dl*n_docs))
+               | DIV 1000000""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("s")).as("score_q"))
+    scored.orderBy(col("score_q").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score_q").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("n_hit"), col("score_q"))
+  }
+
+  /** The identical integer BM25 in the oracle dialect (`//` ≡ `DIV` for
+    * the all-positive operands here; the outer sums CAST to BIGINT — the
+    * oracle engine widens integer sums to HUGEINT, which the harness
+    * renders as float). */
+  val searchBm25Sql: String =
+    raw"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+       |  FROM documents),
+       |tok2 AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+       |stats AS (SELECT (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS l_tot,
+       |                 (SELECT count(*) FROM documents) AS n_docs),
+       |qtf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       |        WHERE term IN ('dup', 'vector', 'hash') GROUP BY doc_id, term),
+       |dfq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+       |scored AS (
+       |  SELECT q.doc_id,
+       |    (((2*(n_docs - df) + 1) * 1000000 // (2*df + 1))
+       |     * ((44*tf*l_tot*1000000)
+       |        // (20*tf*l_tot + 6*l_tot + 18*d.dl*n_docs)))
+       |     // 1000000 AS s
+       |  FROM qtf q JOIN dfq USING (term) JOIN dl d ON d.doc_id = q.doc_id, stats),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |               CAST(sum(s) AS BIGINT) AS score_q
+       |        FROM scored GROUP BY doc_id)
+       |SELECT row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank,
+       |  doc_id, n_hit, score_q
+       |FROM agg ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (textTfidf _),
+    "search_bm25" -> ((s: SparkSession, dir: String) => searchBm25(s, dir)),
     "text_stats" -> (textStats _),
     "text_tokens" -> (textTokens _),
     "text_langid" -> (textLangid _),
@@ -646,6 +742,7 @@ object TextAnalysis {
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,
+    "search_bm25" -> searchBm25Sql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_vocab" -> textVocabSql,
     "text_lm_score" -> textLmScoreSql,

@@ -28,6 +28,42 @@ class CurationExtrasSpec extends SparkSpec {
     }
   }
 
+  test("search_bm25: tf saturation, length normalization, exact integer score") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    import spark.implicits._
+    Seq(
+      (1L, "rare common common common"),                          // tf=1, dl=4
+      (2L, "rare rare common common"),                            // tf=2, dl=4
+      (3L, "common common common common"),                        // no hit
+      (4L, "rare common common common common common common common")) // tf=1, dl=8
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.searchBm25(spark, dir, queryTerms = Seq("rare"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("rank"), r.getAs[Long]("score_q"))).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L), "only docs containing a query term")
+    // more tf wins; at equal tf the shorter doc wins (b-normalization)
+    assert(rows(2L)._1 == 1 && rows(1L)._1 == 2 && rows(4L)._1 == 3)
+    // saturation: the second occurrence adds less than the first
+    assert(rows(2L)._2 < 2 * rows(1L)._2)
+    // exact integer pin (N=4, L=20, df=3 — docs 1, 2, 4 — tf=1, dl=4):
+    //   idf_q    = (2·1+1)·10⁶ // 7           = 428,571
+    //   tfpart_q = 880·10⁶ // (400+120+288)   = 1,089,108
+    //   score    = 428,571 · 1,089,108 // 10⁶ = 466,760
+    assert(rows(1L)._2 == 466760L, s"got ${rows(1L)._2}")
+  }
+
+  test("search_bm25: fixture top-k is dense-ranked with non-increasing scores") {
+    val rows = TextAnalysis.searchBm25(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score_q"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[Long]("n_hit") >= 1))
+  }
+
   test("text_tfidf: rarer terms outrank commoner ones at equal tf") {
     // directly from the definition: score = tf*N*1000 DIV df is
     // monotonically decreasing in df — spot-check on the real output
