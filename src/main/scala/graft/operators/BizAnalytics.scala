@@ -255,8 +255,53 @@ object BizAnalytics {
        |FROM t""".stripMargin
   }
 
+  /** SCD Type-2 dimension-history build (Kimball's slowly-changing
+    * dimension, the warehouse op every large-scale ETL runs nightly):
+    * compress each user's event stream to its event_type CHANGE rows and
+    * version them with [valid_from, valid_to) ranges + an is_current
+    * flag. Deterministic by construction: the per-user order is total
+    * (ts, then the unique event_id), so change detection, version
+    * numbers, and interval bounds are identical across engines and
+    * partitionings. Scale posture: ONE exchange on user_id serves the
+    * change-detect lag, the version row_number, and the valid_to lead
+    * (same partition key and sort — Spark reuses the sort across all
+    * three window functions, and the change filter collapses the data to
+    * change-grain before the second window pass). At 100 TB this is the
+    * standard "build the customer-dimension history from the change
+    * feed" job: no joins, no skew beyond the user key itself. */
+  def eventsScd2(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(byUser))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  val eventsScd2Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, ts, event_id, event_type FROM ordered
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id,
+      |  row_number() OVER w AS version,
+      |  event_type AS state,
+      |  ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      |FROM chg
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_ewma" -> (tsEwma _),
+    "events_scd2" -> (eventsScd2 _),
     "events_sessions" -> (eventsSessions _),
     "events_attribution" -> (eventsAttribution _),
     "pareto_abc" -> (paretoAbc _),
@@ -264,6 +309,7 @@ object BizAnalytics {
 
   val oracle: Map[String, String] = Map(
     "ts_ewma" -> tsEwmaSql,
+    "events_scd2" -> eventsScd2Sql,
     "events_sessions" -> eventsSessionsSql,
     "events_attribution" -> eventsAttributionSql,
     "pareto_abc" -> paretoAbcSql,

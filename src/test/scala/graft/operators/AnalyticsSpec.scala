@@ -29,6 +29,40 @@ class AnalyticsSpec extends SparkSpec {
       "the calendar-bounded day dimension must broadcast")
   }
 
+  test("events_scd2: versions dense, intervals abut, states compressed, one current per user") {
+    val rows = BizAnalytics.eventsScd2(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    // every active user gets a history whose version 1 opens it
+    val activeUsers = graft.Tables.t(spark, sf(), "events")
+      .select(col("user_id")).distinct().count()
+    assert(byUser.size.toLong == activeUsers)
+    byUser.values.foreach { h =>
+      val sorted = h.sortBy(_.getAs[Int]("version"))
+      assert(sorted.map(_.getAs[Int]("version")).toSeq == (1 to h.length),
+        "versions are 1..k dense")
+      // consecutive versions change state and abut exactly
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("state") != b.getAs[String]("state"),
+            "SCD2 must compress same-state runs")
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"), "intervals must abut")
+        case _ =>
+      }
+      // exactly the last version is current (open-ended)
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current") &&
+        sorted.last.getAs[java.sql.Timestamp]("valid_to") == null)
+    }
+    // one exchange: all three windows share the user_id partitioning
+    // (formatted mode repeats each op in the details list — count the
+    // partitioning argument, the tsEwma precedent)
+    val p = plan(BizAnalytics.eventsScd2(spark, sf()))
+    assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,
+      s"change-detect, version, and valid_to must ride ONE user_id shuffle:\n$p")
+  }
+
   test("events_paths: outgoing probabilities sum to 1 per prev state") {
     val rows = OlapSuites.eventsPaths(spark, sf()).collect()
     val byPrev = rows.groupBy(_.getString(0))
