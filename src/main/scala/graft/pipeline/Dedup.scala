@@ -373,6 +373,67 @@ object Dedup {
       |FROM wins w JOIN dup USING (h) JOIN tot t ON t.doc_id = w.doc_id
       |GROUP BY w.doc_id, t.tot_spans""".stripMargin
 
+  /** Duplicate-cluster consolidation — the step every production dedup
+    * pipeline runs AFTER pair detection: connected components over the
+    * verified near-dup pair graph, electing one canonical document per
+    * cluster (min doc_id) so "keep one copy" is a single filter. Pairs
+    * come from [[dedupMinhash]] (jaccard ≥ 0.5 verified). Components by
+    * bounded min-label propagation: `iters` rounds of
+    * label ← min(label, min over neighbors' labels) — converges in
+    * graph-diameter rounds; DedupSpec proves a further round is a no-op
+    * on the fixture (so the bounded result IS the fixpoint there), and
+    * the oracle runs the SAME unrolled rounds, so the gate holds at any
+    * scale regardless. Scale posture: the pair graph persists once
+    * (fixed-width edge list — the expensive minhash chain is evaluated
+    * exactly once); each round is one shuffle join on doc_id + one
+    * aggregate. At 100 TB you would checkpoint labels per round and
+    * switch to alternating large-star/small-star (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") once diameters grow
+    * past a handful — the join/aggregate per round is identical. */
+  def dedupClusters(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val pairs = dedupMinhash(s, dir).select(col("id1"), col("id2"))
+    val edges = pairs
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id1").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to iters) {
+      // every node in the pair graph has >= 1 neighbor: inner joins keep all
+      val nbr = edges.join(labels.withColumnRenamed("doc_id", "id2"), Seq("id2"))
+        .groupBy(col("id1")).agg(min(col("label")).as("nbr_min"))
+      labels = labels.join(nbr.withColumnRenamed("id1", "doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), least(col("label"), col("nbr_min")).as("label"))
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+  }
+
+  /** The identical pair graph + 3 unrolled propagation rounds in the
+    * oracle dialect (shares the verified-pairs CTE chain with
+    * [[dedupMinhashSql]]). */
+  val dedupClustersSql: String = {
+    def round(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT n.doc_id, least(n.label, min(m.label)) AS label
+         |  FROM $prev n JOIN edges e ON e.id1 = n.doc_id
+         |    JOIN $prev m ON m.doc_id = e.id2
+         |  GROUP BY n.doc_id, n.label)""".stripMargin
+    s"""WITH $minhashVerifiedCtes,
+       |edges AS (SELECT id1, id2 FROM verified
+       |          UNION ALL SELECT id2 AS id1, id1 AS id2 FROM verified),
+       |l0 AS (SELECT DISTINCT id1 AS doc_id, id1 AS label FROM edges),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")},
+       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM l3 GROUP BY label)
+       |SELECT l3.doc_id, l3.label AS cluster_id, sz.cluster_size,
+       |  (l3.doc_id = l3.label) AS is_canonical
+       |FROM l3 JOIN sz ON sz.label = l3.label""".stripMargin
+  }
+
   /** Embedding-cosine near-dup, exact all-pairs (oracle-checkable; the
     * LSH-bucketed scale path is Similarity.lshBuckets + verify). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
@@ -521,6 +582,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> ((s: SparkSession, dir: String) => dedupNgram(s, dir)),
     "dedup_substring" -> ((s: SparkSession, dir: String) => dedupSubstring(s, dir)),
+    "dedup_clusters" -> ((s: SparkSession, dir: String) => dedupClusters(s, dir)),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_embedding_lsh_wide" -> (dedupEmbeddingLshWide _))
@@ -661,6 +723,7 @@ object Dedup {
     "dedup_embedding_lsh_wide" -> dedupEmbeddingLshWideSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "pipeline_curate" -> pipelineCurateSql)

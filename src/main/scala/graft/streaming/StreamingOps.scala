@@ -433,6 +433,71 @@ object StreamingOps {
     }
   }
 
+  case class Scd2In(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+    event_type: String)
+  case class Scd2State(state: String, validFrom: java.sql.Timestamp,
+    version: Int)
+  case class Scd2Out(user_id: Long, version: Int, state: String,
+    valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
+
+  /** Shared SCD Type-2 fold: change-compress each key's attribute stream
+    * into versioned [valid_from, valid_to) rows — ONE definition for the
+    * streaming operator and its batch twin (the ewmaFold discipline).
+    * Emits a version the moment the NEXT change closes it; the still-open
+    * version lives only in the returned state. Within a batch, rows fold
+    * in (ts, event_id) order — the same total order the batch
+    * `events_scd2` entry windows by. */
+  private def scd2Fold(user: Long, rows: Seq[Scd2In], st0: Option[Scd2State])
+      : (Vector[Scd2Out], Option[Scd2State]) = {
+    var st = st0
+    val out = Vector.newBuilder[Scd2Out]
+    rows.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
+      st match {
+        case Some(s) if s.state == e.event_type => () // same-state run: compress
+        case Some(s) =>
+          out += Scd2Out(user, s.version, s.state, s.validFrom, e.ts)
+          st = Some(Scd2State(e.event_type, e.ts, s.version + 1))
+        case None =>
+          st = Some(Scd2State(e.event_type, e.ts, 1))
+      }
+    }
+    (out.result(), st)
+  }
+
+  /** Streaming SCD Type-2 dimension maintenance — the incremental face of
+    * `BizAnalytics.eventsScd2`: the nightly "rebuild the dimension
+    * history" batch becomes per-micro-batch upkeep with O(1) state per
+    * key (just the OPEN version: state string, valid_from, version
+    * counter). A closed version row is emitted exactly once, when the
+    * change that closes it arrives (Append mode); the open versions are
+    * the state store itself — a production deployment snapshots them to
+    * the dimension table's is_current partition. Assumes per-key
+    * time-ordered arrival across micro-batches (the watermark/replay
+    * discipline of the other recipes); StreamingSpec proves micro-batch
+    * state hand-off ≡ the one-shot fold ≡ the batch entry's closed rows,
+    * bit-for-bit. */
+  def scd2Stream(rows: Dataset[Scd2In]): Dataset[Scd2Out] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Scd2In], state: GroupState[Scd2State]) =>
+          val (out, st) = scd2Fold(user, it.toSeq, state.getOption)
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** One-shot batch twin of [[scd2Stream]]: the same fold over each key's
+    * full history. Returns CLOSED versions only (the open ones are state
+    * by definition) — exactly `events_scd2` minus its is_current rows. */
+  def scd2Batch(rows: Dataset[Scd2In]): Dataset[Scd2Out] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id).flatMapGroups { (user, it) =>
+      scd2Fold(user, it.toSeq, None)._1.iterator
+    }
+  }
+
   /** Static side of the streaming anomaly detector: per-type mean and
     * sample-sd of DAILY counts, learned offline from history — the
     * versioned profile a monitoring pipeline refreshes on its own cadence

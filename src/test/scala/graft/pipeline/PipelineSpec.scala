@@ -120,6 +120,45 @@ class DedupSpec extends SparkSpec {
     assert(at8.nonEmpty, "fixture is known to carry cross-doc 8-spans")
   }
 
+  test("dedup_clusters: identical-text groups collapse to min-id canonical clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("clusters").toString
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight"
+    Seq((1L, shared), (2L, shared), (3L, shared), (4L, other), (5L, other),
+      (6L, "lonely text with no duplicate partner anywhere here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_canonical"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), "doc 6 has no pair: not in graph")
+    assert(got(1L) == ((1L, 3L, true)) && got(2L) == ((1L, 3L, false)) &&
+      got(3L) == ((1L, 3L, false)))
+    assert(got(4L) == ((4L, 2L, true)) && got(5L) == ((4L, 2L, false)))
+  }
+
+  test("dedup_clusters: fixture labels are a fixpoint and separate the pair graph") {
+    def run(iters: Int) = Dedup.dedupClusters(spark, sf("sf0.001"), iters = iters)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at3 = run(3)
+    assert(at3 == run(4), "a 4th propagation round must be a no-op (3 = fixpoint)")
+    // every verified pair's endpoints carry the same label, and the
+    // canonical is the cluster's min doc_id
+    val pairs = Dedup.dedupMinhash(spark, sf("sf0.001"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(at3(a) == at3(b), s"pair ($a,$b) split across clusters")
+    }
+    at3.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min, s"cluster $label canonical is not min")
+    }
+  }
+
   test("embedding LSH candidates verify to a subset of exact pairs") {
     val exact = Dedup.dedupEmbedding(spark, sf("sf0.001"))
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -87,6 +87,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 across micro-batches equals the one-shot fold and the batch entry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // replay the real fixture: per-key monotone arrival via a global ts split
+    val all = graft.Tables.t(spark, sf("sf0.001"), "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[StreamingOps.Scd2In].collect().toSeq
+    val cut = all.map(_.ts.getTime).sorted.apply(all.size / 2)
+    val (first, second) = all.partition(_.ts.getTime < cut)
+    val src = MemoryStream[StreamingOps.Scd2In]
+    val q = StreamingOps.scd2Stream(src.toDS())
+      .writeStream.format("memory").queryName("scd2").outputMode("append").start()
+    try {
+      src.addData(first: _*)
+      q.processAllAvailable()
+      src.addData(second: _*)
+      q.processAllAvailable()
+      def key(r: StreamingOps.Scd2Out) =
+        (r.user_id, r.version, r.state, r.valid_from.getTime, r.valid_to.getTime)
+      val streamed = spark.table("scd2").as[StreamingOps.Scd2Out]
+        .collect().map(key).toSet
+      val oneShot = StreamingOps.scd2Batch(all.toDS()).collect().map(key).toSet
+      assert(streamed.nonEmpty && streamed == oneShot,
+        "incremental state hand-off must reproduce the one-shot fold")
+      // and both equal the declarative batch entry's CLOSED versions
+      val entry = graft.operators.BizAnalytics.eventsScd2(spark, sf("sf0.001"))
+        .filter(!$"is_current")
+        .select($"user_id", $"version", $"state", $"valid_from", $"valid_to")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).toSet
+      assert(streamed == entry,
+        "stream must equal the window-based batch entry bit-for-bit")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per normalized content hash") {
     // memory-source stream of doc-shaped rows with planted duplicates
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
