@@ -50,6 +50,43 @@ object GraftAggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Compensated floating-point sum (reference
+    * `src/core_functions/aggregate/algebraic/` `kahan_sum` a.k.a. fsum;
+    * Neumaier 1974's improved Kahan summation). Buffer is (sum,
+    * compensation); `reduce` does the Neumaier step — the compensation
+    * absorbs whichever operand loses low-order bits — and `merge` adds
+    * the two sums AND the two compensations with the same step, so the
+    * partial→merge path stays compensated end to end. At 100 TB this is
+    * the difference between a revenue total that drifts with partition
+    * count and one that is correctly rounded regardless: a billion-row
+    * naive double sum accumulates O(n·ulp) error; compensated summation
+    * keeps it at O(1) ulp for non-pathological data. Cross-engine FLOAT
+    * equality at the last bit is not a contract ANY engine pair offers
+    * (DuckDB's own docs call its ordering thread-dependent), so this is
+    * spec-pinned (recovers catastrophic cancellation a naive fold loses;
+    * equals the BigDecimal ground truth under adversarial partitioning)
+    * rather than oracle-hashed. */
+  class KahanSumAggregator extends Aggregator[Double, (Double, Double), Double] {
+    private def add(sum: Double, c: Double, v: Double): (Double, Double) = {
+      val t = sum + v
+      val comp =
+        if (math.abs(sum) >= math.abs(v)) c + ((sum - t) + v)
+        else c + ((v - t) + sum)
+      (t, comp)
+    }
+    override def zero: (Double, Double) = (0.0, 0.0)
+    override def reduce(b: (Double, Double), v: Double): (Double, Double) =
+      add(b._1, b._2, v)
+    override def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+      val (s, c) = add(a._1, a._2 + b._2, b._1)
+      (s, c)
+    }
+    override def finish(b: (Double, Double)): Double = b._1 + b._2
+    override def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Reservoir-sampled quantile (reference
     * `src/core_functions/aggregate/holistic/reservoir_quantile.cpp`) —
     * the bounded-memory quantile DuckDB ships for corpora too large to

@@ -246,6 +246,40 @@ object FunctionQueries {
       |  rtrim(bar(o_totalprice, 0, 500000, 12)) AS price_bar
       |FROM orders WHERE o_orderkey < 500""".stripMargin
 
+  /** Calendar-name and ISO-week scalars (reference date part library:
+    * dayname/monthname/dayofyear/weekofyear/quarter/decade/century/
+    * yearweek). ISO week-year has no direct Spark function; it derives
+    * from the year of the week's THURSDAY (d + 4 − isodow), the ISO-8601
+    * definition — probed: matches the oracle at both year boundaries
+    * (1995-01-01 → 199452, 1997-12-29 → 199801). Century is the ordinal
+    * ((y−1) DIV 100 + 1: year 2000 is century 20), decade is y DIV 10. */
+  def fnDatenames(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders").filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "EEEE").as("dn"),
+        date_format(col("o_orderdate"), "MMMM").as("mn"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        weekofyear(col("o_orderdate")).as("wk"),
+        quarter(col("o_orderdate")).as("q"),
+        expr("year(o_orderdate) DIV 10").cast("int").as("dec"),
+        expr("(year(o_orderdate) - 1) DIV 100 + 1").cast("int").as("cent"),
+        (year(date_add(col("o_orderdate"),
+          lit(4) - (weekday(col("o_orderdate")) + 1))) * 100 +
+          weekofyear(col("o_orderdate"))).as("yw"))
+
+  val fnDatenamesSql: String =
+    """SELECT o_orderkey,
+      |  dayname(o_orderdate) AS dn,
+      |  monthname(o_orderdate) AS mn,
+      |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+      |  CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      |  CAST(decade(o_orderdate) AS INTEGER) AS dec,
+      |  CAST(century(o_orderdate) AS INTEGER) AS cent,
+      |  CAST(yearweek(o_orderdate) AS INTEGER) AS yw
+      |FROM orders WHERE o_orderkey < 300""".stripMargin
+
   /** String-similarity metrics — built-in levenshtein + the custom
     * expressions (verified against the reference semantics). */
   def fnStrsim(s: SparkSession, dir: String): DataFrame =
@@ -428,6 +462,7 @@ object FunctionQueries {
     "fn_hash" -> (fnHash _),
     "fn_strsim" -> (fnStrsim _),
     "fn_format" -> (fnFormat _),
+    "fn_datenames" -> (fnDatenames _),
     "fn_vector" -> (fnVector _),
     "agg_entropy" -> (aggEntropy _))
 
@@ -445,6 +480,7 @@ object FunctionQueries {
     "fn_hash" -> fnHashSql,
     "fn_strsim" -> fnStrsimSql,
     "fn_format" -> fnFormatSql,
+    "fn_datenames" -> fnDatenamesSql,
     "fn_vector" -> fnVectorSql,
     "agg_entropy" -> aggEntropySql)
 }

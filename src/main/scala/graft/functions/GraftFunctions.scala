@@ -68,6 +68,8 @@ object GraftFunctions {
   def reservoir_quantile(c: Column, q: Double,
       capacity: Int = 1 << 21, seed: Long = 42L): Column =
     udaf(new GraftAggregators.ReservoirQuantileAggregator(q, capacity, seed)).apply(c)
+  def kahan_sum(c: Column): Column =
+    udaf(new GraftAggregators.KahanSumAggregator).apply(c.cast("double"))
 
   /** Expression-level LET binding: evaluate `c` ONCE per row and make it
     * available to `f` as a lambda variable. Spark evaluates higher-order

@@ -70,6 +70,32 @@ class AggregatorsSpec extends SparkSpec {
     assert(hh.length <= 8)
   }
 
+  test("kahan_sum recovers catastrophic cancellation a naive double fold loses") {
+    // 1e16 + 1.0 - 1e16: naive left-to-right double addition drops the 1.0
+    // (1e16 + 1.0 == 1e16 in binary64); compensated summation keeps it
+    val vals = Seq(1e16, 1.0, -1e16)
+    assert(vals.reduceLeft(_ + _) == 0.0, "premise: naive fold loses the 1.0")
+    val got = vals.toDF("v").agg(G.kahan_sum($"v")).head.getDouble(0)
+    assert(got == 1.0, s"kahan_sum returned $got")
+  }
+
+  test("kahan_sum equals the BigDecimal ground truth under adversarial partitioning") {
+    // 10k small adds onto a 1e12 base: each naive step rounds at
+    // ulp(1e12) ≈ 1.2e-4, accumulating visible drift; the compensation
+    // captures exactly those lost low bits, across any partition layout
+    val vals = Seq(1e12) ++ Seq.fill(10000)(0.1) ++ Seq(-1e12)
+    val truth = vals.map(BigDecimal.exact).sum.toDouble
+    for (parts <- Seq(1, 7, 32)) {
+      val got = spark.sparkContext.parallelize(vals, parts).toDF("v")
+        .agg(G.kahan_sum($"v")).head.getDouble(0)
+      assert(math.abs(got - truth) <= 1e-9, s"parts=$parts: $got vs $truth")
+    }
+    // and the single-stream naive double sum is measurably worse
+    val naive = vals.reduceLeft(_ + _)
+    assert(math.abs(naive - truth) > 1e-6,
+      s"premise: naive fold should drift on this data ($naive vs $truth)")
+  }
+
   test("reservoir_quantile is EXACT when the group fits capacity (merge = concat)") {
     // 1000 rows over 8 partitions, capacity 2048 → no eviction anywhere;
     // result must equal quantile_disc's ceil(q·n) element exactly
