@@ -280,6 +280,39 @@ object FunctionQueries {
       |  CAST(yearweek(o_orderdate) AS INTEGER) AS yw
       |FROM orders WHERE o_orderkey < 300""".stripMargin
 
+  /** Temporal constructors (reference `make_date.cpp` + the epoch
+    * conversion family): every constructor is pinned as a ROUND-TRIP of
+    * the event timestamp — make_date over extracted parts equals the
+    * date cast, make_timestamp(µs) reproduces the timestamp at full
+    * micros precision, the parts form reproduces its second truncation
+    * (integer seconds only: the two engines' double→micros rounding at
+    * fractional boundaries is not a shared contract), and epoch_ms/epoch
+    * are an exact integer and a single shared IEEE division. */
+  def fnConstruct(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events").filter(col("event_id") < 400)
+      .select(
+        col("event_id"),
+        make_date(year(col("ts")), month(col("ts")), dayofmonth(col("ts")))
+          .as("d"),
+        timestamp_micros(unix_micros(col("ts"))).as("mts"),
+        expr("""make_timestamp(year(ts), month(ts), day(ts),
+                hour(ts), minute(ts), second(ts))""").as("msec"),
+        unix_millis(col("ts")).as("em"),
+        (unix_micros(col("ts")) / lit(1000000.0)).as("ep"))
+
+  val fnConstructSql: String =
+    """SELECT event_id,
+      |  make_date(CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT),
+      |            CAST(day(ts) AS BIGINT)) AS d,
+      |  make_timestamp(epoch_us(ts)) AS mts,
+      |  make_timestamp(CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT),
+      |    CAST(day(ts) AS BIGINT), CAST(hour(ts) AS BIGINT),
+      |    CAST(minute(ts) AS BIGINT),
+      |    CAST(CAST(second(ts) AS BIGINT) AS DOUBLE)) AS msec,
+      |  epoch_ms(ts) AS em,
+      |  epoch_us(ts) / 1000000.0 AS ep
+      |FROM events WHERE event_id < 400""".stripMargin
+
   /** String-similarity metrics — built-in levenshtein + the custom
     * expressions (verified against the reference semantics). */
   def fnStrsim(s: SparkSession, dir: String): DataFrame =
@@ -463,6 +496,7 @@ object FunctionQueries {
     "fn_strsim" -> (fnStrsim _),
     "fn_format" -> (fnFormat _),
     "fn_datenames" -> (fnDatenames _),
+    "fn_construct" -> (fnConstruct _),
     "fn_vector" -> (fnVector _),
     "agg_entropy" -> (aggEntropy _))
 
@@ -481,6 +515,7 @@ object FunctionQueries {
     "fn_strsim" -> fnStrsimSql,
     "fn_format" -> fnFormatSql,
     "fn_datenames" -> fnDatenamesSql,
+    "fn_construct" -> fnConstructSql,
     "fn_vector" -> fnVectorSql,
     "agg_entropy" -> aggEntropySql)
 }
