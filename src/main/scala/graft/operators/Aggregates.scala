@@ -336,6 +336,37 @@ object Aggregates {
       |ORDER BY count_est DESC, value
       |LIMIT 5""".stripMargin
 
+  /** Mergeable distinct-count sketches — the pre-aggregation pattern a
+    * 100 TB warehouse runs so "distinct users this quarter" never
+    * re-scans raw events: per-(type, day) DataSketches HLL sketches
+    * (binary, storable), rolled up with a lossless hll_union_agg (the
+    * union of HLL sketches at one lgK IS the sketch of the union — the
+    * merged estimate equals the direct single-pass estimate exactly,
+    * pinned in AggregatesOpSpec). The oracle checks the sketch CONTRACT
+    * (the aggApproxDistinct precedent): each engine's own estimate lands
+    * within 5% of the exact distinct it also computes — raw sketch
+    * values are engine-specific by design. */
+  def aggHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    val daily = ev
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .join(merged, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("est_within_5pct"))
+  }
+
+  val aggHllMergeSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) AS DOUBLE)
+      |    / count(DISTINCT user_id) <= 0.05 AS est_within_5pct
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Linear-regression aggregates (reference
     * `src/core_functions/aggregate/regression/` regr_*.cpp files). */
   def aggRegr(s: SparkSession, dir: String): DataFrame =
@@ -471,7 +502,8 @@ object Aggregates {
     "agg_quantile_disc" -> (aggQuantileDisc _),
     "agg_reservoir_quantile" -> (aggReservoirQuantile _),
     "agg_bitstring" -> (aggBitstring _),
-    "agg_topk_sketch" -> (aggTopkSketch _))
+    "agg_topk_sketch" -> (aggTopkSketch _),
+    "agg_hll_merge" -> (aggHllMerge _))
 
   val oracle: Map[String, String] = Map(
     "agg_grouping_fn" -> aggGroupingFnSql,
@@ -495,5 +527,6 @@ object Aggregates {
     "agg_quantile_disc" -> aggQuantileDiscSql,
     "agg_reservoir_quantile" -> aggReservoirQuantileSql,
     "agg_bitstring" -> aggBitstringSql,
-    "agg_topk_sketch" -> aggTopkSketchSql)
+    "agg_topk_sketch" -> aggTopkSketchSql,
+    "agg_hll_merge" -> aggHllMergeSql)
 }

@@ -70,6 +70,26 @@ class AggregatorsSpec extends SparkSpec {
     assert(hh.length <= 8)
   }
 
+  test("hll sketch union is lossless: merged pre-aggregates equal the direct sketch") {
+    // the 100 TB pre-aggregation pattern: per-(type, day) sketches rolled
+    // up must estimate EXACTLY what one pass over raw data estimates —
+    // HLL union at a fixed lgK is the sketch of the union, not an
+    // approximation of an approximation
+    val ev = graft.Tables.t(spark, sf(), "events")
+    val daily = ev.groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.nonEmpty && merged == direct)
+    // and the entry's contract column holds on the fixture
+    val rows = graft.operators.Aggregates.aggHllMerge(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("est_within_5pct")))
+  }
+
   test("kahan_sum recovers catastrophic cancellation a naive double fold loses") {
     // 1e16 + 1.0 - 1e16: naive left-to-right double addition drops the 1.0
     // (1e16 + 1.0 == 1e16 in binary64); compensated summation keeps it
