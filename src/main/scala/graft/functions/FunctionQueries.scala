@@ -313,6 +313,38 @@ object FunctionQueries {
       |  epoch_us(ts) / 1000000.0 AS ep
       |FROM events WHERE event_id < 400""".stripMargin
 
+  /** ENUM function family over a modeled ordered domain
+    * ([[GraftFunctions.EnumDomain]]) — the oracle runs DuckDB's REAL
+    * anonymous ENUM type, so code assignment, domain metadata, boundary
+    * slices, and CODE-ORDER comparison (deliberately ≠ string order:
+    * the domain places 'error' after 'purchase') are pinned against the
+    * genuine ENUM semantics, not against another model. */
+  def fnEnum(s: SparkSession, dir: String): DataFrame = {
+    val dom = G.EnumDomain(Seq("click", "view", "purchase", "error", "signup"))
+    Tables.t(s, dir, "events").filter(col("event_id") < 300)
+      .select(
+        col("event_id"), col("event_type"),
+        dom.code(col("event_type")).as("code"),
+        dom.first.as("efirst"),
+        dom.last.as("elast"),
+        concat_ws(",", dom.range).as("erange"),
+        concat_ws(",", dom.rangeBoundary("view", "error")).as("ebound"),
+        dom.lt(col("event_type"), "purchase").as("lt_purchase"))
+  }
+
+  val fnEnumSql: String = {
+    val e = "ENUM('click','view','purchase','error','signup')"
+    s"""SELECT event_id, event_type,
+       |  CAST(enum_code(CAST(event_type AS $e)) AS INTEGER) AS code,
+       |  enum_first(CAST(event_type AS $e)) AS efirst,
+       |  enum_last(CAST(event_type AS $e)) AS elast,
+       |  array_to_string(enum_range(CAST(event_type AS $e)), ',') AS erange,
+       |  array_to_string(enum_range_boundary(
+       |    CAST('view' AS $e), CAST('error' AS $e)), ',') AS ebound,
+       |  CAST(event_type AS $e) < CAST('purchase' AS $e) AS lt_purchase
+       |FROM events WHERE event_id < 300""".stripMargin
+  }
+
   /** String-similarity metrics — built-in levenshtein + the custom
     * expressions (verified against the reference semantics). */
   def fnStrsim(s: SparkSession, dir: String): DataFrame =
@@ -497,6 +529,7 @@ object FunctionQueries {
     "fn_format" -> (fnFormat _),
     "fn_datenames" -> (fnDatenames _),
     "fn_construct" -> (fnConstruct _),
+    "fn_enum" -> (fnEnum _),
     "fn_vector" -> (fnVector _),
     "agg_entropy" -> (aggEntropy _))
 
@@ -516,6 +549,7 @@ object FunctionQueries {
     "fn_format" -> fnFormatSql,
     "fn_datenames" -> fnDatenamesSql,
     "fn_construct" -> fnConstructSql,
+    "fn_enum" -> fnEnumSql,
     "fn_vector" -> fnVectorSql,
     "agg_entropy" -> aggEntropySql)
 }

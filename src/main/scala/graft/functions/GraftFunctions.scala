@@ -71,6 +71,38 @@ object GraftFunctions {
   def kahan_sum(c: Column): Column =
     udaf(new GraftAggregators.KahanSumAggregator).apply(c.cast("double"))
 
+  /** ENUM modeling (reference `src/core_functions/scalar/enum/enum.cpp`:
+    * enum_code/enum_first/enum_last/enum_range/enum_range_boundary).
+    * Spark has no ENUM type; the model is an ORDERED value domain
+    * carried as metadata — exactly what an ENUM column is after
+    * dictionary encoding. `code` is the 0-based domain ordinal
+    * (row-dependent, evaluated by array_position), `lt` compares by
+    * CODE, not lexicographically — the ENUM semantic that differs
+    * observably from VARCHAR ('error' < 'purchase' is true as strings,
+    * false in a domain that orders error after purchase). first/last/
+    * range/rangeBoundary are domain metadata, resolved at plan time
+    * like DuckDB's binder does. Oracle-checked against DuckDB's REAL
+    * anonymous ENUM type in `fn_enum`. */
+  case class EnumDomain(values: Seq[String]) {
+    require(values.nonEmpty && values.distinct == values,
+      "ENUM domain must be non-empty and duplicate-free")
+    private def arr = org.apache.spark.sql.functions.lit(values.toArray)
+    def code(c: Column): Column =
+      (org.apache.spark.sql.functions.array_position(arr, c) - 1).cast("int")
+    def first: Column = org.apache.spark.sql.functions.lit(values.head)
+    def last: Column = org.apache.spark.sql.functions.lit(values.last)
+    def range: Column = arr
+    def rangeBoundary(lo: String, hi: String): Column = {
+      val (i, j) = (values.indexOf(lo), values.indexOf(hi))
+      require(i >= 0 && j >= i, s"invalid ENUM boundary [$lo, $hi]")
+      org.apache.spark.sql.functions.lit(values.slice(i, j + 1).toArray)
+    }
+    def lt(c: Column, v: String): Column = {
+      require(values.contains(v), s"'$v' is not in the ENUM domain")
+      code(c) < values.indexOf(v)
+    }
+  }
+
   /** Expression-level LET binding: evaluate `c` ONCE per row and make it
     * available to `f` as a lambda variable. Spark evaluates higher-order
     * function ARGUMENTS once but re-evaluates LAMBDA-BODY subtrees on
