@@ -345,6 +345,37 @@ object FunctionQueries {
        |FROM events WHERE event_id < 300""".stripMargin
   }
 
+  /** UNION-type family (reference `src/core_functions/scalar/union/`:
+    * union_value/union_tag/union_extract) over the TAGGED-STRUCT model —
+    * a discriminator column plus one nullable physical column per
+    * member, which is exactly the reference engine's own storage layout
+    * for unions. union_value ≡ constructing the struct with the chosen
+    * member set, union_tag ≡ the discriminator, union_extract ≡ the
+    * member column (NULL when the tag differs, the probed semantics).
+    * The oracle constructs REAL DuckDB UNION(big DOUBLE, label VARCHAR)
+    * values, so the model is pinned against genuine union behavior. */
+  def fnUnionType(s: SparkSession, dir: String): DataFrame = {
+    val isBig = col("value") > 10
+    Tables.t(s, dir, "events").filter(col("event_id") < 300)
+      .select(col("event_id"),
+        when(isBig, lit("big")).otherwise(lit("label")).as("tag"),
+        when(isBig, col("value")).as("big"),
+        when(!isBig, col("event_type")).as("label"))
+  }
+
+  val fnUnionTypeSql: String =
+    """WITH t AS (
+      |  SELECT event_id,
+      |    CASE WHEN value > 10
+      |      THEN CAST(union_value(big := value) AS UNION(big DOUBLE, label VARCHAR))
+      |      ELSE CAST(union_value(label := event_type) AS UNION(big DOUBLE, label VARCHAR))
+      |    END AS u
+      |  FROM events WHERE event_id < 300)
+      |SELECT event_id, CAST(union_tag(u) AS VARCHAR) AS tag,
+      |  union_extract(u, 'big') AS big,
+      |  union_extract(u, 'label') AS label
+      |FROM t""".stripMargin
+
   /** String-similarity metrics — built-in levenshtein + the custom
     * expressions (verified against the reference semantics). */
   def fnStrsim(s: SparkSession, dir: String): DataFrame =
@@ -530,6 +561,7 @@ object FunctionQueries {
     "fn_datenames" -> (fnDatenames _),
     "fn_construct" -> (fnConstruct _),
     "fn_enum" -> (fnEnum _),
+    "fn_union_type" -> (fnUnionType _),
     "fn_vector" -> (fnVector _),
     "agg_entropy" -> (aggEntropy _))
 
@@ -550,6 +582,7 @@ object FunctionQueries {
     "fn_datenames" -> fnDatenamesSql,
     "fn_construct" -> fnConstructSql,
     "fn_enum" -> fnEnumSql,
+    "fn_union_type" -> fnUnionTypeSql,
     "fn_vector" -> fnVectorSql,
     "agg_entropy" -> aggEntropySql)
 }
