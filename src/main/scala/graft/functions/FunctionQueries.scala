@@ -376,6 +376,51 @@ object FunctionQueries {
       |  union_extract(u, 'label') AS label
       |FROM t""".stripMargin
 
+  /** BIT + BLOB function families (reference
+    * `src/core_functions/scalar/bit/bitstring.cpp` and `blob/` —
+    * get_bit/set_bit/bit_position/bit_count/bit_length;
+    * encode/decode/base64 round-trip/octet_length). The bitstring model
+    * is the 0/1 digit string (`bin(key)`), and the oracle CASTs the SAME
+    * digits to DuckDB's REAL BIT type, so indexing convention (0-based
+    * from the left), bitwise NOT, popcount, and length are pinned
+    * against genuine BIT semantics (bit_position is deliberately NOT
+    * pinned: the oracle engine's 1.0.0 implementation only reports
+    * pattern positions at padding-aligned offsets — probed: strpos and
+    * bit_position disagree on 70/292 fixture keys — so the portable
+    * position idiom is the string strpos, already pinned by fn_string); the BLOB side
+    * round-trips encode→decode and base64→from_base64 on real BLOBs
+    * (fixture strings are ASCII, where VARCHAR↔BLOB is total). */
+  def fnBitBlob(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer")
+      // >= 8 keeps bin(key) at least 4 digits: get_bit(..., 2) is in
+      // range on both engines (DuckDB errors on out-of-range positions)
+      .filter(col("c_custkey") >= 8 && col("c_custkey") < 300)
+      .withColumn("b", bin(col("c_custkey")))
+      .select(
+        col("c_custkey"), col("b"),
+        substring(col("b"), 3, 1).cast("int").as("gb"),
+        expr("overlay(b placing '0' from 1 for 1)").as("sb"),
+        translate(col("b"), "01", "10").as("nb"),
+        (length(col("b")) -
+          length(regexp_replace(col("b"), "1", ""))).cast("int").as("bc"),
+        length(col("b")).cast("int").as("bl"),
+        col("c_name").as("dec_rt"),
+        octet_length(col("c_name")).cast("int").as("olen"),
+        unbase64(base64(col("c_name").cast("binary"))).cast("string")
+          .as("b64_rt"))
+
+  val fnBitBlobSql: String =
+    """SELECT c_custkey, bin(c_custkey) AS b,
+      |  CAST(get_bit(CAST(bin(c_custkey) AS BIT), 2) AS INTEGER) AS gb,
+      |  CAST(set_bit(CAST(bin(c_custkey) AS BIT), 0, 0) AS VARCHAR) AS sb,
+      |  CAST(~CAST(bin(c_custkey) AS BIT) AS VARCHAR) AS nb,
+      |  CAST(bit_count(CAST(bin(c_custkey) AS BIT)) AS INTEGER) AS bc,
+      |  CAST(bit_length(CAST(bin(c_custkey) AS BIT)) AS INTEGER) AS bl,
+      |  decode(encode(c_name)) AS dec_rt,
+      |  CAST(octet_length(encode(c_name)) AS INTEGER) AS olen,
+      |  CAST(from_base64(base64(encode(c_name))) AS VARCHAR) AS b64_rt
+      |FROM customer WHERE c_custkey >= 8 AND c_custkey < 300""".stripMargin
+
   /** String-similarity metrics — built-in levenshtein + the custom
     * expressions (verified against the reference semantics). */
   def fnStrsim(s: SparkSession, dir: String): DataFrame =
@@ -562,6 +607,7 @@ object FunctionQueries {
     "fn_construct" -> (fnConstruct _),
     "fn_enum" -> (fnEnum _),
     "fn_union_type" -> (fnUnionType _),
+    "fn_bit_blob" -> (fnBitBlob _),
     "fn_vector" -> (fnVector _),
     "agg_entropy" -> (aggEntropy _))
 
@@ -583,6 +629,7 @@ object FunctionQueries {
     "fn_construct" -> fnConstructSql,
     "fn_enum" -> fnEnumSql,
     "fn_union_type" -> fnUnionTypeSql,
+    "fn_bit_blob" -> fnBitBlobSql,
     "fn_vector" -> fnVectorSql,
     "agg_entropy" -> aggEntropySql)
 }
