@@ -87,8 +87,19 @@ object GraftFunctions {
     require(values.nonEmpty && values.distinct == values,
       "ENUM domain must be non-empty and duplicate-free")
     private def arr = org.apache.spark.sql.functions.lit(values.toArray)
-    def code(c: Column): Column =
-      (org.apache.spark.sql.functions.array_position(arr, c) - 1).cast("int")
+    /** 0-based ordinal. Out-of-domain input RAISES, matching the oracle's
+      * real `CAST(x AS enum)` conversion error (a silent -1 would diverge
+      * from the pinned ENUM semantics — round-13 advice); NULL stays NULL
+      * on both engines (array_position(arr, NULL) is NULL, so neither
+      * branch fires and the projection yields NULL). */
+    def code(c: Column): Column = {
+      import org.apache.spark.sql.functions.{array_position, concat, lit, raise_error, when}
+      val pos = array_position(arr, c)
+      when(pos === 0, raise_error(concat(
+        lit("ENUM conversion error: value '"), c,
+        lit(s"' is not in the domain ${values.mkString("('", "', '", "')")}"))))
+        .otherwise((pos - 1).cast("int"))
+    }
     def first: Column = org.apache.spark.sql.functions.lit(values.head)
     def last: Column = org.apache.spark.sql.functions.lit(values.last)
     def range: Column = arr

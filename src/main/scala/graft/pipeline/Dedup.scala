@@ -392,9 +392,13 @@ object Dedup {
     * past a handful — the join/aggregate per round is identical. */
   def dedupClusters(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val pairs = dedupMinhash(s, dir).select(col("id1"), col("id2"))
+    // localCheckpoint, not persist: same evaluate-the-minhash-chain-once
+    // effect, but the blocks are released when the frame is GC'd instead
+    // of accumulating in the session across invocations (an explicit
+    // persist here was never unpersisted — round-13 advice)
     val edges = pairs
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("id1").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     for (_ <- 1 to iters) {

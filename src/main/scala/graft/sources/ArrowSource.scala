@@ -90,6 +90,35 @@ object ArrowSource {
           val ch = java.nio.channels.FileChannel
             .open(java.nio.file.Paths.get(p))
           val reader = new ArrowFileReader(ch, alloc)
+          // Idempotent close shared by the exhausted-iterator path and the
+          // task-completion listener: a partially consumed iterator (e.g.
+          // under df.limit) or an exception mid-batch would otherwise leak
+          // the file handle and Arrow allocations in the executor
+          // (round-13 advice). Completion listeners fire on success AND
+          // failure, so one registration covers both.
+          var closed = false
+          def closeAll(): Unit = if (!closed) {
+            closed = true
+            try reader.close()
+            finally { try ch.close() finally alloc.close() }
+          }
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeAll()))
+          // Every file's footer schema must match the head file's (read())
+          // derived the DataFrame schema from paths.head alone): a file
+          // with a different column order or type would otherwise yield
+          // miscast rows or an opaque ClassCastException mid-scan.
+          val fileSchema = StructType(
+            reader.getVectorSchemaRoot.getSchema.getFields
+              .toArray(Array.empty[Field])
+              .map(f => StructField(f.getName, toSparkType(f), nullable = true)))
+          if (fileSchema != schema) {
+            closeAll()
+            throw new IllegalArgumentException(
+              s"ArrowSource: schema mismatch in '$p' — expected " +
+                s"${schema.simpleString} (from '${paths.head}'), got " +
+                s"${fileSchema.simpleString}")
+          }
           // one record batch at a time: the only full-batch state is the
           // Arrow buffers themselves, released before the next load
           new Iterator[Row] {
@@ -99,7 +128,7 @@ object ArrowSource {
             private def advance(): Boolean = {
               while (idx >= rows) {
                 if (!reader.loadNextBatch()) {
-                  reader.close(); ch.close(); alloc.close(); return false
+                  closeAll(); return false
                 }
                 root = reader.getVectorSchemaRoot
                 rows = root.getRowCount; idx = 0

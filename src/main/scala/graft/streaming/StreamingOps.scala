@@ -392,7 +392,10 @@ object StreamingOps {
       : (Vector[EwmaOut], EwmaState) = {
     var st = st0
     val out = Vector.newBuilder[EwmaOut]
-    rows.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    // (getTime, getNanos, event_id): the same total order scd2Fold uses
+    // and the SQL entries' ORDER BY ts resolves to — getTime alone drops
+    // sub-millisecond nanos, folding such events in a different order
+    rows.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
       val c = math.round(e.value * 100)
       val next = if (st.last == Long.MinValue) c
         else Math.floorDiv(c + st.last, 2L)

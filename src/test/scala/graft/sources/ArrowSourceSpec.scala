@@ -39,6 +39,29 @@ class ArrowSourceSpec extends SparkSpec {
     assert(rows(0).getString(1) == "x" && rows(0).getDouble(2) == 1.5)
   }
 
+  test("a file whose footer schema differs from the head file refuses loudly") {
+    val (p1, p2) = (tmp("s1.arrow"), tmp("s2.arrow"))
+    ArrowSource.write(Seq((1L, "a")).toDF("id", "s"), p1)
+    ArrowSource.write(Seq(("b", 2L)).toDF("s", "id"), p2) // columns swapped
+    val e = intercept[Throwable] {
+      ArrowSource.read(spark, Seq(p1, p2)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("schema mismatch")),
+      s"expected a descriptive schema-mismatch refusal, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("partially consumed iterators (limit) close via the task listener") {
+    // df.limit stops the iterator mid-file: the task-completion listener —
+    // not the exhausted-iterator path — must release reader/channel/
+    // allocator, and a subsequent full read of the same file must work.
+    val p = tmp("part.arrow")
+    ArrowSource.write(spark.range(0, 1000).toDF("id"), p)
+    assert(ArrowSource.read(spark, Seq(p)).limit(3).collect().length == 3)
+    assert(ArrowSource.read(spark, Seq(p)).count() == 1000)
+  }
+
   test("unsupported types refuse loudly with the type name") {
     val e = intercept[IllegalArgumentException] {
       ArrowSource.write(Seq(Tuple1(Array(1, 2))).toDF("xs"), tmp("bad.arrow"))
