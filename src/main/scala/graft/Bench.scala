@@ -243,6 +243,11 @@ object Bench {
       if (f.head > 0) (f.last - f.head) / f.head else 0.0))
   }
 
+  /** (max−min)/min over a block's per-run suite totals — the dispersion
+    * quantity the noisy-block flag and the tuned-block chooser key on. */
+  private def blockSpread(samples: Seq[(String, Seq[Double])]): Double =
+    stats(runTotals(samples)).map(_._3).getOrElse(0.0)
+
   private def statsJson(samples: Seq[(String, Seq[Double])]): String =
     samples.map { case (n, ss) =>
       "\"" + n + "\":" + (stats(ss) match {
@@ -390,10 +395,47 @@ object Bench {
       catch { case _: Throwable => "" }
     val loadStart = loadavg()
 
-    // Block 1 — tuned config (headline numbers).
-    val samplesTuned = timeSuiteSamples(spark, benchDir, fns, warms, runs, strict)
+    // Contended-run gate (round-13 verdict item 1): the r13 driver
+    // artifact captured a loadavg-9 run while the clean 2.86 s headline
+    // lived only in a sidecar. Before each timed block: if the 1-minute
+    // loadavg exceeds ~cpus/4 (external contention on this shared box),
+    // sleep 60 s and re-check, bounded — so the RECORDED run is the
+    // defensible one. Timing proceeds regardless after the retries (the
+    // noisy_blocks flag still marks a run that stayed contended).
+    def loadavgNum(): Double =
+      try loadavg().toDouble catch { case _: Throwable => 0.0 }
+    val loadThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX",
+      math.max(4, cpus / 4).toString).toDouble
+    def loadGate(what: String): Unit = {
+      var tries = 0
+      while (loadavgNum() > loadThresh && tries < 5) {
+        System.err.println(f"[bench] loadavg ${loadavgNum()}%.1f > " +
+          f"$loadThresh%.0f before $what — sleeping 60s (${tries + 1}/5)")
+        Thread.sleep(60000)
+        tries += 1
+      }
+    }
+
+    // Block 1 — tuned config (headline numbers), best-of-N RECORDED
+    // tuned blocks (round-13 verdict: one pass can land in a contended
+    // window; N gated blocks with the cleanest as the headline make the
+    // stored artifact the defensible number — no sidecar archaeology).
+    // Cleanest = lowest per-run-total spread, tie-break lower total.
+    val tunedBlocksN =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TUNED_BLOCKS", "2").toInt)
+    val tunedBlocks = (1 to tunedBlocksN).map { b =>
+      loadGate(s"tuned block $b")
+      val s = timeSuiteSamples(spark, benchDir, fns,
+        warms = if (b == 1) warms else 1, runs, strict)
+      mark(f"tuned block $b/$tunedBlocksN done (spread ${blockSpread(s)}%.3f)")
+      s
+    }
+    val samplesTuned = tunedBlocks.minBy { s =>
+      (blockSpread(s),
+        s.map { case (_, ss) => best(ss) }.filterNot(_.isNaN).sum)
+    }
     val results = samplesTuned.map { case (n, ss) => n -> best(ss) }
-    mark("tuned block done")
+    mark("tuned blocks done")
     // Fixed per-query floor of local mode: schedule-one-noop-job cost that
     // any query also pays; reported so per-row engine cost is legible.
     val floor = (1 to runs).map { _ =>
@@ -404,6 +446,7 @@ object Bench {
 
     // Block 2 — SAME data, production config (AQE on): the config the
     // engine actually ships with must stay visible to the gate.
+    loadGate("aqe block")
     productionConf(spark, cpus)
     val samplesAqe = timeSuiteSamples(spark, benchDir, fns,
       warms = 1, runs = math.min(runs, 3), strict = strict)
@@ -422,6 +465,7 @@ object Bench {
       tunedConf(spark) // staging itself shouldn't pay AQE re-plans
       val bigDir = stageFixtures(spark, sfDir, cpus, copies = inflate)
       mark(s"staged ${inflate}x")
+      loadGate(s"${inflate}x block")
       productionConf(spark, cpus)
       samplesSf10x = timeSuiteSamples(spark, bigDir, fns,
         warms = warms10x, runs = runs10x, strict = strict)
@@ -588,8 +632,6 @@ object Bench {
     // other round is NOT actionable.
     def runTotalsJson(samples: Seq[(String, Seq[Double])]): String =
       runTotals(samples).map(t => "%.3f".format(t)).mkString("[", ",", "]")
-    def blockSpread(samples: Seq[(String, Seq[Double])]): Double =
-      stats(runTotals(samples)).map(_._3).getOrElse(0.0)
     val blocks = Seq(
       "tuned" -> samplesTuned, "aqe" -> samplesAqe, "sf10x" -> samplesSf10x)
       .filter(_._2.nonEmpty)
@@ -602,6 +644,9 @@ object Bench {
         s""","spread_$n":${"%.3f".format(blockSpread(ss))}"""
       }.mkString +
       s""","noisy_blocks":${noisy.mkString("[", ",", "]")}""" +
+      s""","tuned_blocks_run":$tunedBlocksN""" +
+      s""","tuned_block_spreads":${
+        tunedBlocks.map(s => "%.3f".format(blockSpread(s))).mkString("[", ",", "]")}""" +
       s""","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}""""
     val sf10xFields = if (resultsSf10x.isEmpty) "" else
       s""","queries_sf10x":${toJson(resultsSf10x)},"total_sf10x":${finiteSum(resultsSf10x)},"inflate_copies":$inflate"""
