@@ -165,6 +165,48 @@ object DmlQueries {
     """SELECT c_custkey, c_acctbal FROM customer
       |WHERE NOT (c_acctbal < 0 AND length(c_mktsegment) // 2 = 4)""".stripMargin
 
+  /** DML … RETURNING statement faces (reference `physical_insert.cpp` /
+    * `physical_delete.cpp` / `physical_update.cpp` RETURNING): each face
+    * mutates a disjoint segment and returns its affected rows — INSERT
+    * the inserted rows, UPDATE the new values, DELETE the deleted rows —
+    * with a dialect-spelled expression (`len`, `//`) in the RETURNING
+    * list proving the item translation. The oracle reproduces every
+    * face's returned rows from the untouched fixture (the DmlQueries
+    * house style; DuckDB 1.0.0 runs RETURNING natively but the gate's
+    * single-SELECT shape wants the pure reproduction). */
+  def dmlSqlReturning(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root, Tables.t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    val cat = Map("cust" -> root, "__dir" -> dir)
+    val ret = "RETURNING c_custkey, c_acctbal, len(c_mktsegment) // 2 AS lh"
+    val ins = graft.sql.DuckDml.execReturning(s, cat,
+      s"""INSERT INTO cust
+         |SELECT c_custkey + 1000000, c_mktsegment, c_acctbal + 1.0
+         |FROM customer WHERE c_mktsegment = 'HOUSEHOLD' $ret""".stripMargin)
+    val upd = graft.sql.DuckDml.execReturning(s, cat,
+      s"UPDATE cust SET c_acctbal = c_acctbal + 50.0 " +
+        s"WHERE c_mktsegment = 'FURNITURE' $ret")
+    val del = graft.sql.DuckDml.execReturning(s, cat,
+      s"DELETE FROM cust WHERE c_acctbal < 0 AND c_mktsegment = 'BUILDING' $ret")
+    ins.select(lit("insert").as("face"), col("c_custkey"), col("c_acctbal"), col("lh"))
+      .unionByName(upd.select(lit("update").as("face"), col("c_custkey"),
+        col("c_acctbal"), col("lh")))
+      .unionByName(del.select(lit("delete").as("face"), col("c_custkey"),
+        col("c_acctbal"), col("lh")))
+  }
+
+  val dmlSqlReturningSql: String =
+    """SELECT 'insert' AS face, c_custkey + 1000000 AS c_custkey,
+      |       c_acctbal + 1.0 AS c_acctbal, len(c_mktsegment) // 2 AS lh
+      |FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+      |UNION ALL
+      |SELECT 'update', c_custkey, c_acctbal + 50.0, len(c_mktsegment) // 2
+      |FROM customer WHERE c_mktsegment = 'FURNITURE'
+      |UNION ALL
+      |SELECT 'delete', c_custkey, c_acctbal, len(c_mktsegment) // 2
+      |FROM customer WHERE c_acctbal < 0 AND c_mktsegment = 'BUILDING'""".stripMargin
+
   /** Small-file compaction: 32 deliberately tiny files rewritten into
     * target-size ones as a new version; the oracle is row identity with
     * the untouched fixture — compaction must move bytes, never rows. */
@@ -353,7 +395,8 @@ object DmlQueries {
     "dml_time_travel" -> (dmlTimeTravel _),
     "dml_changes" -> (dmlChanges _),
     "dml_sql_update" -> (dmlSqlUpdate _),
-    "dml_sql_delete" -> (dmlSqlDelete _))
+    "dml_sql_delete" -> (dmlSqlDelete _),
+    "dml_sql_returning" -> (dmlSqlReturning _))
 
   val oracle: Map[String, String] = Map(
     "dml_incremental_agg" -> dmlIncrementalAggSql,
@@ -368,5 +411,6 @@ object DmlQueries {
     "dml_time_travel" -> dmlTimeTravelSql,
     "dml_changes" -> dmlChangesSql,
     "dml_sql_update" -> dmlSqlUpdateSql,
-    "dml_sql_delete" -> dmlSqlDeleteSql)
+    "dml_sql_delete" -> dmlSqlDeleteSql,
+    "dml_sql_returning" -> dmlSqlReturningSql)
 }

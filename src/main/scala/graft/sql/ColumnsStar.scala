@@ -30,8 +30,33 @@ object ColumnsStar {
         "or select them on the DataFrame with " +
         "df.select(df.columns.filter(...).map(col): _*)")
 
-  /** Expand COLUMNS stars if present; None when the SQL has none. */
-  def maybeExpand(spark: SparkSession, dir: String, sql: String): Option[String] = {
+  /** Expand COLUMNS stars against the fixture catalog at `dir`; None
+    * when the SQL has none. The `DuckDialect.run` face — a non-fixture
+    * FROM table refuses loudly (run's catalog IS the fixture set). */
+  def maybeExpand(spark: SparkSession, dir: String, sql: String): Option[String] =
+    expandWith(n => if (Tables.names.contains(n))
+      Some(Tables.t(spark, dir, n).columns.toSeq) else None,
+      sql, refuseOnMissing = true)
+
+  /** Expand COLUMNS stars against the SESSION catalog (temp views,
+    * catalog tables); None when the SQL has none OR the table is not in
+    * the session catalog. The `translate` face (round-13 verdict:
+    * `translate` refused what `run` expanded — with an active session
+    * that resolves the table, both entry points now behave identically);
+    * an unresolvable table returns None so translate's generic
+    * refuseUnsupported message fires instead (the caller may have meant
+    * the run face's fixture catalog). Shape violations (joins, zipped
+    * COLUMNS, non-literal regex) still refuse loudly here. */
+  def maybeExpandSession(spark: SparkSession, sql: String): Option[String] =
+    expandWith(n =>
+      if (spark.catalog.tableExists(n)) Some(spark.table(n).columns.toSeq)
+      else None, sql, refuseOnMissing = false)
+
+  /** Core expansion over a pluggable table→columns lookup; None when the
+    * SQL has no COLUMNS call (or, with refuseOnMissing=false, when the
+    * lookup cannot resolve the FROM table). */
+  private def expandWith(schemaOf: String => Option[Seq[String]],
+      sql: String, refuseOnMissing: Boolean): Option[String] = {
     val toks = tokenize(sql)
     def nxt(i: Int): Int = {
       var j = i + 1; while (j < toks.length && toks(j).isWs) j += 1; j
@@ -61,9 +86,14 @@ object ColumnsStar {
     }
     if (fromIdx < 0) refuse("no FROM clause")
     val tblIdx = nxt(fromIdx)
-    if (tblIdx >= toks.length || toks(tblIdx).kind != 4 ||
-        !Tables.names.contains(toks(tblIdx).word))
-      refuse("FROM must be one fixture table")
+    if (tblIdx >= toks.length || toks(tblIdx).kind != 4)
+      refuse("FROM must be a single plain table name")
+    val schemaOpt = schemaOf(toks(tblIdx).word)
+    if (schemaOpt.isEmpty) {
+      if (refuseOnMissing) refuse(s"FROM table '${toks(tblIdx).text}' is " +
+        "not resolvable in this catalog")
+      return None
+    }
     val afterTbl = nxt(tblIdx)
     val tailKw = Set("where", "group", "having", "qualify", "window",
       "order", "limit", "offset")
@@ -75,7 +105,7 @@ object ColumnsStar {
     if (afterSelect < toks.length &&
         (toks(afterSelect).word == "distinct" || toks(afterSelect).word == "all"))
       refuse("DISTINCT/ALL quantifiers are unsupported with COLUMNS")
-    val schema = Tables.t(spark, dir, toks(tblIdx).word).columns.toSeq
+    val schema = schemaOpt.get
 
     // split the select list into depth-0 items
     val items = scala.collection.mutable.Buffer.empty[Vector[Tok]]

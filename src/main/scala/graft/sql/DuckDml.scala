@@ -164,6 +164,78 @@ object DuckDml {
     Some(bindPrepared(text, args))
   }
 
+  /** Split a trailing depth-0 `RETURNING <exprs>` clause off a DML
+    * statement → (statement without the clause, RETURNING list text);
+    * None when the statement has no depth-0 RETURNING. */
+  private[sql] def splitReturning(sql: String): Option[(String, String)] = {
+    val full = tokenize(sql.stripSuffix(";"))
+    var d = 0; var at = -1; var i = 0
+    while (i < full.length) {
+      d += depthDelta(full(i))
+      if (d == 0 && full(i).kind == 4 && full(i).word == "returning") at = i
+      i += 1
+    }
+    if (at < 0) None
+    else Some((full.take(at).map(_.text).mkString,
+      full.drop(at + 1).map(_.text).mkString.trim))
+  }
+
+  /** Execute one DML statement and RETURN its affected rows (reference
+    * `src/execution/operator/persistent/physical_insert.cpp` /
+    * `physical_delete.cpp` / `physical_update.cpp` RETURNING semantics):
+    * INSERT returns the inserted rows (after ON CONFLICT resolution),
+    * UPDATE the NEW values of updated rows, DELETE the deleted rows.
+    *
+    * The affected-row set comes from the GraftTable MANIFEST DIFF
+    * between the versions the mutation committed ([[GraftTable.changes]]
+    * — only rewritten files are read), never from re-applying the
+    * predicate to the post-image (whose columns may have changed). The
+    * RETURNING list supports `*` and dialect-translated expression/alias
+    * items over the affected rows.
+    *
+    * Documented divergence (the [[GraftTable.changes]] contract): an
+    * UPDATE assignment that leaves a matched row bit-identical does not
+    * surface (identical rewritten rows cancel in the diff), while DuckDB
+    * returns the row; row ORDER is not DuckDB's insertion order (the
+    * engine's distributed scans have no insertion order to preserve). */
+  def execReturning(spark: SparkSession, tables: Map[String, String],
+      sql: String): DataFrame = {
+    val (stmt, retList) = splitReturning(sql).getOrElse(
+      throw new GraftSqlException(
+        "execReturning needs a trailing RETURNING clause — use exec for " +
+          "plain DML"))
+    if (retList.isEmpty)
+      throw new GraftSqlException("RETURNING needs an expression list (or *)")
+    val toks = words(tokenize(stmt))
+    def w(i: Int): String = if (i < toks.length) toks(i).word else ""
+    val head = w(0)
+    val nameAt = head match {
+      case "insert" | "delete" => 2 // INSERT INTO t / DELETE FROM t
+      case "update" => 1            // UPDATE t SET …
+      case other => throw new GraftSqlException(
+        s"RETURNING is supported on INSERT/UPDATE/DELETE, not '$other'")
+    }
+    if (nameAt >= toks.length)
+      throw new GraftSqlException(
+        s"statement ended before the ${head.toUpperCase} target table")
+    val n = identText(toks(nameAt)).toLowerCase
+    val root = tables.getOrElse(n,
+      throw new GraftSqlException(
+        s"unknown table '${toks(nameAt).text}' — register its GraftTable " +
+          "root in the catalog map"))
+    val vBefore = GraftTable.currentVersion(root)
+    exec(spark, tables, stmt)
+    val vAfter = GraftTable.currentVersion(root)
+    val affected = GraftTable.changes(spark, root, vBefore, vAfter)
+      .filter(org.apache.spark.sql.functions.col("change_type") ===
+        (if (head == "delete") "delete" else "insert"))
+      .drop("change_type")
+    if (retList == "*") affected
+    else affected.selectExpr(
+      splitTop(tokenize(retList), ",").map(item =>
+        DuckDialect.translate(item.map(_.text).mkString)): _*)
+  }
+
   /** Strip surrounding double-quote / backtick from an identifier token's
     * text (kind 3); bare words pass through. */
   private def identText(t: Tok): String =
@@ -172,6 +244,14 @@ object DuckDml {
 
   /** Execute one DML statement; returns the table root it mutated. */
   def exec(spark: SparkSession, tables: Map[String, String], sql: String): String = {
+    // a RETURNING statement reaching the row-less face would otherwise
+    // surface as an opaque predicate/source parse failure — route loudly
+    val headWord = tokenize(sql).find(!_.isWs).map(_.word).getOrElse("")
+    if ((headWord == "insert" || headWord == "update" || headWord == "delete") &&
+        splitReturning(sql).isDefined)
+      throw new GraftSqlException(
+        "this statement has a RETURNING clause — use DuckDml.execReturning, " +
+          "which runs the mutation and returns the affected rows")
     // ONE tokenization: `full` keeps whitespace (for re-rendering spans
     // verbatim), `toks` is the non-ws view all indices below refer to.
     val full = tokenize(sql.stripSuffix(";"))

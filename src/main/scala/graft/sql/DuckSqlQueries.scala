@@ -433,7 +433,55 @@ object DuckSqlQueries {
       |ON l_quantity, l_tax, l_discount
       |INTO NAME measure VALUE val""".stripMargin
 
+  /** Zipped multi-unnest in one select list (reference
+    * `physical_unnest.cpp`: lists zip to the LONGEST length, shorter
+    * padded with NULL) — lengths 3 vs 2 exercise the pad every row; the
+    * identical raw string runs on DuckDB. Translated to one explode
+    * over a zip_with chain (DuckDialect.rewriteUnnestZip). */
+  val unnestZipSql: String =
+    """SELECT o_orderkey,
+      |  unnest([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3]) AS m,
+      |  unnest(['lo', 'hi']) AS tag
+      |FROM orders WHERE o_orderkey <= 200""".stripMargin
+
+  /** INTERSECT / EXCEPT BY NAME (column order aligned by NAME, not
+    * position). The ORACLE is the name-aligned ANSI spelling: DuckDB
+    * 1.0.0 (the oracle build) predates BY NAME on the distinct set ops
+    * (probed: parser error), while the reference grammar accepts it —
+    * so the gate checks the translation's VALUES against the aligned
+    * form rather than running the raw string on both engines. */
+  val intersectByNameSql: String =
+    """SELECT c_nationkey AS k, c_mktsegment AS seg
+      |FROM customer WHERE c_custkey <= 500
+      |INTERSECT BY NAME
+      |SELECT c_mktsegment AS seg, c_nationkey AS k
+      |FROM customer WHERE c_custkey > 200""".stripMargin
+
+  val intersectByNameOracleSql: String =
+    """SELECT c_nationkey AS k, c_mktsegment AS seg
+      |FROM customer WHERE c_custkey <= 500
+      |INTERSECT
+      |SELECT c_nationkey AS k, c_mktsegment AS seg
+      |FROM customer WHERE c_custkey > 200""".stripMargin
+
+  val exceptByNameSql: String =
+    """SELECT o_orderpriority AS pri, o_orderstatus AS st
+      |FROM orders WHERE o_orderkey <= 2000
+      |EXCEPT BY NAME
+      |SELECT o_orderstatus AS st, o_orderpriority AS pri
+      |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  val exceptByNameOracleSql: String =
+    """SELECT o_orderpriority AS pri, o_orderstatus AS st
+      |FROM orders WHERE o_orderkey <= 2000
+      |EXCEPT
+      |SELECT o_orderpriority AS pri, o_orderstatus AS st
+      |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ducksql_unnest_zip" -> via(unnestZipSql),
+    "ducksql_intersect_by_name" -> via(intersectByNameSql),
+    "ducksql_except_by_name" -> via(exceptByNameSql),
     "ducksql_unpivot_stmt" -> via(unpivotStmtSql),
     "ducksql_within_group" -> via(withinGroupSql),
     "ducksql_glob_similar" -> via(globSimilarSql),
@@ -480,6 +528,9 @@ object DuckSqlQueries {
     "ducksql_read_parquet" -> ((s, dir) => DuckDialect.run(s, dir, readParquetSql(dir))))
 
   val oracle: Map[String, String] = Map(
+    "ducksql_unnest_zip" -> unnestZipSql,
+    "ducksql_intersect_by_name" -> intersectByNameOracleSql,
+    "ducksql_except_by_name" -> exceptByNameOracleSql,
     "ducksql_unpivot_stmt" -> unpivotStmtSql,
     "ducksql_within_group" -> withinGroupSql,
     "ducksql_glob_similar" -> globSimilarSql,

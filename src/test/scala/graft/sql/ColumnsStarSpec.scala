@@ -31,6 +31,31 @@ class ColumnsStarSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("translate alone expands COLUMNS via the ACTIVE session catalog") {
+    // r13 verdict item 2: run() expanded what translate() refused — with
+    // an active session that resolves the table, both faces now accept
+    // the identical statement and agree value-for-value.
+    import DuckSqlQueries.columnsRegexSql
+    val viaRun = DuckDialect.run(spark, sf(), columnsRegexSql)
+    graft.Tables.sql(spark, sf(), "SELECT 1") // registerAll: fixture views
+    val viaTranslate = spark.sql(DuckDialect.translate(columnsRegexSql))
+    assert(viaTranslate.columns.toSeq == viaRun.columns.toSeq)
+    assert(viaTranslate.exceptAll(viaRun).isEmpty &&
+      viaRun.exceptAll(viaTranslate).isEmpty)
+    // a table the session catalog cannot resolve: the generic refusal
+    val e = intercept[GraftSqlException](
+      DuckDialect.translate("SELECT COLUMNS(*) FROM graft_absent_table"))
+    assert(e.getMessage.contains("schema"))
+    // truly sessionless: no expansion attempted, same loud refusal
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      val e2 = intercept[GraftSqlException](
+        DuckDialect.translate("SELECT COLUMNS('name') FROM region"))
+      assert(e2.getMessage.contains("schema"))
+    } finally active.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+  }
+
   test("unsupported shapes refuse loudly") {
     def refused(sql: String, mention: String): Unit = {
       val e = intercept[GraftSqlException](expand(sql))

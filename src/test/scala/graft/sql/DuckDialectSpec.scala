@@ -318,6 +318,53 @@ class DuckDialectSpec extends AnyFunSuite {
       "UNION BY NAME SELECT a FROM v").getMessage.contains("mixed"))
   }
 
+  test("INTERSECT/EXCEPT BY NAME align column ORDER by name (r13 item 6)") {
+    val t = norm(translate(
+      "SELECT a, b FROM t INTERSECT BY NAME SELECT b, a FROM u"))
+    assert(t == "SELECT a, b FROM ( SELECT a, b FROM t ) " +
+      "INTERSECT SELECT a, b FROM ( SELECT b, a FROM u )")
+    val e = norm(translate(
+      "SELECT a, b FROM t EXCEPT ALL BY NAME SELECT b, a FROM u"))
+    assert(e.contains(" EXCEPT ALL SELECT a, b FROM ( SELECT b, a FROM u )"))
+    def refused(s: String) = intercept[GraftSqlException](translate(s))
+    // a column set mismatch would NULL-fill into never-matching rows —
+    // refused (only UNION BY NAME NULL-fills)
+    assert(refused("SELECT a FROM t EXCEPT BY NAME SELECT b FROM u")
+      .getMessage.contains("same column set"))
+    // kinds cannot mix in one depth-0 chain (precedence needs a parser)
+    assert(refused("SELECT a FROM t INTERSECT BY NAME SELECT a FROM u " +
+      "EXCEPT BY NAME SELECT a FROM v").getMessage.contains("mixing"))
+  }
+
+  test("zipped multi-unnest becomes one explode over a zip_with chain") {
+    val t = norm(translate(
+      "SELECT k, unnest(a) AS x, unnest(b) y FROM t WHERE k > 0"))
+    assert(t.startsWith("SELECT k, graft_zip.graft_u0 AS x, " +
+      "graft_zip.graft_u1 AS y FROM ( SELECT *, explode(zip_with("), t)
+    assert(t.contains("ifnull((a), array())") && t.contains("ifnull((b), array())"))
+    assert(t.contains("struct(gx AS graft_u0, gy AS graft_u1)"))
+    assert(t.contains("FROM t WHERE k > 0 ) graft_unnest_zip"))
+    // three lists left-nest; no FROM clause drops the inner star
+    val t3 = norm(translate(
+      "SELECT unnest([1]) AS x, unnest([2]) AS y, unnest([3]) AS z"))
+    assert(t3.contains("zip_with(zip_with("))
+    assert(t3.contains("gp.graft_u0 AS graft_u0, gp.graft_u1 AS graft_u1, " +
+      "gy AS graft_u2"))
+    assert(t3.contains("FROM ( SELECT explode("), "no FROM → no inner star")
+    // single unnest keeps the plain explode rename
+    assert(norm(translate("SELECT unnest(a) AS x FROM t"))
+      == "SELECT explode(a) AS x FROM t")
+    def refused(s: String) = intercept[GraftSqlException](translate(s))
+    assert(refused("SELECT unnest(a), unnest(b) FROM t")
+      .getMessage.contains("alias"))
+    assert(refused("SELECT unnest(a) + 1 AS x, unnest(b) AS y FROM t")
+      .getMessage.contains("literal"))
+    assert(refused("SELECT DISTINCT unnest(a) AS x, unnest(b) AS y FROM t")
+      .getMessage.contains("DISTINCT"))
+    assert(refused("SELECT unnest(a) AS x, unnest(b) AS y FROM t GROUP BY x")
+      .getMessage.contains("GROUP"))
+  }
+
   test("double-quoted identifiers become backticks (DuckDB idents, not strings)") {
     assert(norm(translate("SELECT \"min\" FROM \"t\"")) ==
       "SELECT `min` FROM `t`")

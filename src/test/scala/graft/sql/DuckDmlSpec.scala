@@ -228,4 +228,35 @@ class DuckDmlSpec extends SparkSpec {
     intercept[GraftSqlException](DuckDml.exec(spark, cat, "CHECKPOINT t soon"))
     intercept[GraftSqlException](DuckDml.exec(spark, cat, "VACUUM nope"))
   }
+
+  test("RETURNING: INSERT inserted rows, UPDATE new values, DELETE deleted rows") {
+    val (root, cat) = freshTable()
+    // INSERT … RETURNING * — the inserted rows, full schema
+    val ins = DuckDml.execReturning(spark, cat,
+      "INSERT INTO t VALUES (4, 'd', 40.0), (5, 'e', 50.0) RETURNING *")
+    assert(ins.columns.toSeq == Seq("id", "name", "bal"))
+    assert(ins.as[(Long, String, Double)].collect().toSet ==
+      Set((4L, "d", 40.0), (5L, "e", 50.0)))
+    // UPDATE … RETURNING with dialect expressions — the NEW values
+    val upd = DuckDml.execReturning(spark, cat,
+      "UPDATE t SET bal = bal * 2 WHERE id <= 2 RETURNING id, bal, len(name) AS ln")
+    assert(upd.as[(Long, Double, Int)].collect().toSet ==
+      Set((1L, 20.0, 1), (2L, 40.0, 1)))
+    // DELETE … RETURNING — the deleted rows (pre-image)
+    val del = DuckDml.execReturning(spark, cat,
+      "DELETE FROM t WHERE id >= 4 RETURNING id, bal")
+    assert(del.as[(Long, Double)].collect().toSet ==
+      Set((4L, 40.0), (5L, 50.0)))
+    // the table state reflects all three mutations
+    assert(state(root) == Set((1L, "a", 20.0), (2L, "b", 40.0), (3L, "c", 30.0)))
+    // routing refusals: exec refuses RETURNING (points at execReturning),
+    // execReturning refuses plain DML and non-DML heads
+    assert(intercept[GraftSqlException](DuckDml.exec(spark, cat,
+      "DELETE FROM t WHERE id = 1 RETURNING *"))
+      .getMessage.contains("execReturning"))
+    assert(intercept[GraftSqlException](DuckDml.execReturning(spark, cat,
+      "DELETE FROM t WHERE id = 1")).getMessage.contains("RETURNING"))
+    assert(intercept[GraftSqlException](DuckDml.execReturning(spark, cat,
+      "VACUUM t RETURNING *")).getMessage.contains("INSERT/UPDATE/DELETE"))
+  }
 }
