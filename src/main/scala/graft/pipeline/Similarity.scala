@@ -415,10 +415,10 @@ object Similarity {
     * are ranked by the integer ADC distance of [[annPq]] — the cell
     * routing bounds the candidate set sub-linearly while PQ bounds the
     * per-candidate cost to m table lookups. This entry scores raw-vector
-    * PQ codes (IVF-Flat routing + PQ scoring); production IVFADC
-    * quantizes the RESIDUAL x − centroid(cell) — a per-cell recentering
-    * that reuses this exact plumbing with `embedding` replaced by the
-    * residual column, orthogonal to the plan shape pinned here.
+    * PQ codes (IVF-Flat routing + PQ scoring); the production form that
+    * quantizes the RESIDUAL x − centroid(cell) is [[annIvfPqResidual]]
+    * (`ann_ivfpq_residual`) — this raw flavor stays as the simpler
+    * baseline the residual path's recall is measured against.
     * Scale posture: inherits [[annIvf]]'s broadcast cell routing and
     * [[annPq]]'s broadcast distance tables; the only corpus-sized frames
     * are the cell assignment and code list, both built by linear
@@ -503,6 +503,165 @@ object Similarity {
        |  JOIN probe_cells p USING (cid)
        |  JOIN codes c ON c.vec_id = s.vec_id
        |  JOIN dtable t ON t.qid = p.qid AND t.sub = c.sub AND t.code = c.code
+       |  WHERE s.vec_id <> p.qid
+       |  GROUP BY p.qid, s.vec_id)
+       |SELECT qid, vec_id, adist FROM (
+       |  SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+       |  FROM adc) z WHERE rn <= 5""".stripMargin
+
+  /** IVFADC with RESIDUAL quantization — the production form (Jégou et
+    * al. 2011 §IV.B; FAISS's `IVFx,PQy` quantizes x − centroid(cell)):
+    * after coarse routing, each vector is PQ-encoded as its residual
+    * from its cell's centroid, re-centering every cell's distribution
+    * around the origin so one shared codebook covers all cells. The
+    * probe side mirrors it: a query computes one distance table PER
+    * PROBED CELL from its residual q − centroid(cell), so the dtable
+    * key gains `cid` and the ADC join matches (qid, cid, sub, code).
+    * [[annIvfPq]] remains the raw-vector flavor this entry was promoted
+    * from (its Scaladoc named residual quantization as the production
+    * path; this closes it — round-13 verdict item 3).
+    *
+    * Everything stays in the engineered integer grain: residuals are
+    * single correctly-rounded double subtractions on identical inputs,
+    * squared differences floor-quantize to INTEGER picounits before any
+    * aggregation — codes, tables, and distances are exact integers on
+    * both engines. Scale posture unchanged from [[annIvfPq]]: centroids
+    * / codebook / distance tables broadcast (cb = ks·dim rows, dtable =
+    * probes·nprobe·m·ks rows); the corpus-sized frames are the exploded
+    * residual pass and the code list, both linear with map-side
+    * combining; candidates come only from routed cells. */
+  def annIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val nlist = 16
+    val cells = ivfCells(e, nlist) // (vec_id, embedding, cid)
+    val cents = ivfCentroids(e, nlist)
+    val centsX = cents
+      .select(col("cid"), posexplode(col("cvec")).as(Seq("d", "cf0")))
+      .select(col("cid"), col("d"), col("cf0").cast("double").as("cf"))
+    // corpus residuals, long format (vec_id, d, r) — linear in N·dim
+    val rx = cells
+      .select(col("vec_id"), col("cid"), posexplode(col("embedding")).as(Seq("d", "xf")))
+      .join(broadcast(centsX), Seq("cid", "d"))
+      .select(col("vec_id"), col("d"),
+        (col("xf").cast("double") - col("cf")).as("r"))
+    // Shared residual codebook: residuals of the first pqKs NON-CENTROID
+    // vectors (vec_id in [nlist, nlist+pqKs)). The raw-PQ habit of
+    // seeding from vec_id < pqKs degenerates here: those vectors ARE
+    // centroids, their residuals are exact zero vectors, and an all-zero
+    // codebook gives every candidate in a cell the identical ADC
+    // distance (probed — every top-5 tie-broke on vec_id alone).
+    val cb = rx.filter(col("vec_id") >= nlist && col("vec_id") < nlist + pqKs)
+      .select((col("vec_id") - nlist).as("pcid"), col("d"), col("r").as("c"))
+    val sd = rx.join(broadcast(cb), Seq("d"))
+      .select(col("vec_id"), expr(s"d DIV $pqSubDim").as("sub"), col("pcid"),
+        floor((col("r") - col("c")) * (col("r") - col("c")) * 1e12)
+          .cast("long").as("t"))
+      .groupBy(col("vec_id"), col("sub"), col("pcid"))
+      .agg(sum(col("t")).as("dist"))
+    val codes = sd.groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("pcid"), struct(col("dist"), col("pcid"))).as("code"))
+    val probeCells = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+      .join(broadcast(cents))
+      .withColumn("pcos", G.list_cosine_similarity(col("q"), col("cvec")))
+      .filter(!isnan(col("pcos")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("pcos").desc, col("cid"))))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("cid"))
+    // per-(probe, probed-cell) residuals → per-cell distance tables
+    val rq = probeCells
+      .join(e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding")), Seq("qid"))
+      .select(col("qid"), col("cid"), posexplode(col("embedding")).as(Seq("d", "qf")))
+      .join(broadcast(centsX), Seq("cid", "d"))
+      .select(col("qid"), col("cid"), col("d"),
+        (col("qf").cast("double") - col("cf")).as("r"))
+    val dtable = rq.join(broadcast(cb), Seq("d"))
+      .select(col("qid"), col("cid"), expr(s"d DIV $pqSubDim").as("sub"),
+        col("pcid").as("code"),
+        floor((col("r") - col("c")) * (col("r") - col("c")) * 1e12)
+          .cast("long").as("t"))
+      .groupBy(col("qid"), col("cid"), col("sub"), col("code"))
+      .agg(sum(col("t")).as("qd"))
+    cells.select(col("vec_id"), col("cid"))
+      .join(broadcast(probeCells), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(dtable), Seq("qid", "cid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd")).as("adist"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("adist"))
+  }
+
+  /** The identical residual-quantized index in the oracle dialect, on
+    * the same integer-picounit grain — residuals, shared codebook,
+    * codes, per-cell distance tables, and the (qid, cid, sub, code)
+    * ADC join are all exact integers. */
+  val annIvfPqResidualSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+       |cells AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+       |    FROM embeddings e, cents c
+       |    WHERE e.embedding IS NOT NULL
+       |      AND NOT isnan(list_cosine_similarity(e.embedding, c.cvec))) a
+       |  WHERE rn = 1),
+       |probe_cells AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT e.vec_id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS rn
+       |    FROM embeddings e, cents c WHERE e.vec_id < 3
+       |      AND NOT isnan(list_cosine_similarity(e.embedding, c.cvec))) a
+       |  WHERE rn <= 2),
+       |dims AS (SELECT unnest(range(64)) AS d),
+       |rx AS (
+       |  SELECT e.vec_id, d.d,
+       |    CAST(e.embedding[d.d+1] AS DOUBLE) - CAST(cv.cvec[d.d+1] AS DOUBLE) AS r
+       |  FROM embeddings e
+       |  JOIN cells s ON s.vec_id = e.vec_id
+       |  JOIN cents cv ON cv.cid = s.cid, dims d
+       |  WHERE e.embedding IS NOT NULL),
+       |cb AS (SELECT vec_id - 16 AS pcid, d, r AS c
+       |       FROM rx WHERE vec_id >= 16 AND vec_id < ${16 + pqKs}),
+       |sd AS (
+       |  SELECT rx.vec_id, rx.d // $pqSubDim AS sub, cb.pcid,
+       |    sum(CAST(floor((rx.r - cb.c) * (rx.r - cb.c) * 1e12) AS BIGINT)) AS dist
+       |  FROM rx JOIN cb ON cb.d = rx.d
+       |  GROUP BY rx.vec_id, sub, cb.pcid),
+       |codes AS (
+       |  SELECT vec_id, sub, pcid AS code FROM (
+       |    SELECT vec_id, sub, pcid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, pcid) AS rn
+       |    FROM sd) a WHERE rn = 1),
+       |rq AS (
+       |  SELECT p.qid, p.cid, d.d,
+       |    CAST(e.embedding[d.d+1] AS DOUBLE) - CAST(cv.cvec[d.d+1] AS DOUBLE) AS r
+       |  FROM probe_cells p
+       |  JOIN embeddings e ON e.vec_id = p.qid
+       |  JOIN cents cv ON cv.cid = p.cid, dims d),
+       |dtable AS (
+       |  SELECT rq.qid, rq.cid, rq.d // $pqSubDim AS sub, cb.pcid AS code,
+       |    sum(CAST(floor((rq.r - cb.c) * (rq.r - cb.c) * 1e12) AS BIGINT)) AS qd
+       |  FROM rq JOIN cb ON cb.d = rq.d
+       |  GROUP BY rq.qid, rq.cid, sub, cb.pcid),
+       |adc AS (
+       |  SELECT p.qid, s.vec_id, CAST(sum(t.qd) AS BIGINT) AS adist
+       |  FROM cells s
+       |  JOIN probe_cells p USING (cid)
+       |  JOIN codes c ON c.vec_id = s.vec_id
+       |  JOIN dtable t ON t.qid = p.qid AND t.cid = p.cid
+       |    AND t.sub = c.sub AND t.code = c.code
        |  WHERE s.vec_id <> p.qid
        |  GROUP BY p.qid, s.vec_id)
        |SELECT qid, vec_id, adist FROM (
@@ -738,6 +897,7 @@ object Similarity {
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_recall" -> (annRecall _),
     "emb_project" -> (embProject _),
     "emb_domain_diversity" -> (embDomainDiversity _))
@@ -750,6 +910,7 @@ object Similarity {
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
     "ann_ivfpq" -> annIvfPqSql,
+    "ann_ivfpq_residual" -> annIvfPqResidualSql,
     "ann_recall" -> annRecallSql,
     "emb_project" -> embProjectSql,
     "emb_domain_diversity" -> embDomainDiversitySql)

@@ -315,6 +315,91 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("residual IVFADC: ADC factorization is exact; fixture energy premise pinned") {
+    val e = graft.Tables.t(spark, sf("sf0.001"), "embeddings")
+      .filter($"embedding".isNotNull)
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      .toMap
+    val cellOf = Similarity.ivfCells(e, 16).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    def resid(v: Long): IndexedSeq[Double] =
+      vecs(v).zip(vecs(cellOf(v))).map { case (x, c) => x - c }
+    // shared residual codebook = residuals of vec 16..19 (non-centroids)
+    val cb = (0 until 4).map(k => resid(16L + k))
+    def subDist(a: IndexedSeq[Double], b: IndexedSeq[Double], sub: Int): Long =
+      (0 until 8).map { j =>
+        val d = a(sub * 8 + j) - b(sub * 8 + j)
+        math.floor(d * d * 1e12).toLong
+      }.sum
+    def codeOf(v: Long, sub: Int): Int = {
+      val r = resid(v)
+      (0 until 4).minBy(k => (subDist(r, cb(k), sub), k))
+    }
+    val got = Similarity.annIvfPqResidual(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.groupBy(_._1).values.forall(_.length <= 5))
+    // the (sub, code) table factorization must equal the direct
+    // per-dimension residual recompute — quantize-then-sum, no table
+    got.foreach { case (q, v, adist) =>
+      val rq = vecs(q).zip(vecs(cellOf(v))).map { case (x, c) => x - c }
+      val want = (0 until 8).map(sub => subDist(rq, cb(codeOf(v, sub)), sub)).sum
+      assert(want == adist, s"direct residual distance for ($q,$v): $want != $adist")
+    }
+    // On the DRIVER fixture, residual re-centering cannot help:
+    // the embeddings are i.i.d. random (no cluster structure) and the
+    // coarse "centroids" are first-K raw vectors, not cell means —
+    // measured here, subtracting them INFLATES energy (‖x−c‖² ≈ 1.5‖x‖²:
+    // x·c is small relative to ‖c‖² for random 64-dim data). Pin the
+    // measurement so the premise stays visible: recall dominance is NOT
+    // a property this fixture can exhibit (3-probe deltas on it are
+    // sampling noise — measured both directions across scales).
+    val rawE = vecs.values.map(_.map(x => x * x).sum).sum
+    val resE = vecs.keys.map(v => resid(v).map(x => x * x).sum).sum
+    assert(resE > rawE,
+      f"fixture premise changed: residual energy ${resE / rawE}%.2fx raw — " +
+        "if embeddings gained cluster structure, tighten this pin to <1")
+  }
+
+  test("residual IVFADC beats raw IVFADC on data WITH cluster structure") {
+    // The property that makes residual quantization the production form
+    // (Jégou et al. 2011 §IV.B) requires its premise: vectors
+    // concentrated around coarse cells. Build a deterministic clustered
+    // corpus (8 integer-lattice centers, ±0.2 noise) and run BOTH
+    // SHIPPED operators on it — residuals carry ~0.1% of the raw energy
+    // there, and ADC over residuals resolves within-cluster neighbors
+    // that raw 4-codeword PQ cannot (prototyped: 12/15 vs 3/15).
+    val n = 500; val dim = 64; val nClusters = 8
+    def center(c: Int, d: Int): Float = (((c * 37 + d * 11) % 19) - 9).toFloat
+    def noise(i: Int, d: Int): Float = ((((i * 13 + d * 7) % 5) - 2) * 0.1).toFloat
+    val rows = (0 until n).map { i =>
+      (i.toLong,
+        (0 until dim).map(d => center(i % nClusters, d) + noise(i, d)).toArray,
+        s"c${i % nClusters}")
+    }
+    val cdir = java.nio.file.Files.createTempDirectory("graft_clustered_").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$cdir/embeddings.parquet")
+    val vecs = rows.map(r => r._1 -> r._2.map(_.toDouble).toIndexedSeq).toMap
+    def cosine(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def exactTop5(q: Long): Set[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, cosine(vecs(q), vecs(v)))).filterNot(_._2.isNaN)
+        .sortBy { case (v, c) => (-c, v) }.take(5).map(_._1).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, vs) => vs.map(_._2).toSet.intersect(exactTop5(q)).size }
+        .sum
+    val rawHits = hits(Similarity.annIvfPq(spark, cdir))
+    val resHits = hits(Similarity.annIvfPqResidual(spark, cdir))
+    assert(resHits > rawHits,
+      s"residual recall $resHits/15 must beat raw $rawHits/15 on clustered data")
+    assert(resHits >= 10, s"residual recall $resHits/15 below the 10/15 floor")
+  }
+
   test("banding lifts LSH recall; recall is bounded and IVF stays strong") {
     val r = Similarity.annRecall(spark, sf("sf0.001")).collect()
       .map(x => (x.getString(0), x.getAs[Number]("qid").longValue(),
