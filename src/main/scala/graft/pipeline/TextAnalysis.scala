@@ -264,9 +264,113 @@ object TextAnalysis {
        |  doc_id, n_hit, score_q
        |FROM agg ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** Multi-term BM25 with a PHRASE-ADJACENCY bonus — the query shape a
+    * retrieval pipeline actually issues (OR of terms, each scored by the
+    * [[searchBm25]] integer BM25 and summed, plus a fixed bonus per
+    * adjacent occurrence of a query phrase — the proximity term of
+    * classic lexical rankers, e.g. the reference FTS extension's
+    * conjunctive refinements). Both parts stay integer-exact: the term
+    * scores are the proven BM25 integers; adjacency is a COUNT of
+    * position pairs (term a at p, term b at p+1), bonus = 500000·n_adj.
+    *
+    * Scale posture: token positions come from the same one-pass explode
+    * (posexplode instead of explode — same shuffle); the adjacency
+    * self-join is over PHRASE-TERM postings only (filtered before the
+    * shuffle, like the tf filter) keyed on (doc_id, position); df/corpus
+    * scalars broadcast; top-k stays TakeOrderedAndProject. At 100 TB
+    * the positions relation IS the positional inverted index an FTS
+    * engine materializes. */
+  def searchBm25Multi(s: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("dup", "vector", "hash", "key"),
+      phrases: Seq[(String, String)] = Seq(("hash", "vector"), ("key", "hash")),
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.t(s, dir, "documents")
+    val toksPos = docs
+      .select(col("doc_id"),
+        posexplode(split(Dedup.normalized(col("text")), " ")).as(Seq("p", "term")))
+      .filter(length(col("term")) > 0)
+    val toks = toksPos.select(col("doc_id"), col("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = broadcast(
+      dl.agg(sum(col("dl")).as("l_tot"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs"))))
+    val qtf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = broadcast(
+      qtf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val base = qtf.join(dfq, Seq("term")).join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .withColumn("s",
+        expr("""((2*(n_docs - df) + 1) * 1000000 DIV (2*df + 1))
+               | * ((44*tf*l_tot*1000000)
+               |    DIV (20*tf*l_tot + 6*l_tot + 18*dl*n_docs))
+               | DIV 1000000""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("s")).as("score_terms"))
+    val phraseTerms = phrases.flatMap(p => Seq(p._1, p._2)).distinct
+    val pos = toksPos.filter(col("term").isin(phraseTerms: _*))
+    val pairKeys = phrases.map(p => p._1 + " " + p._2)
+    val adj = pos.select(col("doc_id"), col("term").as("t1"), col("p"))
+      .join(pos.select(col("doc_id"), col("term").as("t2"),
+        (col("p") - 1).as("p")), Seq("doc_id", "p"))
+      .filter(concat_ws(" ", col("t1"), col("t2")).isin(pairKeys: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_adj"))
+    val agg = base.join(adj, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_hit"),
+        coalesce(col("n_adj"), lit(0L)).as("n_adj"),
+        (col("score_terms") + coalesce(col("n_adj"), lit(0L)) * lit(500000L))
+          .as("score_q"))
+    agg.orderBy(col("score_q").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score_q").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("n_hit"), col("n_adj"), col("score_q"))
+  }
+
+  /** The identical multi-term + adjacency scorer in the oracle dialect
+    * (positions from the ZIPPED unnest of range(len) with the token
+    * list — the construct `ducksql_unnest_zip` pins). */
+  val searchBm25MultiSql: String =
+    raw"""WITH toks0 AS (
+       |  SELECT doc_id, unnest(range(len(ws))) AS p, unnest(ws) AS term
+       |  FROM (SELECT doc_id,
+       |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+       |        FROM documents)),
+       |tok2 AS (SELECT doc_id, p, term FROM toks0 WHERE len(term) > 0),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+       |stats AS (SELECT (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS l_tot,
+       |                 (SELECT count(*) FROM documents) AS n_docs),
+       |qtf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       |        WHERE term IN ('dup', 'vector', 'hash', 'key') GROUP BY doc_id, term),
+       |dfq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+       |scored AS (
+       |  SELECT q.doc_id,
+       |    (((2*(n_docs - df) + 1) * 1000000 // (2*df + 1))
+       |     * ((44*tf*l_tot*1000000)
+       |        // (20*tf*l_tot + 6*l_tot + 18*d.dl*n_docs)))
+       |     // 1000000 AS s
+       |  FROM qtf q JOIN dfq USING (term) JOIN dl d ON d.doc_id = q.doc_id, stats),
+       |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |                CAST(sum(s) AS BIGINT) AS score_terms
+       |         FROM scored GROUP BY doc_id),
+       |adj AS (
+       |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_adj
+       |  FROM tok2 a JOIN tok2 b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       |  WHERE (a.term = 'hash' AND b.term = 'vector')
+       |     OR (a.term = 'key' AND b.term = 'hash')
+       |  GROUP BY a.doc_id),
+       |agg AS (
+       |  SELECT b.doc_id, b.n_hit, coalesce(j.n_adj, CAST(0 AS BIGINT)) AS n_adj,
+       |         b.score_terms + coalesce(j.n_adj, CAST(0 AS BIGINT)) * 500000 AS score_q
+       |  FROM base b LEFT JOIN adj j USING (doc_id))
+       |SELECT row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank,
+       |  doc_id, n_hit, n_adj, score_q
+       |FROM agg ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (textTfidf _),
     "search_bm25" -> ((s: SparkSession, dir: String) => searchBm25(s, dir)),
+    "search_bm25_multi" -> ((s: SparkSession, dir: String) => searchBm25Multi(s, dir)),
     "text_stats" -> (textStats _),
     "text_tokens" -> (textTokens _),
     "text_langid" -> (textLangid _),
@@ -743,6 +847,7 @@ object TextAnalysis {
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,
     "search_bm25" -> searchBm25Sql,
+    "search_bm25_multi" -> searchBm25MultiSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_vocab" -> textVocabSql,
     "text_lm_score" -> textLmScoreSql,
