@@ -252,9 +252,10 @@ object DuckDialect {
     "list_filter" -> "filter",
     "list_distinct" -> "array_distinct",
     // list_sort → array_sort (both default ASC NULLS LAST; Spark's
-    // sort_array would put NULLs first). NOT mapped: list_slice (DuckDB
-    // is begin/end-inclusive, Spark slice is start/length), list_prepend
-    // (argument order reversed), list_reverse_sort (needs an extra arg).
+    // sort_array would put NULLs first). list_slice / list_prepend /
+    // list_concat / list_reverse_sort differ STRUCTURALLY (inclusive
+    // endpoints, argument order, NULL-as-empty, extra flag) — rewritten
+    // in rewriteListFns, not renamed here.
     "list_sort" -> "array_sort",
     // unnest → explode: same one-level flattening in the select list AND
     // as a FROM-clause table function (Spark allows generators in FROM).
@@ -280,9 +281,8 @@ object DuckDialect {
     "string_to_array" -> "split",
     // arg_max/arg_min ≡ max_by/min_by: both engines return the arg at the
     // extremal value and ignore NULL ordering values (verified on the
-    // 1.0.0 oracle and Spark 4.1.2 side by side). NOT mapped:
-    // list_concat (DuckDB treats a NULL list as empty, Spark's concat
-    // returns NULL — silent divergence).
+    // 1.0.0 oracle and Spark 4.1.2 side by side). list_concat's
+    // NULL-as-empty semantics are handled structurally in rewriteListFns.
     "arg_max" -> "max_by",
     "argmax" -> "max_by",
     "arg_min" -> "min_by",
@@ -308,6 +308,94 @@ object DuckDialect {
       else ch.toString
     }
     "'" + escaped + "'"
+  }
+
+  /** List functions whose conventions DIFFER between the engines —
+    * rewritten structurally rather than renamed (reference kernels:
+    * `src/core_functions/scalar/list/` slice/concat/sort; every
+    * semantic below probed on the 1.0.0 oracle):
+    *
+    *   - `list_slice(l, b, e)` — 1-based INCLUSIVE endpoints, negative
+    *     = from-end, e<b → empty. Spark slice is (start, LENGTH), and a
+    *     negative length THROWS. Translated when b and e are integer
+    *     literals of the same sign: `slice(l, b, max(e-b+1, 0))` (the
+    *     length folds at translate time). Mixed-sign or non-literal
+    *     endpoints need the list size — left untranslated (loud
+    *     unknown-function failure, never a silently shifted window).
+    *   - `list_prepend(e, l)` → `array_prepend(l, e)` (argument order
+    *     swaps).
+    *   - `list_concat(a, b)` — NULL operand = empty list, but NULL when
+    *     BOTH are NULL; Spark concat is NULL-on-any-NULL. →
+    *     `CASE WHEN (a) IS NULL AND (b) IS NULL THEN NULL ELSE
+    *     concat(ifnull((a), array()), ifnull((b), array())) END`
+    *     (arguments re-render twice; SQL expressions are pure).
+    *   - `list_reverse_sort(l)` → `sort_array(l, false)` (both are
+    *     DESC NULLS LAST — probed); the comparator/NULL-order overload
+    *     stays untranslated.
+    */
+  private def rewriteListFns(toks: Vector[Tok]): Vector[Tok] = {
+    // depth-1 comma-split argument spans of the call opening at `open`
+    def argSpans(v: Vector[Tok], open: Int, close: Int): Vector[Vector[Tok]] = {
+      val out = Vector.newBuilder[Vector[Tok]]
+      var d = 0; var s = open + 1
+      for (j <- open to close) {
+        val t = v(j)
+        if (t.is("(") || t.is("[") || t.is("{")) d += 1
+        else if (t.is(")") || t.is("]") || t.is("}")) {
+          d -= 1; if (d == 0) { out += v.slice(s, j) }
+        }
+        else if (d == 1 && t.is(",")) { out += v.slice(s, j); s = j + 1 }
+      }
+      out.result()
+    }
+    def intLit(span: Vector[Tok]): Option[Long] =
+      span.filterNot(_.isWs) match {
+        case Vector(n) if n.kind == 5 && n.text.forall(_.isDigit) =>
+          Some(n.text.toLong)
+        case Vector(m, n) if m.is("-") && n.kind == 5 && n.text.forall(_.isDigit) =>
+          Some(-n.text.toLong)
+        case _ => None
+      }
+    var v = toks
+    var i = 0
+    while (i < v.length) {
+      val t = v(i)
+      val isCall = t.kind == 4 && {
+        val n = nextIdx(v, i); n < v.length && v(n).is("(")
+      }
+      if (isCall && Set("list_slice", "list_prepend", "list_concat",
+          "list_reverse_sort")(t.word)) {
+        val open = nextIdx(v, i)
+        val close = matching(v, open)
+        val args = argSpans(v, open, close).map(a => render(a).trim)
+        val spans = argSpans(v, open, close)
+        val repl: Option[String] = t.word match {
+          case "list_slice" if args.length == 3 =>
+            (intLit(spans(1)), intLit(spans(2))) match {
+              case (Some(b), Some(e)) if b.signum == e.signum && b != 0 && e != 0 =>
+                Some(s"slice((${args(0)}), $b, ${math.max(e - b + 1, 0L)})")
+              case _ => None
+            }
+          case "list_prepend" if args.length == 2 =>
+            Some(s"array_prepend((${args(1)}), (${args(0)}))")
+          case "list_concat" if args.length == 2 =>
+            Some(s"(CASE WHEN (${args(0)}) IS NULL AND (${args(1)}) IS NULL " +
+              s"THEN NULL ELSE concat(ifnull((${args(0)}), array()), " +
+              s"ifnull((${args(1)}), array())) END)")
+          case "list_reverse_sort" if args.length == 1 =>
+            Some(s"sort_array((${args(0)}), false)")
+          case _ => None
+        }
+        repl match {
+          case Some(r) =>
+            v = v.take(i) ++ tokenize(r) ++ v.drop(close + 1)
+            // re-examine from i: the rendered args may contain nested
+            // list_* calls that still need this rewrite
+          case None => i += 1
+        }
+      } else i += 1
+    }
+    v
   }
 
   private def rewriteFunctions(toks: Vector[Tok]): Vector[Tok] = {
@@ -2074,6 +2162,7 @@ object DuckDialect {
     toks = rewriteBraces(toks)
     toks = rewriteBrackets(toks)
     toks = rewriteIntDiv(toks)
+    toks = rewriteListFns(toks)
     toks = rewriteFunctions(toks)
     toks = rewriteStrftime(toks)
     toks = rewriteExclude(toks)

@@ -142,6 +142,23 @@ object DuckSqlQueries {
       |  array_to_string(list_append(list_value(1, 2), n_regionkey), ',') AS appended
       |FROM nation""".stripMargin
 
+  /** The structurally-rewritten list functions (rewriteListFns; every
+    * semantic probed on 1.0.0): inclusive-endpoint slice (positive and
+    * negative windows, e<b → empty), argument-swapped prepend,
+    * NULL-as-empty concat (incl. a genuinely-NULL operand), and
+    * reverse sort (DESC NULLS LAST on both engines) — the identical raw
+    * string runs on DuckDB. */
+  val listFuncs2Sql: String =
+    """SELECT n_nationkey,
+      |  array_to_string(list_slice(list_value(5, n_regionkey, 1, 4), 2, 3), ',') AS sl,
+      |  array_to_string(list_slice(list_value(5, n_regionkey, 1, 4), -3, -1), ',') AS sl_neg,
+      |  array_length(list_slice(list_value(1, 2, 3), 3, 2)) AS sl_empty,
+      |  array_to_string(list_prepend(n_regionkey, list_value(1, 2)), ',') AS prep,
+      |  array_to_string(list_concat(list_value(n_nationkey), list_value(7, 8)), ',') AS cat,
+      |  array_to_string(list_concat(NULL, list_value(n_regionkey)), ',') AS cat_null,
+      |  array_to_string(list_reverse_sort(list_value(3, n_regionkey, 1)), ',') AS rsorted
+      |FROM nation""".stripMargin
+
   /** Window null treatment, DuckDB spelling (clause inside the argument
     * list — the translator moves it after the call for Spark): last
     * non-NULL value carried forward (the gap-fill idiom), first/nth over
@@ -500,6 +517,7 @@ object DuckSqlQueries {
     "ducksql_columns_regex" -> via(columnsRegexSql),
     "ducksql_filter_ilike" -> via(filterIlikeSql),
     "ducksql_list_funcs" -> via(listFuncsSql),
+    "ducksql_list_funcs2" -> via(listFuncs2Sql),
     "ducksql_ignore_nulls" -> via(ignoreNullsSql),
     "ducksql_asof" -> via(asofLeftSql),
     "ducksql_asof_lateral" -> via(asofLateralSql),
@@ -549,6 +567,7 @@ object DuckSqlQueries {
     "ducksql_columns_regex" -> columnsRegexSql,
     "ducksql_filter_ilike" -> filterIlikeSql,
     "ducksql_list_funcs" -> listFuncsSql,
+    "ducksql_list_funcs2" -> listFuncs2Sql,
     "ducksql_ignore_nulls" -> ignoreNullsSql,
     "ducksql_asof" -> asofLeftSql,
     "ducksql_asof_lateral" -> asofLateralSql,

@@ -31,8 +31,24 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(translate("SELECT regexp_matches(a, 'p') FROM t").contains("regexp_like(a, 'p')"))
     assert(translate("SELECT list_sort(l), array_to_string(l, '-'), list_max(l) FROM t")
       .contains("array_sort(l), array_join(l, '-'), array_max(l)"))
-    // incompatible conventions stay untouched (documented, not guessed)
-    assert(translate("SELECT list_slice(l, 2, 3) FROM t").contains("list_slice(l, 2, 3)"))
+    // structurally different list fns rewrite (round 14; probed on 1.0.0)
+    assert(norm(translate("SELECT list_slice(l, 2, 4) FROM t"))
+      .contains("slice((l), 2, 3)"))
+    assert(norm(translate("SELECT list_slice(l, -3, -1) FROM t"))
+      .contains("slice((l), -3, 3)"))
+    assert(norm(translate("SELECT list_slice(l, 3, 2) FROM t"))
+      .contains("slice((l), 3, 0)"), "e<b folds to an empty window, never a negative length")
+    // non-literal / mixed-sign endpoints need the list size: untouched
+    // (loud unknown-function failure downstream, never a shifted window)
+    assert(translate("SELECT list_slice(l, a, b) FROM t").contains("list_slice(l, a, b)"))
+    assert(translate("SELECT list_slice(l, 2, -1) FROM t").contains("list_slice(l, 2, -1)"))
+    assert(norm(translate("SELECT list_prepend(0, l) FROM t"))
+      .contains("array_prepend((l), (0))"))
+    assert(norm(translate("SELECT list_reverse_sort(l) FROM t"))
+      .contains("sort_array((l), false)"))
+    val lc = norm(translate("SELECT list_concat(a, b) FROM t"))
+    assert(lc.contains("WHEN (a) IS NULL AND (b) IS NULL THEN NULL") &&
+      lc.contains("concat(ifnull((a), array()), ifnull((b), array()))"))
   }
 
   test("string_split's literal separator is regex-escaped for Spark's split") {
