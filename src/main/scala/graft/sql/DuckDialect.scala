@@ -1242,14 +1242,35 @@ object DuckDialect {
     * struct(gp.* re-spelled, gy)) — a NULL pad element's field access
     * yields NULL, preserving the pad.
     *
-    * Scope (refuse-loudly elsewhere): the OUTERMOST depth-0 select list
-    * of a SELECT-first statement; every unnest item must be the literal
+    * Scope (refuse-loudly elsewhere): each SELECT block's depth-0
+    * select list — the statement head and, via recursion, every
+    * parenthesized subquery / CTE body; every unnest item must be the literal
     * `unnest(expr) [AS] alias` form WITH an alias (the engines' auto
     * names differ); no DISTINCT quantifier; no depth-0 GROUP/HAVING/
     * WINDOW/QUALIFY tail (their evaluation order vs the zip is not a
     * text-level rewrite). Single-unnest lists pass through untouched
     * (the explode rename covers them). */
   private def rewriteUnnestZip(toks: Vector[Tok]): Vector[Tok] = {
+    // recurse into parenthesized blocks first (subqueries, CTE bodies),
+    // then rewrite this block's own select list
+    val rec = {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i).is("(")) {
+          val close = matching(toks, i)
+          out += sym("(")
+          out ++= rewriteUnnestZip(toks.slice(i + 1, close))
+          out += sym(")")
+          i = close + 1
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    rewriteUnnestZipBlock(rec)
+  }
+
+  private def rewriteUnnestZipBlock(toks: Vector[Tok]): Vector[Tok] = {
     val first = toks.indexWhere(!_.isWs)
     if (first < 0 || toks(first).word != "select") return toks
     def hasUnnestCall(ts: Vector[Tok]): Boolean =

@@ -370,6 +370,10 @@ class DuckDialectSpec extends AnyFunSuite {
     // single unnest keeps the plain explode rename
     assert(norm(translate("SELECT unnest(a) AS x FROM t"))
       == "SELECT explode(a) AS x FROM t")
+    // CTE bodies and subqueries rewrite through the block recursion
+    val tc = norm(translate(
+      "WITH z AS (SELECT unnest(a) AS x, unnest(b) AS y FROM t) SELECT x, y FROM z"))
+    assert(tc.startsWith("WITH z AS (SELECT graft_zip.graft_u0 AS x"), tc)
     def refused(s: String) = intercept[GraftSqlException](translate(s))
     assert(refused("SELECT unnest(a), unnest(b) FROM t")
       .getMessage.contains("alias"))
