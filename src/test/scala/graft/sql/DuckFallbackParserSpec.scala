@@ -115,9 +115,12 @@ class DuckFallbackParserSpec extends SparkSpec {
     refusal("SELECT l[1] FROM t", "element_at")
     refusal("SELECT a // 2.5 FROM t", "floor(a / b)")
     refusal("SELECT enum_first(NULL::mood) FROM t", "ENUM", "array_position")
-    // lineitem is NOT a view in this suite's session catalog, so the
-    // session-aware expansion falls through to the loud refusal
-    refusal("SELECT COLUMNS('l_.*') FROM lineitem", "COLUMNS", "schema")
+    // COLUMNS expands through the ACTIVE session's catalog since round
+    // 14, so the refusal pin must use a table NO catalog resolves —
+    // `lineitem` may be a live temp view here when another suite's
+    // Tables.sql ran first on this test thread (full-suite order)
+    refusal("SELECT COLUMNS('l_.*') FROM graft_no_such_catalog_table",
+      "COLUMNS", "schema")
     refusal("SELECT DISTINCT ON (g) g FROM t", "ORDER BY")
     refusal("SELECT * FROM a POSITIONAL JOIN b", "POSITIONAL", "positionalJoin")
     // refused constructs never slip through the session fallback as
