@@ -579,8 +579,72 @@ object Dedup {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"))
 
+  /** Test-set DECONTAMINATION — the training-data gate next to dedup
+    * (Brown et al. 2020, GPT-3 §4 / appendix C: drop training documents
+    * sharing any 13-gram with a benchmark; Dodge et al. 2021 measured
+    * exactly this contamination in C4): flag every training document
+    * that shares at least one n-token gram with the EVAL SET. The eval
+    * set here is the deterministic fixture subset doc_id % 31 == 0
+    * (standing in for the separately-loaded benchmark corpus — the
+    * operator itself only sees two relations); n = 8 fits the
+    * fixture's short synthetic docs (GPT-3 used 13 on web text).
+    *
+    * Output: one row per TRAINING doc (eval docs excluded by
+    * construction, as a real split is) — distinct shared-gram count +
+    * the contaminated flag a curation pipeline filters on.
+    *
+    * Scale posture: gram construction reuses [[shingleHashes]] (one
+    * scan → explode → per-doc distinct hash-identity grams — the exact
+    * machinery dedup_minhash runs); the eval gram set is BROADCAST
+    * (benchmarks are 10⁴–10⁷ grams — MBs; an eval set too big to
+    * broadcast degrades to the same shuffle join on `h`); the per-doc
+    * hit count is one map-side-combining aggregate on doc_id. Nothing
+    * is quadratic; the training corpus is touched once. */
+  def pipelineDecontaminate(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val isEval = pmod(col("doc_id"), lit(31)) === 0
+    val train = docs.filter(!isEval)
+    val evalGrams = broadcast(
+      shingleHashes(docs.filter(isEval), "text", n).select(col("h")).distinct())
+    val hits = shingleHashes(train, "text", n)
+      .join(evalGrams, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The identical gram construction + overlap count in the oracle
+    * dialect (the [[minhashVerifiedCtes]] shingle spelling at n = 8). */
+  val pipelineDecontaminateSql: String = {
+    val gramCte =
+      raw"""w AS (
+         |  SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, ${hash64Sql("0", "unnest(list_distinct(" +
+           "[array_to_string(w[i:i+7], ' ') FOR i IN range(1, greatest(len(w)-7, 1)+1)]))")} AS h
+         |  FROM w)""".stripMargin
+    s"""WITH $gramCte,
+       |ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 31 = 0),
+       |tr AS (SELECT doc_id, h FROM g WHERE doc_id % 31 <> 0),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM tr JOIN ev USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(hits.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+       |  coalesce(hits.n_shared, CAST(0 AS BIGINT)) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 31 <> 0) d
+       |LEFT JOIN hits USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (pipelineCurate _),
+    "pipeline_decontaminate" ->
+      ((s: SparkSession, dir: String) => pipelineDecontaminate(s, dir)),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -730,5 +794,6 @@ object Dedup {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "pipeline_curate" -> pipelineCurateSql)
+    "pipeline_curate" -> pipelineCurateSql,
+    "pipeline_decontaminate" -> pipelineDecontaminateSql)
 }

@@ -17,6 +17,27 @@ class DedupSpec extends SparkSpec {
     assert(viaNgram.subsetOf(viaMinhash) && viaMinhash == viaNgram)
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
+    // hand-built corpus: eval doc = id 0 (0 % 31 == 0); id 1 embeds an
+    // exact 8-token run from it; id 2 shares 7 tokens (one short of a
+    // gram); id 3 is disjoint
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (0L, evalText),
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta theta trailer"),
+      (2L, "alpha beta gamma delta epsilon zeta eta other tail words here"),
+      (3L, "completely unrelated content with none of those tokens at all"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam_").toString
+    corpus.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.pipelineDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "eval docs excluded from the output")
+    assert(got(1L) == ((1L, true)), s"one shared 8-gram: ${got(1L)}")
+    assert(got(2L) == ((0L, false)), "a 7-token overlap is below the gram size")
+    assert(got(3L) == ((0L, false)))
+  }
+
   test("shingleHashes widens narrow input but adds no exchange to wide input") {
     def physical(df: org.apache.spark.sql.DataFrame): String =
       Dedup.shingleHashes(df, "text", 3).queryExecution.executedPlan.toString
