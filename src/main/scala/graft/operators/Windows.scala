@@ -320,7 +320,81 @@ object Windows {
       |    AS cents_1h
       |FROM events""".stripMargin
 
+  /** GROUPS frame mode — frame bounds counted in PEER GROUPS (maximal
+    * runs of rows tied on the ORDER BY key) rather than rows or values.
+    * The reference raises "GROUPS mode for window functions is not
+    * implemented yet" (reference `src/execution/window_segment_tree.cpp`
+    * path via `window_expression.hpp:16-27` WindowBoundary), and so does
+    * the DuckDB 1.0.0 oracle — so this is implemented BEYOND the
+    * reference, from the SQL:2011 definition, via an exact relational
+    * equivalence instead of a new executor mode:
+    *
+    *   dense_rank() numbers peer groups 1,2,3,… consecutively, so
+    *   GROUPS BETWEEN p PRECEDING AND f FOLLOWING over (K ORDER BY v)
+    *     ≡ RANGE BETWEEN p PRECEDING AND f FOLLOWING over
+    *       (K ORDER BY dense_rank() OVER (K ORDER BY v))
+    *
+    * (consecutiveness is what makes RANGE-on-the-rank hit exactly the
+    * groups at distance ≤ p/f — a gap-free integer ordering; rank()
+    * would NOT work, its gaps skip groups). EXCLUDE GROUP / EXCLUDE
+    * TIES compose exactly as in [[winExcludeGroup]] — the peer group is
+    * the grp = grp slice (RANGE CURRENT ROW..CURRENT ROW on the rank),
+    * and a GROUPS frame containing the current row always contains its
+    * whole peer group, so frame − peers (resp. + current row) is exact;
+    * empty survivor sets go to NULL, the SQL-standard empty-frame sum.
+    *
+    * The oracle runs the SAME equivalence spelled in portable SQL (both
+    * grammars parse it), so the pin verifies the GROUPS semantics
+    * end-to-end, not one engine against itself. Scale posture: both
+    * window passes share one hash partitioning on l_returnflag — one
+    * shuffle, two sorted passes (Spark cannot know grp is monotone in
+    * l_quantity, so it re-sorts; the exchange is reused). */
+  def winGroups(s: SparkSession, dir: String): DataFrame = {
+    val part = col("l_returnflag")
+    val g = Tables.t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+      .withColumn("grp",
+        dense_rank().over(Window.partitionBy(part).orderBy(col("l_quantity"))))
+    val byGrp = Window.partitionBy(part).orderBy(col("grp"))
+    val w11 = byGrp.rangeBetween(-1, 1)          // GROUPS 1 PRECEDING..1 FOLLOWING
+    val wU1 = byGrp.rangeBetween(Window.unboundedPreceding, 1)
+    val wP = byGrp.rangeBetween(0, 0)            // the current peer group
+    val frameSum = sum(dec(col("l_quantity"))).over(w11)
+    val peerSum = sum(dec(col("l_quantity"))).over(wP)
+    val nFrame = count(lit(1)).over(w11)
+    val nPeer = count(lit(1)).over(wP)
+    g.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      col("l_quantity"),
+      nFrame.as("n_g11"),
+      frameSum.cast("double").as("qty_g11"),
+      count(lit(1)).over(wU1).as("n_gu1f"),
+      when(nFrame - nPeer === 0, lit(null))
+        .otherwise(frameSum - peerSum).cast("double").as("qty_excl_grp"),
+      (nFrame - nPeer + 1).as("n_excl_ties"))
+  }
+
+  val winGroupsSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      |  count(*) OVER w1 AS n_g11,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w1 AS DOUBLE) AS qty_g11,
+      |  count(*) OVER wu AS n_gu1f,
+      |  CAST(CASE WHEN count(*) OVER w1 - count(*) OVER wp = 0 THEN NULL
+      |       ELSE sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w1
+      |          - sum(CAST(l_quantity AS DECIMAL(18,2))) OVER wp END
+      |       AS DOUBLE) AS qty_excl_grp,
+      |  count(*) OVER w1 - count(*) OVER wp + 1 AS n_excl_ties
+      |FROM (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      |        dense_rank() OVER (PARTITION BY l_returnflag
+      |                           ORDER BY l_quantity) AS grp
+      |      FROM lineitem WHERE l_orderkey < 1000) g
+      |WINDOW w1 AS (PARTITION BY l_returnflag ORDER BY grp
+      |              RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+      |       wu AS (PARTITION BY l_returnflag ORDER BY grp
+      |              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING),
+      |       wp AS (PARTITION BY l_returnflag ORDER BY grp
+      |              RANGE BETWEEN CURRENT ROW AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_groups" -> (winGroups _),
     "win_qualify" -> (winQualify _),
     "win_exclude" -> (winExclude _),
     "win_exclude_group" -> (winExcludeGroup _),
@@ -334,6 +408,7 @@ object Windows {
     "win_firstlast" -> (winFirstLast _))
 
   val oracle: Map[String, String] = Map(
+    "win_groups" -> winGroupsSql,
     "win_qualify" -> winQualifySql,
     "win_exclude" -> winExcludeSql,
     "win_exclude_group" -> winExcludeGroupSql,

@@ -167,13 +167,90 @@ object Chunking {
       |    x -> x.ty), '|') AS recent
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Global training-shard assignment — the step after curation that a
+    * 100 TB pipeline runs LAST: place every document at a deterministic
+    * pseudo-random position (ORDER BY md5(doc_id) — the reproducible
+    * corpus shuffle), then cut the stream into fixed-token-budget shards
+    * by cumulative token count, so shard k holds the documents whose
+    * running total falls in [k·budget, (k+1)·budget). Unlike
+    * [[pack]]/`text_pack` (per-BUCKET pack ids — parallel but only
+    * locally numbered), the shard id here is GLOBAL: the whole corpus
+    * gets one reproducible linear order and one shard numbering, which
+    * is what makes training-data order reproducible across a fleet.
+    *
+    * The global prefix sum is computed WITHOUT a single-partition
+    * window (the classic driver-bottleneck trap): two passes —
+    *   1. bucket = first 2 hex chars of the md5 key (256 buckets);
+    *      within-bucket cumulative sums via one window per bucket
+    *      (md5 order within ≡ md5 order globally, because the bucket
+    *      prefix is the key's own leading bytes);
+    *   2. per-bucket totals (256 rows) get their own running offset —
+    *      an O(buckets) window, independent of corpus size — and
+    *      broadcast-join back.
+    * cum_before = bucket_offset + within_bucket_cum − own tokens, all
+    * exact BIGINT arithmetic, so the assignment is bit-identical under
+    * any partitioning. The oracle spells the same quantity as ONE
+    * global window — the semantic definition — proving the
+    * distributed two-pass decomposition exact. */
+  def shardByBudget(docs: DataFrame, idCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .withColumn("__k", md5(col(idCol).cast("string").cast("binary")))
+      .withColumn("__b", substring(col("__k"), 1, 2))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__k"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = keyed.withColumn("__cum_in", sum(col(tokensCol)).over(wIn))
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__b"))
+      .agg(sum(col(tokensCol)).as("__btot"))
+      .withColumn("__off", coalesce(sum(col("__btot")).over(wB), lit(0L)))
+      .select(col("__b"), col("__off"))
+    cumIn.join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum_before",
+        (col("__off") + col("__cum_in") - col(tokensCol)).cast("long"))
+      .withColumn("shard", expr(s"cum_before DIV ${budget}L"))
+      .drop("__b", "__k", "__cum_in", "__off")
+  }
+
+  /** Driver-gate entry: shard the documents corpus at a 2,000-token
+    * budget (≈14 shards at sf0.01, ≈135 at sf0.1 — scale-covariant by
+    * construction) using the whitespace token count of the normalized
+    * text. */
+  def pipelineShard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(Dedup.normalized(col("text")), " ")).cast("long")
+          .as("n_tokens"))
+    shardByBudget(docs, "doc_id", "n_tokens", budget = 2000L)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"), col("shard"))
+  }
+
+  val pipelineShardSql: String =
+    raw"""WITH d AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+       |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+       |         AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, n_tokens,
+       |  CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |       - n_tokens AS BIGINT) AS cum_before,
+       |  CAST((sum(n_tokens) OVER (ORDER BY k, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |       - n_tokens) // 2000 AS BIGINT) AS shard
+       |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shard" -> (pipelineShard _),
     "seq_user_events" -> (seqUserEvents _),
     "text_chunk" -> (textChunk _),
     "text_pack" -> (textPack _),
     "pipeline_prepare" -> (pipelinePrepare _))
 
   val oracle: Map[String, String] = Map(
+    "pipeline_shard" -> pipelineShardSql,
     "seq_user_events" -> seqUserEventsSql,
     "text_chunk" -> textChunkSql,
     "text_pack" -> textPackSql,

@@ -367,7 +367,144 @@ object TextAnalysis {
        |  doc_id, n_hit, n_adj, score_q
        |FROM agg ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** Retrieval-quality metrology — NDCG@10 and MRR of the integer-exact
+    * BM25 ranking ([[searchBm25]]'s scorer) against term-coverage
+    * relevance labels, over a small evaluation query set — the eval loop
+    * every retrieval pipeline runs next to the ranker itself (as
+    * `ann_recall` does for the ANN operators). Relevance is graded:
+    * rel(q, doc) = number of distinct query terms the document contains;
+    * the ideal ranking orders by rel. All metric arithmetic stays exact
+    * across engines: the DCG position discounts 1/log2(rank+1) are a
+    * LITERAL micro-unit table (round(1e6/log2(r+1)), identical integers
+    * on both sides), so DCG@10 and IDCG@10 are exact BIGINT sums;
+    * NDCG = round(dcg/idcg, 6); MRR is over the FULL-coverage event
+    * (first rank with rel = |q|) as 1000000 DIV rank — integer-exact,
+    * 0 when no document matches every term.
+    *
+    * Scale posture: one postings pass shared across eval queries (the
+    * query list broadcast onto the token stream); the per-query rank
+    * windows partition by qid — each partition holds one query's
+    * candidate postings, the standard eval fan-out; with a corpus-sized
+    * candidate set per query the scale path is per-partition top-k heaps
+    * (TakeOrderedAndProject per qid) feeding the same literal-table
+    * metric arithmetic, since only ranks ≤ k contribute. */
+  def searchNdcg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val evalQ = Seq(
+      1L -> "dup", 1L -> "vector", 1L -> "hash",
+      2L -> "key", 2L -> "merge",
+      3L -> "scan", 3L -> "sort", 3L -> "join", 3L -> "data")
+    val qdf = broadcast(evalQ.toDF("qid", "term"))
+    val nterms = broadcast(qdf.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_terms")))
+    val wMap = typedLit(Map(
+      1 -> 1000000L, 2 -> 630930L, 3 -> 500000L, 4 -> 430677L,
+      5 -> 386853L, 6 -> 356207L, 7 -> 333333L, 8 -> 315465L,
+      9 -> 301030L, 10 -> 289065L))
+    val docs = Tables.t(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(Dedup.normalized(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = broadcast(
+      dl.agg(sum(col("dl")).as("l_tot"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs"))))
+    val qtf = toks.join(qdf, Seq("term"))
+      .groupBy(col("qid"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = broadcast(
+      qtf.groupBy(col("qid"), col("term")).agg(count(lit(1)).as("df")))
+    val scored = qtf.join(dfq, Seq("qid", "term")).join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .withColumn("s",
+        expr("""((2*(n_docs - df) + 1) * 1000000 DIV (2*df + 1))
+               | * ((44*tf*l_tot*1000000)
+               |    DIV (20*tf*l_tot + 6*l_tot + 18*dl*n_docs))
+               | DIV 1000000""".stripMargin))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("rel"), sum(col("s")).as("score_q"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    val wIdeal = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val ranked = scored
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("irank", row_number().over(wIdeal))
+    ranked.join(nterms, Seq("qid"))
+      .groupBy(col("qid"), col("n_terms"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("rank") <= 10,
+          col("rel") * element_at(wMap, col("rank"))).otherwise(0L)).as("dcg"),
+        sum(when(col("irank") <= 10,
+          col("rel") * element_at(wMap, col("irank"))).otherwise(0L)).as("idcg"),
+        min(when(col("rel") === col("n_terms"), col("rank")))
+          .cast("long").as("full_rank"))
+      .select(col("qid"), col("n_cand"), col("dcg"), col("idcg"),
+        round(col("dcg").cast("double") / col("idcg"), 6).as("ndcg"),
+        expr("CAST(coalesce(1000000 DIV full_rank, 0) AS BIGINT)")
+          .as("rr_micro"),
+        col("full_rank"))
+  }
+
+  /** The identical metric arithmetic in the oracle dialect — same
+    * literal discount table, same total orders, same integer BM25. */
+  val searchNdcgSql: String =
+    raw"""WITH q(qid, term) AS (VALUES
+       |    (1,'dup'),(1,'vector'),(1,'hash'),
+       |    (2,'key'),(2,'merge'),
+       |    (3,'scan'),(3,'sort'),(3,'join'),(3,'data')),
+       |w(r, wt) AS (VALUES
+       |    (1,1000000),(2,630930),(3,500000),(4,430677),(5,386853),
+       |    (6,356207),(7,333333),(8,315465),(9,301030),(10,289065)),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+       |  FROM documents),
+       |tok2 AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+       |stats AS (SELECT (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS l_tot,
+       |                 (SELECT count(*) FROM documents) AS n_docs),
+       |qtf AS (SELECT qid, doc_id, t.term, count(*) AS tf
+       |        FROM tok2 t JOIN q ON q.term = t.term
+       |        GROUP BY qid, doc_id, t.term),
+       |dfq AS (SELECT qid, term, count(*) AS df FROM qtf GROUP BY qid, term),
+       |scored AS (
+       |  SELECT t.qid, t.doc_id,
+       |    (((2*(n_docs - df) + 1) * 1000000 // (2*df + 1))
+       |     * ((44*tf*l_tot*1000000)
+       |        // (20*tf*l_tot + 6*l_tot + 18*d.dl*n_docs)))
+       |     // 1000000 AS s
+       |  FROM qtf t JOIN dfq USING (qid, term)
+       |       JOIN dl d ON d.doc_id = t.doc_id, stats),
+       |agg AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS rel,
+       |               CAST(sum(s) AS BIGINT) AS score_q
+       |        FROM scored GROUP BY qid, doc_id),
+       |ranked AS (SELECT *,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY score_q DESC, doc_id) AS rank,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY rel DESC, doc_id) AS irank
+       |  FROM agg),
+       |ranked2 AS (SELECT r.*, coalesce(w1.wt, 0) AS wr, coalesce(w2.wt, 0) AS wi
+       |  FROM ranked r LEFT JOIN w w1 ON w1.r = r.rank
+       |                LEFT JOIN w w2 ON w2.r = r.irank),
+       |nt AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY qid),
+       |perq AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand,
+       |    CAST(sum(rel * wr) AS BIGINT) AS dcg,
+       |    CAST(sum(rel * wi) AS BIGINT) AS idcg,
+       |    min(CASE WHEN rel = n_terms THEN rank END) AS full_rank
+       |  FROM ranked2 JOIN nt USING (qid) GROUP BY qid)
+       |SELECT CAST(qid AS BIGINT) AS qid, n_cand, dcg, idcg,
+       |  round(CAST(dcg AS DOUBLE) / idcg, 6) AS ndcg,
+       |  CAST(coalesce(1000000 // full_rank, 0) AS BIGINT) AS rr_micro,
+       |  CAST(full_rank AS BIGINT) AS full_rank
+       |FROM perq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_ndcg" -> (searchNdcg _),
     "text_tfidf" -> (textTfidf _),
     "search_bm25" -> ((s: SparkSession, dir: String) => searchBm25(s, dir)),
     "search_bm25_multi" -> ((s: SparkSession, dir: String) => searchBm25Multi(s, dir)),
@@ -848,6 +985,7 @@ object TextAnalysis {
     "text_tfidf" -> textTfidfSql,
     "search_bm25" -> searchBm25Sql,
     "search_bm25_multi" -> searchBm25MultiSql,
+    "search_ndcg" -> searchNdcgSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_vocab" -> textVocabSql,
     "text_lm_score" -> textLmScoreSql,

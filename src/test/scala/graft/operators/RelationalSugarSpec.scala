@@ -40,6 +40,35 @@ class RelationalSugarSpec extends SparkSpec {
       (2, 3, None)))       // frame {NULL,NULL}, excl self → {NULL} → NULL
   }
 
+  test("win_groups: GROUPS frames match a brute-force peer-group scan") {
+    // Independent oracle for the dense_rank/RANGE equivalence: per
+    // partition, number the distinct ORDER-BY values (the peer groups),
+    // then recompute every GROUPS-frame aggregate by scanning rows whose
+    // group index is within the bound — the SQL:2011 definition, no
+    // window functions involved.
+    val rows = Windows.winGroups(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val qtyOf = (r: org.apache.spark.sql.Row) =>
+      BigDecimal.valueOf(r.getAs[Number]("l_quantity").doubleValue)
+    rows.groupBy(_.getAs[String]("l_returnflag")).foreach { case (_, part) =>
+      val groups = part.map(qtyOf).distinct.sorted.zipWithIndex.toMap
+      part.foreach { r =>
+        val g = groups(qtyOf(r))
+        val in11 = part.filter(x => math.abs(groups(qtyOf(x)) - g) <= 1)
+        val inU1 = part.filter(x => groups(qtyOf(x)) <= g + 1)
+        val peers = part.filter(x => groups(qtyOf(x)) == g)
+        assert(r.getAs[Long]("n_g11") === in11.length.toLong)
+        assert(r.getAs[Double]("qty_g11") === in11.map(qtyOf).sum.toDouble)
+        assert(r.getAs[Long]("n_gu1f") === inU1.length.toLong)
+        val exclGrp = in11.length - peers.length
+        if (exclGrp == 0) assert(r.isNullAt(r.fieldIndex("qty_excl_grp")))
+        else assert(r.getAs[Double]("qty_excl_grp") ===
+          (in11.map(qtyOf).sum - peers.map(qtyOf).sum).toDouble)
+        assert(r.getAs[Long]("n_excl_ties") === (exclGrp + 1).toLong)
+      }
+    }
+  }
+
   test("globalPosition numbers NULL keys LAST (DuckDB row_number parity)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

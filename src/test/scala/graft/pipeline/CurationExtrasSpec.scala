@@ -8,6 +8,46 @@ import org.apache.spark.sql.functions._
   * int8 scalar-quantization audit. */
 class CurationExtrasSpec extends SparkSpec {
 
+  test("pipeline_shard: two-pass prefix sum equals the single-order fold; shards cut at the budget") {
+    // Recompute the GLOBAL cumulative token count with a driver-side
+    // fold over the same (md5(doc_id), doc_id) order — the semantic
+    // definition the distributed bucket-offset decomposition must match
+    // bit-for-bit.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(v: String): String =
+      md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Chunking.pipelineShard(spark, sf()).collect()
+    assert(rows.length > 100)
+    val ordered = rows.sortBy(r =>
+      (md5hex(r.getAs[Long]("doc_id").toString), r.getAs[Long]("doc_id")))
+    var cum = 0L
+    ordered.foreach { r =>
+      assert(r.getAs[Long]("cum_before") === cum)
+      assert(r.getAs[Long]("shard") === cum / 2000L)
+      cum += r.getAs[Long]("n_tokens")
+    }
+    // shards are dense 0..max (no budget-sized hole can skip an id when
+    // every document is far smaller than the budget at this SF)
+    val shards = rows.map(_.getAs[Long]("shard")).distinct.sorted
+    assert(shards.head === 0L && shards === (0L to shards.max).toArray.toSeq)
+  }
+
+  test("search_ndcg: metric invariants — idcg bounds dcg, ndcg in (0,1], rr mirrors full rank") {
+    val rows = TextAnalysis.searchNdcg(spark, sf()).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val dcg = r.getAs[Long]("dcg"); val idcg = r.getAs[Long]("idcg")
+      assert(idcg > 0 && idcg >= dcg)
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg > 0.0 && ndcg <= 1.0)
+      assert(math.abs(ndcg - dcg.toDouble / idcg) < 1e-6)
+      val frIdx = r.fieldIndex("full_rank")
+      val rr = r.getAs[Long]("rr_micro")
+      if (r.isNullAt(frIdx)) assert(rr === 0L)
+      else assert(rr === 1000000L / r.getAs[Long](frIdx))
+    }
+  }
+
   test("text_tfidf: at most 3 ranked terms per doc, scores non-increasing, df sane") {
     val rows = TextAnalysis.textTfidf(spark, sf()).collect()
     val nDocs = graft.Tables.t(spark, sf(), "documents").count()
