@@ -38,6 +38,7 @@ object SparkEntry {
       pipeline.Clustering.queries ++
       pipeline.TextAnalysis.queries ++
       pipeline.Mixture.queries ++
+      pipeline.Bpe.queries ++
       pipeline.Chunking.queries ++
       pipeline.Multimodal.queries ++
       sources.DmlQueries.queries ++
@@ -68,6 +69,7 @@ object SparkEntry {
       pipeline.Clustering.oracle ++
       pipeline.TextAnalysis.oracle ++
       pipeline.Mixture.oracle ++
+      pipeline.Bpe.oracle ++
       pipeline.Chunking.oracle ++
       pipeline.Multimodal.oracle ++
       sources.DmlQueries.oracle ++

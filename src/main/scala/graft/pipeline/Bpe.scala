@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Byte-pair-encoding tokenizer TRAINING over the corpus — the pipeline
+  * stage that sits between curation and tokenization in every LLM data
+  * flow (Sennrich et al. 2016; the reference's scope covers the
+  * analytics up to this seam — `TextAnalysis` counts BPE-ish tokens,
+  * this trains the merges that define them).
+  *
+  * The classic algorithm: collapse the corpus to a WORD-COUNT table
+  * (vocabulary-sized, orders of magnitude smaller than the corpus —
+  * this is the only corpus-wide pass), split each word into character
+  * symbols, then repeatedly (a) count adjacent symbol pairs weighted by
+  * word count, (b) merge the most frequent pair everywhere. Distributed
+  * posture: step (a) is one map-side-combining aggregation over the
+  * word table; the driver collects ONLY the argmax pair — O(1) rows per
+  * round, never the table; step (b) is a pure Catalyst `aggregate` fold
+  * over each word's symbol array (greedy LEFT-to-right, the BPE
+  * contract: with pair (a,a), "a a a" → "aa a") — no UDFs, so the whole
+  * round stays in codegen. At 100 TB the word table is the standard
+  * ~10⁶-row vocabulary: rounds are seconds each regardless of corpus
+  * size, because the corpus is touched exactly once.
+  *
+  * Determinism: argmax ties break on the lexicographically smaller
+  * pair, so the merge sequence is a pure function of the word counts
+  * under any partitioning.
+  */
+object Bpe {
+
+  /** Word-count table of the normalized corpus (words of ≥2 chars —
+    * single-char words carry no pairs and never change under merges). */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(Dedup.normalized(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent-pair weighted counts of a (syms: array<string>, cnt) frame:
+    * one explode of the zipped (head, tail) slices. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1))).as("pq"))
+      .groupBy(col("pq").getField("0").as("a"), col("pq").getField("1").as("b"))
+      .agg(sum(col("cnt")).as("n"))
+
+  /** Greedy left-to-right application of merge (a, b) → ab to a symbol
+    * array, as a Catalyst fold: append each symbol, except when the
+    * accumulator ends in `a` and the symbol is `b` — then replace the
+    * tail with the merged symbol. Consuming the `a` on merge is what
+    * makes overlaps resolve leftmost ("a a a" + (a,a) → ["aa","a"]). */
+  def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** One trained merge: (left, right, weighted count). */
+  final case class Merge(left: String, right: String, n: Long)
+
+  /** Train `rounds` BPE merges over a word-count frame. Returns the
+    * merge sequence and the final symbolized word table. Each round is
+    * one aggregation + a 1-row collect; the word table is cached and
+    * re-derived functionally (lineage grows by one projection per
+    * round — localCheckpoint every 8 rounds cuts it for long trains). */
+  def train(wordCnt: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
+    var words = wordCnt
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .cache()
+    val merges = Seq.newBuilder[Merge]
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val top = pairCounts(words)
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += Merge(a, b, n)
+        words = words.select(applyMerge(col("syms"), a, b).as("syms"),
+          col("cnt"))
+        if (r % 8 == 0) words = words.localCheckpoint()
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** Driver-gate entry (the oracled face of the trainer): the weighted
+    * adjacent CHARACTER-pair counts of the corpus vocabulary — exactly
+    * the argmax relation round 1 of [[train]] consumes — as the top-20
+    * with a total-order tie-break. A character pair of a raw word is
+    * just its 2-char substring, so the oracle needs no array zip. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val wc = wordCounts(Tables.t(s, dir, "documents"), "text")
+    wc.select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
+  val bpePairsSql: String =
+    raw"""WITH words AS (
+       |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+       |  FROM documents),
+       |wc AS (SELECT w, count(*) AS cnt FROM words WHERE len(w) >= 2 GROUP BY w),
+       |pairs AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, cnt
+       |  FROM wc, unnest(generate_series(1, len(w) - 1)) AS t(i))
+       |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM pairs
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pairs" -> (bpePairs _))
+
+  val oracle: Map[String, String] = Map(
+    "bpe_pairs" -> bpePairsSql)
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for the distributed BPE trainer: the merge fold's greedy-left
+  * contract, and the whole trainer against a sequential reference
+  * implementation on the real fixture vocabulary. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference: textbook BPE over an in-memory word-count
+    * map — same tie-break (count desc, then (a, b) ascending). */
+  private def referenceTrain(wc: Map[String, Long], rounds: Int)
+      : Seq[(String, String, Long)] = {
+    def mergeWord(syms: List[String], a: String, b: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    var words = wc.toSeq.map { case (w, n) => (w.split("").toList, n) }
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + n
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((a, b, n))
+        words = words.map { case (syms, c) => (mergeWord(syms, a, b), c) }
+      }
+    }
+    out.result()
+  }
+
+  test("applyMerge is greedy left-to-right: overlapping runs resolve leftmost") {
+    val df = Seq(
+      Seq("a", "a", "a"),
+      Seq("a", "b", "a", "b"),
+      Seq("x", "a", "b", "y"),
+      Seq("b", "a"),
+      Seq.empty[String]).toDF("syms")
+    val got = df.select(Bpe.applyMerge(col("syms"), "a", "b").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got === List(
+      List("a", "a", "a"),       // (a,b) absent — untouched
+      List("ab", "ab"),          // both pairs merge
+      List("x", "ab", "y"),
+      List("b", "a"),            // wrong order — no merge
+      List()))
+    val aa = df.select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(aa.head === List("aa", "a")) // leftmost wins, merged symbol is consumed
+  }
+
+  test("train matches the sequential reference on the fixture vocabulary (8 rounds)") {
+    val docs = graft.Tables.t(spark, sf(), "documents")
+    val wcDf = Bpe.wordCounts(docs, "text")
+    val wc = wcDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (merges, words) = Bpe.train(wcDf, rounds = 8)
+    val expected = referenceTrain(wc, 8)
+    assert(merges.map(m => (m.left, m.right, m.n)) === expected)
+    // the final word table preserves mass: every word reassembles exactly
+    val reassembled = words
+      .select(concat_ws("", col("syms")).as("w"), col("cnt"))
+      .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reassembled === wc)
+  }
+
+  test("bpe_pairs equals round-1 argmax relation of the trainer") {
+    val top = Bpe.bpePairs(spark, sf()).collect()
+    assert(top.length === 20)
+    // non-increasing counts, total-order tie-break
+    val ns = top.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (x, y) => x >= y })
+    // the #1 pair is the trainer's first merge
+    val (merges, _) = Bpe.train(
+      Bpe.wordCounts(graft.Tables.t(spark, sf(), "documents"), "text"), 1)
+    assert(top.head.getAs[String]("pair") === merges.head.left + merges.head.right)
+    assert(top.head.getAs[Long]("n") === merges.head.n)
+  }
+}
