@@ -501,6 +501,62 @@ object StreamingOps {
     }
   }
 
+  case class HhIn(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+    event_type: String)
+  case class HhState(counters: Map[String, (Long, Long)], nSeen: Long)
+  case class HhOut(user_id: Long, n_seen: Long, value: String, est: Long,
+    err: Long)
+
+  /** Streaming heavy hitters — the Space-Saving sketch
+    * (`agg_topk_sketch`'s batch aggregator) run as per-key streaming
+    * state: O(capacity) counters per key forever, the top-k snapshot
+    * re-emitted each micro-batch with a monotone n_seen marker (the
+    * latest snapshot per key has the max). The fold step IS the
+    * batch Aggregator's own `reduce` — one definition for both
+    * deployments, so the twin proof compares deployments of the same
+    * arithmetic (the `ewmaStream`/`scd2Stream` discipline). Events fold
+    * in the (ts, nanos, event_id) total order within each batch; the
+    * sketch itself is order-dependent BETWEEN evictions, which is why
+    * the twin proof replays the stream in the same global split order
+    * the one-shot fold sees. */
+  private val hhSketch =
+    new graft.functions.GraftAggregators.SpaceSavingAggregator(4, 3)
+
+  private def hhFold(rows: Seq[HhIn], st0: Map[String, (Long, Long)])
+      : Map[String, (Long, Long)] =
+    rows.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      .foldLeft(st0)((m, e) => hhSketch.reduce(m, e.event_type))
+
+  private def hhTopK(user: Long, n: Long,
+      m: Map[String, (Long, Long)]): Seq[HhOut] =
+    hhSketch.finish(m).map(h => HhOut(user, n, h.value, h.count_est, h.max_err))
+
+  /** Per-user streaming top-3 event types in 4 bounded counters. */
+  def heavyHittersStream(rows: Dataset[HhIn]): Dataset[HhOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HhState, HhOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[HhIn], state: GroupState[HhState]) =>
+          val st0 = state.getOption.getOrElse(HhState(Map.empty, 0L))
+          val batch = it.toSeq
+          val next = HhState(hhFold(batch, st0.counters),
+            st0.nSeen + batch.length)
+          state.update(next)
+          hhTopK(user, next.nSeen, next.counters).iterator
+      }
+  }
+
+  /** One-shot batch twin of [[heavyHittersStream]]: the same fold over
+    * each key's full history. */
+  def heavyHittersBatch(rows: Dataset[HhIn]): Dataset[HhOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id).flatMapGroups { (user, it) =>
+      val all = it.toSeq
+      hhTopK(user, all.length.toLong, hhFold(all, Map.empty)).iterator
+    }
+  }
+
   /** Static side of the streaming anomaly detector: per-type mean and
     * sample-sd of DAILY counts, learned offline from history — the
     * versioned profile a monitoring pipeline refreshes on its own cadence

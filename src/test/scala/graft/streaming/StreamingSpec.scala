@@ -332,6 +332,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: state hand-off equals the one-shot Space-Saving fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def at(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // 6 distinct types against capacity 4 → evictions fire, the
+    // order-dependent regime; user 2 sees the reversed type order so the
+    // two keys' sketches genuinely differ
+    val types = Seq("a", "a", "a", "b", "a", "c", "b", "d", "a", "e",
+      "b", "f", "a", "c", "a", "b", "a", "d", "e", "a")
+    val rows = for {
+      u <- 1L to 2L
+      (t, i) <- (if (u == 1L) types else types.reverse).zipWithIndex
+    } yield StreamingOps.HhIn(u, at(u * 10000 + i * 60), u * 1000 + i, t)
+    val src = MemoryStream[StreamingOps.HhIn]
+    val q = StreamingOps.heavyHittersStream(src.toDS())
+      .writeStream.format("memory").queryName("hh").outputMode("append").start()
+    try {
+      // per-key time-ordered micro-batches (prefix splits of each key's
+      // stream): the hand-off must reproduce the one-shot fold exactly
+      val batches = Seq(
+        rows.filter(_.event_id % 1000 < 7),
+        rows.filter(r => r.event_id % 1000 >= 7 && r.event_id % 1000 < 14),
+        rows.filter(_.event_id % 1000 >= 14))
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      val emitted = spark.table("hh").as[StreamingOps.HhOut].collect()
+      val fin = emitted.groupBy(_.user_id).view
+        .mapValues { es => val n = es.map(_.n_seen).max
+          es.filter(_.n_seen == n).toSet }.toMap
+      val batch = StreamingOps.heavyHittersBatch(rows.toDS()).collect()
+        .groupBy(_.user_id).view.mapValues(_.toSet).toMap
+      assert(fin == batch, s"stream $fin != batch $batch")
+      // Space-Saving guarantees against the true counts: tracked values
+      // satisfy est − err ≤ true ≤ est; 'a' (freq 8/20 > N/capacity) is
+      // always tracked and ranked first
+      for (u <- Seq(1L, 2L)) {
+        val truth = types.groupBy(identity).view.mapValues(_.length.toLong)
+        val snap = fin(u)
+        assert(snap.exists(_.value == "a"))
+        snap.foreach { h =>
+          val t = truth.getOrElse(h.value, 0L)
+          assert(h.est - h.err <= t && t <= h.est,
+            s"user $u ${h.value}: true $t outside [${h.est - h.err}, ${h.est}]")
+        }
+        assert(snap.maxBy(_.est).value == "a")
+        assert(snap.size <= 3) // top-k emission bound
+      }
+    } finally q.stop()
+  }
+
   test("streaming curation: quality gate, dedup, quota compose") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
