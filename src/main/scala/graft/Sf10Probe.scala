@@ -48,7 +48,9 @@ object Sf10Probe {
     val entries = sys.env.getOrElse("SPARK_GRAFT_PROBE_ENTRIES",
       "dedup_minhash,dedup_substring,pipeline_curate,h2o_median_sd,events_scd2")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val invariance = Set("dedup_minhash", "h2o_median_sd")
+    val invariance = sys.env.get("SPARK_GRAFT_PROBE_INVARIANCE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("dedup_minhash", "h2o_median_sd"))
     val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
       "bench_evidence/r14_sf10_probe.json")
 
