@@ -32,6 +32,35 @@ class CurationExtrasSpec extends SparkSpec {
     assert(shards.head === 0L && shards === (0L to shards.max).toArray.toSeq)
   }
 
+  test("pipeline_shard plan: bucket offsets broadcast; only the O(buckets) window is global") {
+    val qe = Chunking.pipelineShard(spark, sf()).queryExecution
+    val plan = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 256-row offset table must broadcast back onto the corpus")
+    assert(!plan.contains("CartesianProduct"))
+    // exactly two Window operators: the per-bucket cumsum (partitioned)
+    // and the bucket-offset cumsum (global — but over the post-aggregate
+    // O(buckets) relation, never the corpus)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    val wins = qe.optimizedPlan.collect { case w: Window => w }
+    assert(wins.length === 2)
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.length === 1)
+    assert(global.head.collectFirst { case a: Aggregate => a }.isDefined,
+      "the partition-less window must consume the bucket aggregate")
+  }
+
+  test("search_ndcg plan: query list and corpus scalars broadcast; no cartesian beyond them") {
+    val plan = TextAnalysis.searchNdcg(spark, sf()).queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the eval-query list must broadcast onto the postings stream")
+    assert(!plan.contains("CartesianProduct"),
+      "the only cross joins carry 1-row broadcast scalars (BroadcastNestedLoop)")
+  }
+
   test("search_ndcg: metric invariants — idcg bounds dcg, ndcg in (0,1], rr mirrors full rank") {
     val rows = TextAnalysis.searchNdcg(spark, sf()).collect()
     assert(rows.length === 3)
