@@ -90,6 +90,28 @@ object Bpe {
     (merges.result(), words)
   }
 
+  /** Tokenize with a TRAINED merge list — the deployment half of the
+    * tokenizer: apply the merges in training order (BPE's encode
+    * contract: merge priority = training order, each applied greedily
+    * left-to-right) to every word, then join segments back to one
+    * token stream per document. K merges = K chained [[applyMerge]]
+    * folds composed into ONE projection — a single codegen pass over
+    * the corpus, no shuffle, no UDF; the merge list is a plan-time
+    * constant exactly like a broadcast vocabulary. Output: one row per
+    * (doc, token) with the token's position — the relation a
+    * token-id lookup (vocab join) consumes. */
+  def encode(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val encodedWords = org.apache.spark.sql.functions.transform(
+      split(Dedup.normalized(col(textCol)), " "),
+      w => merges.foldLeft(split(w, "")) {
+        (acc, m) => applyMerge(acc, m.left, m.right)
+      })
+    docs
+      .withColumn("__tok", flatten(encodedWords))
+      .select(col("doc_id"),
+        posexplode(col("__tok")).as(Seq("pos", "token")))
+  }
+
   /** Driver-gate entry (the oracled face of the trainer): the weighted
     * adjacent CHARACTER-pair counts of the corpus vocabulary — exactly
     * the argmax relation round 1 of [[train]] consumes — as the top-20

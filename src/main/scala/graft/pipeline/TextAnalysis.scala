@@ -503,7 +503,66 @@ object TextAnalysis {
        |  CAST(full_rank AS BIGINT) AS full_rank
        |FROM perq""".stripMargin
 
+  /** Count-based bigram language-model TRAINING — the model behind
+    * `text_lm_score` (which scores with a fixed char-trigram table; this
+    * trains a word-bigram table from the corpus itself): within-document
+    * adjacent token pairs counted corpus-wide, add-1 smoothed over the
+    * corpus vocabulary, p(w2|w1) = (c12 + 1) / (ctx1 + V) — emitted in
+    * exact micro-units ((c12+1)·10⁶ DIV (ctx1+V)), so the whole model
+    * table is integer-deterministic across engines and partitionings.
+    * ctx1 is the CONTEXT count (bigrams starting at w1), the correct
+    * denominator (token counts would over-count document-final words).
+    *
+    * Scale posture: bigrams come from one zip of each token array with
+    * its own tail (a projection — no self-join, no positions shuffle);
+    * two map-side-combining aggregations (bigram, context); the V
+    * scalar broadcast; top-50 via TakeOrderedAndProject. This is the
+    * KenLM-style count pass — at 100 TB the bigram table is the only
+    * corpus-derived relation and it is vocabulary², sharded by w1. */
+  def lmBigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val ws = split(Dedup.normalized(col("text")), " ")
+    val pairs = docs.select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("pq"))
+      .select(col("pq.0").as("w1"), col("pq.1").as("w2"))
+    val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = bc.groupBy(col("w1")).agg(sum(col("c12")).as("ctx1"))
+    val vocab = broadcast(docs.select(explode(ws).as("t"))
+      .filter(length(col("t")) > 0)
+      .agg(countDistinct(col("t")).as("v")))
+    bc.join(ctx, Seq("w1")).crossJoin(vocab)
+      .select(col("w1"), col("w2"), col("c12"), col("ctx1"),
+        expr("(c12 + 1) * 1000000 DIV (ctx1 + v)").as("p_micro"))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(50)
+  }
+
+  /** The identical count pass and smoothing arithmetic in the oracle
+    * dialect (1-based list indexing replaces the zip). */
+  val lmBigramSql: String =
+    raw"""WITH d AS (
+       |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents),
+       |b AS (
+       |  SELECT ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i AS INTEGER) + 1] AS w2
+       |  FROM d, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+       |  WHERE len(ws) >= 2),
+       |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |       FROM b GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS ctx1 FROM bc GROUP BY w1),
+       |toks AS (
+       |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+       |  FROM documents),
+       |v AS (SELECT count(DISTINCT t) AS v FROM toks WHERE len(t) > 0)
+       |SELECT w1, w2, c12, ctx1,
+       |  CAST((c12 + 1) * 1000000 // (ctx1 + v) AS BIGINT) AS p_micro
+       |FROM bc JOIN ctx USING (w1), v
+       |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_bigram" -> (lmBigram _),
     "search_ndcg" -> (searchNdcg _),
     "text_tfidf" -> (textTfidf _),
     "search_bm25" -> ((s: SparkSession, dir: String) => searchBm25(s, dir)),
@@ -986,6 +1045,7 @@ object TextAnalysis {
     "search_bm25" -> searchBm25Sql,
     "search_bm25_multi" -> searchBm25MultiSql,
     "search_ndcg" -> searchNdcgSql,
+    "lm_bigram" -> lmBigramSql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_vocab" -> textVocabSql,
     "text_lm_score" -> textLmScoreSql,

@@ -71,6 +71,30 @@ class BpeSpec extends SparkSpec {
     assert(reassembled === wc)
   }
 
+  test("encode: reassembly is exact and token count shrinks monotonically with merges") {
+    val docs = graft.Tables.t(spark, sf(), "documents")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    val (merges, _) = Bpe.train(Bpe.wordCounts(docs, "text"), rounds = 6)
+    assert(merges.length === 6)
+    // concatenating each doc's tokens in position order reproduces the
+    // normalized text minus spaces — no merge may lose or invent a char
+    val reassembled = Bpe.encode(docs, "text", merges)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", sort_array(collect_list(struct(col("pos"), col("token"))))
+        .getField("token")).as("r"))
+    val norm = docs.select(col("doc_id"),
+      regexp_replace(Dedup.normalized(col("text")), " ", "").as("n"))
+    val joined = reassembled.join(norm, "doc_id")
+      .filter(col("r") =!= col("n")).count()
+    assert(joined === 0L)
+    // each additional merge can only reduce (or keep) the token count
+    val counts = (0 to merges.length)
+      .map(k => Bpe.encode(docs, "text", merges.take(k)).count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"token counts must be non-increasing: $counts")
+    assert(counts.last < counts.head, "six merges must actually compress")
+  }
+
   test("bpe_pairs equals round-1 argmax relation of the trainer") {
     val top = Bpe.bpePairs(spark, sf()).collect()
     assert(top.length === 20)

@@ -77,6 +77,25 @@ class CurationExtrasSpec extends SparkSpec {
     }
   }
 
+  test("lm_bigram: smoothing identity holds and the model is a sub-distribution") {
+    val rows = TextAnalysis.lmBigram(spark, sf()).collect()
+    assert(rows.length === 50)
+    // V recomputed independently: distinct normalized tokens
+    val v = graft.Tables.t(spark, sf(), "documents")
+      .select(explode(split(graft.pipeline.Dedup.normalized(col("text")), " ")).as("t"))
+      .filter(length(col("t")) > 0).distinct().count()
+    rows.foreach { r =>
+      val (c12, ctx1, p) = (r.getAs[Long]("c12"), r.getAs[Long]("ctx1"),
+        r.getAs[Long]("p_micro"))
+      assert(ctx1 >= c12, "context count bounds the bigram count")
+      assert(p === (c12 + 1) * 1000000L / (ctx1 + v), "add-1 smoothing identity")
+      assert(p > 0 && p <= 1000000L)
+    }
+    // counts are non-increasing down the ranking
+    val cs = rows.map(_.getAs[Long]("c12"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("text_tfidf: at most 3 ranked terms per doc, scores non-increasing, df sane") {
     val rows = TextAnalysis.textTfidf(spark, sf()).collect()
     val nDocs = graft.Tables.t(spark, sf(), "documents").count()
