@@ -97,9 +97,14 @@ object Bpe {
     * token stream per document. K merges = K chained [[applyMerge]]
     * folds composed into ONE projection — a single codegen pass over
     * the corpus, no shuffle, no UDF; the merge list is a plan-time
-    * constant exactly like a broadcast vocabulary. Output: one row per
-    * (doc, token) with the token's position — the relation a
-    * token-id lookup (vocab join) consumes. */
+    * constant exactly like a broadcast vocabulary. Expression size grows
+    * linearly in K, so this form is for analysis-sized merge lists
+    * (tens; Spark falls back to interpreted projection beyond codegen's
+    * method limit) — a production 30k-merge tokenizer applies the SAME
+    * greedy fold from a broadcast merge-priority trie in mapPartitions,
+    * the one documented seam where expression form stops paying.
+    * Output: one row per (doc, token) with the token's position — the
+    * relation a token-id lookup (vocab join) consumes. */
   def encode(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
     val encodedWords = org.apache.spark.sql.functions.transform(
       split(Dedup.normalized(col(textCol)), " "),

@@ -27,7 +27,7 @@ class SparkEntrySpec extends SparkSpec {
       pipeline.Dedup.queries, pipeline.Similarity.queries,
       pipeline.Clustering.queries,
       pipeline.TextAnalysis.queries, pipeline.Mixture.queries,
-      pipeline.Chunking.queries,
+      pipeline.Bpe.queries, pipeline.Chunking.queries,
       pipeline.Multimodal.queries,
       sources.DmlQueries.queries,
       compaction.CompactionQueries.queries)
