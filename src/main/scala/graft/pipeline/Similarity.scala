@@ -348,9 +348,122 @@ object Similarity {
   /** PQ-encode the corpus: (vec_id, sub, code) — each sub-vector's
     * nearest codebook entry by integer sub-distance, cid tie-break. */
   def pqCodes(e: DataFrame): DataFrame =
-    pqSubDists(e, pqCodebook(e))
+    pqCodesWith(e, pqCodebook(e))
+
+  /** [[pqCodes]] against an explicit codebook frame (cid, d, c) — the
+    * seam both the first-K and the TRAINED codebooks plug into. */
+  def pqCodesWith(e: DataFrame, cb: DataFrame): DataFrame =
+    pqSubDists(e, cb)
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"))
+
+  /** K-MEANS-TRAINED PQ codebooks — closes the documented first-K
+    * simplification: per subspace, `iters` Lloyd rounds over the corpus
+    * SUB-vectors (Jégou et al. 2011 §III trains exactly this — an
+    * independent ks-means per subquantizer), under the SAME determinism
+    * contract as [[Clustering.kmeansAssignments]]: assignments by the
+    * integer-picounit sub-distance (exact), centroid updates QUANTIZED
+    * to round(mean, 6) so cross-engine double-mean association drift
+    * (~1 ulp) snaps to identical decimals every round and cannot
+    * compound. All subspaces train in the SAME two relations per round
+    * (one assignment pass, one update aggregation keyed (sub, cid, d))
+    * — no per-subspace jobs, no driver collect; the codebook stays a
+    * broadcast-sized frame end to end. Centroids that lose all their
+    * vectors in a round drop out (the [[Clustering]] empty-cluster
+    * contract); the survivors keep their ids, so codes stay stable. */
+  def pqTrainCodebook(e: DataFrame, iters: Int = 2): DataFrame = {
+    var cb = e.filter(col("vec_id") < pqKs)
+      .select(col("vec_id").as("cid"),
+        posexplode(col("embedding")).as(Seq("d", "cf")))
+      .select(col("cid"), col("d"), round(col("cf").cast("double"), 6).as("c"))
+    for (_ <- 1 to iters) {
+      val codes = pqCodesWith(e, cb)
+      cb = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("sub", expr(s"d DIV $pqSubDim"))
+        .join(codes, Seq("vec_id", "sub"))
+        .groupBy(col("code"), col("d"))
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        .select(col("code").as("cid"), col("d"), col("c"))
+    }
+    cb
+  }
+
+  /** [[annPq]] with the TRAINED codebooks of [[pqTrainCodebook]] — the
+    * production form (FAISS `PQy` trains its codewords; the first-K
+    * variant remains as the plumbing-isolating baseline). Identical ADC
+    * flow and integer grain; only the codebook differs. */
+  def annPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val cb = pqTrainCodebook(e)
+    val codes = pqCodesWith(e, cb)
+    val dtable = pqSubDists(
+      e.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding")), cb)
+      .select(col("vec_id").as("qid"), col("sub"), col("cid").as("code"),
+        col("dist").as("qd"))
+    codes.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd")).as("adist"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("adist"))
+  }
+
+  /** The trained-PQ index in the oracle dialect: the two Lloyd rounds
+    * unrolled as CTEs (the [[Clustering.embKmeansSql]] discipline, per
+    * subspace via the shared (cid, d) keying), then the identical
+    * sd/codes/dtable/ADC chain as [[annPqSql]]. */
+  val annPqTrainedSql: String = {
+    def sd(i: Int, cb: String) =
+      s"""sd$i AS (
+         |  SELECT e.vec_id, d.d // $pqSubDim AS sub, cb.cid,
+         |         sum(CAST(floor((CAST(e.embedding[d.d+1] AS DOUBLE) - cb.c)
+         |             * (CAST(e.embedding[d.d+1] AS DOUBLE) - cb.c) * 1e12 ) AS BIGINT)) AS dist
+         |  FROM embeddings e, dims d
+         |  JOIN $cb cb ON cb.d = d.d
+         |  WHERE e.embedding IS NOT NULL
+         |  GROUP BY e.vec_id, sub, cb.cid)""".stripMargin
+    def codes(i: Int) =
+      s"""codes$i AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT vec_id, sub, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+         |    FROM sd$i) a WHERE rn = 1)""".stripMargin
+    def upd(i: Int) =
+      s"""cb$i AS (
+         |  SELECT c.code AS cid, d.d,
+         |         round(avg(CAST(e.embedding[d.d+1] AS DOUBLE)), 6) AS c
+         |  FROM embeddings e, dims d
+         |  JOIN codes$i c ON c.vec_id = e.vec_id AND c.sub = d.d // $pqSubDim
+         |  WHERE e.embedding IS NOT NULL
+         |  GROUP BY c.code, d.d)""".stripMargin
+    s"""WITH dims AS (SELECT unnest(range(64)) AS d),
+       |cb0 AS (
+       |  SELECT vec_id AS cid, d.d, round(CAST(embedding[d.d+1] AS DOUBLE), 6) AS c
+       |  FROM embeddings, dims d WHERE vec_id < $pqKs AND embedding IS NOT NULL),
+       |${sd(1, "cb0")},
+       |${codes(1)},
+       |${upd(1)},
+       |${sd(2, "cb1")},
+       |${codes(2)},
+       |${upd(2)},
+       |${sd(3, "cb2")},
+       |${codes(3)},
+       |dtable AS (
+       |  SELECT vec_id AS qid, sub, cid AS code, dist AS qd
+       |  FROM sd3 WHERE vec_id < 3),
+       |adc AS (
+       |  SELECT t.qid, c.vec_id, CAST(sum(t.qd) AS BIGINT) AS adist
+       |  FROM codes3 c JOIN dtable t USING (sub, code)
+       |  WHERE c.vec_id <> t.qid
+       |  GROUP BY t.qid, c.vec_id)
+       |SELECT qid, vec_id, adist FROM (
+       |  SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+       |  FROM adc) z WHERE rn <= 5""".stripMargin
+  }
 
   /** ADC top-5 for probes vec_id < 3: distance table per probe, m
     * lookups + integer sum per candidate, (adist, vec_id) total order. */
@@ -896,6 +1009,7 @@ object Similarity {
     "ann_lsh_banded" -> (annLshBanded _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_pq_trained" -> (annPqTrained _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_recall" -> (annRecall _),
@@ -909,6 +1023,7 @@ object Similarity {
     "ann_lsh_banded" -> annLshBandedSql,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
+    "ann_pq_trained" -> annPqTrainedSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_ivfpq_residual" -> annIvfPqResidualSql,
     "ann_recall" -> annRecallSql,

@@ -291,6 +291,41 @@ class SimilaritySpec extends SparkSpec {
     assert(adc.keys.forall { case (q, v) => q != v }, "self excluded")
   }
 
+  test("trained PQ codebooks: Lloyd rounds reduce total quantization distortion") {
+    // distortion(cb) = Σ over (vec, sub) of the min integer sub-distance —
+    // the k-means objective; two quantized Lloyd rounds must not increase
+    // it vs the first-K init (and on this corpus strictly decrease it)
+    import org.apache.spark.sql.DataFrame
+    val e = graft.Tables.t(spark, sf("sf0.001"), "embeddings")
+      .filter(col("embedding").isNotNull)
+    def initCb: DataFrame = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"),
+        posexplode(col("embedding")).as(Seq("d", "cf")))
+      .select(col("cid"), col("d"), round(col("cf").cast("double"), 6).as("c"))
+    def distortion(cb: DataFrame): Long =
+      e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .join(broadcast(cb), Seq("d"))
+        .select(col("vec_id"), expr("d DIV 8").as("sub"), col("cid"),
+          floor((col("x").cast("double") - col("c")) *
+            (col("x").cast("double") - col("c")) * 1e12).cast("long").as("t"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(sum(col("t")).as("dist"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(col("dist")).as("best"))
+        .agg(sum(col("best"))).head().getLong(0)
+    val before = distortion(initCb)
+    val after = distortion(Similarity.pqTrainCodebook(e))
+    assert(after < before,
+      s"training must reduce distortion: init $before, trained $after")
+    // every codebook row is a quantized decimal (the determinism contract)
+    val cb = Similarity.pqTrainCodebook(e).collect()
+    assert(cb.nonEmpty)
+    cb.foreach { r =>
+      val c = r.getAs[Double]("c")
+      assert((math.abs(c * 1e6) - math.rint(math.abs(c * 1e6))).abs < 1e-6)
+    }
+  }
+
   test("PQ plan: codebook and distance table broadcast; no cartesian product") {
     val plan = Similarity.annPq(spark, sf("sf0.001"))
       .queryExecution.explainString(
