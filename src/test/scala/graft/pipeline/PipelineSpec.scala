@@ -669,6 +669,71 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
+
+  test("llog2: quadratic-corrected fixed-point log2 is accurate and monotone") {
+    // sample the whole count range the classifier sees, plus both sides
+    // of power-of-two boundaries where the mantissa resets
+    val xs = (1L to 300L) ++ Seq(1023L, 1024L, 1025L, 65535L, 65536L, 65537L,
+      999983L, 1L << 30, (1L << 30) + 7, 1L << 40)
+    val got = xs.toDF("x")
+      .selectExpr("x", s"${TextAnalysis.llog2("x")} AS l")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (x <- xs) {
+      val err = math.abs(got(x) / 65536.0 - math.log(x.toDouble) / math.log(2.0))
+      assert(err <= 0.009, s"llog2($x) err $err") // minimax of the quadratic ≈ 0.0082
+    }
+    for (Seq(a, b) <- xs.sorted.distinct.sliding(2)) {
+      assert(got(a) <= got(b), s"monotonicity broke between $a and $b")
+      // strictly increasing while the value gap exceeds the 2^-16 mantissa
+      // grain (above that, equal fixed-point logs are the correct rounding)
+      if (b < 65536L) assert(got(a) < got(b), s"$a vs $b not strict")
+    }
+    assert(got(1L) == 0L && got(65536L) == 16 * 65536L)
+  }
+
+  test("classify_nb: disjoint-vocabulary languages classify perfectly") {
+    val corpus = Seq(
+      (0L, "roka zema vista koral zema", "aa"),
+      (1L, "vista roka koral koral", "aa"),
+      (2L, "zema roka vista", "aa"),
+      (3L, "plin dor vekt sumo dor", "bb"),
+      (4L, "sumo plin vekt vekt dor", "bb"),
+      (5L, "dor sumo plin", "bb"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb_").toString
+    corpus.toDF("doc_id", "text", "lang").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.classifyNb(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("aa", "aa") -> 3L, ("bb", "bb") -> 3L),
+      s"off-diagonal predictions: $got")
+  }
+
+  test("classify_nb at sf0.001: confusion totals = corpus, argmax deterministic") {
+    val dir = sf("sf0.001")
+    val cm = TextAnalysis.classifyNb(spark, dir)
+    val total = cm.agg(sum($"n_docs")).head.getLong(0)
+    val nDocs = graft.Tables.t(spark, dir, "documents").count()
+    assert(total == nDocs, "every document classified exactly once")
+    // partitioning invariance: integer scores → identical confusion matrix
+    val again = TextAnalysis.classifyNb(spark, dir)
+      .repartition(7).collect().map(_.toSeq).toSet
+    assert(again == cm.collect().map(_.toSeq).toSet)
+  }
+
+  test("search_rrf: fused score re-derives from the two ranks, order is by score") {
+    val rows = TextAnalysis.searchRrf(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Int] =
+      if (r.isNullAt(i)) None else Some(r.getInt(i))
+    val scores = rows.map { r =>
+      val expect = opt(r, 2).map(lr => 1000000L / (60 + lr)).getOrElse(0L) +
+        opt(r, 3).map(sr => 1000000L / (60 + sr)).getOrElse(0L)
+      assert(r.getLong(4) == expect, s"rrf_micro mismatch on $r")
+      r.getLong(4)
+    }
+    assert(scores.sameElements(scores.sortBy(-_)), "output ordered by rrf desc")
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length), "dense rank column")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
