@@ -142,9 +142,106 @@ object Bpe {
        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM pairs
        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  // ---- WordPiece (maximal munch) ----------------------------------------
+
+  /** All substrings of `w` with lengths 2–4 — the WordPiece vocabulary
+    * candidate set (Schuster & Nakajima 2012 cap the piece length; 4
+    * here keeps the fixture vocab discriminative). */
+  private def wpGrams(w: Column): Column =
+    flatten(transform(sequence(lit(2), lit(4)), l =>
+      when(length(w) >= l,
+        transform(sequence(lit(1), length(w) - l + 1), i => w.substr(i, l)))
+        .otherwise(array().cast("array<string>"))))
+
+  /** Top-`topK` subword vocabulary by occurrence-weighted gram count
+    * (count desc, gram asc — total order). The ONLY driver-side state in
+    * the WordPiece path: O(topK) strings, the direct analog of
+    * [[train]]'s O(1)-per-round argmax collect. */
+  def wordpieceVocab(wordCnt: DataFrame, topK: Int): Seq[String] =
+    wordCnt.select(col("cnt"), explode(wpGrams(col("w"))).as("g"))
+      .groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("g").asc).limit(topK)
+      .select("g").collect().map(_.getString(0)).toIndexedSeq
+
+  /** Greedy longest-match-first (maximal munch) segmentation of one word
+    * against a literal vocabulary — WordPiece INFERENCE (the algorithm
+    * Song et al. 2021 call MaxMatch), as a pure Catalyst fold: walk the
+    * positions left to right; at the cursor take the longest 4→3→2-char
+    * vocab piece, else fall back to the single character (so segmentation
+    * is total without an [UNK] sink). No UDF — the whole walk stays in
+    * codegen, one row at a time, shuffle-free. */
+  def wordpieceSegment(w: Column, vocab: Seq[String]): Column = {
+    val vl = array(vocab.map(lit(_)): _*)
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(1).as("pos"), array().cast("array<string>").as("pieces")),
+      (st, i) => {
+        val pos = st.getField("pos")
+        val tok = coalesce(
+          Seq(4, 3, 2).map(l =>
+            when(array_contains(vl, w.substr(pos, lit(l))), w.substr(pos, lit(l)))) :+
+            w.substr(pos, lit(1)): _*)
+        // the fold visits every index once; only the index AT the cursor
+        // advances it (a piece of length L consumes L visits)
+        when(i =!= pos, st).otherwise(
+          struct((pos + length(tok)).as("pos"),
+            concat(st.getField("pieces"), array(tok)).as("pieces")))
+      }).getField("pieces")
+  }
+
+  /** Driver-gate entry: train a 40-piece vocabulary on the corpus word
+    * counts, segment the top-100 words with maximal munch. Scale posture:
+    * the gram count is one map-side-combining aggregation over the
+    * VOCABULARY table (not the corpus); segmentation is a codegen fold
+    * per word — at 100 TB you'd segment the corpus itself with the same
+    * column, linearly. */
+  def tokenizeWordpiece(s: SparkSession, dir: String): DataFrame = {
+    val wc = wordCounts(Tables.t(s, dir, "documents"), "text")
+    val vocab = wordpieceVocab(wc, topK = 40)
+    wc.orderBy(col("cnt").desc, col("w").asc).limit(100)
+      .withColumn("pl", wordpieceSegment(col("w"), vocab))
+      .select(col("w"), col("cnt"),
+        concat_ws("|", col("pl")).as("pieces"),
+        size(col("pl")).cast("long").as("n_pieces"))
+  }
+
+  /** The identical vocab induction and greedy walk in the oracle dialect
+    * — the walk as a recursive CTE (one row per (word, cursor) state). */
+  val tokenizeWordpieceSql: String =
+    raw"""WITH RECURSIVE toks AS (
+       |  SELECT unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+       |  FROM documents),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks WHERE len(w) >= 2 GROUP BY w),
+       |grams AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS g,
+       |         CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM wc, unnest(generate_series(2,4)) AS L(l),
+       |       unnest(generate_series(1, len(w)-l+1)) AS I(i)
+       |  GROUP BY g),
+       |vocab AS (SELECT g FROM grams ORDER BY n DESC, g ASC LIMIT 40),
+       |vl AS (SELECT list(g ORDER BY g) AS v FROM vocab),
+       |top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w ASC LIMIT 100),
+       |seg AS (
+       |  SELECT w, cnt, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM top
+       |  UNION ALL
+       |  SELECT w, cnt, pos + len(tok) AS pos, list_append(pieces, tok) AS pieces
+       |  FROM (
+       |    SELECT s.w, s.cnt, s.pos, s.pieces,
+       |      CASE WHEN list_contains(vl.v, substr(s.w, s.pos, 4)) THEN substr(s.w, s.pos, 4)
+       |           WHEN list_contains(vl.v, substr(s.w, s.pos, 3)) THEN substr(s.w, s.pos, 3)
+       |           WHEN list_contains(vl.v, substr(s.w, s.pos, 2)) THEN substr(s.w, s.pos, 2)
+       |           ELSE substr(s.w, s.pos, 1) END AS tok
+       |    FROM seg s, vl
+       |    WHERE s.pos <= len(s.w)) t)
+       |SELECT w, cnt, array_to_string(pieces, '|') AS pieces,
+       |       CAST(len(pieces) AS BIGINT) AS n_pieces
+       |FROM seg WHERE pos > len(w)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bpe_pairs" -> (bpePairs _))
+    "bpe_pairs" -> (bpePairs _),
+    "tokenize_wordpiece" -> (tokenizeWordpiece _))
 
   val oracle: Map[String, String] = Map(
-    "bpe_pairs" -> bpePairsSql)
+    "bpe_pairs" -> bpePairsSql,
+    "tokenize_wordpiece" -> tokenizeWordpieceSql)
 }

@@ -821,6 +821,92 @@ object Similarity {
        |GROUP BY e.vec_id, dd.plane""".stripMargin
   }
 
+  /** Top principal component of the embedding matrix by POWER ITERATION
+    * — the trained counterpart of [[embProject]]'s random projections
+    * (PCA whitening / ABTT "remove the top components" is a standard
+    * embedding post-process, Mu & Viswanath 2018), engineered to be
+    * INTEGER-EXACT end to end, a determinism contract stronger than
+    * `emb_kmeans`' round-6 quantization: there is NO float aggregation
+    * anywhere, so no rounding boundary to straddle.
+    *
+    *   - quantize: xq = floor(x·10⁶) per dimension (the picounit
+    *     discipline — identical IEEE double ops on identical inputs,
+    *     then an integer forever after)
+    *   - center: m_d = Σxq DIV n (both engines truncate toward zero);
+    *     c = xq − m_d — exact integers, bias ≤ 1 micro-unit per dim
+    *   - iterate ×8: s_i = Σ_d c·v (BIGINT, ≤ 64·4·10⁶·10⁶ ≈ 2.6·10¹⁴);
+    *     y_d = Σ_i s·c summed in DECIMAL(38,0)/HUGEINT (≤ ~10²¹·n — both
+    *     engines' decimal sums are exact); renormalize v ← y·10⁶ DIV
+    *     max|y| — max-abs normalization instead of the L2 norm keeps the
+    *     whole loop sqrt-free, and power iteration converges under any
+    *     per-round rescaling
+    *
+    * The driver collects 64 exact decimals per round and renormalizes in
+    * BigInt (trunc-toward-zero division — probed identical to DuckDB's
+    * `//` and Spark's DIV): O(d) driver state per round, the same
+    * contract as `emb_kmeans`' centroid collect. Scale posture: each
+    * round is one scan of the quantized matrix (the s fold is a
+    * shuffle-free zip_with against a 64-literal v) plus one map-side-
+    * combining 64-row aggregate — no corpus-sized shuffle, no pairwise
+    * anything; at 100 TB you'd persist the quantized long format once
+    * and the 8 rounds stream it. */
+  def embPca(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val xq = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("vec_id"), col("d"),
+        floor(col("xf").cast("double") * 1e6).cast("long").as("xq"))
+    val stats = xq.groupBy(col("d"))
+      .agg(sum(col("xq")).as("sd"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dim = stats.size
+    val mLit = array((0 until dim).map(d => lit(stats(d)._1 / stats(d)._2)): _*)
+    // centered micro-unit array per vector, computed once per round's scan
+    val cArr = zip_with(col("embedding"), mLit,
+      (x, mm) => floor(x.cast("double") * 1e6).cast("long") - mm)
+    var v: IndexedSeq[BigInt] = IndexedSeq.fill(dim)(BigInt(1000000))
+    for (_ <- 1 to rounds) {
+      val vLit = array(v.map(b => lit(b.toLong)): _*)
+      val y = e
+        .select(aggregate(zip_with(cArr, vLit, (a, b) => a * b),
+            lit(0L), (acc, t) => acc + t).as("s"),
+          posexplode(cArr).as(Seq("d", "c")))
+        .groupBy(col("d"))
+        .agg(sum(col("s").cast("decimal(25,0)") * col("c")).as("y"))
+        .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+      val mx = (0 until dim).map(d => y(d).abs).max
+      v = (0 until dim).map(d => y(d) * 1000000 / mx) // BigInt / truncates like DIV
+    }
+    s.createDataFrame(
+      (0 until dim).map(d => (d.toLong, v(d).toLong))).toDF("d", "v_micro")
+  }
+
+  /** The identical quantization, centering, and 8 unrolled power-
+    * iteration rounds in the oracle dialect (HUGEINT products, `//`
+    * renormalization — the [[annPqTrainedSql]] unrolling discipline). */
+  val embPcaSql: String = {
+    // MATERIALIZED: the oracle engine inlines plain CTEs, which would
+    // re-evaluate the whole round chain combinatorially across 8 rounds
+    def round(i: Int): String = {
+      val pv = if (i == 1) "v0" else s"v${i - 1}"
+      s"""s$i AS MATERIALIZED (SELECT c.vec_id, CAST(sum(c.c * v.v) AS BIGINT) AS s
+         |  FROM c JOIN $pv v USING (d) GROUP BY c.vec_id),
+         |y$i AS MATERIALIZED (SELECT c.d, sum(CAST(s.s AS HUGEINT) * c.c) AS y
+         |  FROM c JOIN s$i s USING (vec_id) GROUP BY c.d),
+         |v$i AS MATERIALIZED (SELECT d, CAST(y * 1000000 // (SELECT max(abs(y)) FROM y$i) AS BIGINT) AS v
+         |  FROM y$i)""".stripMargin
+    }
+    s"""WITH dims AS (SELECT unnest(range(64)) AS d),
+       |xq AS (
+       |  SELECT e.vec_id, d.d,
+       |         CAST(floor(CAST(e.embedding[d.d+1] AS DOUBLE) * 1e6) AS BIGINT) AS xq
+       |  FROM embeddings e, dims d WHERE e.embedding IS NOT NULL),
+       |mu AS (SELECT d, CAST(sum(xq) AS BIGINT) // count(*) AS m FROM xq GROUP BY d),
+       |c AS MATERIALIZED (SELECT x.vec_id, x.d, x.xq - m.m AS c FROM xq x JOIN mu m USING (d)),
+       |v0 AS (SELECT d, CAST(1000000 AS BIGINT) AS v FROM dims),
+       |${(1 to 8).map(round).mkString(",\n")}
+       |SELECT CAST(d AS BIGINT) AS d, v AS v_micro FROM v8""".stripMargin
+  }
+
   /** Per-label embedding diversity — the mode-collapse / duplication
     * diagnostic a synthetic-data pipeline runs on generated corpora: the
     * MEAN PAIRWISE COSINE within each label, computed exactly in O(n·d)
@@ -1014,6 +1100,7 @@ object Similarity {
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_recall" -> (annRecall _),
     "emb_project" -> (embProject _),
+    "emb_pca" -> ((s: SparkSession, dir: String) => embPca(s, dir)),
     "emb_domain_diversity" -> (embDomainDiversity _))
 
   val oracle: Map[String, String] = Map(
@@ -1028,5 +1115,6 @@ object Similarity {
     "ann_ivfpq_residual" -> annIvfPqResidualSql,
     "ann_recall" -> annRecallSql,
     "emb_project" -> embProjectSql,
+    "emb_pca" -> embPcaSql,
     "emb_domain_diversity" -> embDomainDiversitySql)
 }

@@ -107,4 +107,34 @@ class BpeSpec extends SparkSpec {
     assert(top.head.getAs[String]("pair") === merges.head.left + merges.head.right)
     assert(top.head.getAs[Long]("n") === merges.head.n)
   }
+
+  test("wordpiece segmentation is maximal munch with char fallback") {
+    val vocab = Seq("abcd", "ab", "cd", "bc")
+    val got = Seq("abcde", "xabcy", "bcd", "zz")
+      .toDF("w")
+      .select($"w", Bpe.wordpieceSegment($"w", vocab).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got("abcde") == List("abcd", "e"), "longest match wins at pos 1")
+    // greedy: 'ab' consumed at pos 2 even though 'bc' would enable 'cd'? no —
+    // maximal munch never backtracks: x | ab | c | y
+    assert(got("xabcy") == List("x", "ab", "c", "y"))
+    assert(got("bcd") == List("bc", "d"), "3-char prefix 'bcd' not in vocab, 'bc' is")
+    assert(got("zz") == List("z", "z"), "out-of-vocab falls back to single chars")
+  }
+
+  test("tokenize_wordpiece: pieces reassemble exactly, all multi-char pieces in vocab") {
+    val dir = sf()
+    val wc = Bpe.wordCounts(graft.Tables.t(spark, dir, "documents"), "text")
+    val vocab = Bpe.wordpieceVocab(wc, topK = 40).toSet
+    val rows = Bpe.tokenizeWordpiece(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val pieces = r.getString(2).split('|').toList
+      assert(pieces.mkString("") == w, s"reassembly broke for $w")
+      assert(r.getLong(3) == pieces.length)
+      pieces.filter(_.length > 1).foreach(p =>
+        assert(vocab(p), s"multi-char piece $p of $w not in vocab"))
+    }
+  }
 }

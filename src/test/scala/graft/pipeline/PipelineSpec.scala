@@ -468,6 +468,34 @@ class SimilaritySpec extends SparkSpec {
       s"banding must lift recall over the single 8-plane bucket: $byMethod")
     assert(byMethod("ivf") >= byMethod("lsh"), s"ivf should not trail single-band lsh: $byMethod")
   }
+
+  test("emb_pca: max-abs normalized, partition-invariant, Rayleigh improves over init") {
+    val dir = sf("sf0.001")
+    val v = Similarity.embPca(spark, dir).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(v.size == 64)
+    assert(v.values.map(math.abs).max == 1000000L, "max-abs normalization invariant")
+    // exact integers → identical output under a different partitioning
+    val again = Similarity.embPca(
+      spark, dir).collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(again == v)
+    // Rayleigh quotient vᵀCv / vᵀv of the centered micro-unit matrix must
+    // improve over the all-ones init — the power-iteration contract
+    val rows = graft.Tables.t(spark, dir, "embeddings")
+      .filter($"embedding".isNotNull).select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(x => math.floor(x.toDouble * 1e6)))
+    val n = rows.length
+    val mean = Array.tabulate(64)(j => (rows.map(_(j)).sum / n).toLong.toDouble)
+    val c = rows.map(r => Array.tabulate(64)(j => r(j) - mean(j)))
+    def rayleigh(u: Array[Double]): Double = {
+      val num = c.map(ci => math.pow(ci.zip(u).map { case (a, b) => a * b }.sum, 2)).sum
+      num / u.map(x => x * x).sum
+    }
+    val v8 = Array.tabulate(64)(j => v(j).toDouble)
+    val v0 = Array.fill(64)(1e6)
+    assert(rayleigh(v8) > rayleigh(v0) * 1.5,
+      s"power iteration should concentrate variance: ${rayleigh(v8)} vs ${rayleigh(v0)}")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
