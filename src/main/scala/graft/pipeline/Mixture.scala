@@ -358,7 +358,105 @@ object Mixture {
        |        / count(*), 4) AS kept_frac
        |FROM d GROUP BY lang""".stripMargin
 
+  /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023) —
+    * the published upgrade of the char-budget heuristic [[mixImportance]]:
+    * score every raw document by the log importance weight
+    * `log p_target(x) − log p_raw(x)` under two bag-of-hashed-bigram
+    * models (the paper's exact feature space: n-grams hashed into B
+    * buckets — B = 1024 here), where the TARGET distribution is fit on
+    * the `lang = 'en'` slice (the stand-in for "looks like the target
+    * domain") and the RAW distribution on the whole corpus, both add-1
+    * smoothed. Per document:
+    *
+    *   w(d) = Σ_f [llog2(ct_f+1) − llog2(cr_f+1)]
+    *        + n_f(d)·[llog2(T_raw+B) − llog2(T_tgt+B)]
+    *
+    * with every log through [[TextAnalysis.llog2]] — the whole weight is
+    * an exact BIGINT, so the selection it induces is bit-deterministic
+    * (DSIR's Gumbel-noise sampling step is the one part deliberately
+    * replaced: a deterministic weight-rank is reproducible on any
+    * cluster, the same substitution the repo's other samplers make).
+    * Output: per-source audit — document counts, exact weight sums, and
+    * how many documents each source would contribute above the w > 0
+    * cut (raw-typical sources drown, target-like sources survive).
+    *
+    * Scale posture: features are CAPPED at B buckets by construction
+    * (the paper's own trick), so both models broadcast; the corpus-sized
+    * work is one bigram explode + two map-side-combining aggregates +
+    * one broadcast-join scoring pass — linear, shuffle only on doc_id. */
+  def mixDsir(s: SparkSession, dir: String): DataFrame = {
+    val B = 1024
+    val docs = Tables.t(s, dir, "documents")
+    val ws = split(Dedup.normalized(col("text")), " ")
+    val pairs = docs
+      .select(col("doc_id"), col("source"), col("lang"), ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"), col("lang"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("pq"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        (Dedup.hash64(7, concat(col("pq.0"), lit(" "), col("pq.1"))) % B).as("f"))
+    val cr = pairs.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val ct = pairs.filter(col("lang") === "en")
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val tot = broadcast(cr.agg(sum(col("cr")).as("tr"))
+      .crossJoin(ct.agg(sum(col("ct")).as("tt"))))
+    val perDoc = pairs
+      .join(broadcast(cr), Seq("f"))
+      .join(broadcast(ct), Seq("f"), "left")
+      .withColumn("ct0", coalesce(col("ct"), lit(0L)))
+      .withColumn("t", expr(
+        s"${TextAnalysis.llog2("ct0 + 1")} - ${TextAnalysis.llog2("cr + 1")}"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_f"), sum(col("t")).as("s1"))
+    perDoc.crossJoin(tot)
+      .withColumn("w", col("s1") + col("n_f") *
+        expr(s"${TextAnalysis.llog2(s"tr + $B")} - ${TextAnalysis.llog2(s"tt + $B")}"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("sum_w"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_selected"))
+  }
+
+  /** The identical hashed-bigram models, fixed-point logs, and weight
+    * in the oracle dialect (the shared md5 hash64 primitive). */
+  val mixDsirSql: String = {
+    val h = Dedup.hash64Sql("7", "(w1 || ' ' || w2)")
+    val lCt = TextAnalysis.llog2Duck("ct0 + 1")
+    val lCr = TextAnalysis.llog2Duck("cr + 1")
+    val lTr = TextAnalysis.llog2Duck("tr + 1024")
+    val lTt = TextAnalysis.llog2Duck("tt + 1024")
+    raw"""WITH d AS (
+       |  SELECT doc_id, source, lang,
+       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, lang,
+       |    ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i AS INTEGER) + 1] AS w2
+       |  FROM d, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+       |  WHERE len(ws) >= 2),
+       |f AS (SELECT doc_id, source, lang, $h % 1024 AS f FROM p),
+       |cr AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM f GROUP BY f),
+       |ct AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM f WHERE lang = 'en' GROUP BY f),
+       |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS tr,
+       |               (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS tt),
+       |perdoc AS (
+       |  SELECT x.doc_id, x.source, CAST(count(*) AS BIGINT) AS n_f,
+       |    CAST(sum($lCt - $lCr) AS BIGINT) AS s1
+       |  FROM (SELECT f.doc_id, f.source, r.cr, coalesce(c.ct, 0) AS ct0
+       |        FROM f JOIN cr r USING (f) LEFT JOIN ct c ON c.f = f.f) x
+       |  GROUP BY x.doc_id, x.source),
+       |w AS (
+       |  SELECT doc_id, source, s1 + n_f * ($lTr - $lTt) AS w
+       |  FROM perdoc, tot)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(w) AS BIGINT) AS sum_w,
+       |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+       |FROM w GROUP BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_dsir" -> (mixDsir _),
     "mix_importance" -> (mixImportance _),
     "mix_domain_uniform" -> (mixDomainUniform _),
     "mix_temperature" -> (mixTemperature _),
@@ -367,6 +465,7 @@ object Mixture {
     "mix_curation_funnel" -> (mixCurationFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "mix_dsir" -> mixDsirSql,
     "mix_importance" -> mixImportanceSql,
     "mix_domain_uniform" -> mixDomainUniformSql,
     "mix_temperature" -> mixTemperatureSql,

@@ -608,16 +608,25 @@ object TextAnalysis {
     * scalar broadcast; top-50 via TakeOrderedAndProject. This is the
     * KenLM-style count pass — at 100 TB the bigram table is the only
     * corpus-derived relation and it is vocabulary², sharded by w1. */
-  def lmBigram(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.t(s, dir, "documents")
+  /** Per-document adjacent-token pairs (the corpus relation both the
+    * trainer and the scorer consume — one definition, two deployments). */
+  private def docBigrams(docs: DataFrame): DataFrame = {
     val ws = split(Dedup.normalized(col("text")), " ")
-    val pairs = docs.select(ws.as("ws"))
+    docs.select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(explode(arrays_zip(
+      .select(col("doc_id"), explode(arrays_zip(
         slice(col("ws"), lit(1), size(col("ws")) - 1),
         slice(col("ws"), lit(2), size(col("ws")) - 1))).as("pq"))
-      .select(col("pq.0").as("w1"), col("pq.1").as("w2"))
-    val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .select(col("doc_id"), col("pq.0").as("w1"), col("pq.1").as("w2"))
+  }
+
+  /** The full add-1-smoothed bigram model (w1, w2, c12, ctx1, p_micro) —
+    * [[lmBigram]] emits its top-50, [[lmPerplexity]] joins documents
+    * against ALL of it. */
+  private def bigramModel(docs: DataFrame): DataFrame = {
+    val ws = split(Dedup.normalized(col("text")), " ")
+    val bc = docBigrams(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
     val ctx = bc.groupBy(col("w1")).agg(sum(col("c12")).as("ctx1"))
     val vocab = broadcast(docs.select(explode(ws).as("t"))
       .filter(length(col("t")) > 0)
@@ -625,8 +634,69 @@ object TextAnalysis {
     bc.join(ctx, Seq("w1")).crossJoin(vocab)
       .select(col("w1"), col("w2"), col("c12"), col("ctx1"),
         expr("(c12 + 1) * 1000000 DIV (ctx1 + v)").as("p_micro"))
-      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(50)
   }
+
+  def lmBigram(s: SparkSession, dir: String): DataFrame =
+    bigramModel(Tables.t(s, dir, "documents"))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(50)
+
+  /** BIGRAM-LM document perplexity — [[lmBigram]]'s trained model APPLIED
+    * as the quality filter (the CCNet/Wenzek-et-al. decision `text_lm_score`
+    * makes with a unigram model, here with the bigram model — gibberish
+    * with plausible unigrams but implausible transitions scores far worse):
+    * each document's mean log₂ p(w2|w1) over its adjacent pairs, joined
+    * against the full smoothed model. The per-pair probability is the
+    * model's EXACT integer `p_micro`, so both engines take log₂ of
+    * identical inputs; the mean is rounded to 4 decimals (the
+    * [[textLmScore]] transcendental-drift policy) and perplexity is
+    * derived from the already-rounded mean. Documents under 2 words carry
+    * no bigrams and drop out, same as the trainer.
+    *
+    * Scale posture: the model is the V²-sparse bigram table sharded by
+    * (w1, w2) — the score join keys on exactly that, with map-side
+    * combining down to one row per document; resubstitution guarantees
+    * every pair hits the model, so the join is inner with no smoothing
+    * branch in the scorer (out-of-corpus scoring would add the same
+    * `1·10⁶ DIV (ctx1+V)` miss arm both engines can evaluate). */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    docBigrams(docs)
+      .join(bigramModel(docs), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log2(col("p_micro").cast("double") / 1000000.0)), 4)
+          .as("avg_logprob"))
+      .withColumn("ppl", round(pow(lit(2.0), -col("avg_logprob")), 4))
+  }
+
+  /** The identical model, join, and rounding in the oracle dialect. */
+  val lmPerplexitySql: String =
+    raw"""WITH d AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i AS INTEGER) + 1] AS w2
+       |  FROM d, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+       |  WHERE len(ws) >= 2),
+       |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |       FROM b GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS ctx1 FROM bc GROUP BY w1),
+       |toks AS (
+       |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+       |  FROM documents),
+       |v AS (SELECT count(DISTINCT t) AS v FROM toks WHERE len(t) > 0),
+       |model AS (
+       |  SELECT w1, w2, CAST((c12 + 1) * 1000000 // (ctx1 + v) AS BIGINT) AS p_micro
+       |  FROM bc JOIN ctx USING (w1), v),
+       |scored AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    round(avg(log2(CAST(p_micro AS DOUBLE) / 1000000.0)), 4) AS avg_logprob
+       |  FROM b JOIN model USING (w1, w2)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, avg_logprob,
+       |  round(pow(2.0, -avg_logprob), 4) AS ppl
+       |FROM scored""".stripMargin
 
   /** The identical count pass and smoothing arithmetic in the oracle
     * dialect (1-based list indexing replaces the zip). */
@@ -652,6 +722,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_bigram" -> (lmBigram _),
+    "lm_perplexity" -> (lmPerplexity _),
     "search_ndcg" -> (searchNdcg _),
     "text_tfidf" -> (textTfidf _),
     "search_bm25" -> ((s: SparkSession, dir: String) => searchBm25(s, dir)),
@@ -999,7 +1070,7 @@ object TextAnalysis {
   }
 
   /** The identical fragment in the oracle dialect (`//`, `<<`). */
-  private def llog2Duck(x: String): String = {
+  private[pipeline] def llog2Duck(x: String): String = {
     val b = s"(length(bin(CAST($x AS BIGINT)))-1)"
     val f = s"(CAST($x AS BIGINT)*65536 // (CAST(1 AS BIGINT) << $b) - 65536)"
     s"($b*65536 + $f + ($f*(65536-$f)*22479) // 4294967296)"
@@ -1262,6 +1333,7 @@ object TextAnalysis {
     "search_bm25_multi" -> searchBm25MultiSql,
     "search_ndcg" -> searchNdcgSql,
     "lm_bigram" -> lmBigramSql,
+    "lm_perplexity" -> lmPerplexitySql,
     "text_boilerplate" -> textBoilerplateSql,
     "text_vocab" -> textVocabSql,
     "text_lm_score" -> textLmScoreSql,

@@ -99,4 +99,27 @@ class MixtureSpec extends SparkSpec {
     assert(t.head.getAs[Long]("rate_ppm") == 1000000L
       && t.head.getAs[Long]("n_kept") == 3L)
   }
+
+  test("mix_dsir: target-like content outweighs raw-typical content") {
+    import spark.implicits._
+    // target (en) speaks vocab A; the bulk of the corpus speaks vocab B;
+    // two probe docs share a source-per-doc so the per-source audit
+    // exposes their individual weights: the A-speaking probe must score
+    // higher than the B-speaking one, whatever its lang label says
+    val a = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    val b = "uno dos tres cuatro uno dos tres cuatro uno dos"
+    val corpus =
+      (0 until 4).map(i => (i.toLong, a, "en", "tgt")) ++
+        (4 until 12).map(i => (i.toLong, b, "xx", "bulk")) ++
+        Seq((12L, a, "xx", "probe_a"), (13L, b, "xx", "probe_b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_").toString
+    corpus.toDF("doc_id", "text", "lang", "source").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val w = Mixture.mixDsir(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // on a 14-doc corpus the add-1 smoothing mass keeps ALL weights
+    // negative; the CONTRAST is the contract — a wide, stable gap
+    assert(w("probe_a") - w("probe_b") > 1000000L,
+      s"target-vocab probe must outweigh raw-vocab probe by a wide margin: $w")
+  }
 }

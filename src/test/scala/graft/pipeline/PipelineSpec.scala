@@ -698,6 +698,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
 
+  test("lm_perplexity: implausible transitions score worse than fluent repetition") {
+    // both docs use the SAME unigrams, so a unigram LM cannot separate
+    // them; the fluent doc repeats one high-count transition chain, the
+    // scrambled doc takes transitions that appear once each
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppl_").toString
+    import spark.implicits._
+    corpus.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.lmPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    assert(got(0L)._1 == 5L, "6 words -> 5 bigrams")
+    assert(got(0L)._2 == got(1L)._2 && got(1L)._2 == got(2L)._2)
+    assert(got(3L)._2 > got(0L)._2 * 1.5,
+      s"scrambled doc must carry much higher perplexity: $got")
+  }
+
   test("llog2: quadratic-corrected fixed-point log2 is accurate and monotone") {
     // sample the whole count range the classifier sees, plus both sides
     // of power-of-two boundaries where the mantissa resets
