@@ -414,6 +414,96 @@ object Dedup {
         (col("doc_id") === col("label")).as("is_canonical"))
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
+    * et al. 2014, "Connected Components in MapReduce and Beyond") — the
+    * any-diameter path [[dedupClusters]]' Scaladoc names: bounded
+    * min-label propagation needs diameter rounds, star contraction
+    * converges in O(log²) alternations on ANY topology, so a duplicate
+    * CHAIN (a≈b≈c≈… from incremental near-copies) collapses where
+    * 3-round propagation stalls.
+    *
+    *   - large-star: per node u over its full neighborhood, connect every
+    *     LARGER neighbor to m = min(Γ(u) ∪ {u})
+    *   - small-star: per node u over its smaller neighbors (canonical
+    *     max→min edge direction), connect them AND u to their min
+    *
+    * Both steps are one groupBy-min + one re-expand join over the edge
+    * list — map-side-combining shuffles keyed on the node id, nothing
+    * quadratic; the driver holds only the per-round convergence bit (an
+    * except-count, O(1) rows) and stops at the edge-set fixpoint, where
+    * every component is a star rooted at its MINIMUM node — the same
+    * canonical labels the propagation entry and the oracle's recursive
+    * closure produce, so all three surfaces cross-check. */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 12): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    // canonical max→min directed edges (u > v throughout)
+    var edges = canon(pairs.select(col("id1").as("u"), col("id2").as("v")))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // large-star over the SYMMETRIC neighborhood
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = canon(sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star over the canonical (smaller-neighbor) lists
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = canon(
+        large.join(smins, Seq("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(smins.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      converged = small.exceptAll(edges).limit(1).isEmpty &&
+        edges.exceptAll(small).limit(1).isEmpty
+      edges = small
+      round += 1
+    }
+    // fixpoint: every edge is (member, root); roots label themselves
+    edges.select(col("u").as("doc_id"), col("v").as("label"))
+      .unionAll(edges.select(col("v"), col("v")).distinct()
+        .toDF("doc_id", "label"))
+      .distinct()
+  }
+
+  /** Driver-gate entry: [[connectedComponentsStar]] over the same
+    * MinHash-verified pair graph as [[dedupClusters]], same output shape
+    * — the oracle computes EXACT components by recursive closure, so
+    * this checks the star fixpoint against ground truth rather than
+    * against an unrolled round count. */
+  def dedupComponentsStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(s, dir).select(col("id1"), col("id2"))
+    val labels = connectedComponentsStar(pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+  }
+
+  /** Ground-truth components in the oracle dialect: recursive reachable-
+    * label closure (terminates at the fixpoint via UNION dedup), min
+    * label per node. */
+  val dedupComponentsStarSql: String =
+    s"""WITH RECURSIVE $minhashVerifiedCtes,
+       |edges AS (SELECT id1 AS u, id2 AS v FROM verified
+       |          UNION SELECT id2 AS u, id1 AS v FROM verified),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |labels AS (SELECT u AS doc_id, least(u, min(v)) AS label FROM reach GROUP BY u),
+       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM labels GROUP BY label)
+       |SELECT l.doc_id, l.label AS cluster_id, sz.cluster_size,
+       |  (l.doc_id = l.label) AS is_canonical
+       |FROM labels l JOIN sz USING (label)""".stripMargin
+
   /** The identical pair graph + 3 unrolled propagation rounds in the
     * oracle dialect (shares the verified-pairs CTE chain with
     * [[dedupMinhashSql]]). */
@@ -651,6 +741,7 @@ object Dedup {
     "dedup_ngram" -> ((s: SparkSession, dir: String) => dedupNgram(s, dir)),
     "dedup_substring" -> ((s: SparkSession, dir: String) => dedupSubstring(s, dir)),
     "dedup_clusters" -> ((s: SparkSession, dir: String) => dedupClusters(s, dir)),
+    "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_embedding_lsh_wide" -> (dedupEmbeddingLshWide _))
@@ -792,6 +883,7 @@ object Dedup {
     "dedup_ngram" -> dedupNgramSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_components_star" -> dedupComponentsStarSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "pipeline_curate" -> pipelineCurateSql,

@@ -126,13 +126,86 @@ object Multimodal {
       |  unicode(substr(text, CAST(3 * length(text) // 4 AS BIGINT) + 1, 1)) AS p3
       |FROM documents""".stripMargin
 
+  case class MediaSig(doc_id: Long, kind: String, n_bytes: Long, sig: Long)
+
+  /** Perceptual-hash signature over the opaque BINARY payload — the
+    * pHash construction (block-level intensity vs global intensity →
+    * sign bits) with block byte-means standing in for the DCT a real
+    * image pipeline computes after decode: 48 equal byte blocks
+    * (boundaries ⌊b·n/48⌋, integer floor), bit b set iff
+    * blockSum·n > totalSum·blockLen (cross-multiplied — no division,
+    * exact). Runs partition-batched in the SAME typed mapPartitions
+    * shape as [[decodeStub]] — a real pHash drops into this function
+    * body untouched. Downstream near-dup reuses the established SimHash
+    * banding (PipelineSpec pins the banded lookup finding a perturbed
+    * twin); block signatures are ALIGNMENT-sensitive by construction —
+    * right for fixed-grid media, deliberately not a text near-dup (that
+    * is `dedup_simhash`'s job).
+    *
+    * Oracle contingency: the fixture payload is utf-8 ASCII text
+    * (spec-asserted), so the oracle recomputes the byte arithmetic from
+    * `unicode(substr(text, i, 1))`; a true image payload would demote
+    * this entry to rows-only — the plumbing under test is unchanged. */
+  def phashSig(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[MediaSig]
+    media.select(col("doc_id"), col("kind"), col("payload"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.payload
+          val n = bytes.length.toLong
+          val total = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+          var sig = 0L
+          var b = 0
+          while (b < 48) {
+            val lo = (b * n / 48).toInt
+            val hi = ((b + 1) * n / 48).toInt
+            var s = 0L
+            var i = lo
+            while (i < hi) { s += (bytes(i) & 0xff); i += 1 }
+            if (s * n > total * (hi - lo)) sig |= (1L << b)
+            b += 1
+          }
+          MediaSig(r.doc_id, r.kind, n, sig)
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Driver-gate entry: the 48-bit perceptual signature of every payload
+    * (exact-integer compare of the full signature on both engines). */
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    phashSig(asMedia(Tables.t(s, dir, "documents")
+      .filter(length(col("text")) > 0)))
+
+  /** The identical block boundaries, byte sums, and cross-multiplied
+    * sign bits from the text stand-in's code points. */
+  val mmPhashSql: String =
+    """WITH d AS (SELECT doc_id, source AS kind, text, length(text) AS n
+      |           FROM documents WHERE length(text) > 0),
+      |sums AS (
+      |  SELECT doc_id, kind, n,
+      |    [coalesce(list_sum([unicode(substr(text, CAST(i AS INTEGER), 1))
+      |       FOR i IN range(b*n//48 + 1, ((b+1)*n)//48 + 1)]), 0)
+      |     FOR b IN range(0, 48)] AS bs
+      |  FROM d)
+      |SELECT doc_id, kind, CAST(n AS BIGINT) AS n_bytes,
+      |  CAST(coalesce(list_sum(
+      |    [CASE WHEN bs[CAST(b AS INTEGER)+1] * n
+      |               > list_sum(bs) * (((b+1)*n)//48 - b*n//48)
+      |          THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END
+      |     FOR b IN range(0, 48)]), 0) AS BIGINT) AS sig
+      |FROM sums""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_resize" -> (mmResize _))
+    "mm_resize" -> (mmResize _),
+    "mm_phash" -> (mmPhash _))
 
   val oracle: Map[String, String] = Map(
     "mm_features" -> mmFeaturesSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_resize" -> mmResizeSql)
+    "mm_resize" -> mmResizeSql,
+    "mm_phash" -> mmPhashSql)
 }

@@ -17,6 +17,21 @@ class DedupSpec extends SparkSpec {
     assert(viaNgram.subsetOf(viaMinhash) && viaMinhash == viaNgram)
   }
 
+  test("star contraction collapses a long chain that bounded propagation cannot") {
+    // path 0-1-2-...-16: diameter 16 >> the 3 rounds dedup_clusters runs;
+    // Kiveris alternation must still land every node on root 0
+    val chain = (0L until 16L).map(i => (i, i + 1))
+    val labels = Dedup.connectedComponentsStar(chain.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to 16L).toSet)
+    assert(labels.values.forall(_ == 0L), s"chain must collapse to root 0: $labels")
+    // two separate components keep separate minimum roots
+    val two = Seq((10L, 11L), (11L, 12L), (3L, 4L), (4L, 5L))
+    val l2 = Dedup.connectedComponentsStar(two.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
     // hand-built corpus: eval doc = id 0 (0 % 31 == 0); id 1 embeds an
     // exact 8-token run from it; id 2 shares 7 tokens (one short of a
@@ -809,5 +824,29 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decodeStub(media)
     assert(out.agg(sum($"n_bytes")).head.getLong(0) ==
       docs.agg(sum(length($"text"))).head.getLong(0))
+  }
+
+  test("phash: in-place perturbation stays near, different content lands far") {
+    // structured 480-byte payloads: the twin flips a handful of bytes IN
+    // PLACE (block alignment preserved — the regime the signature is
+    // designed for); the foil inverts the intensity structure entirely
+    val base = Array.tabulate(480)(i => if (i / 10 % 2 == 0) 'a'.toByte else 'z'.toByte)
+    val twin = base.clone(); for (i <- Seq(3, 97, 211)) twin(i) = 'm'.toByte
+    val foil = Array.tabulate(480)(i => if (i / 10 % 2 == 0) 'z'.toByte else 'a'.toByte)
+    val media = Seq((0L, "img", base), (1L, "img", twin), (2L, "img", foil))
+      .toDF("doc_id", "kind", "payload")
+    val sig = Multimodal.phashSig(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(0L), sig(1L)) <= 4,
+      s"in-place perturbation must stay near: ${hamming(sig(0L), sig(1L))}")
+    assert(hamming(sig(0L), sig(2L)) >= 20,
+      s"inverted structure must land far: ${hamming(sig(0L), sig(2L))}")
+    // the SimHash-style 6-bit banding surfaces the twin as a candidate:
+    // the local perturbation leaves at least one band untouched
+    val bands0 = (0 until 8).map(b => (sig(0L) >> (6 * b)) & 63)
+    val bands1 = (0 until 8).map(b => (sig(1L) >> (6 * b)) & 63)
+    assert(bands0.zip(bands1).exists { case (x, y) => x == y },
+      "banded lookup must surface the perturbed twin")
   }
 }
