@@ -215,6 +215,44 @@ object GraftAggregators {
     * the regime the oracle entry pins (its SQL twin is a plain GROUP BY
     * count); the approximation bound under eviction is spec-tested on a
     * synthetic skewed stream. */
+  /** Mergeable Bloom-filter build (Bloom 1970) — the third sketch family
+    * next to the HLL rollup and Space-Saving heavy hitters, and the
+    * structure the reference engine itself builds for join pre-filtering
+    * (its dynamic join filters). Input is a PRE-HASHED bit position
+    * (computed by the shared codegen md5_hash64 in the query, so the
+    * filter is bit-deterministic and oracle-reproducible); the buffer is
+    * the fixed-size bitmap as longs. `reduce` sets a bit, `merge` ORs —
+    * both commutative/associative/idempotent, so the bitmap is EXACT
+    * under any partitioning, re-aggregation, or duplicate delivery (the
+    * strongest mergeability class of the three sketches: no error term
+    * at all on the build side; the approximation lives only in lookup
+    * false positives). */
+  class BloomAggregator(bits: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(bits % 64 == 0, "bitmap width must be whole longs")
+
+    override def zero: Array[Long] = new Array[Long](bits / 64)
+
+    override def reduce(b: Array[Long], pos: Long): Array[Long] = {
+      val p = pos.toInt
+      b((p >>> 6)) |= (1L << (p & 63))
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(b: Array[Long]): Array[Long] = b
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   class SpaceSavingAggregator(capacity: Int, k: Int)
       extends Aggregator[String, Map[String, (Long, Long)], Seq[HeavyHitter]] {
 

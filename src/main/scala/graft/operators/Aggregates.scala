@@ -367,6 +367,69 @@ object Aggregates {
       |    / count(DISTINCT user_id) <= 0.05 AS est_within_5pct
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Bloom-filter build + probe — the reference engine builds exactly
+    * this structure as its dynamic join filters; here it is a
+    * first-class mergeable Aggregator
+    * ([[graft.functions.GraftAggregators.BloomAggregator]]: bitmap OR —
+    * idempotent, so exact under any partitioning) over the distinct part
+    * keys of lineitem, with k = 3 positions per key from the shared
+    * codegen md5_hash64 — both the bitmap and every lookup are
+    * bit-deterministic and the oracle reproduces them from the same
+    * position set. Probes: the 10 smallest present keys (must ALL hit —
+    * a Bloom filter has NO false negatives, the hard pin) and 10
+    * impossible keys (−1…−10; each hit recorded — the false-positive
+    * behavior is deterministic data, not chance, once the hash is
+    * fixed). Scale posture: the build is one map-side-combining
+    * aggregate to a single 4096-bit row; probes broadcast against it. */
+  def aggBloom(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GraftFunctions => G}
+    val m = 4096
+    val k = 3
+    val keys = Tables.t(s, dir, "lineitem").select(col("l_partkey")).distinct()
+    val pos = keys.select(explode(array((0 until k).map(i =>
+      G.md5_hash64(i, col("l_partkey")) % m): _*)).as("pos"))
+    val bloom = pos.agg(
+      udaf(new graft.functions.GraftAggregators.BloomAggregator(m))
+        .apply(col("pos")).as("bitmap"))
+    val present = keys.orderBy(col("l_partkey")).limit(10)
+      .select(col("l_partkey").as("probe_key"), lit(true).as("in_data"))
+    val absent = s.range(1, 11)
+      .select((-col("id")).as("probe_key"), lit(false).as("in_data"))
+    val probes = present.unionAll(absent)
+    val withPos = (0 until k).foldLeft(probes.crossJoin(broadcast(bloom))) {
+      (df, i) => df.withColumn(s"p$i", G.md5_hash64(i, col("probe_key")) % m)
+    }
+    withPos
+      .withColumn("hits", (0 until k).map(i => expr(
+        // & 1, not % 2: shiftright is arithmetic, and a word with bit 63
+        // set shifts to a NEGATIVE long whose % 2 is -1
+        s"CAST(shiftright(element_at(bitmap, CAST(shiftright(p$i, 6) AS INT) + 1), " +
+          s"CAST(p$i % 64 AS INT)) & 1 AS INT)")).reduce(_ + _))
+      .select(col("probe_key").cast("long").as("probe_key"), col("in_data"),
+        (col("hits") === k).as("bloom_hit"))
+  }
+
+  /** The identical position set and 3-hash membership in the oracle
+    * dialect (positions as a DISTINCT relation — the bitmap IS that
+    * set; lookup = all three positions present). */
+  val aggBloomSql: String = {
+    def h(seed: String, v: String) =
+      graft.pipeline.Dedup.hash64Sql(seed, v) + " % 4096"
+    s"""WITH keys AS (SELECT DISTINCT l_partkey AS key FROM lineitem),
+       |pos AS (SELECT DISTINCT ${h("i", "key")} AS pos
+       |        FROM keys, unnest(range(3)) AS t(i)),
+       |probes AS (
+       |  SELECT key AS probe_key, true AS in_data
+       |  FROM (SELECT key FROM keys ORDER BY key LIMIT 10)
+       |  UNION ALL
+       |  SELECT -CAST(i AS BIGINT), false FROM range(1, 11) AS r(i)),
+       |ph AS (SELECT probe_key, in_data, ${h("i", "probe_key")} AS p
+       |       FROM probes, unnest(range(3)) AS t(i))
+       |SELECT probe_key, in_data,
+       |  bool_and(EXISTS (SELECT 1 FROM pos WHERE pos.pos = ph.p)) AS bloom_hit
+       |FROM ph GROUP BY probe_key, in_data""".stripMargin
+  }
+
   /** Linear-regression aggregates (reference
     * `src/core_functions/aggregate/regression/` regr_*.cpp files). */
   def aggRegr(s: SparkSession, dir: String): DataFrame =
@@ -503,7 +566,8 @@ object Aggregates {
     "agg_reservoir_quantile" -> (aggReservoirQuantile _),
     "agg_bitstring" -> (aggBitstring _),
     "agg_topk_sketch" -> (aggTopkSketch _),
-    "agg_hll_merge" -> (aggHllMerge _))
+    "agg_hll_merge" -> (aggHllMerge _),
+    "agg_bloom" -> (aggBloom _))
 
   val oracle: Map[String, String] = Map(
     "agg_grouping_fn" -> aggGroupingFnSql,
@@ -528,5 +592,6 @@ object Aggregates {
     "agg_reservoir_quantile" -> aggReservoirQuantileSql,
     "agg_bitstring" -> aggBitstringSql,
     "agg_topk_sketch" -> aggTopkSketchSql,
-    "agg_hll_merge" -> aggHllMergeSql)
+    "agg_hll_merge" -> aggHllMergeSql,
+    "agg_bloom" -> aggBloomSql)
 }

@@ -907,6 +907,66 @@ object Similarity {
        |SELECT CAST(d AS BIGINT) AS d, v AS v_micro FROM v8""".stripMargin
   }
 
+  /** All-but-the-top embedding post-processing (Mu & Viswanath 2018) —
+    * the standard correction for the "common direction" anisotropy of
+    * learned embeddings: remove the top principal component from every
+    * (centered) vector. Chains directly off [[embPca]]'s integer
+    * component and stays EXACT by clearing denominators instead of
+    * normalizing: with v' = v_micro DIV 10³ (the direction at 10⁻³
+    * grain) and VV = Σv'², emit
+    *
+    *   xp = c·VV − (c·v')·v'_d      (all BIGINT, no division)
+    *
+    * which is VV times the projected-off vector — scale-free consumers
+    * (cosine, ranking) are invariant to the common factor, and the
+    * oracle compares exact integers. Orthogonality is literal:
+    * Σ_d xp_d·v'_d = 0 row by row (spec-pinned). Output restricted to
+    * vec_id < 100 to keep the gate's compare frame bounded; the
+    * projection itself is one broadcast-literal pass over the corpus.
+    *
+    * Overflow audit: |c| ≤ 4·10⁶, VV ≤ 64·10⁶ → |c·VV| ≤ 2.6·10¹⁴;
+    * |c·v'| ≤ 64·4·10⁶·10³ = 2.6·10¹¹, ×|v'_d| ≤ 10³ → 2.6·10¹⁴. */
+  def embAbtt(s: SparkSession, dir: String): DataFrame = {
+    val comp = embPca(s, dir).collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(1) / 1000L)).toMap
+    val dim = comp.size
+    val vv = (0 until dim).map(d => comp(d) * comp(d)).sum
+    val vLit = array((0 until dim).map(d => lit(comp(d))): _*)
+    val e = Tables.t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    val xq = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("vec_id"), col("d"),
+        floor(col("xf").cast("double") * 1e6).cast("long").as("xq"))
+    val stats = Tables.t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("d"), floor(col("xf").cast("double") * 1e6).cast("long").as("xq"))
+      .groupBy(col("d")).agg(sum(col("xq")).as("sd"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1) / r.getLong(2))).toMap
+    val mLit = array((0 until dim).map(d => lit(stats(d))): _*)
+    xq.withColumn("c", col("xq") - element_at(mLit, col("d") + 1))
+      .withColumn("cv", sum(col("c") * element_at(vLit, col("d") + 1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        (col("c") * lit(vv) - col("cv") * element_at(vLit, col("d") + 1))
+          .as("xp"))
+  }
+
+  /** The identical PCA rounds (shared [[embPcaSql]] CTE chain), 10⁻³
+    * direction grain, and cleared-denominator projection in the oracle
+    * dialect. */
+  val embAbttSql: String = {
+    val pcaBody = embPcaSql.replaceFirst("\\nSELECT [^\\n]+ FROM v8$", "")
+    s"""$pcaBody,
+       |vp AS (SELECT d, v // 1000 AS vp FROM v8),
+       |vv AS (SELECT CAST(sum(vp * vp) AS BIGINT) AS vv FROM vp),
+       |cq AS (SELECT vec_id, d, c FROM c WHERE vec_id < 100),
+       |cv AS (SELECT q.vec_id, CAST(sum(q.c * p.vp) AS BIGINT) AS cv
+       |       FROM cq q JOIN vp p USING (d) GROUP BY q.vec_id)
+       |SELECT q.vec_id, CAST(q.d AS BIGINT) AS d,
+       |  CAST(q.c * vv.vv - cv.cv * p.vp AS BIGINT) AS xp
+       |FROM cq q JOIN vp p USING (d) JOIN cv USING (vec_id), vv""".stripMargin
+  }
+
   /** Per-label embedding diversity — the mode-collapse / duplication
     * diagnostic a synthetic-data pipeline runs on generated corpora: the
     * MEAN PAIRWISE COSINE within each label, computed exactly in O(n·d)
@@ -1101,6 +1161,7 @@ object Similarity {
     "ann_recall" -> (annRecall _),
     "emb_project" -> (embProject _),
     "emb_pca" -> ((s: SparkSession, dir: String) => embPca(s, dir)),
+    "emb_abtt" -> (embAbtt _),
     "emb_domain_diversity" -> (embDomainDiversity _))
 
   val oracle: Map[String, String] = Map(
@@ -1116,5 +1177,6 @@ object Similarity {
     "ann_recall" -> annRecallSql,
     "emb_project" -> embProjectSql,
     "emb_pca" -> embPcaSql,
+    "emb_abtt" -> embAbttSql,
     "emb_domain_diversity" -> embDomainDiversitySql)
 }

@@ -146,4 +146,30 @@ class AggregatorsSpec extends SparkSpec {
     assert(rows("a") == Some(1.0), s"median of {1,3} at ceil(0.5·2)=1st: ${rows("a")}")
     assert(rows("b").isEmpty, "all-NULL group → NULL")
   }
+
+  test("bloom: OR-merge is idempotent/commutative; bitmap partition-invariant") {
+    val agg = new graft.functions.GraftAggregators.BloomAggregator(256)
+    val a = agg.reduce(agg.reduce(agg.zero, 5L), 5L)     // duplicate delivery
+    val b = agg.reduce(agg.zero, 5L)
+    assert(a.toSeq == b.toSeq, "setting a bit twice is setting it once")
+    val m1 = agg.merge(agg.reduce(agg.zero, 7L), agg.reduce(agg.zero, 200L))
+    val m2 = agg.merge(agg.reduce(agg.zero, 200L), agg.reduce(agg.zero, 7L))
+    assert(m1.toSeq == m2.toSeq, "merge commutes")
+    assert(m1.map(java.lang.Long.bitCount).sum == 2)
+    // bit 63 of a word: the position that exposed the arithmetic-shift
+    // trap in the lookup (shiftright keeps the sign; & 1 must still read 1)
+    val hi = agg.reduce(agg.zero, 63L)
+    assert((hi(0) >>> 63) == 1L)
+  }
+
+  test("agg_bloom: a Bloom filter has NO false negatives, under any partitioning") {
+    val out = graft.operators.Aggregates.aggBloom(spark, sf())
+    val rows = out.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.length == 20)
+    rows.filter(_._2).foreach { case (k, _, hit) =>
+      assert(hit, s"present key $k missed — impossible for a Bloom filter") }
+    val again = graft.operators.Aggregates.aggBloom(spark, sf())
+      .repartition(5).collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(again.toSet == rows.toSet, "bitmap and lookups are exact integers")
+  }
 }

@@ -511,6 +511,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rayleigh(v8) > rayleigh(v0) * 1.5,
       s"power iteration should concentrate variance: ${rayleigh(v8)} vs ${rayleigh(v0)}")
   }
+
+  test("emb_abtt: projected vectors are EXACTLY orthogonal to the removed component") {
+    val dir = sf("sf0.001")
+    val vp = Similarity.embPca(spark, dir).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1) / 1000L).toMap
+    val rows = Similarity.embAbtt(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+    assert(rows.nonEmpty)
+    // Σ_d xp_d · v'_d = 0 per vector — integer-literal orthogonality,
+    // the property the cleared-denominator construction guarantees
+    rows.groupBy(_._1).foreach { case (vid, rs) =>
+      assert(rs.length == 64)
+      val dot = rs.map { case (_, d, xp) => BigInt(xp) * vp(d) }.sum
+      assert(dot == 0, s"vec $vid residual dot $dot")
+    }
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
