@@ -253,6 +253,33 @@ object GraftAggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Mergeable Count-Min sketch (Cormode & Muthukrishnan 2005) — the
+    * counting sibling of [[BloomAggregator]]: d hash rows × w buckets of
+    * counters; `reduce` increments the row-major position (pre-hashed in
+    * the query by the shared md5_hash64, like Bloom), `merge` adds
+    * element-wise — a commutative monoid, so the sketch is EXACT under
+    * any partitioning and re-aggregation order. A point query reads the
+    * MIN of a key's d counters: never an underestimate (every counter
+    * counts the key plus its collisions), which is the bound the spec
+    * and the oracle pin. */
+  class CountMinAggregator(rows: Int, width: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](rows * width)
+    override def reduce(b: Array[Long], pos: Long): Array[Long] = {
+      b(pos.toInt) += 1L; b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   class SpaceSavingAggregator(capacity: Int, k: Int)
       extends Aggregator[String, Map[String, (Long, Long)], Seq[HeavyHitter]] {
 

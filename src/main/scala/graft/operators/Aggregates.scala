@@ -430,6 +430,76 @@ object Aggregates {
        |FROM ph GROUP BY probe_key, in_data""".stripMargin
   }
 
+  /** Count-Min sketch build + point queries
+    * ([[graft.functions.GraftAggregators.CountMinAggregator]]): d = 3
+    * hash rows × w = 512 counters over every lineitem part-key
+    * OCCURRENCE (a frequency sketch, unlike [[aggBloom]]'s distinct-key
+    * membership). Positions come from the shared md5_hash64, so the
+    * whole counter array is deterministic and the oracle reproduces it
+    * as a (row, bucket, count) relation; a point estimate is the MIN of
+    * a key's d counters and can only overestimate — `est >= true` is
+    * pinned per probe, exact equality whenever no collision landed in
+    * some row. Probes: the 5 smallest part keys and 5 impossible keys
+    * (whose estimate is pure collision mass). Scale posture: one
+    * map-side-combining aggregate to a single 1536-counter row; probes
+    * broadcast against it. */
+  def aggCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GraftFunctions => G}
+    val d = 3
+    val w = 512
+    val li = Tables.t(s, dir, "lineitem").select(col("l_partkey"))
+    val pos = li.select(explode(array((0 until d).map(i =>
+      lit(i) * w + G.md5_hash64(i, col("l_partkey")) % w): _*)).as("pos"))
+    val cms = pos.agg(
+      udaf(new graft.functions.GraftAggregators.CountMinAggregator(d, w))
+        .apply(col("pos")).as("counters"))
+    val truth = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("true_n"))
+    val present = truth.orderBy(col("l_partkey")).limit(5)
+      .select(col("l_partkey").as("probe_key"), col("true_n"))
+    val absent = s.range(1, 6)
+      .select((-col("id")).as("probe_key"), lit(0L).as("true_n"))
+    val probes = present.unionAll(absent)
+    // positions computed via the Scala API column (md5_hash64 is not in
+    // the bare session registry), staged as md5h0..md5h2 before the fold
+    val staged = (0 until d).foldLeft(probes.crossJoin(broadcast(cms))) {
+      (df, i) => df.withColumn(s"md5h$i", G.md5_hash64(i, col("probe_key")))
+    }
+    val est = (0 until d).map(i => expr(
+      s"element_at(counters, CAST(${i * w} + md5h$i % $w AS INT) + 1)"))
+      .reduce(least(_, _))
+    staged.select(col("probe_key").cast("long").as("probe_key"),
+      col("true_n"), est.as("cms_est"))
+      .withColumn("never_under", col("cms_est") >= col("true_n"))
+  }
+
+  /** The identical counters and min-of-rows point query in the oracle
+    * dialect (counter array as a (pos, c) relation). */
+  val aggCmsSql: String = {
+    def h(seed: String, v: String) =
+      graft.pipeline.Dedup.hash64Sql(seed, v) + " % 512"
+    s"""WITH pos AS (
+       |  SELECT i * 512 + ${h("i", "l_partkey")} AS pos
+       |  FROM lineitem, unnest(range(3)) AS t(i)),
+       |counters AS (SELECT pos, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY pos),
+       |truth AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS true_n
+       |          FROM lineitem GROUP BY l_partkey),
+       |probes AS (
+       |  SELECT l_partkey AS probe_key, true_n
+       |  FROM (SELECT l_partkey, true_n FROM truth ORDER BY l_partkey LIMIT 5)
+       |  UNION ALL
+       |  SELECT -CAST(i AS BIGINT), CAST(0 AS BIGINT) FROM range(1, 6) AS r(i)),
+       |ph AS (SELECT probe_key, true_n,
+       |         i * 512 + ${h("i", "probe_key")} AS pos
+       |       FROM probes, unnest(range(3)) AS t(i)),
+       |est AS (
+       |  SELECT probe_key, true_n,
+       |    CAST(min(coalesce(c, 0)) AS BIGINT) AS cms_est
+       |  FROM ph LEFT JOIN counters USING (pos)
+       |  GROUP BY probe_key, true_n)
+       |SELECT probe_key, true_n, cms_est, cms_est >= true_n AS never_under
+       |FROM est""".stripMargin
+  }
+
   /** Linear-regression aggregates (reference
     * `src/core_functions/aggregate/regression/` regr_*.cpp files). */
   def aggRegr(s: SparkSession, dir: String): DataFrame =
@@ -567,7 +637,8 @@ object Aggregates {
     "agg_bitstring" -> (aggBitstring _),
     "agg_topk_sketch" -> (aggTopkSketch _),
     "agg_hll_merge" -> (aggHllMerge _),
-    "agg_bloom" -> (aggBloom _))
+    "agg_bloom" -> (aggBloom _),
+    "agg_cms" -> (aggCms _))
 
   val oracle: Map[String, String] = Map(
     "agg_grouping_fn" -> aggGroupingFnSql,
@@ -593,5 +664,6 @@ object Aggregates {
     "agg_bitstring" -> aggBitstringSql,
     "agg_topk_sketch" -> aggTopkSketchSql,
     "agg_hll_merge" -> aggHllMergeSql,
-    "agg_bloom" -> aggBloomSql)
+    "agg_bloom" -> aggBloomSql,
+    "agg_cms" -> aggCmsSql)
 }

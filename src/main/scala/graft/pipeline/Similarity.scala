@@ -859,6 +859,8 @@ object Similarity {
       .agg(sum(col("xq")).as("sd"), count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val dim = stats.size
+    if (dim == 0) // empty corpus: no dimensions, no component
+      return s.createDataFrame(Seq.empty[(Long, Long)]).toDF("d", "v_micro")
     val mLit = array((0 until dim).map(d => lit(stats(d)._1 / stats(d)._2)): _*)
     // centered micro-unit array per vector, computed once per round's scan
     val cArr = zip_with(col("embedding"), mLit,
@@ -874,7 +876,10 @@ object Similarity {
         .agg(sum(col("s").cast("decimal(25,0)") * col("c")).as("y"))
         .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
       val mx = (0 until dim).map(d => y(d).abs).max
-      v = (0 until dim).map(d => y(d) * 1000000 / mx) // BigInt / truncates like DIV
+      // zero-variance corpus (one row / all-identical rows): y ≡ 0 and
+      // the iteration is a fixpoint — keep the current direction
+      if (mx > 0)
+        v = (0 until dim).map(d => y(d) * 1000000 / mx) // BigInt / truncates like DIV
     }
     s.createDataFrame(
       (0 until dim).map(d => (d.toLong, v(d).toLong))).toDF("d", "v_micro")
@@ -930,6 +935,9 @@ object Similarity {
     val comp = embPca(s, dir).collect()
       .map(r => r.getLong(0).toInt -> (r.getLong(1) / 1000L)).toMap
     val dim = comp.size
+    if (dim == 0) // empty corpus: nothing to project
+      return s.createDataFrame(Seq.empty[(Long, Long, Long)])
+        .toDF("vec_id", "d", "xp")
     val vv = (0 until dim).map(d => comp(d) * comp(d)).sum
     val vLit = array((0 until dim).map(d => lit(comp(d))): _*)
     val e = Tables.t(s, dir, "embeddings").filter(col("embedding").isNotNull)

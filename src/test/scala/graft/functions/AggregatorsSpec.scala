@@ -162,6 +162,22 @@ class AggregatorsSpec extends SparkSpec {
     assert((hi(0) >>> 63) == 1L)
   }
 
+  test("count-min: counter merge is a commutative monoid; estimates never underestimate") {
+    val agg = new graft.functions.GraftAggregators.CountMinAggregator(2, 8)
+    val a = agg.reduce(agg.reduce(agg.zero, 3L), 3L)
+    assert(a(3) == 2L, "same position increments accumulate")
+    val m1 = agg.merge(agg.reduce(agg.zero, 1L), agg.reduce(agg.zero, 9L))
+    val m2 = agg.merge(agg.reduce(agg.zero, 9L), agg.reduce(agg.zero, 1L))
+    assert(m1.toSeq == m2.toSeq && m1.sum == 2L)
+    val out = graft.operators.Aggregates.aggCms(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 10)
+    out.foreach { case (k, t, e, nu) =>
+      assert(nu && e >= t, s"CMS underestimated key $k: $e < $t") }
+    // present keys carry their true mass at minimum
+    assert(out.filter(_._2 > 0).forall(r => r._3 >= r._2))
+  }
+
   test("agg_bloom: a Bloom filter has NO false negatives, under any partitioning") {
     val out = graft.operators.Aggregates.aggBloom(spark, sf())
     val rows = out.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
