@@ -208,4 +208,57 @@ class CurationExtrasSpec extends SparkSpec {
       assert(r.getLong(2) <= r.getLong(3), "avg <= max")
     }
   }
+
+  // ---- plan-shape pins for the session-3 operators: the claimed scale
+  // postures, asserted on the physical plan (the PlanCheck discipline) ----
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("search_rrf plan: top-n via per-partition heaps, no cartesian") {
+    val plan = formatted(TextAnalysis.searchRrf(spark, sf()))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "each ranker's top-n must be a heap cut, not a global sort")
+    assert(!plan.contains("CartesianProduct"),
+      "the probe attaches by broadcast, never a cartesian")
+  }
+
+  test("classify_nb plan: class scalars broadcast, one argmax window, no cartesian") {
+    val df = TextAnalysis.classifyNb(spark, sf())
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the |classes|-row model side must broadcast onto the corpus")
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val wins = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(wins.length == 1, s"exactly the per-doc argmax window, got ${wins.length}")
+    assert(wins.head.partitionSpec.nonEmpty, "argmax partitions by doc_id — never global")
+  }
+
+  test("mix_dsir plan: bucket-capped models broadcast, no cartesian") {
+    val plan = formatted(Mixture.mixDsir(spark, sf()))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=1024-row feature models must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("bloom/cms plans: one-row sketch broadcast onto probes, no cartesian") {
+    for (df <- Seq(graft.operators.Aggregates.aggBloom(spark, sf()),
+        graft.operators.Aggregates.aggCms(spark, sf()))) {
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"))
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+        "the single-row sketch must broadcast against the probe list")
+      assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+        "the Aggregator build is an object aggregate, map-side combining")
+    }
+  }
+
+  test("lm_perplexity plan: model joined on its shard key, vocab scalar broadcast") {
+    val plan = formatted(TextAnalysis.lmPerplexity(spark, sf()))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the 1-row vocabulary scalar must broadcast")
+  }
 }
