@@ -184,6 +184,113 @@ object Similarity {
        |SELECT qid, vec_id, cos FROM scored WHERE rn <= 5""".stripMargin
   }
 
+  /** k-NN GRAPH construction by NN-Descent (Dong, Moses & Li 2011) —
+    * the graph-based ANN path that completes the family next to LSH
+    * buckets, IVF cells, and PQ codes (HNSW-class indexes are built on
+    * exactly this kind of neighbor graph): start from LSH-banded
+    * candidate pairs, then iterate the NN-Descent step — a node's next
+    * candidates are its current neighbors, its REVERSE neighbors, and
+    * their neighbors — keeping the top-k by exact cosine each round.
+    * Local joins only; no all-pairs anywhere. Every round is exact
+    * float32 cosine with (cos desc, id) tie-break, so the whole graph
+    * evolution is deterministic and oracle-checkable.
+    *
+    * The graph is built over a fixed 200-node slice: the demonstration
+    * keeps the compare frame bounded at every scale, and the algorithm
+    * shards naturally — at 100 TB you run the same rounds per graph
+    * shard (LSH buckets already co-locate likely neighbors), which is
+    * how offline kNN-graph builds for HNSW/diversity curation actually
+    * run. SimilaritySpec pins the NN-Descent CONTRACT: graph recall vs
+    * the exact per-node top-k strictly improves over the LSH init. */
+  def annNnDescent(s: SparkSession, dir: String, nodes: Int = 200,
+      k: Int = 5, rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = 8
+    val perBand = 4
+    val sub = Tables.t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && col("vec_id") < nodes)
+    val planes = hyperplanes(s, numPlanes = bands * perBand, dim = 64)
+    val bb = sub.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("x") * col("w")).as("dot"))
+      .withColumn("band", expr(s"plane DIV $perBand"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(when(col("dot") > 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(plane % $perBand AS INT))"))
+        .otherwise(0L)).as("bucket"))
+    def topkOf(cand: DataFrame): DataFrame =
+      cand
+        .join(sub.select(col("vec_id").as("u"), col("embedding").as("eu")), Seq("u"))
+        .join(sub.select(col("vec_id").as("v"), col("embedding").as("ev")), Seq("v"))
+        .select(col("u"), col("v"),
+          G.list_cosine_similarity(col("eu"), col("ev")).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("cos").desc, col("v"))))
+        .filter(col("rank") <= k)
+    val cand0 = bb.join(
+        bb.select(col("vec_id").as("v"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("v"))
+      .select(col("vec_id").as("u"), col("v")).distinct()
+    var g = topkOf(cand0)
+    for (_ <- 1 to rounds) {
+      val nn = g.select(col("u"), col("v"))
+      val base = nn.unionAll(nn.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val expand = base.as("a").join(base.as("b"),
+          col("a.v") === col("b.u") && col("a.u") =!= col("b.v"))
+        .select(col("a.u").as("u"), col("b.v").as("v"))
+      g = topkOf(nn.unionAll(base).unionAll(expand).distinct())
+    }
+    g.select(col("u"), col("v"), col("rank").cast("long").as("rank"), col("cos"))
+  }
+
+  /** The identical banded init and two NN-Descent rounds in the oracle
+    * dialect (MATERIALIZED rounds, the [[embPcaSql]] discipline). */
+  val annNnDescentSql: String = {
+    val h = Dedup.hash64Sql("42", "(p.plane*64+d.d)")
+    def topk(i: Int, cand: String) =
+      s"""g$i AS MATERIALIZED (
+         |  SELECT u, v, cos, rank FROM (
+         |    SELECT c.u, c.v,
+         |      list_cosine_similarity(a.embedding, b.embedding) AS cos,
+         |      row_number() OVER (PARTITION BY c.u
+         |        ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, c.v) AS rank
+         |    FROM $cand c JOIN sub a ON a.vec_id = c.u JOIN sub b ON b.vec_id = c.v) z
+         |  WHERE rank <= 5)""".stripMargin
+    def round(i: Int) =
+      s"""base$i AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT u, v FROM g${i - 1} UNION SELECT v AS u, u AS v FROM g${i - 1}) z),
+         |cand$i AS (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT u, v FROM g${i - 1}
+         |    UNION SELECT u, v FROM base$i
+         |    UNION SELECT a.u, b.v FROM base$i a JOIN base$i b
+         |      ON a.v = b.u AND a.u <> b.v) z),
+         |${topk(i, s"cand$i")}""".stripMargin
+    s"""WITH sub AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id < 200),
+       |planes AS (
+       |  SELECT p.plane, d.d, CAST(($h % 1024) - 512 AS DOUBLE) AS w
+       |  FROM (SELECT unnest(range(32)) AS plane) p, (SELECT unnest(range(64)) AS d) d),
+       |dots AS (
+       |  SELECT e.vec_id, pl.plane, sum(e.embedding[pl.d+1] * pl.w) AS dot
+       |  FROM sub e, planes pl GROUP BY e.vec_id, pl.plane),
+       |bb AS (
+       |  SELECT vec_id, plane // 4 AS band,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(plane % 4 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |cand0 AS (
+       |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+       |  FROM bb a JOIN bb b USING (band, bucket) WHERE a.vec_id <> b.vec_id),
+       |${topk(0, "cand0")},
+       |${round(1)},
+       |${round(2)}
+       |SELECT u, v, CAST(rank AS BIGINT) AS rank, cos FROM g2""".stripMargin
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into nlist cells by nearest centroid; a probe searches only its
     * nprobe nearest cells. At 10⁹ vectors each probe touches
@@ -1170,6 +1277,7 @@ object Similarity {
     "emb_project" -> (embProject _),
     "emb_pca" -> ((s: SparkSession, dir: String) => embPca(s, dir)),
     "emb_abtt" -> (embAbtt _),
+    "ann_nndescent" -> ((s: SparkSession, dir: String) => annNnDescent(s, dir)),
     "emb_domain_diversity" -> (embDomainDiversity _))
 
   val oracle: Map[String, String] = Map(
@@ -1186,5 +1294,6 @@ object Similarity {
     "emb_project" -> embProjectSql,
     "emb_pca" -> embPcaSql,
     "emb_abtt" -> embAbttSql,
+    "ann_nndescent" -> annNnDescentSql,
     "emb_domain_diversity" -> embDomainDiversitySql)
 }
