@@ -255,6 +255,80 @@ object BizAnalytics {
        |FROM t""".stripMargin
   }
 
+  /** Holt's linear-trend forecast (Holt 1957 — the level+trend upgrade
+    * of [[tsEwma]]'s plain smoothing) over each user's last 8 events, in
+    * EXACT integer arithmetic: with α = 1/2, β = 1/4 the recursion
+    *
+    *   l_t = (y_t + l_{t−1} + b_{t−1}) / 2
+    *   b_t = (l_t − l_{t−1}) / 4 + (3/4)·b_{t−1}
+    *
+    * carried at scale 8ᵗ clears every denominator — substituting
+    * L_t = 8ᵗ·l_t, B_t = 8ᵗ·b_t gives the DIVISION-FREE integer form
+    *
+    *   L_t = 4·(8ᵗ⁻¹·y_t + L_{t−1} + B_{t−1})
+    *   B_t = 8ᵗ⁻¹·y_t − L_{t−1} + 7·B_{t−1}
+    *
+    * (spec-pinned against an exact-fraction reference), so level, trend,
+    * and the one-step forecast `(L₈+B₈) DIV 8⁸` are bit-deterministic
+    * BIGINTs on both engines — no float smoothing state anywhere.
+    * Magnitudes: |L₈| ≤ ~8⁸·max|cents| ≈ 1.7·10¹² per unit cent — far
+    * inside BIGINT. Init: l₁ = y₁, b₁ = y₂ − y₁ (the standard Holt
+    * seed). Scale posture: one shuffle on user_id for the last-8 window,
+    * one pivot aggregate, then a pure codegen projection — the same
+    * shape as every per-key windowed fold here. */
+  def tsHolt(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ev = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 8)
+    val wide = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (1 to 8).map(k =>
+          max(when(col("rn") === 9 - k, col("cents"))).as(s"y$k")): _*)
+      .filter(col("n") === 8)
+    var l: org.apache.spark.sql.Column = lit(8L) * col("y1")
+    var b: org.apache.spark.sql.Column = lit(8L) * (col("y2") - col("y1"))
+    var scale = 8L
+    for (t <- 2 to 8) {
+      val (lp, bp) = (l, b)
+      l = lit(4L) * (lit(scale) * col(s"y$t") + lp + bp)
+      b = lit(scale) * col(s"y$t") - lp + lit(7L) * bp
+      scale *= 8
+    }
+    wide.select(col("user_id"), l.as("l8"), b.as("b8"))
+      .withColumn("forecast_cents", expr("(l8 + b8) DIV 16777216"))
+  }
+
+  /** The identical last-8 pivot and unrolled integer recursion in the
+    * oracle dialect (one CTE per step). */
+  val tsHoltSql: String = {
+    val steps = (2 to 8).map { t =>
+      val s8 = math.pow(8, t - 1).toLong
+      s"""h$t AS (SELECT user_id, y2, y3, y4, y5, y6, y7, y8,
+         |  4 * ($s8 * y$t + l + b) AS l, $s8 * y$t - l + 7 * b AS b
+         |  FROM h${t - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (
+       |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events),
+       |wide AS (
+       |  SELECT user_id, count(*) AS n,
+       |    ${(1 to 8).map(k => s"max(CASE WHEN rn = ${9 - k} THEN cents END) AS y$k")
+            .mkString(", ")}
+       |  FROM c WHERE rn <= 8 GROUP BY user_id),
+       |h1 AS (SELECT user_id, y2, y3, y4, y5, y6, y7, y8,
+       |  8 * y1 AS l, 8 * (y2 - y1) AS b FROM wide WHERE n = 8),
+       |$steps
+       |SELECT user_id, CAST(l AS BIGINT) AS l8, CAST(b AS BIGINT) AS b8,
+       |  CAST((l + b) // 16777216 AS BIGINT) AS forecast_cents
+       |FROM h8""".stripMargin
+  }
+
   /** SCD Type-2 dimension-history build (Kimball's slowly-changing
     * dimension, the warehouse op every large-scale ETL runs nightly):
     * compress each user's event stream to its event_type CHANGE rows and
@@ -301,6 +375,7 @@ object BizAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_ewma" -> (tsEwma _),
+    "ts_holt" -> (tsHolt _),
     "events_scd2" -> (eventsScd2 _),
     "events_sessions" -> (eventsSessions _),
     "events_attribution" -> (eventsAttribution _),
@@ -309,6 +384,7 @@ object BizAnalytics {
 
   val oracle: Map[String, String] = Map(
     "ts_ewma" -> tsEwmaSql,
+    "ts_holt" -> tsHoltSql,
     "events_scd2" -> eventsScd2Sql,
     "events_sessions" -> eventsSessionsSql,
     "events_attribution" -> eventsAttributionSql,

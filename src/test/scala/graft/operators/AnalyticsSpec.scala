@@ -183,4 +183,37 @@ class AnalyticsSpec extends SparkSpec {
         s"score column $i must be quintile-balanced: $marginal")
     }
   }
+
+  test("ts_holt tracks a perfect linear series exactly and matches the exact-fraction fold") {
+    import spark.implicits._
+    // user 1: y_t = 100 + 7t cents — Holt with b1 = y2-y1 locks onto a
+    // line exactly, so the one-step forecast IS the next point
+    val line = (1 to 8).map(t =>
+      (t.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:0$t%02d:00"),
+        1L, "view", (100 + 7 * t) / 100.0, ""))
+    // user 2: an arbitrary series, checked against a BigInt re-derivation
+    val ys = Seq(120L, -35L, 260L, 88L, 97L, 310L, 150L, 205L)
+    val arb = ys.zipWithIndex.map { case (c, i) =>
+      ((i + 10).toLong, java.sql.Timestamp.valueOf(f"2024-01-01 01:0${i + 1}%02d:00"),
+        2L, "view", c / 100.0, "")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_holt_").toString
+    (line ++ arb).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = BizAnalytics.tsHolt(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L)._3 == 100 + 7 * 9, s"linear series forecast must be y9: ${got(1L)}")
+    // driver-side re-derivation of the integer recursion
+    var L = BigInt(8) * ys.head
+    var B = BigInt(8) * (ys(1) - ys.head)
+    var s8 = BigInt(8)
+    for (t <- 2 to 8) {
+      val (lp, bp) = (L, B)
+      L = 4 * (s8 * ys(t - 1) + lp + bp)
+      B = s8 * ys(t - 1) - lp + 7 * bp
+      s8 *= 8
+    }
+    assert(got(2L) == ((L.toLong, B.toLong, ((L + B) / BigInt(16777216)).toLong)),
+      s"integer fold mismatch: ${got(2L)} vs ($L, $B)")
+  }
 }
