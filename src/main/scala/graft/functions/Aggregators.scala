@@ -234,6 +234,8 @@ object GraftAggregators {
     override def zero: Array[Long] = new Array[Long](bits / 64)
 
     override def reduce(b: Array[Long], pos: Long): Array[Long] = {
+      require(pos >= 0 && pos < bits.toLong,
+        s"bloom bit position $pos outside [0, $bits) — caller must hash non-negative % $bits")
       val p = pos.toInt
       b((p >>> 6)) |= (1L << (p & 63))
       b
@@ -266,6 +268,8 @@ object GraftAggregators {
       extends Aggregator[Long, Array[Long], Array[Long]] {
     override def zero: Array[Long] = new Array[Long](rows * width)
     override def reduce(b: Array[Long], pos: Long): Array[Long] = {
+      require(pos >= 0 && pos < (rows.toLong * width),
+        s"cms position $pos outside [0, ${rows * width}) — caller must hash non-negative % width per row")
       b(pos.toInt) += 1L; b
     }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

@@ -252,13 +252,67 @@ object Dedup {
     *    adds a stage; worth revisiting only for corpora where the
     *    candidate set is a small fraction of docs — which the plan
     *    cannot know statically and AQE cannot re-plan across here. */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(Tables.t(s, dir, "documents"), "text", 3)
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashPairs(Tables.t(s, dir, "documents"))
+
+  /** The full near-dup pair pipeline with the EXACT-DUPLICATE
+    * PRE-COLLAPSE every production dedup runs first (round-14 verdict
+    * lead item; the 100× probe corpus — 4 identical copies per document
+    * — drove the un-collapsed pipeline quadratic inside each duplicate
+    * cluster, 218 s): group by the normalized-text hash, elect the
+    * minimum doc_id as representative, run shingle→sign→band→verify
+    * over REPRESENTATIVES only, then expand members back onto the
+    * verified pairs and emit the exact-dup pairs directly.
+    *
+    * Pair-set EQUIVALENCE to the un-collapsed pipeline is exact, not
+    * approximate: exact duplicates (by normalized text) have IDENTICAL
+    * shingle sets, hence identical signatures, LSH candidacy, and
+    * jaccard — so intra-group pairs are always candidates and verify at
+    * j = 1.0 (emitted directly), and a member pair (a, b) across two
+    * groups verifies at exactly jaccard(rep_a, rep_b) (DedupSpec pins
+    * set equality against the un-collapsed pipeline on a corpus WITH
+    * exact duplicates). The savings: verification cost is
+    * O(pairs × |shingle set|) in the membership joins — the collapse
+    * moves that to rep pairs only, and member expansion emits each
+    * output pair at O(1). Output size itself is the operator's
+    * contract (all pairs), so a c-copy cluster still EMITS c·(c−1)/2
+    * rows — but never re-shingles, re-signs, or re-verifies them.
+    *
+    * Scale posture of the collapse itself: one groupBy on the 16-byte
+    * text hash (the only full-text shuffle — same weight as the
+    * narrow-arrival repartition it replaces, and it REMOVES duplicate
+    * text from everything downstream); the member map is (doc_id, rep)
+    * longs; expansion joins key on rep — all map-side-combining, no
+    * driver state. */
+  def dedupMinhashPairs(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(normalized(col("text")).cast("binary")).as("k"), col("text"))
+    // one row per DISTINCT normalized text; any member's raw text works
+    // (identical normalized text => identical shingles downstream)
+    val repDocs = keyed.groupBy(col("k"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+    val members = keyed.select(col("doc_id"), col("k"))
+      .join(repDocs.select(col("k"), col("doc_id").as("rep")), "k")
+      .select(col("doc_id"), col("rep"))
+    val sh = shingleHashes(repDocs.select(col("doc_id"), col("text")), "text", 3)
     val sig = minhashSignaturesHashed(sh, numHashes = 32)
     val cand = lshCandidates(sig, numHashes = 32, bands = 8)
-    verifyJaccardHashed(cand, sh, sig.select(col("doc_id"), col("n_sh")))
+    val repPairs = verifyJaccardHashed(cand, sh, sig.select(col("doc_id"), col("n_sh")))
       .filter(col("jaccard") >= 0.5)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    // exact-dup pairs: identical shingle sets, jaccard exactly 1.0
+    val intra = members.as("a").join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        lit(1.0).as("jaccard"))
+    // near-dup pairs: every member of rep1's group × every member of
+    // rep2's group at the reps' jaccard; reps are group minima so member
+    // order can invert — re-canonicalize with least/greatest
+    val cross = repPairs
+      .join(members.select(col("rep").as("id1"), col("doc_id").as("m1")), "id1")
+      .join(members.select(col("rep").as("id2"), col("doc_id").as("m2")), "id2")
+      .select(least(col("m1"), col("m2")).as("id1"),
+        greatest(col("m1"), col("m2")).as("id2"), col("jaccard"))
+    intra.unionAll(cross).select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** 60-bit SimHash per document from word-frequency-weighted hashes
@@ -465,6 +519,12 @@ object Dedup {
       edges = small
       round += 1
     }
+    // A non-fixpoint edge set is NOT (member, root) labels — refuse to
+    // emit wrong labels silently on a pathological graph; the caller can
+    // raise maxRounds (O(log² n) alternations suffice on any topology).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixpoint after $maxRounds rounds — raise maxRounds")
     // fixpoint: every edge is (member, root); roots label themselves
     edges.select(col("u").as("doc_id"), col("v").as("label"))
       .unionAll(edges.select(col("v"), col("v")).distinct()
@@ -656,8 +716,14 @@ object Dedup {
   def curateCorpus(s: SparkSession, dir: String, minWords: Int = 10): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
     val pairs = dedupMinhash(s, dir).select(col("id1"), col("id2"))
-    val comp = connectedComponents(pairs)
-    docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+    // star contraction, not diameter-bound propagation (round-14 verdict
+    // #2): the pair graph off the 100× probe corpus carries long
+    // duplicate chains where min-label propagation needs diameter rounds
+    // (195 s at 100×); [[connectedComponentsStar]] converges in O(log²)
+    // alternations on any topology and both reach the same min-label
+    // fixpoint the recursive-closure oracle checks.
+    val comp = connectedComponentsStar(pairs)
+    docs.join(comp, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("label"), col("doc_id")))
       .filter(col("cluster") === col("doc_id")) // canonical representative
       .filter(size(split(normalized(col("text")), " ")) >= minWords)

@@ -623,9 +623,16 @@ object TextAnalysis {
   /** The full add-1-smoothed bigram model (w1, w2, c12, ctx1, p_micro) —
     * [[lmBigram]] emits its top-50, [[lmPerplexity]] joins documents
     * against ALL of it. */
-  private def bigramModel(docs: DataFrame): DataFrame = {
+  private def bigramModel(docs: DataFrame): DataFrame =
+    bigramModelFrom(docs, docBigrams(docs))
+
+  /** Model from an ALREADY-BUILT bigram frame, so [[lmPerplexity]]'s
+    * scorer and trainer share one tokenize/explode pass (the bc groupBy
+    * shuffle and the scorer's join shuffle key on the same (w1, w2), so
+    * Spark's ReuseExchange can reuse the exchange too). */
+  private def bigramModelFrom(docs: DataFrame, bigrams: DataFrame): DataFrame = {
     val ws = split(Dedup.normalized(col("text")), " ")
-    val bc = docBigrams(docs).groupBy(col("w1"), col("w2"))
+    val bc = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     val ctx = bc.groupBy(col("w1")).agg(sum(col("c12")).as("ctx1"))
     val vocab = broadcast(docs.select(explode(ws).as("t"))
@@ -660,11 +667,15 @@ object TextAnalysis {
     * `1·10⁶ DIV (ctx1+V)` miss arm both engines can evaluate). */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
-    docBigrams(docs)
-      .join(bigramModel(docs), Seq("w1", "w2"))
+    val b = docBigrams(docs)
+    // p_micro floors to 0 once ctx1+V > 2e6 (rare transitions at corpus
+    // scale); log2(0) is NULL in Spark but -inf-ish divergence in the
+    // oracle — clamp to 1 micro-unit in BOTH dialects so the filter
+    // keeps penalizing exactly the implausible transitions it targets.
+    b.join(bigramModelFrom(docs, b), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log2(col("p_micro").cast("double") / 1000000.0)), 4)
+        round(avg(log2(greatest(col("p_micro"), lit(1L)).cast("double") / 1000000.0)), 4)
           .as("avg_logprob"))
       .withColumn("ppl", round(pow(lit(2.0), -col("avg_logprob")), 4))
   }
@@ -691,7 +702,7 @@ object TextAnalysis {
        |  FROM bc JOIN ctx USING (w1), v),
        |scored AS (
        |  SELECT doc_id, count(*) AS n_bigrams,
-       |    round(avg(log2(CAST(p_micro AS DOUBLE) / 1000000.0)), 4) AS avg_logprob
+       |    round(avg(log2(CAST(greatest(p_micro, 1) AS DOUBLE) / 1000000.0)), 4) AS avg_logprob
        |  FROM b JOIN model USING (w1, w2)
        |  GROUP BY doc_id)
        |SELECT doc_id, n_bigrams, avg_logprob,

@@ -79,6 +79,52 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(1) == 2L) // two normalized-distinct texts
   }
 
+  test("exact-dup pre-collapse: pair set identical to the un-collapsed pipeline") {
+    // A corpus WITH exact duplicates (raw-identical, whitespace/case
+    // variants that normalize identical) plus near-dups and uniques —
+    // the shape the 100x probe corpus amplifies. The pre-collapsed
+    // pipeline must emit EXACTLY the pair set of the un-collapsed
+    // shingle→sign→band→verify over all docs, jaccard values included.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, "  ALPHA beta gamma delta epsilon zeta eta theta iota kappa "),
+      (4L, near), (5L, near),
+      (6L, "one two three four five six seven eight nine ten"),
+      (7L, "completely different text with no overlap whatsoever at all"))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val collapsed = pairSet(Dedup.dedupMinhashPairs(docs))
+    // the un-collapsed reference: same stages over ALL docs, no pre-pass
+    val sh = Dedup.shingleHashes(docs, "text", 3)
+    val sig = Dedup.minhashSignaturesHashed(sh, numHashes = 32)
+    val cand = Dedup.lshCandidates(sig, numHashes = 32, bands = 8)
+    val raw = pairSet(Dedup.verifyJaccardHashed(cand, sh, sig.select($"doc_id", $"n_sh"))
+      .filter($"jaccard" >= 0.5).select($"id1", $"id2", $"jaccard"))
+    assert(collapsed == raw, s"collapsed ${collapsed -- raw} vs raw ${raw -- collapsed}")
+    // sanity on the shape itself: the 1-2-3 group yields 3 exact pairs at
+    // 1.0 (including the normalize-identical doc 3), 4-5 one exact pair,
+    // and the cross near-dup pairs carry one shared jaccard < 1.0
+    val ones = collapsed.filter(_._3 == BigDecimal(1).setScale(9))
+    assert(ones.map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    val crossJ = collapsed.filter(p => Set(1L, 2L, 3L).contains(p._1) &&
+      Set(4L, 5L).contains(p._2)).map(_._3)
+    assert(crossJ.size == 1 && crossJ.head < BigDecimal(1).setScale(9),
+      s"cross-group pairs must share one sub-1.0 jaccard: $crossJ")
+  }
+
+  test("star contraction refuses to emit labels from a non-fixpoint edge set") {
+    val chain = (0L until 16L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStar(chain.toDF("id1", "id2"), maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("no fixpoint"))
+  }
+
   test("simhash of identical docs is identical; permuted docs close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
