@@ -209,6 +209,57 @@ object Joins {
         rPayload.map(c => col("__m").getField(c).as(rName(c))): _*)
   }
 
+  /** ASOF RIGHT JOIN (reference `physical_asof_join.cpp` right-outer
+    * mode). PROBED semantics on DuckDB 1.0.0 — NOT the side-swap: the
+    * matching direction is unchanged (each LEFT row still picks its
+    * nearest right row under the inequality); RIGHT-outer means right
+    * rows that were never anyone's best match are appended NULL-padded.
+    * Probes pinned in JoinsSpec: a right row "skipped over" by a nearer
+    * match pads even though left rows satisfy its inequality; duplicate
+    * right rows pad multiplicity − 1 copies when their value matched
+    * (all probes match the one best physical row) and all copies
+    * otherwise; at inclusive-op ties the largest-payload row is the
+    * match (same pick [[asofJoin]] makes) and its tied siblings pad;
+    * NULL-order right rows always pad.
+    *
+    * Output: every left column (NULL on padded rows), then EVERY right
+    * column — keys included, since padded rows carry right keys under a
+    * NULL left key — with left-colliding names suffixed `_r`.
+    *
+    * Scale posture: the match half is [[asofJoin]]'s one-shuffle
+    * union+window; the pad half is a groupBy-count of the right side
+    * and one null-safe join against the DISTINCT matched values (both
+    * keyed map-side-combining shuffles) with `sequence`-explode
+    * restoring multiplicity — no domain product, no driver state. */
+  def asofJoinRight(left: DataFrame, right: DataFrame, eqKeys: Seq[String],
+      leftOrder: String, rightOrder: String, op: String = ">="): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rAll = right.columns.toSeq
+    val rPayload = rAll.filterNot(eqKeys.contains)
+    val collide = rPayload.filter(lCols.contains).toSet
+    def rName(c: String) = if (eqKeys.contains(c)) c + "_r"
+      else if (collide(c)) c + "_r" else c
+    val inner = asofJoin(left, right, eqKeys, leftOrder, rightOrder, op, "inner")
+    // matched rows: right keys equal left keys by the equality join
+    val matchedOut = inner.select(
+      lCols.map(col) ++ rAll.map(c =>
+        (if (eqKeys.contains(c)) col(c) else col(rName(c))).as(rName(c))): _*)
+    val matchedVals = inner.select(rAll.map(c =>
+        (if (eqKeys.contains(c)) col(c) else col(rName(c))).as("__m_" + c)): _*)
+      .distinct().withColumn("__matched", lit(1))
+    val counts = right.groupBy(rAll.map(col): _*).agg(count(lit(1)).as("__n"))
+    val padJoin = rAll.map(c => col(c) <=> col("__m_" + c)).reduce(_ && _)
+    val padded = counts.join(matchedVals, padJoin, "left")
+      .withColumn("__pad",
+        col("__n") - when(col("__matched").isNotNull, 1L).otherwise(0L))
+      .filter(col("__pad") > 0)
+      .withColumn("__i", explode(sequence(lit(1L), col("__pad"))))
+      .select(lCols.map(c =>
+        lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rAll.map(c => col(c).as(rName(c))): _*)
+    matchedOut.unionByName(padded)
+  }
+
   /** AS-OF join entry (reference `physical_asof_join.cpp`): for each
     * click, the most recent purchase at-or-before it by the same user —
     * phrased through the generic [[asofJoin]], so the oracle pins the

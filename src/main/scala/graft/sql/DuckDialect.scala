@@ -1117,7 +1117,9 @@ object DuckDialect {
           left = v(j).word == "left"; j = nextIdx(v, j)
         } else if (j < v.length && (v(j).word == "right" || v(j).word == "full")) {
           throw new GraftSqlException(
-            "ASOF RIGHT/FULL JOIN is not translated; use the Joins.joinAsof DataFrame recipe")
+            "ASOF RIGHT is translated only in the canonical single-join shape " +
+              "(AsofRewrite); ASOF FULL is not translated — use the " +
+              "Joins.asofJoinRight / joinAsof DataFrame recipes")
         }
         if (j >= v.length || v(j).word != "join")
           throw new GraftSqlException("ASOF must be followed by [LEFT|INNER] JOIN")

@@ -233,6 +233,19 @@ object DuckSqlQueries {
   val asofLeftSql: String = graft.operators.Joins.joinAsofSql
   val asofInnerSql: String = graft.operators.Joins.joinAsofInnerSql
 
+  /** ASOF RIGHT JOIN — probed DuckDB semantics (JoinsSpec pins them on
+    * hand fixtures): the match direction is unchanged (each click picks
+    * its nearest prior purchase); RIGHT-outer appends purchases that were
+    * never anyone's best match, NULL-padded on the click side. The
+    * identical raw string runs on both engines via `AsofRewrite`'s
+    * right-join arm → [[graft.operators.Joins.asofJoinRight]]. */
+  val asofRightSql: String =
+    """SELECT c.event_id, c.ts AS click_ts, p.user_id AS p_user,
+      |       p.event_id AS p_event, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
   /** The LATERAL translation path, pinned explicitly now that the
     * canonical shape takes the `AsofRewrite` fast path: the `+ INTERVAL`
     * expression on the inequality's right side is OUTSIDE the fast
@@ -522,6 +535,7 @@ object DuckSqlQueries {
     "ducksql_asof" -> via(asofLeftSql),
     "ducksql_asof_lateral" -> via(asofLateralSql),
     "ducksql_asof_inner" -> via(asofInnerSql),
+    "ducksql_asof_right" -> via(asofRightSql),
     "ducksql_list_position" -> via(listPositionSql),
     "ducksql_struct_literal" -> via(structLiteralSql),
     "ducksql_map_literal" -> via(mapLiteralSql),
@@ -572,6 +586,7 @@ object DuckSqlQueries {
     "ducksql_asof" -> asofLeftSql,
     "ducksql_asof_lateral" -> asofLateralSql,
     "ducksql_asof_inner" -> asofInnerSql,
+    "ducksql_asof_right" -> asofRightSql,
     "ducksql_list_position" -> listPositionSql,
     "ducksql_struct_literal" -> structLiteralSql,
     "ducksql_map_literal" -> mapLiteralSql,

@@ -53,6 +53,46 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinRight pins the DuckDB-probed RIGHT-outer semantics") {
+    // probed on DuckDB 1.0.0 (round 15): NOT a side-swap — matching stays
+    // left→right; right rows never chosen as a best match pad NULL-left
+    val a = Seq((1, 5, 50), (1, 9, 90), (2, 4, 40), (3, 7, 70)).toDF("k", "t", "av")
+    val b = Seq((1, 3, 300), (1, 6, 600), (1, 8, 800), (2, 10, 1000), (4, 1, 100))
+      .toDF("k", "t", "bv")
+    val got = Joins.asofJoinRight(a, b, Seq("k"), "t", "t", ">=")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)),
+        r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    // (1,6,600) pads even though left rows at t>=6 exist: (1,9) matched (1,8)
+    assert(got == Set(
+      (Some(1), Some(5), Some(50), 1, 3, 300),
+      (Some(1), Some(9), Some(90), 1, 8, 800),
+      (None, None, None, 1, 6, 600),
+      (None, None, None, 2, 10, 1000),
+      (None, None, None, 4, 1, 100)), got.toString)
+    // duplicate right rows: all probes match ONE physical row; the other
+    // copies pad (multiplicity − 1 when matched, multiplicity otherwise)
+    val a2 = Seq((1, 5, 50), (1, 6, 60), (1, 7, 70)).toDF("k", "t", "av")
+    val b2 = Seq((1, 3, 300), (1, 3, 300)).toDF("k", "t", "bv")
+    val got2 = Joins.asofJoinRight(a2, b2, Seq("k"), "t", "t", ">=")
+      .collect().map(r => (Option(r.get(0)), r.getInt(3), r.getInt(4), r.getInt(5)))
+    assert(got2.count(_._1.isEmpty) == 1 && got2.length == 4, got2.mkString(","))
+    // inclusive-op tie: the largest-payload row is the match, the tied
+    // sibling pads; under a strict op both pad
+    val a3 = Seq((1, 5, 50)).toDF("k", "t", "av")
+    val b3 = Seq((1, 5, 500), (1, 5, 501)).toDF("k", "t", "bv")
+    val incl = Joins.asofJoinRight(a3, b3, Seq("k"), "t", "t", ">=")
+      .collect().map(r => (Option(r.get(2)), r.getInt(5))).toSet
+    assert(incl == Set((Some(50), 501), (None, 500)), incl.toString)
+    val strict = Joins.asofJoinRight(a3, b3, Seq("k"), "t", "t", ">")
+      .collect().map(r => (Option(r.get(2)), r.getInt(5))).toSet
+    assert(strict == Set((None, 500), (None, 501)), strict.toString)
+    // NULL-order right rows always pad
+    val b4 = Seq((Some(1), Option.empty[Int], Some(999))).toDF("k", "t", "bv")
+    val nul = Joins.asofJoinRight(a3, b4, Seq("k"), "t", "t", ">=")
+      .collect().map(r => (Option(r.get(2)), r.getInt(5))).toSet
+    assert(nul == Set((None, 999)), nul.toString)
+  }
+
   test("asofJoin matches the reference on random data, every op and type") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val row = for {
