@@ -246,8 +246,10 @@ object Similarity {
   }
 
   /** The identical banded init and two NN-Descent rounds in the oracle
-    * dialect (MATERIALIZED rounds, the [[embPcaSql]] discipline). */
-  val annNnDescentSql: String = {
+    * dialect (MATERIALIZED rounds, the [[embPcaSql]] discipline) — the
+    * CTE chain is shared with [[annGraphSearchSql]], whose beam search
+    * runs over exactly this graph. */
+  private def nnDescentCtes: String = {
     val h = Dedup.hash64Sql("42", "(p.plane*64+d.d)")
     def topk(i: Int, cand: String) =
       s"""g$i AS MATERIALIZED (
@@ -269,7 +271,7 @@ object Similarity {
          |    UNION SELECT a.u, b.v FROM base$i a JOIN base$i b
          |      ON a.v = b.u AND a.u <> b.v) z),
          |${topk(i, s"cand$i")}""".stripMargin
-    s"""WITH sub AS (
+    s"""sub AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  WHERE embedding IS NOT NULL AND vec_id < 200),
        |planes AS (
@@ -287,8 +289,130 @@ object Similarity {
        |  FROM bb a JOIN bb b USING (band, bucket) WHERE a.vec_id <> b.vec_id),
        |${topk(0, "cand0")},
        |${round(1)},
-       |${round(2)}
-       |SELECT u, v, CAST(rank AS BIGINT) AS rank, cos FROM g2""".stripMargin
+       |${round(2)}""".stripMargin
+  }
+
+  val annNnDescentSql: String =
+    s"WITH $nnDescentCtes\nSELECT u, v, CAST(rank AS BIGINT) AS rank, cos FROM g2"
+
+  /** GRAPH-SEARCH ANN over the NN-Descent kNN graph — the query half the
+    * graph is FOR (HNSW layer-0 search; Malkov & Yashunin 2018): seed
+    * the beam from the query's LSH-init candidates (the coarse entry
+    * points, playing HNSW's upper layers — a single fixed entry node
+    * stalls in local optima on i.i.d. vectors, the no-navigability
+    * regime Dong et al. call out) plus a deterministic global entry,
+    * then batch-synchronous beam search — each hop scores the beam's
+    * graph neighborhood by exact float32 cosine and keeps the top-ef by
+    * (cos DESC, vec_id) — and the final beam's top-k is the answer.
+    * Because the seeds contain the LSH-init top-k and the beam only
+    * ever displaces a member for a strictly better one, recall@5 ≥ the
+    * LSH-init path's BY CONSTRUCTION. Fixed hop count + total-order
+    * tie-breaks make the whole search deterministic and
+    * oracle-checkable (the DuckDB twin unrolls the same hops over the
+    * same shared graph CTEs).
+    *
+    * Scale posture: the symmetrized edge list is localCheckpoint-ed once
+    * (the NN-Descent chain is NOT re-evaluated per hop) and every hop is
+    * |beam| × degree joins keyed on the node id — the batch offline-ANN
+    * shape. All probes advance in the same jobs (set-based, no per-query
+    * driver loop); at 10⁹ vectors the graph is sharded exactly like its
+    * construction and the beam frontier joins stay key-partitioned.
+    * SimilaritySpec pins recall@5 ≥ the LSH-init path's on the fixture
+    * probes and the no-cartesian plan. */
+  def annGraphSearch(s: SparkSession, dir: String, nodes: Int = 200,
+      k: Int = 5, ef: Int = 10, hops: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = Tables.t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && col("vec_id") < nodes)
+    val nn = annNnDescent(s, dir, nodes, k).select(col("u"), col("v"))
+    val edges = nn.unionAll(nn.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val queries = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    val entry = edges.agg(min(col("u")).as("vec_id"))
+    def scored(cand: DataFrame): DataFrame =
+      cand.join(sub.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(queries, Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          G.list_cosine_similarity(col("embedding"), col("q")).as("cos"))
+    def topEf(scoredCand: DataFrame): DataFrame =
+      scoredCand
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= ef)
+        .select(col("qid"), col("vec_id"), col("cos"))
+    val seeds = annNnDescent(s, dir, nodes, k, rounds = 0)
+      .filter(col("u") < 5)
+      .select(col("u").as("qid"), col("v").as("vec_id"))
+      .unionAll(queries.select(col("qid")).crossJoin(broadcast(entry)))
+      .distinct()
+    var w = topEf(scored(seeds))
+    for (_ <- 1 to hops) {
+      val cand = w.select(col("qid"), col("vec_id"))
+        .unionAll(w.select(col("qid"), col("vec_id").as("u"))
+          .join(edges, Seq("u"))
+          .select(col("qid"), col("v").as("vec_id")))
+        .distinct()
+      w = topEf(scored(cand))
+    }
+    // the query node navigates the beam (it's the best waypoint) but is
+    // excluded from the ANSWER, like ann_topk — also the cross-engine
+    // float32 cos(x,x) values differ (1.0000001 vs 1.0), so self-pairs
+    // are not oracle-comparable
+    w.filter(col("qid") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
+        col("cos"))
+  }
+
+  /** The identical entry node, 3 unrolled beam hops (ef = 10), and final
+    * top-5 in the oracle dialect, over the shared [[nnDescentCtes]]
+    * graph. */
+  val annGraphSearchSql: String = {
+    def hop(i: Int) =
+      s"""w$i AS MATERIALIZED (
+         |  SELECT qid, vec_id, cos FROM (
+         |    SELECT qid, vec_id, cos,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |    FROM (
+         |      SELECT c.qid, c.vec_id,
+         |        list_cosine_similarity(s2.embedding, q.q) AS cos
+         |      FROM (SELECT qid, vec_id FROM w${i - 1}
+         |            UNION
+         |            SELECT w.qid, sym.v AS vec_id
+         |            FROM w${i - 1} w JOIN sym ON sym.u = w.vec_id) c
+         |      JOIN sub s2 ON s2.vec_id = c.vec_id
+         |      JOIN queries q ON q.qid = c.qid) z) zz
+         |  WHERE rn <= 10)""".stripMargin
+    s"""WITH $nnDescentCtes,
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT u, v FROM g2 UNION SELECT v AS u, u AS v FROM g2) z),
+       |queries AS (SELECT vec_id AS qid, embedding AS q FROM sub WHERE vec_id < 5),
+       |entry AS (SELECT min(u) AS vec_id FROM sym),
+       |w0 AS MATERIALIZED (
+       |  SELECT qid, vec_id, cos FROM (
+       |    SELECT qid, vec_id, cos,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |    FROM (
+       |      SELECT c.qid, c.vec_id,
+       |        list_cosine_similarity(s2.embedding, q.q) AS cos
+       |      FROM (SELECT u AS qid, v AS vec_id FROM g0 WHERE u < 5
+       |            UNION
+       |            SELECT q2.qid, e.vec_id FROM queries q2, entry e) c
+       |      JOIN sub s2 ON s2.vec_id = c.vec_id
+       |      JOIN queries q ON q.qid = c.qid) z) zz
+       |  WHERE rn <= 10),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)}
+       |SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM w3 WHERE qid <> vec_id) f
+       |WHERE rank <= 5""".stripMargin
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
@@ -1278,6 +1402,7 @@ object Similarity {
     "emb_pca" -> ((s: SparkSession, dir: String) => embPca(s, dir)),
     "emb_abtt" -> (embAbtt _),
     "ann_nndescent" -> ((s: SparkSession, dir: String) => annNnDescent(s, dir)),
+    "ann_graph_search" -> ((s: SparkSession, dir: String) => annGraphSearch(s, dir)),
     "emb_domain_diversity" -> (embDomainDiversity _))
 
   val oracle: Map[String, String] = Map(
@@ -1295,5 +1420,6 @@ object Similarity {
     "emb_pca" -> embPcaSql,
     "emb_abtt" -> embAbttSql,
     "ann_nndescent" -> annNnDescentSql,
+    "ann_graph_search" -> annGraphSearchSql,
     "emb_domain_diversity" -> embDomainDiversitySql)
 }

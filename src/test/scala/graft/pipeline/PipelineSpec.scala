@@ -590,6 +590,46 @@ class SimilaritySpec extends SparkSpec {
     assert(refined.groupBy(_._1).forall(_._2.size == 5), "k = 5 out-degree everywhere")
   }
 
+  test("ann_graph_search: beam recall beats the LSH init; self excluded; no cartesian") {
+    val dir = sf("sf0.001")
+    val got = Similarity.annGraphSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // shape: 5 results per probe, dense ranks, never the query itself
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L), byQ.keySet.toString)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted == Seq(1L, 2L, 3L, 4L, 5L), s"qid $q ranks")
+      assert(rs.forall(_._2 != q), s"qid $q returned itself")
+    }
+    // ground truth: exact top-5 per probe within the graph's node slice
+    val vecs = graft.Tables.t(spark, dir, "embeddings")
+      .filter($"embedding".isNotNull && $"vec_id" < 200)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (0L to 4L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(v => (-cos(vecs(q), vecs(v)), v)).take(5).map(q -> _)
+    }.toSet
+    val beamHits = got.count(r => truth((r._1, r._2)))
+    // the LSH-init baseline on the same probes: the graph's own init edges
+    val initHits = Similarity.annNnDescent(spark, dir, rounds = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._1 < 5)
+      .count(truth)
+    assert(beamHits >= initHits,
+      s"beam search recall $beamHits/25 must be >= LSH-init recall $initHits/25")
+    assert(beamHits >= 15, s"beam recall floor: $beamHits/25")
+    // plan: no cartesian anywhere; the 1-row entry node broadcasts
+    val plan = Similarity.annGraphSearch(spark, dir).queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"),
+      "beam expansion must join on keys, never a cartesian")
+  }
+
   test("emb_abtt: projected vectors are EXACTLY orthogonal to the removed component") {
     val dir = sf("sf0.001")
     val vp = Similarity.embPca(spark, dir).collect()
