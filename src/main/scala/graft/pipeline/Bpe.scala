@@ -117,6 +117,136 @@ object Bpe {
         posexplode(col("__tok")).as(Seq("pos", "token")))
   }
 
+  /** PRODUCTION BPE encode of one word against a broadcast merge-rank
+    * map — the repeatedly-merge-the-lowest-rank-pair loop every shipped
+    * BPE tokenizer runs (GPT-2's encoder; leftmost wins rank ties).
+    * Equivalent to [[applyMerge]]'s sequential-by-rank exhaustive form
+    * because a merge's output symbol can only participate in LATER-rank
+    * merges — BpeSpec pins bit-identity on the fixture and adversarial
+    * overlaps, and the `tokenize_bpe` oracle re-derives the sequential
+    * form in SQL, so both algorithms are gate-checked against each
+    * other. Empty input mirrors the expression form's `split` ([""]). */
+  private[pipeline] def encodeWord(w: String,
+      rank: Map[(String, String), Int]): Array[String] = {
+    if (w.isEmpty) return Array("")
+    var syms = w.map(_.toString).toArray
+    var continue = true
+    while (continue && syms.length >= 2) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0 || bestRank == Int.MaxValue) continue = false
+      else {
+        val merged = syms(best) + syms(best + 1)
+        syms = (syms.take(best) :+ merged) ++ syms.drop(best + 2)
+      }
+    }
+    syms
+  }
+
+  private def rankMap(merges: Seq[Merge]): Map[(String, String), Int] =
+    merges.zipWithIndex.map { case (m, i) => ((m.left, m.right), i) }.toMap
+
+  /** The PRODUCTION corpus encoder — the seam [[encode]]'s Scaladoc
+    * documents: a 30k-merge tokenizer cannot be an expression chain
+    * (codegen method limits; K chained folds re-scan every word K
+    * times), so the deployment path broadcasts the merge-priority map
+    * once and runs the greedy [[encodeWord]] loop in mapPartitions —
+    * per-word cost scales with the PAIRS PRESENT in the word (hash
+    * lookups), not with K. Same output contract as [[encode]]
+    * (doc_id, pos, token), pinned bit-identical in BpeSpec. At 100 TB:
+    * one broadcast of O(K) strings, one scan, no shuffle. */
+  def encodeBroadcast(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(rankMap(merges))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        split(Dedup.normalized(col(textCol)), " ").as("ws"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.flatMap { case (id, ws) =>
+          ws.iterator.flatMap(w => encodeWord(w, r))
+            .zipWithIndex.map { case (t, p) => (id, p, t) }
+        }
+      }.toDF("doc_id", "pos", "token")
+  }
+
+  /** Driver-gate entry for the PRODUCTION encoder: a closed-form merge
+    * table — the top-16 weighted adjacent character pairs, ranked
+    * (n DESC, pair ASC) — applied to the top-100 corpus words through
+    * the broadcast [[encodeWord]] loop. Closed-form because a deployed
+    * tokenizer ships a FIXED merge list (the trainer's argmax relation
+    * is oracled separately as `bpe_pairs`), and because it makes the
+    * merges derivable in one SQL aggregation — the oracle then encodes
+    * with the SEQUENTIAL-by-rank recursive walk, so the gate
+    * cross-checks the two classic BPE encode algorithms against each
+    * other on real corpus words at every scale. */
+  def tokenizeBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = wordCounts(Tables.t(s, dir, "documents"), "text")
+    val merges = wc.select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(16)
+      .collect().map(r => Merge(r.getString(0).substring(0, 1),
+        r.getString(0).substring(1, 2), r.getLong(1))).toSeq
+    val bc = s.sparkContext.broadcast(rankMap(merges))
+    wc.orderBy(col("cnt").desc, col("w").asc).limit(100)
+      .select(col("w"), col("cnt")).as[(String, Long)]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { case (w, cnt) =>
+          val toks = encodeWord(w, r)
+          (w, cnt, toks.mkString("|"), toks.length.toLong)
+        }
+      }.toDF("w", "cnt", "tokens", "n_tokens")
+  }
+
+  /** The same merge table and the SEQUENTIAL-by-rank exhaustive encode
+    * (the [[applyMerge]] algorithm) as one recursive walk in the oracle
+    * dialect: state (w, rank, syms, pos, acc) — pos sweeps syms applying
+    * merge[rank] greedily left-to-right; a finished sweep promotes acc
+    * to syms and advances the rank; rank 17 holds the final symbols. */
+  val tokenizeBpeSql: String =
+    raw"""WITH RECURSIVE toks AS (
+       |  SELECT unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+       |  FROM documents),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks WHERE len(w) >= 2 GROUP BY w),
+       |prs AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM wc, unnest(generate_series(1, len(w)-1)) AS t(i) GROUP BY pair),
+       |merges AS (
+       |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rank
+       |  FROM (SELECT pair, n FROM prs ORDER BY n DESC, pair LIMIT 16) m),
+       |top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w ASC LIMIT 100),
+       |enc AS (
+       |  SELECT w, cnt, 1 AS rank, string_split(w,'') AS syms, 1 AS pos,
+       |         CAST([] AS VARCHAR[]) AS acc
+       |  FROM top
+       |  UNION ALL
+       |  SELECT e.w, e.cnt,
+       |    CASE WHEN e.pos > len(e.syms) THEN e.rank + 1 ELSE e.rank END AS rank,
+       |    CASE WHEN e.pos > len(e.syms) THEN e.acc ELSE e.syms END AS syms,
+       |    CASE WHEN e.pos > len(e.syms) THEN 1 ELSE e.pos + 1 END AS pos,
+       |    CASE WHEN e.pos > len(e.syms) THEN CAST([] AS VARCHAR[])
+       |         WHEN len(e.acc) > 0 AND e.acc[-1] = substr(m.pair,1,1)
+       |              AND e.syms[e.pos] = substr(m.pair,2,1)
+       |           THEN list_append(e.acc[1:len(e.acc)-1], m.pair)
+       |         ELSE list_append(e.acc, e.syms[e.pos]) END AS acc
+       |  FROM enc e JOIN merges m ON m.rank = e.rank
+       |  WHERE e.rank <= 16)
+       |SELECT w, cnt, array_to_string(syms,'|') AS tokens,
+       |       CAST(len(syms) AS BIGINT) AS n_tokens
+       |FROM enc WHERE rank = 17""".stripMargin
+
   /** Driver-gate entry (the oracled face of the trainer): the weighted
     * adjacent CHARACTER-pair counts of the corpus vocabulary — exactly
     * the argmax relation round 1 of [[train]] consumes — as the top-20
@@ -239,9 +369,11 @@ object Bpe {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_pairs" -> (bpePairs _),
+    "tokenize_bpe" -> (tokenizeBpe _),
     "tokenize_wordpiece" -> (tokenizeWordpiece _))
 
   val oracle: Map[String, String] = Map(
     "bpe_pairs" -> bpePairsSql,
+    "tokenize_bpe" -> tokenizeBpeSql,
     "tokenize_wordpiece" -> tokenizeWordpieceSql)
 }

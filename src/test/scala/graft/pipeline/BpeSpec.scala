@@ -95,6 +95,53 @@ class BpeSpec extends SparkSpec {
     assert(counts.last < counts.head, "six merges must actually compress")
   }
 
+  test("encodeBroadcast is bit-identical to the expression-form encode") {
+    // the production mapPartitions greedy (lowest-rank-first) against the
+    // K-chained-fold expression form, on real fixture docs with TRAINED
+    // merges — the two classic BPE encode algorithms must agree exactly
+    val docs = graft.Tables.t(spark, sf(), "documents")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    val (merges, _) = Bpe.train(Bpe.wordCounts(docs, "text"), rounds = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val expr = rows(Bpe.encode(docs, "text", merges))
+    val prod = rows(Bpe.encodeBroadcast(docs, "text", merges))
+    assert(prod == expr,
+      s"diff: ${(prod -- expr).take(5)} vs ${(expr -- prod).take(5)}")
+  }
+
+  test("encodeWord: adversarial overlaps match the sequential fold") {
+    // hand merges exercising rank interaction: overlapping runs, a merge
+    // whose output blocks a later rank, rank ties resolved leftmost
+    val merges = Seq(Bpe.Merge("a", "a", 0), Bpe.Merge("a", "b", 0),
+      Bpe.Merge("b", "c", 0), Bpe.Merge("aa", "a", 0))
+    val rank = merges.zipWithIndex.map { case (m, i) => ((m.left, m.right), i) }.toMap
+    def sequential(w: String): List[String] =
+      merges.foldLeft(w.split("").toList) { case (syms, m) =>
+        syms.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == m.left && x == m.right) acc.init :+ (m.left + m.right)
+          else acc :+ x
+        }
+      }
+    for (w <- Seq("aaa", "aaaaa", "abc", "aabc", "abab", "cab", "bca",
+        "aabbcc", "x", "", "abcabcabc")) {
+      assert(Bpe.encodeWord(w, rank).toList == sequential(w),
+        s"word '$w': ${Bpe.encodeWord(w, rank).toList} vs ${sequential(w)}")
+    }
+  }
+
+  test("tokenize_bpe: tokens reassemble the word; merge table is the pair top-16") {
+    val got = Bpe.tokenizeBpe(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+    assert(got.nonEmpty && got.length <= 100) // sf0.001's vocab is ~30 words
+    got.foreach { case (w, toks, n) =>
+      assert(toks.split('|').mkString("") == w, s"'$w' != reassembled '$toks'")
+      assert(toks.split('|').length.toLong == n)
+    }
+    // at least one multi-char token must appear (the merges actually fire)
+    assert(got.exists(_._2.split('|').exists(_.length > 1)))
+  }
+
   test("bpe_pairs equals round-1 argmax relation of the trainer") {
     val top = Bpe.bpePairs(spark, sf()).collect()
     assert(top.length === 20)
