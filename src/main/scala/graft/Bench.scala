@@ -406,6 +406,7 @@ object Bench {
       try loadavg().toDouble catch { case _: Throwable => 0.0 }
     val loadThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX",
       math.max(4, cpus / 4).toString).toDouble
+    val gateExhausted = scala.collection.mutable.ArrayBuffer.empty[String]
     def loadGate(what: String): Unit = {
       var tries = 0
       while (loadavgNum() > loadThresh && tries < 5) {
@@ -414,6 +415,10 @@ object Bench {
         Thread.sleep(60000)
         tries += 1
       }
+      // retries exhausted while still contended: the block that follows
+      // is timed anyway, but the artifact will carry the last clean
+      // run's numbers as its defensible headline (round-14 verdict #8)
+      if (loadavgNum() > loadThresh) gateExhausted += what
     }
 
     // Block 1 — tuned config (headline numbers), best-of-N RECORDED
@@ -516,68 +521,92 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => if (strict) throw e }
       }
-      // One timed pass under a config, conf fully snapshot/restored — the
-      // round-8 episode-vs-instrumented discrepancy (same arm: 1.4 s in
-      // episodes, 7.0 s instrumented) means a single sample can't be
-      // trusted, so the A/B comparison below interleaves configs A/B/A/B
-      // and takes the min per config (one-off stalls — GC, tmpfs
-      // writeback, listener warmup — hit one sample, not both).
-      def onePass(targetBytes: Option[Long]): Double =
-        compaction.Compact.withAqeConfRestored(spark) {
-          targetBytes match {
-            case Some(b) =>
-              compaction.Compact.enableAqeCompaction(spark, b, bindTarget = true)
-            case None => // the REAL production default, parallelism-first AQE
-              compaction.Compact.enableAqeDefault(spark)
-          }
-          val t0 = System.nanoTime()
-          flood(spark)
-          (System.nanoTime() - t0) / 1e9
-        }
+      // Timed passes below are conf fully snapshot/restored — the round-8
+      // episode-vs-instrumented discrepancy (same arm: 1.4 s in episodes,
+      // 7.0 s instrumented) means a single sample can't be trusted, so
+      // the A/B comparison interleaves configs A/B/C/A/B/C and takes the
+      // min per config (one-off stalls — GC, tmpfs writeback, listener
+      // warmup — hit one sample, not both).
       val ac = new compaction.AdaptiveCompact(spark)
       flood(spark) // one untimed warm pass: JIT + page cache settle
-      val chosen = ac.tune(12)(flood)
-      val episodes = ac.history
-        .map(e => s"""{"arm_mb":${e.targetBytes >> 20},"sec":${"%.3f".format(e.seconds)}}""")
+      // chunk-aware reward (round-14 verdict item 3): each episode's cost
+      // is seconds × (1 + small-task fraction at the 1024-row trigger),
+      // so the bandit sees the fragment flood itself, not only the
+      // wall-clock it happens to cost in this workload
+      val (chosen, meps) = ac.tuneMetered(12)(flood)
+      val episodes = meps
+        .map(e => s"""{"arm_mb":${e.ep.targetBytes >> 20},""" +
+          s""""sec":${"%.3f".format(e.ep.seconds)},""" +
+          s""""stf":${"%.3f".format(e.stf)},""" +
+          s""""chunk_factor":${"%.1f".format(e.chunkFactor)},""" +
+          s""""cost":${"%.3f".format(e.cost)}}""")
         .mkString("[", ",", "]")
       // chosen == DefaultArm means the bandit settled on production
       // defaults — the tuned config IS default then (it cannot lose).
       val tunedTarget =
         if (chosen == compaction.CompactTuner.DefaultArm) None else Some(chosen)
-      val mDefault = new compaction.ChunkMetrics()
-      val mTuned = new compaction.ChunkMetrics()
-      var secDefault = Double.MaxValue
-      var secTuned = Double.MaxValue
-      if (tunedTarget.isEmpty) {
-        // the bandit settled on the default arm: tuned and default are the
-        // SAME configuration — one measurement, reported for both (an A/B
-        // of identical configs only manufactures a noise delta)
-        mDefault.install(spark)
-        for (_ <- 1 to 2) secDefault = math.min(secDefault, onePass(None))
-        drainMetrics(mDefault)
-        spark.sparkContext.removeSparkListener(mDefault)
-        secTuned = secDefault
-      } else for (_ <- 1 to 2) {
-        mDefault.install(spark)
-        secDefault = math.min(secDefault, onePass(None))
-        drainMetrics(mDefault)
-        spark.sparkContext.removeSparkListener(mDefault)
-        mTuned.install(spark)
-        secTuned = math.min(secTuned, onePass(tunedTarget))
-        drainMetrics(mTuned)
-        spark.sparkContext.removeSparkListener(mTuned)
+      // THREE-WAY A/B {AQE default, static-128 analog (the reference's
+      // fixed-vector-size posture as an advisory target), tuner-settled}
+      // on the flood AND one headline query, interleaved rounds with the
+      // min per config (a one-off stall hits one sample, not all). When
+      // the bandit settled on the default arm, tuner == aqe by identity —
+      // reported as the same measurement, not re-raced against itself.
+      def timedPass(t: Option[Long], work: SparkSession => Unit,
+          withStf: Boolean): (Double, Double) =
+        compaction.Compact.withAqeConfRestored(spark) {
+          t match {
+            case Some(b) =>
+              compaction.Compact.enableAqeCompaction(spark, b, bindTarget = true)
+            case None => compaction.Compact.enableAqeDefault(spark)
+          }
+          val m = if (withStf) Some(new compaction.ChunkMetrics().install(spark))
+            else None
+          val t0 = System.nanoTime()
+          work(spark)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val stf = m.map { mm =>
+            drainMetrics(mm)
+            spark.sparkContext.removeSparkListener(mm)
+            mm.smallTaskFraction(1024)
+          }.getOrElse(Double.NaN)
+          (sec, stf)
+        }
+      val abCfgs = Seq("aqe" -> None, "static128" -> Some(128L << 20)) ++
+        tunedTarget.map(t => "tuner" -> Some(t)).toSeq
+      def ab(work: SparkSession => Unit): Map[String, (Double, Double)] = {
+        val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+        for (r <- 1 to 2; (name, t) <- abCfgs) {
+          val (sec, stf) = timedPass(t, work, withStf = r == 1)
+          val cur = acc.get(name)
+          acc(name) = (math.min(sec, cur.map(_._1).getOrElse(Double.MaxValue)),
+            cur.map(_._2).filterNot(_.isNaN).getOrElse(stf))
+        }
+        if (tunedTarget.isEmpty) acc("tuner") = acc("aqe")
+        acc.toMap
       }
-      val (stfDefault, stfTuned) =
-        (mDefault.smallTaskFraction(1024),
-          if (tunedTarget.isEmpty) mDefault.smallTaskFraction(1024)
-          else mTuned.smallTaskFraction(1024))
+      val abFlood = ab(flood)
+      def q1work(s2: SparkSession): Unit =
+        try SparkEntry.queries("q1_pricing")(s2, bigDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => if (strict) throw e }
+      q1work(spark) // untimed warm
+      val abQ1 = ab(q1work)
+      def abSecJson(m: Map[String, (Double, Double)]) =
+        Seq("aqe", "static128", "tuner")
+          .map(k => s""""$k":${"%.3f".format(m(k)._1)}""").mkString("{", ",", "}")
+      def abStfJson(m: Map[String, (Double, Double)]) =
+        Seq("aqe", "static128", "tuner")
+          .map(k => s""""$k":${"%.3f".format(m(k)._2)}""").mkString("{", ",", "}")
       tunerFields =
         s""","compact_tuner_arm_mb":${chosen >> 20}""" +
         s""","compact_tuner_episodes":$episodes""" +
-        s""","flood_10x_default_sec":${"%.3f".format(secDefault)}""" +
-        s""","flood_10x_tuned_sec":${"%.3f".format(secTuned)}""" +
-        s""","stf_flood_10x_default":$stfDefault""" +
-        s""","stf_flood_10x_tuned":$stfTuned"""
+        s""","flood_10x_default_sec":${"%.3f".format(abFlood("aqe")._1)}""" +
+        s""","flood_10x_tuned_sec":${"%.3f".format(abFlood("tuner")._1)}""" +
+        s""","stf_flood_10x_default":${"%.3f".format(abFlood("aqe")._2)}""" +
+        s""","stf_flood_10x_tuned":${"%.3f".format(abFlood("tuner")._2)}""" +
+        s""","tuner_ab":{"arm_mb":${chosen >> 20},""" +
+        s""""flood":${abSecJson(abFlood)},"q1_pricing":${abSecJson(abQ1)},""" +
+        s""""stf_flood":${abStfJson(abFlood)},"stf_q1":${abStfJson(abQ1)}}"""
       mark("compact tuner done")
       // tmpfs space is shared with the OS: drop the 10× stage eagerly.
       scala.reflect.io.Path(bigDir).deleteRecursively()
@@ -652,6 +681,42 @@ object Bench {
       s""","queries_sf10x":${toJson(resultsSf10x)},"total_sf10x":${finiteSum(resultsSf10x)},"inflate_copies":$inflate"""
     val failedField = if (failedQueries.isEmpty) "" else
       failedQueries.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // Clean-reference self-defense, last mile (round-14 verdict #8): a run
+    // is CLEAN when no block was noisy and the loadavg gate never
+    // exhausted its retries. Clean runs refresh
+    // bench_evidence/clean_reference.json with their headline numbers;
+    // contended runs EMBED the stored reference, so a contended artifact
+    // still carries its own defensible headline instead of pointing at
+    // sidecar archaeology.
+    val cleanRefPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN_REF",
+      "bench_evidence/clean_reference.json")
+    val runIsClean = noisy.isEmpty && gateExhausted.isEmpty
+    val gateField = if (gateExhausted.isEmpty) "" else
+      gateExhausted.map("\"" + _ + "\"")
+        .mkString(""","loadgate_exhausted":[""", ",", "]")
+    val cleanRefField: String =
+      if (runIsClean) {
+        val snap =
+          s"""{"total":$total,"queries":${toJson(results)}$sf10xFields""" +
+          blocks.map { case (n, ss) =>
+            s""","spread_$n":${"%.3f".format(blockSpread(ss))}""" }.mkString +
+          s""","loadavg_start":"$loadStart","sf":"$sfDir"}"""
+        try {
+          val w = new java.io.PrintWriter(new java.io.File(cleanRefPath), "UTF-8")
+          try w.println(snap) finally w.close()
+          System.err.println(s"[bench] clean run — refreshed $cleanRefPath")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] clean_reference write failed (${e.getMessage})")
+        }
+        ""
+      } else {
+        val stored = try {
+          val src = scala.io.Source.fromFile(cleanRefPath, "UTF-8")
+          try src.mkString.trim finally src.close()
+        } catch { case _: Throwable => "" }
+        if (stored.startsWith("{")) s""","clean_reference":$stored"""
+        else ""","clean_reference":null"""
+      }
     // Two-tier emission (round-11 verdict item 3: the single fat JSON line
     // outgrew the driver's stdout tail-capture window → BENCH_r11.parsed
     // was null and the round lost its headline). The FULL record — per-
@@ -659,7 +724,7 @@ object Bench {
     // the minhash 10× stage profile — goes to a sidecar file on disk; the
     // LAST stdout line is a compact headline (totals + per-query tuned
     // times + noisy flag + stf) that always fits the capture window.
-    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_aqe":${toJson(resultsAqe)},"total_aqe":$totalAqe$sf10xFields$tunerFields$minhashStageFields$dispersionFields,"floor":$floor,"small_task_fraction_deep_join":$stf,"stf_deep_join_uncompacted":$stfUncompacted$failedField,"sf":"$sfDir"}"""
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_aqe":${toJson(resultsAqe)},"total_aqe":$totalAqe$sf10xFields$tunerFields$minhashStageFields$dispersionFields,"floor":$floor,"small_task_fraction_deep_join":$stf,"stf_deep_join_uncompacted":$stfUncompacted$failedField$gateField$cleanRefField,"sf":"$sfDir"}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "bench_dispersion.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(sidecar), "UTF-8")
@@ -676,7 +741,7 @@ object Bench {
       s""","total_sf10x":${finiteSum(resultsSf10x)}"""
     val spreadFields = blocks.map { case (n, ss) =>
       s""","spread_$n":${"%.3f".format(blockSpread(ss))}""" }.mkString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"total_aqe":$totalAqe$sf10xHeadline$spreadFields,"noisy_blocks":${noisy.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","floor":$floor,"small_task_fraction_deep_join":$stf,"stf_deep_join_uncompacted":$stfUncompacted$failedField,"dispersion_file":"$sidecar","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"total_aqe":$totalAqe$sf10xHeadline$spreadFields,"noisy_blocks":${noisy.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","floor":$floor,"small_task_fraction_deep_join":$stf,"stf_deep_join_uncompacted":$stfUncompacted$failedField$gateField$cleanRefField,"dispersion_file":"$sidecar","sf":"$sfDir"}""")
     spark.stop()
   }
 }

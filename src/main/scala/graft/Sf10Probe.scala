@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions.col
 
-/** 100×-scale probe (round-14 verdict item 7): push the scale evidence
+/** 100×-scale probe (round-14 verdict item 7; round-15: invariance on
+  * every entry by default): push the scale evidence
   * one decade past the routine 10× sweep — stage 100 × sf0.1 ≈ sf10 on
   * tmpfs and run the HEAVIEST entries once each under the production
   * config, timing every entry and VALUE-CHECKING a sampled subset by
@@ -12,7 +13,7 @@ import org.apache.spark.sql.functions.col
   * a scale DuckDB-side comparison cannot reach in this sandbox).
   *
   * Output: one JSON line on stdout and (by default)
-  * `bench_evidence/r14_sf10_probe.json` — per-entry seconds + rows, the
+  * `bench_evidence/r15_sf10_probe.json` — per-entry seconds + rows, the
   * invariance verdicts, and the staging time. Entries run ONCE (this is
   * a does-the-plan-survive probe, not a benchmark; the 10× block in
   * Bench.scala remains the dispersion-controlled scale trend).
@@ -24,7 +25,8 @@ object Sf10Probe {
 
   private def md5RowsHash(df: org.apache.spark.sql.DataFrame): (Long, String) = {
     // order-insensitive multiset hash: md5 each canonical row rendering,
-    // XOR-fold — collectable verdict without collecting the rows
+    // then SUM the 60-bit prefixes in DECIMAL(38,0) — a commutative fold,
+    // so the verdict is collectable without collecting the rows
     val hashed = df.select(
       org.apache.spark.sql.functions.md5(
         org.apache.spark.sql.functions.concat_ws("",
@@ -48,11 +50,13 @@ object Sf10Probe {
     val entries = sys.env.getOrElse("SPARK_GRAFT_PROBE_ENTRIES",
       "dedup_minhash,dedup_substring,pipeline_curate,h2o_median_sd,events_scd2")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // round-15: invariance is the DEFAULT for every probed entry (one
+    // re-run each) — opt out by naming a subset, not in
     val invariance = sys.env.get("SPARK_GRAFT_PROBE_INVARIANCE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("dedup_minhash", "h2o_median_sd"))
+      .getOrElse(entries.toSet)
     val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
-      "bench_evidence/r14_sf10_probe.json")
+      "bench_evidence/r15_sf10_probe.json")
 
     val spark = EngineSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")

@@ -57,5 +57,57 @@ class AdaptiveCompact(spark: SparkSession, val tuner: CompactTuner = new Compact
     best
   }
 
+  /** One episode with a CHUNK-AWARE reward (round-14 verdict item 3):
+    * [[ChunkMetrics]] rides along and the cost charged to the arm is
+    * seconds × (1 + small-task fraction at the reference's 1024-row
+    * compaction trigger) — an arm that is fast this episode but floods
+    * its stages with sub-threshold fragments (the pathology the
+    * reference's bandit watches through its chunk factor,
+    * `negative_feedback.hpp`) pays in the reward, not only in whatever
+    * stage happens to sit downstream in this workload. The fraction and
+    * the flood stages' max chunk factor are recorded on the episode. */
+  def episodeMetered(work: SparkSession => Unit): MeteredEpisode = {
+    val arm = tuner.selectArm()
+    val target = tuner.arms(arm)
+    applyArm(target)
+    val m = new ChunkMetrics().install(spark)
+    val t0 = System.nanoTime()
+    work(spark)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // listener events are async: wait for a stable task count
+    val deadline = System.currentTimeMillis() + 10000
+    var prev = -1L; var stable = 0
+    while (stable < 3 && System.currentTimeMillis() < deadline) {
+      val n = m.snapshot.values.map(_.tasks).sum
+      if (n == prev && n > 0) stable += 1 else { stable = 0; prev = n }
+      Thread.sleep(100)
+    }
+    spark.sparkContext.removeSparkListener(m)
+    val stf = m.smallTaskFraction(1024)
+    val cf = m.snapshot.keys.flatMap(m.chunkFactor).foldLeft(0.0)(math.max)
+    val cost = secs * (1.0 + stf)
+    tuner.updateArm(arm, cost)
+    val ep = Episode(arm, target, secs)
+    log += ep
+    MeteredEpisode(ep, stf, cf, cost)
+  }
+
+  /** [[tune]] with the chunk-aware reward of [[episodeMetered]]. */
+  def tuneMetered(n: Int)(work: SparkSession => Unit): (Long, Seq[MeteredEpisode]) = {
+    val eps = scala.collection.mutable.ArrayBuffer.empty[MeteredEpisode]
+    val best = Compact.withAqeConfRestored(spark) {
+      (1 to n).foreach(_ => eps += episodeMetered(work))
+      tuner.targetBytes
+    }
+    applyArm(best)
+    (best, eps.toSeq)
+  }
+
   def history: Seq[Episode] = log.toSeq
 }
+
+/** One chunk-aware episode: wall-clock, the small-task fraction at the
+  * 1024-row trigger, the max records-in/records-out chunk factor across
+  * the episode's stages, and the cost actually charged to the arm. */
+case class MeteredEpisode(ep: AdaptiveCompact#Episode, stf: Double,
+  chunkFactor: Double, cost: Double)
