@@ -496,6 +496,30 @@ object Bench {
       minhashStageFields =
         s""","minhash_10x_stages":${mhRows.mkString("[", ",", "]")}"""
       mark("minhash profile done")
+      // Production BPE encoder at 10× (round-14 verdict item 5's timing
+      // half): the broadcast merge-rank mapPartitions encoder over the
+      // FULL inflated corpus — one broadcast, one scan, no shuffle; the
+      // token count doubles as the action.
+      try {
+        import org.apache.spark.sql.functions.{col => c2, explode => ex2, expr => e2, sum => sum2, count => cnt2, lit => l2}
+        val docs10 = Tables.t(spark, bigDir, "documents")
+        val wc10 = pipeline.Bpe.wordCounts(docs10, "text")
+        val merges10 = wc10.select(c2("cnt"), ex2(e2(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy(c2("pair")).agg(sum2(c2("cnt")).as("n"))
+          .orderBy(c2("n").desc, c2("pair")).limit(16)
+          .collect().map(r => pipeline.Bpe.Merge(r.getString(0).substring(0, 1),
+            r.getString(0).substring(1, 2), r.getLong(1))).toSeq
+        val tEnc = System.nanoTime()
+        val nTok = pipeline.Bpe.encodeBroadcast(docs10, "text", merges10)
+          .agg(cnt2(l2(1))).head().getLong(0)
+        val encSec = (System.nanoTime() - tEnc) / 1e9
+        minhashStageFields +=
+          s""","bpe_encode_10x_sec":${"%.3f".format(encSec)}""" +
+          s""","bpe_encode_10x_tokens":$nTok"""
+        mark(f"bpe encode 10x done ($encSec%.2fs, $nTok tokens)")
+      } catch { case e: Throwable => if (strict) throw e }
       // Learning-compaction convergence on REAL data: UCB1 tunes AQE's
       // advisory partition size over episodes of a FRAGMENT-FLOOD
       // workload (the reference's negative-feedback bandit closed-loop,

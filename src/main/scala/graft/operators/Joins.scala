@@ -233,6 +233,43 @@ object Joins {
     * restoring multiplicity — no domain product, no driver state. */
   def asofJoinRight(left: DataFrame, right: DataFrame, eqKeys: Seq[String],
       leftOrder: String, rightOrder: String, op: String = ">="): DataFrame = {
+    val (matchedOut, padded) =
+      asofRightParts(left, right, eqKeys, leftOrder, rightOrder, op)
+    matchedOut.unionByName(padded)
+  }
+
+  /** ASOF FULL JOIN (probed like [[asofJoinRight]]): the LEFT-outer
+    * as-of result (every left row with its best match or NULLs) plus the
+    * same never-matched right rows NULL-padded. Output shape identical
+    * to [[asofJoinRight]] (right keys surface as `_r` columns — NULL on
+    * unmatched-left rows, populated on matched and padded-right rows). */
+  def asofJoinFull(left: DataFrame, right: DataFrame, eqKeys: Seq[String],
+      leftOrder: String, rightOrder: String, op: String = ">="): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rAll = right.columns.toSeq
+    val rPayload = rAll.filterNot(eqKeys.contains)
+    val collide = rPayload.filter(lCols.contains).toSet
+    def rName(c: String) = if (eqKeys.contains(c)) c + "_r"
+      else if (collide(c)) c + "_r" else c
+    val lh = asofJoin(left, right, eqKeys, leftOrder, rightOrder, op, "left")
+    // matched iff the right order value came through (builds filter NULL
+    // order, so a non-null rightOrder field means a real match)
+    val matchedFlag = col(rName(rightOrder)).isNotNull
+    val leftOut = lh.select(
+      lCols.map(col) ++ rAll.map(c =>
+        (if (eqKeys.contains(c))
+           when(matchedFlag, col(c)).otherwise(lit(null))
+         else col(rName(c))).as(rName(c))): _*)
+    val (_, padded) =
+      asofRightParts(left, right, eqKeys, leftOrder, rightOrder, op)
+    leftOut.unionByName(padded)
+  }
+
+  /** The RIGHT-outer halves: (matched rows in the `_r` output shape,
+    * never-matched right rows NULL-padded with multiplicity restored). */
+  private def asofRightParts(left: DataFrame, right: DataFrame,
+      eqKeys: Seq[String], leftOrder: String, rightOrder: String,
+      op: String): (DataFrame, DataFrame) = {
     val lCols = left.columns.toSeq
     val rAll = right.columns.toSeq
     val rPayload = rAll.filterNot(eqKeys.contains)
@@ -257,7 +294,7 @@ object Joins {
       .select(lCols.map(c =>
         lit(null).cast(left.schema(c).dataType).as(c)) ++
         rAll.map(c => col(c).as(rName(c))): _*)
-    matchedOut.unionByName(padded)
+    (matchedOut, padded)
   }
 
   /** AS-OF join entry (reference `physical_asof_join.cpp`): for each

@@ -120,7 +120,7 @@ object AsofRewrite {
     if (j < v.length && v(j).word == "left") { joinType = "left"; j = nextIdx(v, j) }
     else if (j < v.length && v(j).word == "inner") j = nextIdx(v, j)
     else if (j < v.length && v(j).word == "right") { joinType = "right"; j = nextIdx(v, j) }
-    else if (j < v.length && v(j).word == "full") return None
+    else if (j < v.length && v(j).word == "full") { joinType = "full"; j = nextIdx(v, j) }
     if (j >= v.length || v(j).word != "join") return None
     val (rRelS, rRelE, ra, afterR) = relation(v, nextIdx(v, j)).getOrElse(return None)
     if (la == ra) return None
@@ -200,18 +200,24 @@ object AsofRewrite {
         !rightDF.columns.contains(rightOrder)) return None
     val joined =
       try {
-        if (joinType == "right")
-          Joins.asofJoinRight(leftDF, rightDF, keys, leftOrder, rightOrder, op)
-        else Joins.asofJoin(leftDF, rightDF, keys, leftOrder, rightOrder, op, joinType)
+        joinType match {
+          case "right" =>
+            Joins.asofJoinRight(leftDF, rightDF, keys, leftOrder, rightOrder, op)
+          case "full" =>
+            Joins.asofJoinFull(leftDF, rightDF, keys, leftOrder, rightOrder, op)
+          case jt =>
+            Joins.asofJoin(leftDF, rightDF, keys, leftOrder, rightOrder, op, jt)
+        }
       } catch { case _: Exception => return None }
     // name maps for qualified references in SELECT/trailing clauses
     val lCols = leftDF.columns.toSet
     val rPayload = rightDF.columns.filterNot(keys.contains)
     val collide = rPayload.filter(lCols.contains).toSet
-    // RIGHT keeps the right keys as distinct `_r` columns (padded rows
-    // carry them under NULL left keys); LEFT/INNER merge them
+    // RIGHT/FULL keep the right keys as distinct `_r` columns (padded
+    // rows carry them under NULL left keys); LEFT/INNER merge them
     val rKeyMap: Map[String, String] =
-      if (joinType == "right") eqs.map { case (lc, _, rc) => rc -> (lc + "_r") }.toMap
+      if (joinType == "right" || joinType == "full")
+        eqs.map { case (lc, _, rc) => rc -> (lc + "_r") }.toMap
       else keys.map(c => c -> c).toMap
     val rMap: Map[String, String] =
       rPayload.map(c => c -> (if (collide(c)) c + "_r" else c)).toMap ++ rKeyMap

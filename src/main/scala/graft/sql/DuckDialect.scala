@@ -1117,9 +1117,9 @@ object DuckDialect {
           left = v(j).word == "left"; j = nextIdx(v, j)
         } else if (j < v.length && (v(j).word == "right" || v(j).word == "full")) {
           throw new GraftSqlException(
-            "ASOF RIGHT is translated only in the canonical single-join shape " +
-              "(AsofRewrite); ASOF FULL is not translated — use the " +
-              "Joins.asofJoinRight / joinAsof DataFrame recipes")
+            "ASOF RIGHT/FULL are translated only in the canonical single-join " +
+              "shape (AsofRewrite); outside it use the Joins.asofJoinRight / " +
+              "asofJoinFull DataFrame recipes")
         }
         if (j >= v.length || v(j).word != "join")
           throw new GraftSqlException("ASOF must be followed by [LEFT|INNER] JOIN")

@@ -246,6 +246,16 @@ object DuckSqlQueries {
       |ASOF RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
+  /** ASOF FULL JOIN — the LEFT-outer as-of result plus the same
+    * never-matched purchases, NULL-padded (probed; JoinsSpec pins the
+    * hand fixtures). Identical raw string on both engines. */
+  val asofFullSql: String =
+    """SELECT c.event_id, c.ts AS click_ts, p.user_id AS p_user,
+      |       p.event_id AS p_event, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
   /** The LATERAL translation path, pinned explicitly now that the
     * canonical shape takes the `AsofRewrite` fast path: the `+ INTERVAL`
     * expression on the inequality's right side is OUTSIDE the fast
@@ -536,6 +546,7 @@ object DuckSqlQueries {
     "ducksql_asof_lateral" -> via(asofLateralSql),
     "ducksql_asof_inner" -> via(asofInnerSql),
     "ducksql_asof_right" -> via(asofRightSql),
+    "ducksql_asof_full" -> via(asofFullSql),
     "ducksql_list_position" -> via(listPositionSql),
     "ducksql_struct_literal" -> via(structLiteralSql),
     "ducksql_map_literal" -> via(mapLiteralSql),
@@ -587,6 +598,7 @@ object DuckSqlQueries {
     "ducksql_asof_lateral" -> asofLateralSql,
     "ducksql_asof_inner" -> asofInnerSql,
     "ducksql_asof_right" -> asofRightSql,
+    "ducksql_asof_full" -> asofFullSql,
     "ducksql_list_position" -> listPositionSql,
     "ducksql_struct_literal" -> structLiteralSql,
     "ducksql_map_literal" -> mapLiteralSql,

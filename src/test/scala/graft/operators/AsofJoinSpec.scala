@@ -93,6 +93,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(nul == Set((None, 999)), nul.toString)
   }
 
+  test("asofJoinFull pins the DuckDB-probed FULL-outer semantics") {
+    // probed on DuckDB 1.0.0: LEFT-outer as-of result + never-matched
+    // right rows NULL-padded; right keys surface as _r (NULL on
+    // unmatched-left rows)
+    val a = Seq((1, 5, 50), (1, 9, 90), (3, 7, 70)).toDF("k", "t", "av")
+    val b = Seq((1, 3, 300), (1, 6, 600), (2, 10, 1000)).toDF("k", "t", "bv")
+    val got = Joins.asofJoinFull(a, b, Seq("k"), "t", "t", ">=")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+    assert(got == Set(
+      (Some(1), Some(5), Some(50), Some(1), Some(3), Some(300)),
+      (Some(1), Some(9), Some(90), Some(1), Some(6), Some(600)),
+      (Some(3), Some(7), Some(70), None, None, None),
+      (None, None, None, Some(2), Some(10), Some(1000))), got.toString)
+  }
+
   test("asofJoin matches the reference on random data, every op and type") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val row = for {
