@@ -207,6 +207,41 @@ object DmlQueries {
       |SELECT 'delete', c_custkey, c_acctbal, len(c_mktsegment) // 2
       |FROM customer WHERE c_acctbal < 0 AND c_mktsegment = 'BUILDING'""".stripMargin
 
+  /** BEGIN/COMMIT/ROLLBACK over the versioned table (round-15: converts
+    * the standing SURVEY transactions exclusion; reference
+    * `src/transaction/` MVCC semantics at statement granularity): a
+    * rolled-back transaction's UPDATE + DELETE leave NO trace — the
+    * metadata-only [[GraftTable.restore]] puts every touched table back
+    * at its pre-transaction version — while the committed transaction's
+    * UPDATE persists. The rolled-back statements really execute (eager
+    * apply, read-committed within the driver), so the oracle's
+    * single-SELECT reproduction of "only the committed effect" is a
+    * real rollback check, not a no-op's. */
+  def dmlSqlTxn(s: SparkSession, dir: String): DataFrame = {
+    val root = tmpRoot()
+    GraftTable.create(s, root, Tables.t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    val cat = Map("cust" -> root)
+    graft.sql.DuckDml.withTxnScope {
+      graft.sql.DuckDml.exec(s, cat, "BEGIN TRANSACTION")
+      graft.sql.DuckDml.exec(s, cat,
+        "UPDATE cust SET c_acctbal = c_acctbal + 100.0 WHERE c_mktsegment = 'BUILDING'")
+      graft.sql.DuckDml.exec(s, cat, "DELETE FROM cust WHERE c_acctbal < 0")
+      graft.sql.DuckDml.exec(s, cat, "ROLLBACK")
+      graft.sql.DuckDml.exec(s, cat, "BEGIN")
+      graft.sql.DuckDml.exec(s, cat,
+        "UPDATE cust SET c_acctbal = c_acctbal * 2 WHERE c_mktsegment = 'MACHINERY'")
+      graft.sql.DuckDml.exec(s, cat, "COMMIT")
+    }
+    GraftTable.read(s, root).select("c_custkey", "c_acctbal")
+  }
+
+  val dmlSqlTxnSql: String =
+    """SELECT c_custkey,
+      |       CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal * 2
+      |            ELSE c_acctbal END AS c_acctbal
+      |FROM customer""".stripMargin
+
   /** Small-file compaction: 32 deliberately tiny files rewritten into
     * target-size ones as a new version; the oracle is row identity with
     * the untouched fixture — compaction must move bytes, never rows. */
@@ -396,7 +431,8 @@ object DmlQueries {
     "dml_changes" -> (dmlChanges _),
     "dml_sql_update" -> (dmlSqlUpdate _),
     "dml_sql_delete" -> (dmlSqlDelete _),
-    "dml_sql_returning" -> (dmlSqlReturning _))
+    "dml_sql_returning" -> (dmlSqlReturning _),
+    "dml_sql_txn" -> (dmlSqlTxn _))
 
   val oracle: Map[String, String] = Map(
     "dml_incremental_agg" -> dmlIncrementalAggSql,
@@ -412,5 +448,6 @@ object DmlQueries {
     "dml_changes" -> dmlChangesSql,
     "dml_sql_update" -> dmlSqlUpdateSql,
     "dml_sql_delete" -> dmlSqlDeleteSql,
-    "dml_sql_returning" -> dmlSqlReturningSql)
+    "dml_sql_returning" -> dmlSqlReturningSql,
+    "dml_sql_txn" -> dmlSqlTxnSql)
 }

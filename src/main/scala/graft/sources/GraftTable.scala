@@ -481,6 +481,18 @@ object GraftTable {
     else spark.read.schema(schema).parquet(files.map(abs(root, _)): _*)
   }
 
+  /** RESTORE the table to an earlier snapshot (the Delta RESTORE
+    * analog, and the rollback primitive of [[graft.sql.DuckDml]]'s
+    * transactions): commits a NEW version whose manifest is the target
+    * version's manifest verbatim — metadata only, no data movement
+    * (files are immutable), stats preserved, and the discarded
+    * versions stay time-travel-readable until [[vacuum]]. */
+  def restore(root: String, version: Int): Int = {
+    require(version <= currentVersion(root),
+      s"cannot restore $root to future version $version")
+    commit(root, manifest(root, version))
+  }
+
   /** CDC between two versions — the `table_changes` face of the
     * copy-on-write design. Because data files are immutable, the delta
     * lives entirely in the manifest difference: files present in both

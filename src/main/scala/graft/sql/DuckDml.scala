@@ -48,6 +48,40 @@ object DuckDml {
     finally { preparedStmts.clear(); preparedStmts.putAll(snap) }
   }
 
+  /** TRANSACTION surface (reference: DuckDB's BEGIN/COMMIT/ROLLBACK over
+    * its MVCC; `src/transaction/`): the versioned copy-on-write table IS
+    * the undo log. BEGIN opens a transaction; the first mutation of each
+    * table inside it records that table's pre-transaction version;
+    * ROLLBACK restores every touched table to its recorded version via
+    * [[graft.sources.GraftTable.restore]] (a metadata-only commit — no
+    * data movement); COMMIT simply forgets the recorded versions
+    * (statements apply eagerly, so reads inside the transaction see its
+    * own writes — read-committed within one driver). Scope: DML only
+    * (INSERT/DELETE/UPDATE); transactional DDL, VACUUM, and CHECKPOINT
+    * inside a transaction are refused loudly (file reclamation is not
+    * restorable). Same process-global contract as the PREPARE registry:
+    * bound uses via [[withTxnScope]]. */
+  private var txnVersions: Option[scala.collection.mutable.Map[String, Int]] = None
+
+  private def txnTouch(root: String): Unit = synchronized {
+    txnVersions.foreach { m =>
+      if (!m.contains(root))
+        m(root) = graft.sources.GraftTable.currentVersion(root)
+    }
+  }
+
+  private def txnRefuse(what: String): Unit = synchronized {
+    if (txnVersions.isDefined)
+      throw new GraftSqlException(
+        s"$what inside a transaction is not supported — COMMIT or ROLLBACK first")
+  }
+
+  /** Abort any open transaction after `f` (test hygiene — a failed test
+    * must not leave a dangling transaction for the next one). */
+  def withTxnScope[T](f: => T): T =
+    try f
+    finally synchronized { txnVersions = None }
+
   /** Bind an EXECUTE argument list into a prepared statement's text:
     * `$n` positional slots take the nth argument, bare `?` slots bind in
     * order; mixing the two styles refuses (DuckDB refuses it too). Each
@@ -352,6 +386,7 @@ object DuckDml {
           throw new GraftSqlException(
             s"table '${tok(2).text}' already exists at $r — DROP it (remove the root) first; " +
               "CREATE OR REPLACE is not supported")
+        txnRefuse("CREATE TABLE")
         GraftTable.create(spark, r, sourceQuery(4))
         r
       case "insert" =>
@@ -364,6 +399,7 @@ object DuckDml {
               "GraftTable.merge with explicit key columns")
         if (w(1) != "into") throw new GraftSqlException("INSERT must be INSERT INTO")
         val r = root(tok(2))
+        txnTouch(r)
         // ON CONFLICT (reference `physical_insert.cpp` DO NOTHING /
         // DO UPDATE): the conflict clause is parsed AFTER the source
         // query span is bounded, below
@@ -495,10 +531,12 @@ object DuckDml {
         val r = root(tok(2))
         if (w(3) != "where")
           throw new GraftSqlException("DELETE without WHERE is refused; use WHERE true to empty a table")
+        txnTouch(r)
         GraftTable.delete(spark, r, expr(DuckDialect.translate(rest(4))))
         r
       case "update" =>
         val r = root(tok(1))
+        txnTouch(r)
         if (w(2) != "set") throw new GraftSqlException("UPDATE must be UPDATE <table> SET")
         // assignments: depth-0 comma-separated `col = expr`, up to WHERE
         val setAt = indexOfWord(full, "set")
@@ -547,6 +585,7 @@ object DuckDml {
       // CHECKPOINT merges small data files into target-size ones — the
       // copy-on-write analogs of the reference's storage maintenance.
       case "vacuum" =>
+        txnRefuse("VACUUM")
         val r = root(tok(1))
         val keep =
           if (w(2) == "keep") {
@@ -562,6 +601,7 @@ object DuckDml {
         val removed = graft.sources.GraftTable.vacuum(r, keep)
         s"vacuum: removed $removed data files, kept $keep version(s)"
       case "checkpoint" =>
+        txnRefuse("CHECKPOINT")
         val r = root(tok(1))
         val targetMb =
           if (toks.length > 2) {
@@ -572,10 +612,31 @@ object DuckDml {
           } else 128
         val v = graft.sources.GraftTable.compact(spark, r, targetMb.toLong << 20)
         s"checkpoint: table at version $v (target ${targetMb} MB)"
+      case "begin" | "start" => synchronized {
+        // BEGIN [TRANSACTION|WORK] / START TRANSACTION
+        if (txnVersions.isDefined)
+          throw new GraftSqlException("a transaction is already active")
+        txnVersions = Some(scala.collection.mutable.Map.empty)
+        "BEGIN"
+      }
+      case "commit" | "end" => synchronized {
+        if (txnVersions.isEmpty)
+          throw new GraftSqlException("no transaction is active")
+        val n = txnVersions.get.size
+        txnVersions = None
+        s"COMMIT ($n table(s))"
+      }
+      case "rollback" | "abort" => synchronized {
+        val m = txnVersions.getOrElse(
+          throw new GraftSqlException("no transaction is active"))
+        m.foreach { case (r, v) => graft.sources.GraftTable.restore(r, v) }
+        txnVersions = None
+        s"ROLLBACK (${m.size} table(s) restored)"
+      }
       case other =>
         throw new GraftSqlException(
           s"unsupported DML statement '$other' — supported: INSERT INTO, DELETE FROM, " +
-            "UPDATE … SET, VACUUM, CHECKPOINT")
+            "UPDATE … SET, BEGIN/COMMIT/ROLLBACK, VACUUM, CHECKPOINT")
     }
   }
 

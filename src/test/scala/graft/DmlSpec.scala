@@ -206,4 +206,77 @@ class DmlSpec extends SparkSpec {
     // (this is the first-batch path of a NEW streaming query name)
     assert(GraftTable.lastTxn(root, "never-seen-query").isEmpty)
   }
+
+  test("restore is metadata-only and history stays time-travel readable") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, Tables.t(spark, sf(), "nation"))
+    val n0 = GraftTable.read(spark, root).count()
+    GraftTable.delete(spark, root, col("n_nationkey") < 10) // v2
+    val n2 = GraftTable.read(spark, root).count()
+    val v3 = GraftTable.restore(root, 1)
+    assert(v3 === 3, "restore commits a NEW version")
+    assert(manifestFiles(root, 3) === manifestFiles(root, 1),
+      "restored manifest is the target's verbatim (no data movement)")
+    assert(GraftTable.read(spark, root).count() === n0)
+    // the discarded version remains readable between restore and vacuum
+    assert(GraftTable.read(spark, root, Some(2)).count() === n2)
+    intercept[IllegalArgumentException] { GraftTable.restore(root, 99) }
+  }
+
+  test("rollback restores every touched table; commit keeps eager writes") {
+    import graft.sql.DuckDml
+    val (rootA, rootB) = (freshRoot(), freshRoot())
+    GraftTable.create(spark, rootA, Tables.t(spark, sf(), "nation"))
+    GraftTable.create(spark, rootB, Tables.t(spark, sf(), "region"))
+    val cat = Map("na" -> rootA, "re" -> rootB)
+    val (a0, b0) = (GraftTable.read(spark, rootA).count(),
+      GraftTable.read(spark, rootB).count())
+    DuckDml.withTxnScope {
+      DuckDml.exec(spark, cat, "BEGIN")
+      DuckDml.exec(spark, cat, "DELETE FROM na WHERE n_nationkey >= 0")
+      DuckDml.exec(spark, cat, "DELETE FROM re WHERE r_regionkey >= 3")
+      // eager apply: the transaction sees its own writes
+      assert(GraftTable.read(spark, rootA).count() === 0)
+      DuckDml.exec(spark, cat, "ROLLBACK")
+    }
+    assert(GraftTable.read(spark, rootA).count() === a0, "table A restored")
+    assert(GraftTable.read(spark, rootB).count() === b0, "table B restored")
+    DuckDml.withTxnScope {
+      DuckDml.exec(spark, cat, "BEGIN TRANSACTION")
+      DuckDml.exec(spark, cat, "DELETE FROM re WHERE r_regionkey = 0")
+      DuckDml.exec(spark, cat, "COMMIT")
+    }
+    assert(GraftTable.read(spark, rootB).count() === b0 - 1, "commit persists")
+  }
+
+  test("transaction statement errors are loud and typed") {
+    import graft.sql.DuckDml
+    import graft.sql.DuckDialect.GraftSqlException
+    val root = freshRoot()
+    GraftTable.create(spark, root, Tables.t(spark, sf(), "region"))
+    val cat = Map("re" -> root)
+    DuckDml.withTxnScope {
+      assert(intercept[GraftSqlException] {
+        DuckDml.exec(spark, cat, "COMMIT")
+      }.getMessage.contains("no transaction is active"))
+      assert(intercept[GraftSqlException] {
+        DuckDml.exec(spark, cat, "ROLLBACK")
+      }.getMessage.contains("no transaction is active"))
+      DuckDml.exec(spark, cat, "BEGIN")
+      assert(intercept[GraftSqlException] {
+        DuckDml.exec(spark, cat, "BEGIN")
+      }.getMessage.contains("already active"))
+      assert(intercept[GraftSqlException] {
+        DuckDml.exec(spark, cat, "VACUUM re")
+      }.getMessage.contains("inside a transaction"))
+      assert(intercept[GraftSqlException] {
+        DuckDml.exec(spark, cat, "CHECKPOINT re")
+      }.getMessage.contains("inside a transaction"))
+    }
+    // withTxnScope aborted the dangling transaction — a fresh one opens
+    DuckDml.withTxnScope {
+      assert(DuckDml.exec(spark, cat, "BEGIN") === "BEGIN")
+      DuckDml.exec(spark, cat, "COMMIT")
+    }
+  }
 }
