@@ -51,7 +51,7 @@ object Verify {
     // canonical wrapper. Self-ordered oracles must still CONTAIN the
     // graft_ord marker (asserted below) — the driver's comparator keys
     // order-sensitivity on it.
-    val selfOrdered = Set("ducksql_prepare_stmt")
+    val selfOrdered = Set("ducksql_prepare_stmt", "ducksql_attach")
     def wrapped(name: String, sql: String): String =
       columnsByQuery.get(name) match {
         case Some(_) if selfOrdered(name) =>

@@ -610,6 +610,53 @@ object DuckDialect {
     finally { sqlMacros.clear(); sqlMacros.putAll(snapshot) }
   }
 
+  /** ATTACH registry (reference `ATTACH 'file.db' AS name` + `name.table`
+    * qualified resolution): alias → fixture DIRECTORY. The `DuckDml`
+    * ATTACH statement registers the alias (and creates one temp view per
+    * table, named `<alias>__<table>`); [[rewriteAttachedRefs]] rewrites
+    * every `alias.table` qualified reference to that flat view name, so
+    * pasted cross-catalog SQL resolves. Same process-global contract as
+    * [[sqlMacros]] — bound uses via [[withAttachScope]]. A query-local
+    * TABLE alias shadowing an attached catalog name is the caller's
+    * collision to avoid (DuckDB has the same ambiguity). */
+  private val attachedCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def registerAttachment(alias: String, dir: String): Unit =
+    attachedCatalogs.put(alias.toLowerCase, dir)
+
+  def removeAttachment(alias: String): Option[String] =
+    Option(attachedCatalogs.remove(alias.toLowerCase))
+
+  def attachmentDir(alias: String): Option[String] =
+    Option(attachedCatalogs.get(alias.toLowerCase))
+
+  /** Snapshot/restore the ATTACH registry around `f`. */
+  def withAttachScope[T](f: => T): T = {
+    val snap = new java.util.HashMap[String, String](attachedCatalogs)
+    try f
+    finally { attachedCatalogs.clear(); attachedCatalogs.putAll(snap) }
+  }
+
+  /** `alias.table` → `alias__table` for registered attachments. */
+  private def rewriteAttachedRefs(toks0: Vector[Tok]): Vector[Tok] = {
+    if (attachedCatalogs.isEmpty) return toks0
+    val v = toks0
+    val b = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < v.length) {
+      val t = v(i)
+      val n1 = nextIdx(v, i)
+      val n2 = if (n1 < v.length) nextIdx(v, n1) else v.length
+      if (t.kind == 4 && attachedCatalogs.containsKey(t.word) &&
+          n1 < v.length && v(n1).is(".") && n2 < v.length && v(n2).kind == 4) {
+        b += Tok(4, s"${t.word}__${v(n2).word}")
+        i = n2 + 1
+      } else { b += t; i += 1 }
+    }
+    b.result()
+  }
+
   private def rewriteMacros(toks0: Vector[Tok]): Vector[Tok] = {
     if (sqlMacros.isEmpty) return toks0
     var toks = toks0
@@ -2195,6 +2242,7 @@ object DuckDialect {
     toks = rewriteAsof(toks)
     toks = rewriteBlocks(toks)
     toks = rewriteQuotedIdents(toks)
+    toks = rewriteAttachedRefs(toks)
     render(toks)
   }
 

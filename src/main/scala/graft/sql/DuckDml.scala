@@ -612,6 +612,64 @@ object DuckDml {
           } else 128
         val v = graft.sources.GraftTable.compact(spark, r, targetMb.toLong << 20)
         s"checkpoint: table at version $v (target ${targetMb} MB)"
+      case "attach" =>
+        // ATTACH '<dir>' AS <alias> (reference `ATTACH 'file.db' AS
+        // name`): a directory of fixture parquet IS a catalog here —
+        // registers one `<alias>__<table>` temp view per table present
+        // and the alias for DuckDialect's qualified-ref rewrite, so
+        // pasted `alias.table` SQL resolves cross-catalog.
+        val p = tok(1)
+        if (p.kind != 2)
+          throw new GraftSqlException("ATTACH needs a quoted directory path")
+        val dir = p.text.substring(1, p.text.length - 1).replace("''", "'")
+        if (w(2) != "as")
+          throw new GraftSqlException("ATTACH '<dir>' AS <alias>")
+        val alias = identText(tok(3)).toLowerCase
+        if (DuckDialect.attachmentDir(alias).isDefined)
+          throw new GraftSqlException(s"catalog '$alias' is already attached")
+        val found = graft.Tables.names.filter(n =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$n.parquet")))
+        if (found.isEmpty)
+          throw new GraftSqlException(s"no fixture tables found under $dir")
+        found.foreach(n =>
+          graft.Tables.t(spark, dir, n).createOrReplaceTempView(s"${alias}__$n"))
+        DuckDialect.registerAttachment(alias, dir)
+        s"attached $dir AS $alias (${found.length} tables)"
+      case "detach" =>
+        val alias = identText(tok(1)).toLowerCase
+        DuckDialect.removeAttachment(alias) match {
+          case Some(_) =>
+            graft.Tables.names.foreach(n =>
+              spark.catalog.dropTempView(s"${alias}__$n"))
+            s"detached $alias"
+          case None =>
+            throw new GraftSqlException(s"no attached catalog named '$alias'")
+        }
+      case "export" =>
+        // EXPORT DATABASE '<outdir>' (reference `EXPORT DATABASE`):
+        // every fixture table of the session dir → parquet under
+        // <outdir> plus a load.sql of view definitions — the re-import
+        // script DuckDB's EXPORT also writes.
+        txnRefuse("EXPORT DATABASE")
+        if (w(1) != "database")
+          throw new GraftSqlException("EXPORT must be EXPORT DATABASE '<dir>'")
+        val o = tok(2)
+        if (o.kind != 2)
+          throw new GraftSqlException("EXPORT DATABASE needs a quoted directory path")
+        val outDir = o.text.substring(1, o.text.length - 1).replace("''", "'")
+        val srcDir = tables.getOrElse("__dir",
+          throw new GraftSqlException(
+            "EXPORT DATABASE needs the fixture dir under the reserved '__dir' catalog key"))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        val exported = graft.Tables.names.filter(n =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(s"$srcDir/$n.parquet")))
+        exported.foreach(n => graft.Tables.t(spark, srcDir, n)
+          .write.mode("overwrite").parquet(s"$outDir/$n.parquet"))
+        val load = exported.map(n =>
+          s"CREATE VIEW $n AS SELECT * FROM '$outDir/$n.parquet';").mkString("\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/load.sql"), load)
+        s"exported ${exported.length} tables to $outDir"
       case "begin" | "start" => synchronized {
         // BEGIN [TRANSACTION|WORK] / START TRANSACTION
         if (txnVersions.isDefined)

@@ -408,6 +408,33 @@ object DuckSqlQueries {
   private def via(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => DuckDialect.run(s, dir, sql)
 
+  /** ATTACH + cross-catalog qualified query (round-15: converts the
+    * standing EXPORT/ATTACH/DETACH exclusion). Engine: a fixture
+    * DIRECTORY attaches as a named catalog, `aux.region` resolves
+    * through the dialect's qualified-ref rewrite. Oracle: DuckDB
+    * attaches a real auxiliary database, copies the table in, and runs
+    * the IDENTICAL final select — self-ordered (multi-statement scripts
+    * cannot take Verify's outer ORDER BY wrapper, the
+    * ducksql_prepare_stmt discipline). */
+  val attachQuerySql: String =
+    """SELECT * FROM (
+      |  SELECT n.n_name, r.r_name AS region_name
+      |  FROM nation n JOIN aux.region r ON n.n_regionkey = r.r_regionkey) graft_ord
+      |ORDER BY n_name ASC NULLS FIRST, region_name ASC NULLS FIRST""".stripMargin
+
+  val attachOracleSql: String =
+    s"""ATTACH ':memory:' AS aux;
+       |CREATE TABLE aux.region AS SELECT * FROM region;
+       |$attachQuerySql""".stripMargin
+
+  /** EXPORT DATABASE round-trip: the engine exports every fixture table
+    * to parquet (+ load.sql), the entry reads the EXPORTED files back
+    * and counts per table; the oracle counts the originals — rows must
+    * survive the export byte-for-count. */
+  val exportOracleSql: String = graft.Tables.names
+    .map(n => s"SELECT '$n' AS tbl, CAST(count(*) AS BIGINT) AS n FROM $n")
+    .mkString("\nUNION ALL\n")
+
   /** FROM-first queries (DuckDB grammar extension): a CTE whose body is
     * FROM-first WITHOUT a select clause (→ SELECT *), and a FROM-first
     * outer query WITH a select clause + WHERE + GROUP BY — the oracle
@@ -563,6 +590,26 @@ object DuckSqlQueries {
       DuckDml.exec(s, Map.empty, prepareStmtCreate)
       DuckDialect.run(s, dir, prepareStmtExec)
     }),
+    "ducksql_attach" -> ((s, dir) => DuckDialect.withAttachScope {
+      // translation happens NOW (eager), so the scope can restore the
+      // alias registry after the plan is built; the views persist for
+      // the lazy execution and are harmlessly session-local
+      DuckDml.exec(s, Map.empty, s"ATTACH '$dir' AS aux")
+      DuckDialect.run(s, dir, attachQuerySql)
+    }),
+    "ducksql_export" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_export_").toString
+      DuckDml.exec(s, Map("__dir" -> dir), s"EXPORT DATABASE '$out'")
+      graft.Tables.names
+        .filter(n => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$out/$n.parquet")))
+        .map(n => s.read.parquet(s"$out/$n.parquet")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .select(org.apache.spark.sql.functions.lit(n).as("tbl"),
+            org.apache.spark.sql.functions.col("n")))
+        .reduce(_ unionByName _)
+    }),
     "ducksql_strftime" -> via(strftimeSql),
     "ducksql_union_by_name" -> via(unionByNameSql),
     "ducksql_union_all_by_name" -> via(unionByNameAllSql),
@@ -607,6 +654,8 @@ object DuckSqlQueries {
     "ducksql_describe" -> "DESCRIBE events",
     "ducksql_macro_stmt" -> macroStmtOracleSql,
     "ducksql_prepare_stmt" -> prepareStmtOracleSql,
+    "ducksql_attach" -> attachOracleSql,
+    "ducksql_export" -> exportOracleSql,
     "ducksql_strftime" -> strftimeSql,
     "ducksql_union_by_name" -> unionByNameSql,
     "ducksql_union_all_by_name" -> unionByNameAllSql,

@@ -259,4 +259,40 @@ class DuckDmlSpec extends SparkSpec {
     assert(intercept[GraftSqlException](DuckDml.execReturning(spark, cat,
       "VACUUM t RETURNING *")).getMessage.contains("INSERT/UPDATE/DELETE"))
   }
+
+  test("ATTACH/DETACH lifecycle: qualified refs resolve, detach unresolves") {
+    DuckDialect.withAttachScope {
+      DuckDml.exec(spark, Map.empty, s"ATTACH '${sf()}' AS aux2")
+      val df = DuckDialect.run(spark, sf(),
+        "SELECT count(*) AS n FROM nation n JOIN aux2.region r ON n.n_regionkey = r.r_regionkey")
+      assert(df.head().getLong(0) === 25)
+      assert(intercept[GraftSqlException](
+        DuckDml.exec(spark, Map.empty, s"ATTACH '${sf()}' AS aux2"))
+        .getMessage.contains("already attached"))
+      DuckDml.exec(spark, Map.empty, "DETACH aux2")
+      // after detach the qualifier no longer rewrites: translation leaves
+      // aux2.region alone and Spark has no such relation
+      intercept[Exception] {
+        DuckDialect.run(spark, sf(), "SELECT count(*) AS n FROM aux2.region").collect()
+      }
+      assert(intercept[GraftSqlException](
+        DuckDml.exec(spark, Map.empty, "DETACH aux2"))
+        .getMessage.contains("no attached catalog"))
+      assert(intercept[GraftSqlException](
+        DuckDml.exec(spark, Map.empty, "ATTACH '/nonexistent/nowhere' AS ghost"))
+        .getMessage.contains("no fixture tables"))
+    }
+  }
+
+  test("EXPORT DATABASE writes parquet + load.sql and the rows round-trip") {
+    val out = java.nio.file.Files.createTempDirectory("graft_exp_spec_").toString
+    DuckDml.exec(spark, Map("__dir" -> sf()), s"EXPORT DATABASE '$out'")
+    val loadSql = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/load.sql"))
+    assert(loadSql.contains("CREATE VIEW nation AS"))
+    val back = spark.read.parquet(s"$out/nation.parquet")
+    assert(back.count() === graft.Tables.t(spark, sf(), "nation").count())
+    assert(back.columns.sorted ===
+      graft.Tables.t(spark, sf(), "nation").columns.sorted)
+  }
 }
