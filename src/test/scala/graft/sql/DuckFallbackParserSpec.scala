@@ -57,10 +57,23 @@ class DuckFallbackParserSpec extends SparkSpec {
     // Statement-face scripts (PREPARE/EXECUTE/DEALLOCATE) route through
     // the DuckDml face exactly as EngineSession would: PREPARE registers,
     // EXECUTE resolves to bound SQL which must then parse.
+    // Entries whose EXECUTION path is not the parser fallback:
+    //  - ASOF RIGHT/FULL route through the schema-aware AsofRewrite
+    //    BEFORE translate (translate's lateral form covers LEFT/INNER
+    //    only and refuses RIGHT/FULL with a typed pointer) — assert the
+    //    fast path takes them instead;
+    //  - ducksql_attach's oracle is a DuckDB-side script (ATTACH
+    //    ':memory:' + CREATE TABLE aux.…) intentionally different from
+    //    the engine's own ATTACH statements (DuckDmlSpec covers those);
+    //    only its final SELECT is shared surface — parse that.
+    val viaAsofRewrite = Set("ducksql_asof_right", "ducksql_asof_full")
     DuckDml.withPreparedScope {
       for ((name, raw) <- DuckSqlQueries.oracle.toSeq.sortBy(_._1))
         withClue(name) {
-          for (stmt <- splitStatements(raw)) {
+          if (viaAsofRewrite(name))
+            assert(AsofRewrite.maybeRun(spark, sf(), raw).isDefined,
+              s"$name must take the AsofRewrite fast path")
+          else for (stmt <- splitStatements(raw)) {
             val head = stmt.takeWhile(!_.isWhitespace).toLowerCase
             head match {
               case "prepare" | "deallocate" =>
@@ -69,6 +82,7 @@ class DuckFallbackParserSpec extends SparkSpec {
                 val bound = DuckDml.resolveExecute(stmt).getOrElse(
                   fail(s"$name: EXECUTE did not resolve"))
                 parser.parsePlan(bound)
+              case "attach" | "create" if name == "ducksql_attach" => ()
               case _ => parser.parsePlan(stmt)
             }
           }
