@@ -284,9 +284,35 @@ object Dedup {
     * text from everything downstream); the member map is (doc_id, rep)
     * longs; expansion joins key on rep — all map-side-combining, no
     * driver state. */
+  /** ADAPTIVE gate for the pre-collapse: the collapse pays one full-text
+    * shuffle (the groupBy on the text hash) plus the member-expansion
+    * joins — pure overhead on a (near-)duplicate-free corpus, where it
+    * collapses nothing (measured at the 10× bench corpus, which the
+    * staging Caesar-rotates into 100% distinct texts: 3.2 s → 5.9 s).
+    * One map-side-combining HLL probe of the distinct-text ratio decides
+    * (the AQE posture: spend one cheap statistic to pick the plan); both
+    * branches produce the EXACT same pair set (PipelineSpec pins it), so
+    * the gate is a pure plan choice. ≥95% distinct ⇒ skip the collapse
+    * (HLL error ~2%: a corpus that beats 0.95 has nothing worth
+    * collapsing — per-collapse savings scale with the duplicate count,
+    * which is what the ratio measures). */
+  private[graft] def shouldCollapse(nDocs: Long, nDistinct: Long): Boolean =
+    nDocs > 0 && nDistinct < 0.95 * nDocs
+
   def dedupMinhashPairs(docs: DataFrame): DataFrame = {
     val keyed = docs.select(col("doc_id"),
       md5(normalized(col("text")).cast("binary")).as("k"), col("text"))
+    val stats = keyed
+      .agg(count(lit(1)).as("n"), approx_count_distinct(col("k")).as("d")).head()
+    if (!shouldCollapse(stats.getLong(0), stats.getLong(1))) {
+      // duplicate-free regime: the un-collapsed pipeline IS the plan
+      val sh = shingleHashes(docs.select(col("doc_id"), col("text")), "text", 3)
+      val sig = minhashSignaturesHashed(sh, numHashes = 32)
+      val cand = lshCandidates(sig, numHashes = 32, bands = 8)
+      return verifyJaccardHashed(cand, sh, sig.select(col("doc_id"), col("n_sh")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    }
     // one row per DISTINCT normalized text; any member's raw text works
     // (identical normalized text => identical shingles downstream)
     val repDocs = keyed.groupBy(col("k"))

@@ -117,6 +117,17 @@ class DedupSpec extends SparkSpec {
       s"cross-group pairs must share one sub-1.0 jaccard: $crossJ")
   }
 
+  test("pre-collapse gate: collapse only when duplicates are worth it") {
+    // the hand corpus above (7 docs, 4 distinct texts) takes the
+    // collapsed branch; boundary checks for the decision itself
+    assert(!Dedup.shouldCollapse(0L, 0L), "empty corpus: nothing to collapse")
+    assert(!Dedup.shouldCollapse(1L, 1L))
+    assert(!Dedup.shouldCollapse(100L, 96L), "(near-)duplicate-free skips")
+    assert(Dedup.shouldCollapse(100L, 94L))
+    assert(Dedup.shouldCollapse(100L, 25L), "the 100x probe regime collapses")
+    assert(Dedup.shouldCollapse(7L, 4L), "the equivalence-spec corpus collapses")
+  }
+
   test("star contraction refuses to emit labels from a non-fixpoint edge set") {
     val chain = (0L until 16L).map(i => (i, i + 1))
     val ex = intercept[IllegalStateException] {
