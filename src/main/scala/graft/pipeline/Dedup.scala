@@ -303,8 +303,14 @@ object Dedup {
     val keyed = docs.select(col("doc_id"),
       md5(normalized(col("text")).cast("binary")).as("k"), col("text"))
     val stats = keyed
-      .agg(count(lit(1)).as("n"), approx_count_distinct(col("k")).as("d")).head()
-    if (!shouldCollapse(stats.getLong(0), stats.getLong(1))) {
+      // rsd 0.02, not the 0.05 default: a fully-distinct corpus must not
+      // estimate under the 0.95 gate (±5% straddles it; ±2% cannot)
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("k"), 0.02).as("d")).head()
+    val collapse = shouldCollapse(stats.getLong(0), stats.getLong(1))
+    System.err.println(s"[dedup] pre-collapse gate: n=${stats.getLong(0)} " +
+      s"distinct≈${stats.getLong(1)} -> ${if (collapse) "collapse" else "skip"}")
+    if (!collapse) {
       // duplicate-free regime: the un-collapsed pipeline IS the plan
       val sh = shingleHashes(docs.select(col("doc_id"), col("text")), "text", 3)
       val sig = minhashSignaturesHashed(sh, numHashes = 32)
