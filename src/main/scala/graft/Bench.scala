@@ -705,41 +705,54 @@ object Bench {
       s""","queries_sf10x":${toJson(resultsSf10x)},"total_sf10x":${finiteSum(resultsSf10x)},"inflate_copies":$inflate"""
     val failedField = if (failedQueries.isEmpty) "" else
       failedQueries.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    // Clean-reference self-defense, last mile (round-14 verdict #8): a run
-    // is CLEAN when no block was noisy and the loadavg gate never
-    // exhausted its retries. Clean runs refresh
-    // bench_evidence/clean_reference.json with their headline numbers;
-    // contended runs EMBED the stored reference, so a contended artifact
-    // still carries its own defensible headline instead of pointing at
-    // sidecar archaeology.
-    val cleanRefPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN_REF",
-      "bench_evidence/clean_reference.json")
-    val runIsClean = noisy.isEmpty && gateExhausted.isEmpty
+    // Clean-reference self-defense, last mile (round-14 verdict #8),
+    // PER BLOCK: this box's external load oscillates faster than a full
+    // run (measured round 15: five runs, each with a different block
+    // contended, never all three clean at once), so whole-run cleanness
+    // is the wrong unit. Each block whose spread is ≤ 15% and whose
+    // loadavg gate did not exhaust refreshes its own slot file
+    // (bench_evidence/clean_reference_<block>.json: the block's LATEST
+    // clean totals + per-query numbers); a run with any noisy block
+    // embeds all stored slots as `clean_reference`, so every contended
+    // artifact carries the defensible per-block numbers in itself.
+    val cleanRefDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN_REF_DIR",
+      "bench_evidence")
     val gateField = if (gateExhausted.isEmpty) "" else
       gateExhausted.map("\"" + _ + "\"")
         .mkString(""","loadgate_exhausted":[""", ",", "]")
-    val cleanRefField: String =
-      if (runIsClean) {
+    val gatePrefix = Map("tuned" -> "tuned", "aqe" -> "aqe",
+      "sf10x" -> s"${inflate}x")
+    blocks.foreach { case (n, ss) =>
+      val gated = gateExhausted.exists(_.startsWith(gatePrefix.getOrElse(n, n)))
+      if (blockSpread(ss) <= 0.15 && !gated) {
+        val tot = finiteSum(ss.map { case (q, s) => q -> best(s) })
         val snap =
-          s"""{"total":$total,"queries":${toJson(results)}$sf10xFields""" +
-          blocks.map { case (n, ss) =>
-            s""","spread_$n":${"%.3f".format(blockSpread(ss))}""" }.mkString +
-          s""","loadavg_start":"$loadStart","sf":"$sfDir"}"""
+          s"""{"total":${"%.3f".format(tot)},""" +
+          s""""spread":${"%.3f".format(blockSpread(ss))},""" +
+          s""""queries":${toJson(ss.map { case (q, s) => q -> best(s) })},""" +
+          s""""loadavg_start":"$loadStart","sf":"$sfDir"}"""
         try {
-          val w = new java.io.PrintWriter(new java.io.File(cleanRefPath), "UTF-8")
+          val f = new java.io.File(s"$cleanRefDir/clean_reference_$n.json")
+          val w = new java.io.PrintWriter(f, "UTF-8")
           try w.println(snap) finally w.close()
-          System.err.println(s"[bench] clean run — refreshed $cleanRefPath")
+          System.err.println(s"[bench] clean $n block — refreshed ${f.getPath}")
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] clean_reference write failed (${e.getMessage})")
+          System.err.println(s"[bench] clean_reference_$n write failed (${e.getMessage})")
         }
-        ""
-      } else {
-        val stored = try {
-          val src = scala.io.Source.fromFile(cleanRefPath, "UTF-8")
-          try src.mkString.trim finally src.close()
-        } catch { case _: Throwable => "" }
-        if (stored.startsWith("{")) s""","clean_reference":$stored"""
-        else ""","clean_reference":null"""
+      }
+    }
+    val cleanRefField: String =
+      if (noisy.isEmpty && gateExhausted.isEmpty) ""
+      else {
+        val slots = Seq("tuned", "aqe", "sf10x").map { n =>
+          val stored = try {
+            val src = scala.io.Source.fromFile(
+              s"$cleanRefDir/clean_reference_$n.json", "UTF-8")
+            try src.mkString.trim finally src.close()
+          } catch { case _: Throwable => "" }
+          s""""$n":${if (stored.startsWith("{")) stored else "null"}"""
+        }
+        s""","clean_reference":${slots.mkString("{", ",", "}")}"""
       }
     // Two-tier emission (round-11 verdict item 3: the single fat JSON line
     // outgrew the driver's stdout tail-capture window → BENCH_r11.parsed
