@@ -598,12 +598,14 @@ object Bench {
       val abCfgs = Seq("aqe" -> None, "static128" -> Some(128L << 20)) ++
         tunedTarget.map(t => "tuner" -> Some(t)).toSeq
       def ab(work: SparkSession => Unit): Map[String, (Double, Double)] = {
+        // stf is measured on EVERY pass and the published stf is the one
+        // from the pass that produced the min seconds, so the two numbers
+        // always come from the same run (ADVICE r15: first-pass-only stf
+        // next to a min-of-rounds time was a mismatched pairing).
         val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
         for (r <- 1 to 2; (name, t) <- abCfgs) {
-          val (sec, stf) = timedPass(t, work, withStf = r == 1)
-          val cur = acc.get(name)
-          acc(name) = (math.min(sec, cur.map(_._1).getOrElse(Double.MaxValue)),
-            cur.map(_._2).filterNot(_.isNaN).getOrElse(stf))
+          val (sec, stf) = timedPass(t, work, withStf = true)
+          if (acc.get(name).forall(sec < _._1)) acc(name) = (sec, stf)
         }
         if (tunedTarget.isEmpty) acc("tuner") = acc("aqe")
         acc.toMap
@@ -741,18 +743,33 @@ object Bench {
         }
       }
     }
+    // Stored clean-reference slots, two renditions: the FULL blocks (per-
+    // query maps included) for the sidecar, and a TOTALS-ONLY summary for
+    // the stdout headline. Round-15 regression: embedding the full blocks
+    // in the last stdout line pushed it past the driver's 2 000-char tail
+    // window → BENCH_r15.parsed was null. The headline now carries only
+    // {"tuned":2.48,"aqe":3.14,"sf10x":6.98}-shaped totals.
+    val storedSlots: Seq[(String, String)] = Seq("tuned", "aqe", "sf10x").map { n =>
+      val stored = try {
+        val src = scala.io.Source.fromFile(
+          s"$cleanRefDir/clean_reference_$n.json", "UTF-8")
+        try src.mkString.trim finally src.close()
+      } catch { case _: Throwable => "" }
+      n -> (if (stored.startsWith("{")) stored else "null")
+    }
     val cleanRefField: String =
       if (noisy.isEmpty && gateExhausted.isEmpty) ""
+      else s""","clean_reference":${storedSlots
+        .map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")}"""
+    val cleanRefTotalsField: String =
+      if (noisy.isEmpty && gateExhausted.isEmpty) ""
       else {
-        val slots = Seq("tuned", "aqe", "sf10x").map { n =>
-          val stored = try {
-            val src = scala.io.Source.fromFile(
-              s"$cleanRefDir/clean_reference_$n.json", "UTF-8")
-            try src.mkString.trim finally src.close()
-          } catch { case _: Throwable => "" }
-          s""""$n":${if (stored.startsWith("{")) stored else "null"}"""
+        def total(js: String): String = {
+          val m = """"total"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(js)
+          m.map(_.group(1)).getOrElse("null")
         }
-        s""","clean_reference":${slots.mkString("{", ",", "}")}"""
+        s""","clean_reference_totals":${storedSlots
+          .map { case (n, s) => s""""$n":${total(s)}""" }.mkString("{", ",", "}")}"""
       }
     // Two-tier emission (round-11 verdict item 3: the single fat JSON line
     // outgrew the driver's stdout tail-capture window → BENCH_r11.parsed
@@ -778,7 +795,15 @@ object Bench {
       s""","total_sf10x":${finiteSum(resultsSf10x)}"""
     val spreadFields = blocks.map { case (n, ss) =>
       s""","spread_$n":${"%.3f".format(blockSpread(ss))}""" }.mkString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"total_aqe":$totalAqe$sf10xHeadline$spreadFields,"noisy_blocks":${noisy.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","floor":$floor,"small_task_fraction_deep_join":$stf,"stf_deep_join_uncompacted":$stfUncompacted$failedField$gateField$cleanRefField,"dispersion_file":"$sidecar","sf":"$sfDir"}""")
+    // The LAST stdout line must fit the driver's 2 000-char tail-capture
+    // window or the round's machine-readable bench signal is lost
+    // (BENCH_r11 and BENCH_r15 both died this way). Headline carries the
+    // per-query tuned map + totals + spreads + clean-reference TOTALS
+    // only; if it still overflows, drop the per-query map too (the
+    // sidecar always has everything).
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"total_aqe":$totalAqe$sf10xHeadline$spreadFields,"noisy_blocks":${noisy.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","floor":$floor,"small_task_fraction_deep_join":$stf,"stf_deep_join_uncompacted":$stfUncompacted$failedField$gateField$cleanRefTotalsField,"dispersion_file":"$sidecar","sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":$total,"unit":"sec","total_aqe":$totalAqe$sf10xHeadline$spreadFields,"noisy_blocks":${noisy.mkString("[", ",", "]")},"floor":$floor$cleanRefTotalsField,"dispersion_file":"$sidecar","sf":"$sfDir"}"""
+    println(if (headlineLine.length <= 1900) headlineLine else compactLine)
     spark.stop()
   }
 }

@@ -172,7 +172,11 @@ object Bpe {
       .mapPartitions { it =>
         val r = bc.value
         it.flatMap { case (id, ws) =>
-          ws.iterator.flatMap(w => encodeWord(w, r))
+          // NULL text arrives as a null Seq (split(null) is null); the
+          // expression form drops such rows via explode, so match that
+          // contract instead of NPE-ing the whole job on one null doc.
+          Option(ws).getOrElse(Seq.empty)
+            .iterator.flatMap(w => encodeWord(w, r))
             .zipWithIndex.map { case (t, p) => (id, p, t) }
         }
       }.toDF("doc_id", "pos", "token")

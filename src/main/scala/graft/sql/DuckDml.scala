@@ -76,11 +76,19 @@ object DuckDml {
         s"$what inside a transaction is not supported — COMMIT or ROLLBACK first")
   }
 
-  /** Abort any open transaction after `f` (test hygiene — a failed test
-    * must not leave a dangling transaction for the next one). */
+  /** ROLL BACK any transaction still open after `f` (test hygiene AND
+    * abort semantics — an exception between BEGIN and COMMIT must not
+    * leave eagerly-applied uncommitted writes in place, so scope exit
+    * with a dangling transaction restores every touched table to its
+    * recorded pre-transaction version, exactly like an explicit
+    * ROLLBACK). */
   def withTxnScope[T](f: => T): T =
     try f
-    finally synchronized { txnVersions = None }
+    finally synchronized {
+      txnVersions.foreach(_.foreach { case (r, v) =>
+        graft.sources.GraftTable.restore(r, v) })
+      txnVersions = None
+    }
 
   /** Bind an EXECUTE argument list into a prepared statement's text:
     * `$n` positional slots take the nth argument, bare `?` slots bind in
@@ -665,8 +673,11 @@ object DuckDml {
           java.nio.file.Files.exists(java.nio.file.Paths.get(s"$srcDir/$n.parquet")))
         exported.foreach(n => graft.Tables.t(spark, srcDir, n)
           .write.mode("overwrite").parquet(s"$outDir/$n.parquet"))
+        // Spark writes `<n>.parquet` as a DIRECTORY of part files; DuckDB
+        // cannot open a bare directory path, so the re-import script must
+        // glob the parts for the engine it imitates.
         val load = exported.map(n =>
-          s"CREATE VIEW $n AS SELECT * FROM '$outDir/$n.parquet';").mkString("\n")
+          s"CREATE VIEW $n AS SELECT * FROM '$outDir/$n.parquet/*.parquet';").mkString("\n")
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/load.sql"), load)
         s"exported ${exported.length} tables to $outDir"

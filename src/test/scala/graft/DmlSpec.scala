@@ -279,4 +279,54 @@ class DmlSpec extends SparkSpec {
       DuckDml.exec(spark, cat, "COMMIT")
     }
   }
+
+  test("an exception between BEGIN and COMMIT rolls back on scope exit (ADVICE r15)") {
+    // The eagerly-applied uncommitted write must NOT survive the abort —
+    // withTxnScope's exit IS a ROLLBACK, not an implicit COMMIT.
+    import graft.sql.DuckDml
+    val root = freshRoot()
+    GraftTable.create(spark, root, Tables.t(spark, sf(), "region"))
+    val cat = Map("re" -> root)
+    val n0 = GraftTable.read(spark, root).count()
+    intercept[RuntimeException] {
+      DuckDml.withTxnScope {
+        DuckDml.exec(spark, cat, "BEGIN")
+        DuckDml.exec(spark, cat, "DELETE FROM re WHERE r_regionkey >= 0")
+        assert(GraftTable.read(spark, root).count() === 0) // eager apply
+        throw new RuntimeException("boom mid-transaction")
+      }
+    }
+    assert(GraftTable.read(spark, root).count() === n0,
+      "uncommitted DELETE rolled back by scope exit")
+    // and the registry is clean: a new transaction opens normally
+    DuckDml.withTxnScope {
+      assert(DuckDml.exec(spark, cat, "BEGIN") === "BEGIN")
+      DuckDml.exec(spark, cat, "COMMIT")
+    }
+  }
+
+  test("transaction isolation contract is pinned: read-your-own-writes, restore on abort") {
+    // Verdict r15 item 8: statements apply eagerly, so inside BEGIN a read
+    // of a mutated table sees the transaction's own writes (read-your-own-
+    // writes); with a single driver there is no concurrent external reader,
+    // so the externally-observable result equals DuckDB's snapshot
+    // semantics — COMMIT keeps the eager state, ROLLBACK restores the
+    // pre-transaction version bit-for-bit (same rows, same order-free set).
+    import graft.sql.DuckDml
+    val root = freshRoot()
+    GraftTable.create(spark, root, Tables.t(spark, sf(), "nation"))
+    val cat = Map("na" -> root)
+    val before = GraftTable.read(spark, root).collect().map(_.toString).sorted
+    DuckDml.withTxnScope {
+      DuckDml.exec(spark, cat, "BEGIN")
+      DuckDml.exec(spark, cat,
+        "UPDATE na SET n_name = 'REDACTED' WHERE n_regionkey = 0")
+      val seen = GraftTable.read(spark, root)
+        .filter("n_name = 'REDACTED'").count()
+      assert(seen > 0, "read-your-own-writes: the txn sees its own UPDATE")
+      DuckDml.exec(spark, cat, "ROLLBACK")
+    }
+    val after = GraftTable.read(spark, root).collect().map(_.toString).sorted
+    assert(after === before, "ROLLBACK restores the exact pre-txn snapshot")
+  }
 }

@@ -110,6 +110,22 @@ class BpeSpec extends SparkSpec {
       s"diff: ${(prod -- expr).take(5)} vs ${(expr -- prod).take(5)}")
   }
 
+  test("encodeBroadcast drops NULL-text rows exactly like the expression form") {
+    // ADVICE r15: a null text column arrives in mapPartitions as a null
+    // Seq; one null doc must not NPE the job — both forms drop the row.
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab"), (2L, null: String), (3L, "ba"))
+      .toDF("doc_id", "text")
+    val merges = Seq(Bpe.Merge("a", "b", 2L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val expr = rows(Bpe.encode(docs, "text", merges))
+    val prod = rows(Bpe.encodeBroadcast(docs, "text", merges))
+    assert(prod == expr)
+    assert(!prod.exists(_._1 == 2L), "the null doc contributes no tokens")
+    assert(prod.exists(_._1 == 1L) && prod.exists(_._1 == 3L))
+  }
+
   test("encodeWord: adversarial overlaps match the sequential fold") {
     // hand merges exercising rank interaction: overlapping runs, a merge
     // whose output blocks a later rank, rank ties resolved leftmost

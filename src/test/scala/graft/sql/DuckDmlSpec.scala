@@ -290,6 +290,9 @@ class DuckDmlSpec extends SparkSpec {
     val loadSql = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/load.sql"))
     assert(loadSql.contains("CREATE VIEW nation AS"))
+    // DuckDB cannot open a bare Spark parquet DIRECTORY — the script must
+    // glob the part files (ADVICE r15).
+    assert(loadSql.contains(s"'$out/nation.parquet/*.parquet'"))
     val back = spark.read.parquet(s"$out/nation.parquet")
     assert(back.count() === graft.Tables.t(spark, sf(), "nation").count())
     assert(back.columns.sorted ===
