@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Shaping.queries ++
       operators.EdgeQueries.queries ++
       sql.DuckSqlQueries.queries ++
+      sql.TpchVerbatim.queries ++
       functions.FunctionQueries.queries ++
       functions.GraftMacros.queries ++
       pipeline.Dedup.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       operators.Shaping.oracle ++
       operators.EdgeQueries.oracle ++
       sql.DuckSqlQueries.oracle ++
+      sql.TpchVerbatim.oracle ++
       functions.FunctionQueries.oracle ++
       functions.GraftMacros.oracle ++
       pipeline.Dedup.oracle ++
