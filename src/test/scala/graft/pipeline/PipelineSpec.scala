@@ -117,6 +117,51 @@ class DedupSpec extends SparkSpec {
       s"cross-group pairs must share one sub-1.0 jaccard: $crossJ")
   }
 
+  test("incremental dedup: pair set equals the full recompute restricted to batch pairs") {
+    // Corpus with exact duplicates, near-dups, and uniques; batch = ids
+    // ≡ 0 (mod 10). The incremental plan (new×(new∪old) through shared
+    // band buckets, old×old never paired) must emit EXACTLY the full
+    // pipeline's verified pairs that involve a batch doc — jaccard
+    // values included — and the staged-index round-trip must not change
+    // a bit of it.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val docs = Seq(
+      (1L, base), (2L, base), (10L, base),              // exact dups across old/new
+      (4L, near), (20L, near),                          // near-dup old + exact-dup new
+      (30L, "one two three four five six seven eight nine ten"),
+      (6L, "one two three four five six seven eight nine ten"),
+      (7L, "completely different text with no overlap whatsoever at all"),
+      (40L, "another unique document that matches nothing in the corpus"))
+      .toDF("doc_id", "text")
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    // ground truth: full pipeline over corpus+batch, batch-involving only
+    val sh = Dedup.shingleHashes(docs, "text", 3)
+    val sig = Dedup.minhashSignaturesHashed(sh, numHashes = 32)
+    val cand = Dedup.lshCandidates(sig, numHashes = 32, bands = 8)
+    val full = pairSet(Dedup.verifyJaccardHashed(cand, sh, sig.select($"doc_id", $"n_sh"))
+      .filter($"jaccard" >= 0.5).select($"id1", $"id2", $"jaccard"))
+    val want = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(want.nonEmpty && want.size < full.size,
+      "fixture must exercise both kept and excluded (old×old) pairs")
+    val inline = pairSet(Dedup.incrementalPairs(Dedup.buildIndex(corpus), batch))
+    assert(inline == want, s"extra ${inline -- want} missing ${want -- inline}")
+    // staged-index round-trip (the production reload path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_idx_").toString
+    val staged = pairSet(Dedup.incrementalPairs(
+      Dedup.stageIndex(Dedup.buildIndex(corpus), dir), batch))
+    assert(staged == want)
+    // the exact-dup triangle (1,2,10): only the batch-involving legs
+    assert(want.exists(p => p._1 == 1L && p._2 == 10L))
+    assert(want.exists(p => p._1 == 2L && p._2 == 10L))
+    assert(!want.exists(p => p._1 == 1L && p._2 == 2L), "old×old leg excluded")
+  }
+
   test("pre-collapse gate: collapse only when duplicates are worth it") {
     // the hand corpus above (7 docs, 4 distinct texts) takes the
     // collapsed branch; boundary checks for the decision itself
