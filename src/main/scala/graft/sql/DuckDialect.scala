@@ -1700,14 +1700,55 @@ object DuckDialect {
     v
   }
 
+  /** Glob pattern WITH character classes → Java regex body: `*` → `.*`,
+    * `?` → `.`, `[…]` / `[!…]` → a regex class (`!` → `^`; a leading
+    * `]` — after the optional `!` — is literal, per the glob rules the
+    * reference implements in like.cpp); everything else regex-quoted
+    * char-by-char. Unterminated classes refuse loudly. */
+  private[sql] def globClassToRegex(body: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    def quote(c: Char): String =
+      if ("\\^$.|?*+()[]{}".contains(c)) "\\" + c else c.toString
+    while (i < body.length) {
+      body(i) match {
+        case '*' => out ++= ".*"; i += 1
+        case '?' => out ++= "."; i += 1
+        case '[' =>
+          out += '['
+          i += 1
+          if (i < body.length && body(i) == '!') { out += '^'; i += 1 }
+          if (i < body.length && body(i) == ']') { out ++= "\\]"; i += 1 }
+          var closed = false
+          while (i < body.length && !closed) {
+            body(i) match {
+              case ']' => out += ']'; closed = true
+              case '^' => out ++= "\\^"
+              case '\\' => out ++= "\\\\"
+              case '[' => out ++= "\\["
+              case c => out += c // ranges (a-z) pass through
+            }
+            i += 1
+          }
+          if (!closed)
+            throw new GraftSqlException(
+              s"GLOB pattern has an unterminated character class: '$body'")
+        case c => out ++= quote(c); i += 1
+      }
+    }
+    out.toString
+  }
+
   /** `x GLOB 'pat'` → `x LIKE '<converted>'` (`*` → `%`, `?` → `_`,
     * literal `%`/`_` escaped with backslash — Spark LIKE's default
-    * escape; probed: GLOB's `%` is a literal). `x SIMILAR TO 'p'` →
+    * escape; probed: GLOB's `%` is a literal), or — when the pattern
+    * carries `[…]` character classes — `x RLIKE '^(?s:<regex>)$'` via
+    * [[globClassToRegex]]. `x SIMILAR TO 'p'` →
     * `x RLIKE '^(?:p)$'` — DuckDB's SIMILAR TO is a fully-anchored
     * regex (probed: `'widget' SIMILAR TO 'wid'` is FALSE). NOT forms
     * compose untouched (`NOT LIKE` / `NOT RLIKE`). Only string-literal
     * patterns translate (conversion needs the text); non-literal
-    * patterns and GLOB character classes refuse loudly. `glob(` as a
+    * patterns and backslash escapes refuse loudly. `glob(` as a
     * file-list table function is left for the engine to reject. */
   private def rewriteGlobSimilar(toks: Vector[Tok]): Vector[Tok] = {
     var v = toks
@@ -1733,19 +1774,31 @@ object DuckDialect {
             "GLOB needs a string-literal pattern to translate — use LIKE or regexp_like")
         else {
           val body = v(n).text.drop(1).dropRight(1)
-          if (body.exists(c => c == '[' || c == ']' || c == '\\'))
+          if (body.contains('\\'))
             throw new GraftSqlException(
-              "GLOB character classes/escapes are unsupported — use regexp_like")
-          val conv = body.flatMap {
-            case '*' => "%"
-            case '?' => "_"
-            case '%' => "\\%"
-            case '_' => "\\_"
-            case c => c.toString
+              "GLOB backslash escapes are unsupported — use regexp_like")
+          if (body.exists(c => c == '[' || c == ']')) {
+            // Character classes ([abc], [a-z], [!abc]) are beyond LIKE —
+            // translate the WHOLE glob to an anchored regex instead
+            // (reference src/function/scalar/string/like.cpp glob path:
+            // full-string match, `!` negates, `]` first in a class is
+            // literal). RLIKE is substring-search in Spark, hence the
+            // ^(?s:…)$ anchor; (?s) so `*`/`?` cross newlines like glob.
+            v = v.take(i) ++ Vector(word("RLIKE"), ws(" "),
+              Tok(2, s"'^(?s:${globClassToRegex(body)})$$'")) ++ v.drop(n + 1)
+            i += 2
+          } else {
+            val conv = body.flatMap {
+              case '*' => "%"
+              case '?' => "_"
+              case '%' => "\\%"
+              case '_' => "\\_"
+              case c => c.toString
+            }
+            v = v.take(i) ++ Vector(word("LIKE"), ws(" "), Tok(2, s"'$conv'")) ++
+              v.drop(n + 1)
+            i += 2
           }
-          v = v.take(i) ++ Vector(word("LIKE"), ws(" "), Tok(2, s"'$conv'")) ++
-            v.drop(n + 1)
-          i += 2
         }
       } else if (v(i).word == "similar") {
         val n = nextIdx(v, i)
@@ -2009,14 +2062,6 @@ object DuckDialect {
     def refuse(msg: String): Nothing = throw new GraftSqlException(
       s"$opName: $msg — or align the columns on the DataFrame API " +
         "(unionByName / intersect / except after a name-ordered select)")
-    if (ops.map(_.kind).distinct.length > 1)
-      refuse("chains mixing different BY NAME set operations are " +
-        "unsupported (INTERSECT binds tighter than UNION/EXCEPT — the " +
-        "grouping needs a full parser)")
-    if (ops.exists(_.all) && ops.exists(!_.all))
-      refuse(s"mixed ALL / DISTINCT ${ops.head.kind.toUpperCase} BY NAME " +
-        "chains are unsupported (left-assoc distinct grouping needs a " +
-        "full parser)")
     // chains mixing BY NAME with positional set ops: refuse
     val opIdx = ops.flatMap(o => o.start to o.end).toSet
     d = 0; i = 0
@@ -2126,32 +2171,58 @@ object DuckDialect {
       items += b.slice(s, listEnd)
       items.result().map(itemName)
     }
-    // merged output list, first-appearance order (DuckDB semantics).
-    // UNION BY NAME NULL-fills columns missing from a branch; INTERSECT/
-    // EXCEPT BY NAME compare whole rows, where a NULL-filled column would
-    // silently turn "match by name" into "never match" — require the
-    // same column SET on every branch and only re-ALIGN the order.
-    val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    branchNames.foreach(_.foreach { case (lc, txt) =>
-      if (!merged.contains(lc)) merged(lc) = txt
-    })
-    if (ops.head.kind != "union") {
-      val sets = branchNames.map(_.map(_._1).toSet)
-      if (sets.distinct.length > 1)
-        refuse("every branch must have the same column set (got " +
-          sets.map(_.toSeq.sorted.mkString("{", ",", "}")).distinct.mkString(" vs ") +
-          ") — only the column ORDER is aligned by name")
-    }
-    val sep = " " + ops.head.kind.toUpperCase +
-      (if (ops.head.all) " ALL " else " ")
-    val pieces = branches.zip(branchNames).map { case (b, names) =>
+    // Precedence-aware tree emission (the libpg_query grammar the
+    // reference parses with: INTERSECT binds tighter than UNION/EXCEPT,
+    // all three left-associative; each op carries its own ALL/DISTINCT).
+    // Every node's SQL emits exactly `names` in order; a parent aligns
+    // each operand to ITS OWN merged order with a wrapping SELECT.
+    // UNION BY NAME NULL-fills columns missing from an operand;
+    // INTERSECT/EXCEPT BY NAME compare whole rows, where a NULL-filled
+    // column would silently turn "match by name" into "never match" —
+    // those nodes require the same column SET on both operands and only
+    // re-ALIGN the order.
+    case class Node(names: Vector[(String, String)], sql: String)
+    def aligned(names: Vector[(String, String)],
+        target: Vector[(String, String)], sql: String): String = {
       val have = names.map(_._1).toSet
-      val list = merged.map { case (lc, txt) =>
+      val list = target.map { case (lc, txt) =>
         if (have(lc)) txt else s"NULL AS $txt"
       }.mkString(", ")
-      s"SELECT $list FROM ( ${render(b).trim} )"
+      s"SELECT $list FROM ( $sql )"
     }
-    tokenize(render(rec.slice(0, bodyStart)) + pieces.mkString(sep) +
+    def combine(l: Node, r: Node, kind: String, all: Boolean): Node = {
+      val target =
+        if (kind == "union") {
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          (l.names ++ r.names).foreach { case (lc, txt) =>
+            if (!m.contains(lc)) m(lc) = txt }
+          m.toVector
+        } else {
+          if (l.names.map(_._1).toSet != r.names.map(_._1).toSet)
+            refuse(s"${kind.toUpperCase} BY NAME operands must have the " +
+              s"same column set (got ${l.names.map(_._1).sorted.mkString("{", ",", "}")}" +
+              s" vs ${r.names.map(_._1).sorted.mkString("{", ",", "}")}) — " +
+              "only the column ORDER is aligned by name")
+          l.names
+        }
+      val sep = " " + kind.toUpperCase + (if (all) " ALL " else " ")
+      Node(target,
+        aligned(l.names, target, l.sql) + sep + aligned(r.names, target, r.sql))
+    }
+    val leaves = branches.zip(branchNames).map { case (b, names) =>
+      Node(names, render(b).trim) }
+    // fold: INTERSECT combines into the previous term immediately (binds
+    // tighter); UNION/EXCEPT defer to a left-assoc pass over the terms
+    val terms = scala.collection.mutable.ArrayBuffer(leaves.head)
+    val outer = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    ops.zip(leaves.tail).foreach { case (op, leafR) =>
+      if (op.kind == "intersect")
+        terms(terms.length - 1) = combine(terms.last, leafR, op.kind, op.all)
+      else { outer += ((op.kind, op.all)); terms += leafR }
+    }
+    val root = outer.zip(terms.tail).foldLeft(terms.head) {
+      case (acc, ((kind, all), r)) => combine(acc, r, kind, all) }
+    tokenize(render(rec.slice(0, bodyStart)) + root.sql +
       " " + render(tailToks))
   }
 

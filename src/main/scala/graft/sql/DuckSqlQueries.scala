@@ -476,6 +476,29 @@ object DuckSqlQueries {
       |  count(CASE WHEN p_name NOT SIMILAR TO '.*red.*' THEN 1 END) AS n_notsim
       |FROM part""".stripMargin
 
+  /** GLOB character classes (`[…]`, ranges, `!` negation, leading-`]`
+    * literal) → anchored RLIKE — the raw string runs unchanged on DuckDB
+    * (probed on 1.0.0: class semantics match the translated regex). */
+  val globClassSql: String =
+    """SELECT
+      |  count(CASE WHEN p_name GLOB '*[aeiou]red*' THEN 1 END) AS n_class,
+      |  count(CASE WHEN p_name GLOB '*[!a-m]red*' THEN 1 END) AS n_neg,
+      |  count(CASE WHEN p_type GLOB '[SP][MR]?*O*' THEN 1 END) AS n_mix
+      |FROM part""".stripMargin
+
+  /** Mixed ALL/DISTINCT UNION BY NAME chain — left-assoc per-op
+    * quantifiers with first-appearance name merge; the raw string runs
+    * unchanged on DuckDB (its grammar has BY NAME for UNION only, so the
+    * verbatim-oracled chain form is union-kind; mixed-kind chains are
+    * translator-pinned in DuckDialectSpec). */
+  val byNameChainSql: String =
+    """SELECT r_regionkey AS k, r_name AS a FROM region
+      |UNION ALL BY NAME
+      |SELECT n_name AS b, n_regionkey AS k FROM nation WHERE n_regionkey = 0
+      |UNION BY NAME
+      |SELECT r_regionkey AS k, r_name AS a FROM region WHERE r_regionkey < 2
+      |ORDER BY k, a NULLS FIRST, b NULLS FIRST""".stripMargin
+
   /** Ordered-set aggregates — `percentile_cont/_disc(p) WITHIN GROUP
     * (ORDER BY x)` (reference binds WITHIN GROUP in
     * `src/parser/transform/expression/transform_function.cpp`; kernels in
@@ -552,6 +575,8 @@ object DuckSqlQueries {
     "ducksql_unpivot_stmt" -> via(unpivotStmtSql),
     "ducksql_within_group" -> via(withinGroupSql),
     "ducksql_glob_similar" -> via(globSimilarSql),
+    "ducksql_glob_class" -> via(globClassSql),
+    "ducksql_by_name_chain" -> via(byNameChainSql),
     "ducksql_series_unnest" -> via(seriesUnnestSql),
     "ducksql_using_sample" -> via(usingSampleSql),
     "ducksql_from_first" -> via(fromFirstSql),
@@ -624,6 +649,8 @@ object DuckSqlQueries {
     "ducksql_unpivot_stmt" -> unpivotStmtSql,
     "ducksql_within_group" -> withinGroupSql,
     "ducksql_glob_similar" -> globSimilarSql,
+    "ducksql_glob_class" -> globClassSql,
+    "ducksql_by_name_chain" -> byNameChainSql,
     "ducksql_series_unnest" -> seriesUnnestSql,
     "ducksql_using_sample" -> usingSampleSql,
     "ducksql_from_first" -> fromFirstSql,

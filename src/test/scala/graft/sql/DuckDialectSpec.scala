@@ -330,8 +330,61 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(refused(
       "SELECT a FROM t UNION BY NAME SELECT a FROM u UNION SELECT a FROM v")
       .getMessage.contains("positional"))
-    assert(refused("SELECT a FROM t UNION ALL BY NAME SELECT a FROM u " +
-      "UNION BY NAME SELECT a FROM v").getMessage.contains("mixed"))
+  }
+
+  test("BY NAME chains: mixed ALL/DISTINCT, left-assoc, per-op quantifier (r15 item 4)") {
+    // (t UNION ALL u) UNION v — the distinct applies to the whole left
+    // fold, exactly DuckDB's left-assoc grouping (probed on 1.0.0)
+    val t = norm(translate("SELECT a FROM t UNION ALL BY NAME SELECT a FROM u " +
+      "UNION BY NAME SELECT a FROM v"))
+    assert(t == "SELECT a FROM ( SELECT a FROM ( SELECT a FROM t ) " +
+      "UNION ALL SELECT a FROM ( SELECT a FROM u ) ) " +
+      "UNION SELECT a FROM ( SELECT a FROM v )", t)
+    // name merge stays first-appearance across the fold, NULL-fill per node
+    val m = norm(translate("SELECT a FROM t UNION BY NAME SELECT b FROM u " +
+      "UNION ALL BY NAME SELECT c FROM v"))
+    assert(m.contains("NULL AS c FROM (") && m.endsWith(
+      "UNION ALL SELECT NULL AS a, NULL AS b, c FROM ( SELECT c FROM v )"), m)
+  }
+
+  test("BY NAME chains: INTERSECT binds tighter than UNION/EXCEPT (r15 item 4)") {
+    // a UNION (b INTERSECT c) — libpg_query precedence; BY NAME on
+    // INTERSECT/EXCEPT is this engine's extra (the reference grammar has
+    // BY NAME for UNION only), so the mixed chain is translator-pinned
+    val t = norm(translate("SELECT a FROM t UNION BY NAME " +
+      "SELECT a FROM u INTERSECT BY NAME SELECT a FROM v"))
+    assert(t == "SELECT a FROM ( SELECT a FROM t ) UNION SELECT a FROM ( " +
+      "SELECT a FROM ( SELECT a FROM u ) " +
+      "INTERSECT SELECT a FROM ( SELECT a FROM v ) )", t)
+    // EXCEPT folds left with UNION at equal precedence
+    val e = norm(translate("SELECT a FROM t EXCEPT BY NAME SELECT a FROM u " +
+      "UNION BY NAME SELECT a FROM v"))
+    assert(e == "SELECT a FROM ( SELECT a FROM ( SELECT a FROM t ) " +
+      "EXCEPT SELECT a FROM ( SELECT a FROM u ) ) " +
+      "UNION SELECT a FROM ( SELECT a FROM v )", e)
+    // INTERSECT/EXCEPT nodes still require equal column sets
+    def refused(s: String) = intercept[GraftSqlException](translate(s))
+    assert(refused("SELECT a FROM t UNION BY NAME " +
+      "SELECT a FROM u INTERSECT BY NAME SELECT b FROM v")
+      .getMessage.contains("same column set"))
+  }
+
+  test("GLOB character classes translate to anchored RLIKE (r15 item 4)") {
+    val t = norm(translate("SELECT p_name GLOB 'w[i!]dg*' AS m FROM part"))
+    assert(t.contains("RLIKE '^(?s:w[i!]dg.*)$'"), t)
+    // negation, leading-] literal, range, regex metachars quoted
+    assert(norm(translate("SELECT x GLOB 'a[!b-d]e' FROM t"))
+      .contains("RLIKE '^(?s:a[^b-d]e)$'"))
+    assert(norm(translate("SELECT x GLOB '[]]a.b' FROM t"))
+      .contains("RLIKE '^(?s:[\\]]a\\.b)$'"))
+    assert(norm(translate("SELECT x GLOB 'a+[0-9]?' FROM t"))
+      .contains("RLIKE '^(?s:a\\+[0-9].)$'"))
+    // classless globs keep the cheaper LIKE path
+    assert(norm(translate("SELECT x GLOB 'a*b' FROM t")).contains("LIKE 'a%b'"))
+    // unterminated class refuses loudly
+    assert(intercept[GraftSqlException](
+      translate("SELECT x GLOB 'a[bc' FROM t"))
+      .getMessage.contains("unterminated"))
   }
 
   test("INTERSECT/EXCEPT BY NAME align column ORDER by name (r13 item 6)") {
@@ -347,9 +400,13 @@ class DuckDialectSpec extends AnyFunSuite {
     // refused (only UNION BY NAME NULL-fills)
     assert(refused("SELECT a FROM t EXCEPT BY NAME SELECT b FROM u")
       .getMessage.contains("same column set"))
-    // kinds cannot mix in one depth-0 chain (precedence needs a parser)
-    assert(refused("SELECT a FROM t INTERSECT BY NAME SELECT a FROM u " +
-      "EXCEPT BY NAME SELECT a FROM v").getMessage.contains("mixing"))
+    // mixed kinds now translate with libpg_query precedence: INTERSECT
+    // binds tighter, so this is (t ∩ u) − v
+    val mix = norm(translate("SELECT a FROM t INTERSECT BY NAME SELECT a FROM u " +
+      "EXCEPT BY NAME SELECT a FROM v"))
+    assert(mix == "SELECT a FROM ( SELECT a FROM ( SELECT a FROM t ) " +
+      "INTERSECT SELECT a FROM ( SELECT a FROM u ) ) " +
+      "EXCEPT SELECT a FROM ( SELECT a FROM v )", mix)
   }
 
   test("zipped multi-unnest becomes one explode over a zip_with chain") {
@@ -587,8 +644,9 @@ class DuckDialectSpec extends AnyFunSuite {
       "SELECT a RLIKE '^(?:wid.*)$' FROM t")
     assert(norm(translate("SELECT a NOT SIMILAR TO 'x' FROM t")) ==
       "SELECT a NOT RLIKE '^(?:x)$' FROM t")
-    assert(intercept[GraftSqlException](translate("SELECT a GLOB '[ab]c' FROM t"))
-      .getMessage.contains("character classes"))
+    // character classes now translate (see the dedicated r15-item-4 test)
+    assert(norm(translate("SELECT a GLOB '[ab]c' FROM t"))
+      .contains("RLIKE '^(?s:[ab]c)$'"))
     assert(intercept[GraftSqlException](translate("SELECT a SIMILAR TO p FROM t"))
       .getMessage.contains("string-literal"))
   }
