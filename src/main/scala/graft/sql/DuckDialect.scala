@@ -1857,8 +1857,9 @@ object DuckDialect {
           if (n >= v.length || v(n).kind != 5)
             throw new GraftSqlException(
               "USING SAMPLE: only numeric and bernoulli forms translate (n%, n PERCENT, " +
-                "n ROWS, bernoulli(n%), n% (bernoulli[, seed])) — reservoir/system " +
-                "sampling differs per engine; use TABLESAMPLE … REPEATABLE or Shaping.sample")
+                "n ROWS, bernoulli(n%), n% (bernoulli[, seed]), n ROWS (reservoir[, seed])) " +
+                "— percent-reservoir/system sampling differs per engine; " +
+                "use TABLESAMPLE … REPEATABLE or Shaping.sample")
           val after = nextIdx(v, n)
           val (unit, endIdx0) =
             if (after < v.length && v(after).is("%")) ("PERCENT", after)
@@ -1870,57 +1871,132 @@ object DuckDialect {
             throw new GraftSqlException(
               "USING SAMPLE bernoulli translates only the n% form")
           val tail = nextIdx(v, endIdx)
+          var handledReservoir = false
           if (fnFormClose < 0 && tail < v.length && v(tail).is("(")) {
-            // method clause `n% (method[, seed])`: bernoulli translates
-            // (seed → REPEATABLE), everything else refuses
+            // method clause `n% (method[, seed])` / `n ROWS (reservoir
+            // [, seed])`: bernoulli translates (seed → REPEATABLE);
+            // ROWS-form reservoir translates to the distributed
+            // reservoir equivalent (ORDER BY rand(seed) LIMIT n — the
+            // Sampling.reservoir plan: every row draws a seeded uniform
+            // key, the k smallest win, TakeOrderedAndProject at any
+            // scale; deterministic per seed). Everything else refuses.
             val close = matching(v, tail)
             val inner = v.slice(tail + 1, close).filterNot(_.isWs)
             val isBern = inner.headOption.exists(_.word == "bernoulli")
-            if (!isBern || unit != "PERCENT" || inner.length > 3 ||
-                (inner.length == 3 && !inner(1).is(",")) ||
-                (inner.length == 3 && inner(2).kind != 5))
-              throw new GraftSqlException(
-                "USING SAMPLE with a method clause translates only `n% (bernoulli[, seed])` " +
-                  "(Spark PERCENT sampling is Bernoulli; seed → REPEATABLE) — reservoir/system " +
-                  "differ per engine; use TABLESAMPLE … REPEATABLE or Shaping.sample")
-            if (inner.length == 3) seedTok = Some(inner(2))
-            endIdx = close
+            val isRes = inner.headOption.exists(_.word == "reservoir")
+            val seedOk = inner.length == 1 ||
+              (inner.length == 3 && inner(1).is(",") && inner(2).kind == 5)
+            if (isRes && unit == "ROWS" && seedOk) {
+              v = rewriteReservoirRows(v, i, n,
+                if (inner.length == 3) Some(inner(2)) else None, close)
+              handledReservoir = true
+            } else {
+              if (!isBern || unit != "PERCENT" || !seedOk)
+                throw new GraftSqlException(
+                  "USING SAMPLE with a method clause translates only `n% (bernoulli[, seed])` " +
+                    "and `n ROWS (reservoir[, seed])` — percent-reservoir/system " +
+                    "differ per engine; use TABLESAMPLE … REPEATABLE or Shaping.sample")
+              if (inner.length == 3) seedTok = Some(inner(2))
+              endIdx = close
+            }
           }
-          // Spark's grammar puts TABLESAMPLE BEFORE the table alias
-          // (relationPrimary: table temporalClause? sample? tableAlias),
-          // so `FROM orders o USING SAMPLE 5` must become
-          // `FROM orders TABLESAMPLE (5 ROWS) o` — emitting it at the
-          // USING position fails Spark's parse (round-11 advisory).
-          // Detect a trailing alias: prev token is a plain identifier
-          // whose own predecessor is a table-ref end (identifier, quoted
-          // ident, `)`) or AS; insert before the alias (and before AS).
-          val insertAt = {
-            val p = prevIdx(v, i)
-            if (p >= 0 && v(p).kind == 4 &&
-                !Set("from", "join", "lateral").contains(v(p).word)) {
-              val pp = prevIdx(v, p)
-              if (pp >= 0 && v(pp).word == "as") pp
-              else if (pp >= 0 && (v(pp).kind == 3 || v(pp).is(")") ||
-                (v(pp).kind == 4 &&
-                  !Set("from", "join", "lateral").contains(v(pp).word)))) p
-              else i
-            } else i
+          if (!handledReservoir) {
+            // Spark's grammar puts TABLESAMPLE BEFORE the table alias
+            // (relationPrimary: table temporalClause? sample? tableAlias),
+            // so `FROM orders o USING SAMPLE 5` must become
+            // `FROM orders TABLESAMPLE (5 ROWS) o` — emitting it at the
+            // USING position fails Spark's parse (round-11 advisory).
+            // Detect a trailing alias: prev token is a plain identifier
+            // whose own predecessor is a table-ref end (identifier, quoted
+            // ident, `)`) or AS; insert before the alias (and before AS).
+            val insertAt = {
+              val p = prevIdx(v, i)
+              if (p >= 0 && v(p).kind == 4 &&
+                  !Set("from", "join", "lateral").contains(v(p).word)) {
+                val pp = prevIdx(v, p)
+                if (pp >= 0 && v(pp).word == "as") pp
+                else if (pp >= 0 && (v(pp).kind == 3 || v(pp).is(")") ||
+                  (v(pp).kind == 4 &&
+                    !Set("from", "join", "lateral").contains(v(pp).word)))) p
+                else i
+              } else i
+            }
+            val sampleToks = Vector(word("TABLESAMPLE"), ws(" "), sym("("),
+              v(n), ws(" "), word(unit), sym(")")) ++
+              seedTok.toVector.flatMap(t => Vector(ws(" "), word("REPEATABLE"),
+                ws(" "), sym("("), t, sym(")"))) ++ Vector(ws(" "))
+            v =
+              if (insertAt == i)
+                v.take(i) ++ sampleToks.dropRight(1) ++ v.drop(endIdx + 1)
+              else
+                v.take(insertAt) ++ sampleToks ++
+                  v.slice(insertAt, i) ++ v.drop(endIdx + 1)
           }
-          val sampleToks = Vector(word("TABLESAMPLE"), ws(" "), sym("("),
-            v(n), ws(" "), word(unit), sym(")")) ++
-            seedTok.toVector.flatMap(t => Vector(ws(" "), word("REPEATABLE"),
-              ws(" "), sym("("), t, sym(")"))) ++ Vector(ws(" "))
-          v =
-            if (insertAt == i)
-              v.take(i) ++ sampleToks.dropRight(1) ++ v.drop(endIdx + 1)
-            else
-              v.take(insertAt) ++ sampleToks ++
-                v.slice(insertAt, i) ++ v.drop(endIdx + 1)
         }
       }
       i += 1
     }
     v
+  }
+
+  /** `FROM <table> [AS] [alias] USING SAMPLE n ROWS (reservoir[, seed])`
+    * → `FROM ( SELECT * FROM <table> ORDER BY rand(seed) LIMIT n )
+    * <alias>` — the distributed reservoir draw ([[
+    * graft.operators.Sampling.reservoir]]: seeded uniform key per row,
+    * k smallest win; plans as TakeOrderedAndProject, deterministic per
+    * seed). Membership semantics match DuckDB's reservoir (an exact-size
+    * uniform draw without replacement); the PRNG streams differ per
+    * engine, so seeded runs agree on SIZE and SOURCE-MEMBERSHIP, not on
+    * the chosen rows — same contract as shape_sample. Only plain
+    * (possibly dotted/quoted) table refs translate; subquery sources
+    * refuse with the API pointer. */
+  private def rewriteReservoirRows(v: Vector[Tok], usingIdx: Int, nIdx: Int,
+      seed: Option[Tok], closeIdx: Int): Vector[Tok] = {
+    def isIdent(t: Tok) = t.kind == 3 || t.kind == 4
+    def refuse(): Nothing = throw new GraftSqlException(
+      "USING SAMPLE … ROWS (reservoir[, seed]) translates only over a plain " +
+        "table reference — for subquery sources use Sampling.reservoir on " +
+        "the DataFrame API")
+    // scan back: [alias] then the dotted table chain
+    var p = prevIdx(v, usingIdx)
+    if (p < 0 || !isIdent(v(p)) ||
+        Set("from", "join", "lateral").contains(v(p).word)) refuse()
+    def chainStart(end: Int): Int = {
+      var st = end
+      var q = prevIdx(v, st)
+      while (q >= 0 && v(q).is(".")) {
+        val q2 = prevIdx(v, q)
+        if (q2 < 0 || !isIdent(v(q2))) refuse()
+        st = q2
+        q = prevIdx(v, st)
+      }
+      st
+    }
+    val c1End = p
+    val c1Start = chainStart(c1End)
+    val before1 = prevIdx(v, c1Start)
+    // decide: c1 is the table (no alias), or c1 is the alias of a table
+    // chain further left (with optional AS)
+    val (tabStart, tabEnd, aliasTok) =
+      if (before1 >= 0 && v(before1).word == "as") {
+        if (c1Start != c1End) refuse() // alias must be a single ident
+        val tEnd = prevIdx(v, before1)
+        if (tEnd < 0 || !isIdent(v(tEnd))) refuse()
+        (chainStart(tEnd), tEnd, v(c1End))
+      } else if (before1 >= 0 && isIdent(v(before1)) &&
+          !Set("from", "join", "lateral").contains(v(before1).word)) {
+        if (c1Start != c1End) refuse()
+        (chainStart(before1), before1, v(c1End))
+      } else if (before1 >= 0 &&
+          (v(before1).word == "from" || v(before1).word == "join" ||
+            v(before1).is(",") || v(before1).word == "lateral")) {
+        (c1Start, c1End, v(c1End)) // bare table: alias = last segment
+      } else refuse()
+    val tableToks = v.slice(tabStart, tabEnd + 1)
+    val randArg = seed.map(_.text).getOrElse("")
+    val sub = tokenize(s"( SELECT * FROM ${render(tableToks)} " +
+      s"ORDER BY rand($randArg) LIMIT ${v(nIdx).text} ) ") :+ aliasTok
+    v.take(tabStart) ++ sub ++ v.drop(closeIdx + 1)
   }
 
   /** DuckDB FROM-first queries → standard SELECT form. The reference

@@ -499,6 +499,19 @@ object DuckSqlQueries {
       |SELECT r_regionkey AS k, r_name AS a FROM region WHERE r_regionkey < 2
       |ORDER BY k, a NULLS FIRST, b NULLS FIRST""".stripMargin
 
+  /** `USING SAMPLE n ROWS (reservoir, seed)` — an exact-size uniform
+    * draw, deterministic per seed on each engine. The PRNG streams
+    * differ per engine, so the entry emits the engine-agnostic
+    * invariants (the shape_sample_hash convention): exact SIZE, key
+    * DISTINCTNESS (without replacement), and SOURCE MEMBERSHIP (every
+    * sampled key exists in the source — the left-join null count). */
+  val sampleReservoirSql: String =
+    """SELECT count(*) AS n_sampled,
+      |       count(DISTINCT s.o_orderkey) AS n_keys,
+      |       CAST(sum(CASE WHEN src.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_member
+      |FROM (SELECT * FROM orders USING SAMPLE 500 ROWS (reservoir, 42)) s
+      |LEFT JOIN orders src ON s.o_orderkey = src.o_orderkey""".stripMargin
+
   /** Ordered-set aggregates — `percentile_cont/_disc(p) WITHIN GROUP
     * (ORDER BY x)` (reference binds WITHIN GROUP in
     * `src/parser/transform/expression/transform_function.cpp`; kernels in
@@ -577,6 +590,7 @@ object DuckSqlQueries {
     "ducksql_glob_similar" -> via(globSimilarSql),
     "ducksql_glob_class" -> via(globClassSql),
     "ducksql_by_name_chain" -> via(byNameChainSql),
+    "ducksql_sample_reservoir" -> via(sampleReservoirSql),
     "ducksql_series_unnest" -> via(seriesUnnestSql),
     "ducksql_using_sample" -> via(usingSampleSql),
     "ducksql_from_first" -> via(fromFirstSql),
@@ -651,6 +665,7 @@ object DuckSqlQueries {
     "ducksql_glob_similar" -> globSimilarSql,
     "ducksql_glob_class" -> globClassSql,
     "ducksql_by_name_chain" -> byNameChainSql,
+    "ducksql_sample_reservoir" -> sampleReservoirSql,
     "ducksql_series_unnest" -> seriesUnnestSql,
     "ducksql_using_sample" -> usingSampleSql,
     "ducksql_from_first" -> fromFirstSql,

@@ -607,14 +607,37 @@ class DuckDialectSpec extends AnyFunSuite {
       "SELECT * FROM t TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
     assert(norm(translate("SELECT * FROM t USING SAMPLE bernoulli(10%)")) ==
       "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
-    // reservoir/system forms refuse loudly (membership semantics differ,
-    // not just the RNG)
+    // percent-reservoir/system forms refuse loudly (membership semantics
+    // differ, not just the RNG)
     assert(intercept[GraftSqlException](
       translate("SELECT * FROM t USING SAMPLE 10% (system, 42)"))
       .getMessage.contains("bernoulli"))
     assert(intercept[GraftSqlException](
       translate("SELECT * FROM t USING SAMPLE reservoir(10%)"))
       .getMessage.contains("bernoulli"))
+  }
+
+  test("USING SAMPLE n ROWS (reservoir, seed) becomes the seeded reservoir draw (r15 item 5)") {
+    // bare table: the subquery is aliased with the table name so
+    // qualified column refs keep resolving
+    assert(norm(translate(
+      "SELECT * FROM orders USING SAMPLE 500 ROWS (reservoir, 42)")) ==
+      "SELECT * FROM ( SELECT * FROM orders ORDER BY rand(42) LIMIT 500 ) orders")
+    // explicit alias (with and without AS) survives in place
+    assert(norm(translate(
+      "SELECT o.x FROM orders o USING SAMPLE 9 ROWS (reservoir, 7)")) ==
+      "SELECT o.x FROM ( SELECT * FROM orders ORDER BY rand(7) LIMIT 9 ) o")
+    assert(norm(translate(
+      "SELECT * FROM orders AS o USING SAMPLE 9 ROWS (reservoir)")) ==
+      "SELECT * FROM ( SELECT * FROM orders ORDER BY rand() LIMIT 9 ) o")
+    // dotted table chain: alias defaults to the last segment
+    assert(norm(translate(
+      "SELECT * FROM cat.orders USING SAMPLE 5 ROWS (reservoir, 1)")) ==
+      "SELECT * FROM ( SELECT * FROM cat.orders ORDER BY rand(1) LIMIT 5 ) orders")
+    // subquery sources refuse with the API pointer
+    assert(intercept[GraftSqlException](translate(
+      "SELECT * FROM (SELECT 1 AS a) s USING SAMPLE 2 ROWS (reservoir, 3)"))
+      .getMessage.contains("Sampling.reservoir"))
   }
 
   test("series table functions and unnest translate with matching column names") {
