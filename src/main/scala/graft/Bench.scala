@@ -771,6 +771,50 @@ object Bench {
         s""","clean_reference_totals":${storedSlots
           .map { case (n, s) => s""""$n":${total(s)}""" }.mkString("{", ",", "}")}"""
       }
+    // Cross-round per-entry Verify timing diff (round-15 verdict item 6):
+    // Verify rotates bench_evidence/verify_timings_{latest,prev}.json per
+    // full-gate run; flag entries that got >1.5× slower (with ms floors —
+    // sub-300 ms entries are scheduling noise at this harness's 11 ms
+    // task floor). The diff lands in the sidecar + its own evidence file.
+    val timingDiffField: String = try {
+      def loadTimings(p: String): Option[(String, Map[String, Long])] = {
+        val f = new java.io.File(s"$cleanRefDir/$p")
+        if (!f.isFile) None else {
+          val s = scala.io.Source.fromFile(f, "UTF-8")
+          val txt = try s.mkString finally s.close()
+          val sf = """"sf"\s*:\s*"([^"]*)"""".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          val m = """"([A-Za-z0-9_]+)"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
+            .map(g => g.group(1) -> g.group(2).toLong).toMap - "sf"
+          Some((sf, m))
+        }
+      }
+      (loadTimings("verify_timings_latest.json"),
+        loadTimings("verify_timings_prev.json")) match {
+        case (Some((sfL, latest)), Some((sfP, prev))) if sfL == sfP =>
+          val regressions = latest.toSeq.flatMap { case (n, ms) =>
+            prev.get(n).collect {
+              case p if p >= 100 && ms >= 300 && ms > 1.5 * p =>
+                (n, p, ms)
+            }
+          }.sortBy(-_._3)
+          val body = regressions.map { case (n, p, ms) =>
+            s"""{"entry":"$n","prev_ms":$p,"latest_ms":$ms}""" }
+            .mkString("[", ",", "]")
+          val rec = s"""{"sf":"$sfL","compared":${latest.size},""" +
+            s""""regressions":$body}"""
+          try {
+            val w = new java.io.PrintWriter(
+              new java.io.File(s"$cleanRefDir/verify_timing_diff.json"), "UTF-8")
+            try w.println(rec) finally w.close()
+          } catch { case _: Throwable => }
+          s""","verify_timing_diff":$rec"""
+        case _ => ""
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] verify timing diff failed: ${e.getMessage}")
+      ""
+    }
     // Two-tier emission (round-11 verdict item 3: the single fat JSON line
     // outgrew the driver's stdout tail-capture window → BENCH_r11.parsed
     // was null and the round lost its headline). The FULL record — per-
@@ -778,7 +822,7 @@ object Bench {
     // the minhash 10× stage profile — goes to a sidecar file on disk; the
     // LAST stdout line is a compact headline (totals + per-query tuned
     // times + noisy flag + stf) that always fits the capture window.
-    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_aqe":${toJson(resultsAqe)},"total_aqe":$totalAqe$sf10xFields$tunerFields$minhashStageFields$dispersionFields,"floor":$floor,"small_task_fraction_deep_join":$stf,"stf_deep_join_uncompacted":$stfUncompacted$failedField$gateField$cleanRefField,"sf":"$sfDir"}"""
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"queries_aqe":${toJson(resultsAqe)},"total_aqe":$totalAqe$sf10xFields$tunerFields$minhashStageFields$dispersionFields,"floor":$floor,"small_task_fraction_deep_join":$stf,"stf_deep_join_uncompacted":$stfUncompacted$failedField$gateField$cleanRefField$timingDiffField,"sf":"$sfDir"}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "bench_dispersion.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(sidecar), "UTF-8")

@@ -47,8 +47,17 @@ object Sf10Probe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "100").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Default roster (round-15 verdict item 7): the round-15 ten plus the
+    // next-heaviest ten — 20 entries spanning dedup, OLAP-suite heavies,
+    // graph, embeddings, search, streams-twins, packing, and the new
+    // incremental-dedup path.
     val entries = sys.env.getOrElse("SPARK_GRAFT_PROBE_ENTRIES",
-      "dedup_minhash,dedup_substring,pipeline_curate,h2o_median_sd,events_scd2")
+      "dedup_minhash,dedup_substring,pipeline_curate,h2o_median_sd," +
+        "events_scd2,classify_nb,lm_perplexity,mix_dsir," +
+        "dedup_components_star,tokenize_bpe," +
+        "h2o_groupby_six,ds_three_channel,graph_triangles,emb_abtt," +
+        "dedup_embedding_lsh_wide,search_bm25_multi,ts_ewma," +
+        "pipeline_shard,compress_pack_agg,dedup_incremental")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     // round-15: invariance is the DEFAULT for every probed entry (one
     // re-run each) — opt out by naming a subset, not in
@@ -56,7 +65,7 @@ object Sf10Probe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(entries.toSet)
     val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
-      "bench_evidence/r15_sf10_probe.json")
+      "bench_evidence/r16_sf10_probe.json")
 
     val spark = EngineSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")

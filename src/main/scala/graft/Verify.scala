@@ -98,9 +98,24 @@ object Verify {
         StandardCopyOption.ATOMIC_MOVE)
     }
     writeErrorsJson() // always present, even when empty: absence ≠ success
+    // Per-entry wall-time record (round-15 verdict item 6): widens perf-
+    // regression coverage from the 13 bench headliners to the whole gate.
+    // Written atomically after every query (crash-tolerant, like the
+    // oracle json); Bench diffs latest-vs-prev and flags >1.5× moves.
+    val timings = scala.collection.mutable.Map.empty[String, Long]
+    def writeTimingsJson(): Unit = {
+      val json = timings.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+      val tmp = Paths.get(s"$outDir/verify_timings.json.tmp")
+      Files.writeString(tmp, json)
+      Files.move(tmp, Paths.get(s"$outDir/verify_timings.json"),
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
     val t0 = System.nanoTime()
     var done = 0
     selected.foreach { case (name, fn) =>
+      val tq = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         val cols = df.columns.toSeq
@@ -109,6 +124,8 @@ object Verify {
         sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         columnsByQuery(name) = cols // only after a successful dump
         writeOracleJson()
+        timings(name) = (System.nanoTime() - tq) / 1000000L
+        writeTimingsJson()
         done += 1
         System.err.println(
           f"[verify] +${(System.nanoTime() - t0) / 1e9}%.0fs $done/${selected.size} $name")
@@ -118,6 +135,26 @@ object Verify {
         writeErrorsJson()
         System.err.println(s"[verify] $name FAILED: $msg")
       }
+    }
+    // Repo-side rotation for cross-round diffing (only when the full map
+    // ran — a SPARK_GRAFT_ONLY subset would poison the baseline): latest
+    // becomes prev, this run becomes latest. Best-effort (read-only cwd
+    // or missing bench_evidence dir is fine).
+    if (only.isEmpty) try {
+      val dir = Paths.get("bench_evidence")
+      if (Files.isDirectory(dir)) {
+        val latest = dir.resolve("verify_timings_latest.json")
+        if (Files.exists(latest))
+          Files.move(latest, dir.resolve("verify_timings_prev.json"),
+            StandardCopyOption.REPLACE_EXISTING)
+        val json = timings.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+        Files.writeString(latest,
+          s"""{"sf":"$sfDir","timings":$json}""")
+        System.err.println(s"[verify] timings -> $latest")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] timings rotation failed: ${e.getMessage}")
     }
     if (errors.nonEmpty)
       System.err.println(

@@ -22,6 +22,7 @@ class SparkEntrySpec extends SparkSpec {
       operators.SetOps.queries,
       operators.Shaping.queries, operators.EdgeQueries.queries,
       sql.DuckSqlQueries.queries,
+      sql.TpchVerbatim.queries,
       functions.FunctionQueries.queries,
       functions.GraftMacros.queries,
       pipeline.Dedup.queries, pipeline.Similarity.queries,

@@ -116,9 +116,11 @@ class DuckFallbackParserSpec extends SparkSpec {
     refusal("SELECT a FROM t UNION BY NAME SELECT a FROM u EXCEPT SELECT a FROM v",
       "BY NAME", "positional")
     // INTERSECT/EXCEPT BY NAME translate since round 14; mixed-kind
-    // chains still refuse (INTERSECT binds tighter — needs a full parser)
-    refusal("SELECT a FROM t UNION BY NAME SELECT a FROM u " +
-      "INTERSECT BY NAME SELECT a FROM v", "BY NAME", "mixing")
+    // chains translate since round 16 (precedence-aware tree — INTERSECT
+    // binds tighter, pinned in DuckDialectSpec)
+    assert(DuckDialect.translate("SELECT a FROM t UNION BY NAME " +
+      "SELECT a FROM u INTERSECT BY NAME SELECT a FROM v")
+      .contains("INTERSECT"))
     refusal("INSERT INTO t VALUES (1) RETURNING *", "RETURNING", "execReturning")
     refusal("DELETE FROM t WHERE a = 1 RETURNING a", "RETURNING")
     // list comprehensions TRANSLATE since round 12 (literal
