@@ -43,7 +43,8 @@ def stage(sf: float, root: str) -> None:
 
 if __name__ == "__main__":
     sfs = [float(a) for a in sys.argv[1:]] or [0.01, 0.1]
-    root = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "fixtures", "tpch")
+    root = os.environ.get("GRAFT_TPCH_ROOT") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "tpch")
     for sf in sfs:
         stage(sf if sf != int(sf) else int(sf), root)

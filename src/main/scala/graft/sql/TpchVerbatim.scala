@@ -54,9 +54,12 @@ object TpchVerbatim {
         "reference TPC-H query dir not found — set SPARK_GRAFT_TPCH_QUERIES")
     }
 
-  /** Map the driver's testdata dir to the matching fixture scale. */
+  /** Map the driver's testdata dir to the matching fixture scale.
+    * SPARK_GRAFT_TPCH_FORCE_SCALE pins a specific staged scale (e.g. a
+    * tmpfs-staged sf1 for bench sweeps). */
   private[sql] def scaleFor(testdataDir: String): String =
-    if (new java.io.File(testdataDir).getName == "sf0.1") "sf0.1" else "sf0.01"
+    sys.env.getOrElse("SPARK_GRAFT_TPCH_FORCE_SCALE",
+      if (new java.io.File(testdataDir).getName == "sf0.1") "sf0.1" else "sf0.01")
 
   def queryText(n: Int): String = {
     val f = java.nio.file.Paths.get(queriesDir, f"q$n%02d.sql")
