@@ -724,6 +724,13 @@ object Bench {
         .mkString(""","loadgate_exhausted":[""", ",", "]")
     val gatePrefix = Map("tuned" -> "tuned", "aqe" -> "aqe",
       "sf10x" -> s"${inflate}x")
+    // Slots are SF-KEYED on both write and read (round-16: an sf0.01 dev
+    // smoke run must not overwrite — nor leak into — the sf0.1 round
+    // evidence): non-sf0.1 runs write a suffixed file and the embed below
+    // only accepts slots whose recorded "sf" matches this run's.
+    val slotSuffix =
+      if (new java.io.File(sfDir).getName == "sf0.1") "" else
+        "__" + new java.io.File(sfDir).getName
     blocks.foreach { case (n, ss) =>
       val gated = gateExhausted.exists(_.startsWith(gatePrefix.getOrElse(n, n)))
       if (blockSpread(ss) <= 0.15 && !gated) {
@@ -734,7 +741,7 @@ object Bench {
           s""""queries":${toJson(ss.map { case (q, s) => q -> best(s) })},""" +
           s""""loadavg_start":"$loadStart","sf":"$sfDir"}"""
         try {
-          val f = new java.io.File(s"$cleanRefDir/clean_reference_$n.json")
+          val f = new java.io.File(s"$cleanRefDir/clean_reference_$n$slotSuffix.json")
           val w = new java.io.PrintWriter(f, "UTF-8")
           try w.println(snap) finally w.close()
           System.err.println(s"[bench] clean $n block — refreshed ${f.getPath}")
@@ -752,10 +759,12 @@ object Bench {
     val storedSlots: Seq[(String, String)] = Seq("tuned", "aqe", "sf10x").map { n =>
       val stored = try {
         val src = scala.io.Source.fromFile(
-          s"$cleanRefDir/clean_reference_$n.json", "UTF-8")
+          s"$cleanRefDir/clean_reference_$n$slotSuffix.json", "UTF-8")
         try src.mkString.trim finally src.close()
       } catch { case _: Throwable => "" }
-      n -> (if (stored.startsWith("{")) stored else "null")
+      // reject a slot recorded at a different sf than this run's
+      val sfOk = stored.contains(s""""sf":"$sfDir"""")
+      n -> (if (stored.startsWith("{") && sfOk) stored else "null")
     }
     val cleanRefField: String =
       if (noisy.isEmpty && gateExhausted.isEmpty) ""

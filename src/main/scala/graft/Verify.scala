@@ -136,11 +136,14 @@ object Verify {
         System.err.println(s"[verify] $name FAILED: $msg")
       }
     }
-    // Repo-side rotation for cross-round diffing (only when the full map
-    // ran — a SPARK_GRAFT_ONLY subset would poison the baseline): latest
+    // Repo-side rotation for cross-round diffing — only for the full map
+    // (a SPARK_GRAFT_ONLY subset would poison the baseline) AT THE
+    // DRIVER'S GATE SCALE sf0.01 (builder sweeps at sf0.1/10× must not
+    // rotate the baseline out from under the cross-round diff): latest
     // becomes prev, this run becomes latest. Best-effort (read-only cwd
     // or missing bench_evidence dir is fine).
-    if (only.isEmpty) try {
+    if (only.isEmpty &&
+        new java.io.File(sfDir).getName == "sf0.01") try {
       val dir = Paths.get("bench_evidence")
       if (Files.isDirectory(dir)) {
         val latest = dir.resolve("verify_timings_latest.json")

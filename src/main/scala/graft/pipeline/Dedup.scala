@@ -442,6 +442,76 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** One SHARD-INGEST step over a persistent on-disk index — the loop
+    * body of continuous ingestion (the streaming recipe
+    * [[graft.streaming.StreamingOps.incrementalDedupIngest]] drives it
+    * per micro-batch): emit the shard's near-dup pairs vs store∪shard
+    * (via [[incrementalPairs]]; first shard bootstraps as shard-only
+    * LSH), then EXTEND the store with the shard's frames.
+    *
+    * Idempotent under replay: each shard writes its own
+    * `batch=<id>` subdirectory with overwrite (a re-run of the same
+    * shard id replaces, never duplicates — the foreachBatch
+    * exactly-once convention). The caller materializes the returned
+    * pairs BEFORE this method appends (done here: pairs are written to
+    * `pairsDir/batch=<id>` first, so the index the query reads is
+    * provably the pre-shard store).
+    *
+    * Accumulation contract (pinned in StreamingSpec): feeding a corpus
+    * in ANY disjoint shard order accumulates EXACTLY
+    * [[dedupMinhashPairs]]'s full pair set — every pair {a,b} is
+    * emitted exactly once, by whichever doc arrives later (new×old) or
+    * by their shared shard (new×new). */
+  def ingestShard(shard: DataFrame, batchId: Long, indexDir: String,
+      pairsDir: String): Unit = {
+    val sp = shard.sparkSession
+    def sub(kind: String) = s"$indexDir/$kind/batch=$batchId"
+    // Store read EXCLUDES this batch's own subdirectory: a replay (the
+    // foreachBatch retry after a partial first attempt — e.g. pairs
+    // written but the crash landed mid-index-extension) must see the
+    // PRE-shard store, or the shard's stored copy double-counts its own
+    // shingles and the jaccard divisor |S1|+|S2|−|S1∩S2| hits zero on
+    // exact duplicates.
+    def priorDirs(kind: String): Seq[String] = {
+      val d = new java.io.File(s"$indexDir/$kind")
+      if (!d.isDirectory) Seq.empty
+      else Option(d.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+          f.getName != s"batch=$batchId")
+        .map(_.getPath)
+    }
+    val prior = priorDirs("sig")
+    val pairs =
+      if (prior.nonEmpty) {
+        val idx = MinhashIndex(
+          sp.read.parquet(priorDirs("sh"): _*).select(col("doc_id"), col("h")),
+          sp.read.parquet(prior: _*)
+            .select(col("doc_id") +: (0 until 32).map(i => col(s"h$i")) :+
+              col("n_sh"): _*),
+          sp.read.parquet(priorDirs("bands"): _*)
+            .select(col("doc_id"), col("band"), col("sig")))
+        incrementalPairs(idx, shard)
+      } else {
+        // bootstrap: the first shard dedups against itself only — the
+        // same stages with no old side
+        val sh = shingleHashes(shard.select(col("doc_id"), col("text")), "text", 3)
+        val sig = minhashSignaturesHashed(sh, 32)
+        verifyJaccardHashed(lshCandidates(sig, 32, 8), sh,
+            sig.select(col("doc_id"), col("n_sh")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id1"), col("id2"), col("jaccard"))
+      }
+    // materialize pairs BEFORE extending the store: parquet listings
+    // resolve at action time, so appending first would silently count
+    // the shard as "old" and re-pair it against itself
+    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    val idxNew = buildIndex(shard)
+    idxNew.sh.write.mode("overwrite").parquet(sub("sh"))
+    idxNew.sig.write.mode("overwrite").parquet(sub("sig"))
+    idxNew.bands.repartition(col("band"), col("sig"))
+      .write.mode("overwrite").parquet(sub("bands"))
+  }
+
   /** Gate entry: docs with doc_id ≡ 0 (mod 10) are the arriving batch
     * (~10% — the daily-shard ratio), the rest the ingested corpus. The
     * index is built inline here because the gate owns no cross-query

@@ -377,6 +377,37 @@ object StreamingOps {
       quota)
   }
 
+  /** Streaming INCREMENTAL near-dup ingestion — the streaming face of
+    * `dedup_incremental` and the production daily-shard loop: each
+    * arriving micro-batch of documents is near-dup-paired against the
+    * accumulated on-disk MinHash index (batch band keys broadcast
+    * against the store, new×(new∪old) candidates only — never
+    * old×old), its pairs land in `pairsDir/batch=<id>`, and the store
+    * gains the batch's frames ([[graft.pipeline.Dedup.ingestShard]]).
+    *
+    * Unlike [[nearDedupStream]] (bounded in-memory state, full-signature
+    * key, reduced recall), this recipe keeps the FULL batch-path
+    * semantics — 8×4 LSH banding + exact jaccard ≥ 0.5 verification —
+    * by holding state on disk, where a 100 TB corpus's index actually
+    * lives. Replay-idempotent: every write is an overwrite of its own
+    * `batch=<id>` subdirectory, the foreachBatch exactly-once
+    * convention the DML streaming sinks established.
+    *
+    * ACCUMULATION CONTRACT (StreamingSpec): any disjoint sharding of a
+    * corpus accumulates EXACTLY the batch pipeline's verified pair set
+    * — each pair is emitted once, by whichever member arrives later. */
+  def incrementalDedupIngest(docs: DataFrame, textCol: String,
+      indexDir: String, pairsDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Dedup.ingestShard(
+          batch.select(col("doc_id").cast("long").as("doc_id"),
+            col(textCol).as("text")),
+          batchId, indexDir, pairsDir)
+      }
+
   case class EwmaIn(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
     value: Double)
   case class EwmaState(last: Long)

@@ -415,6 +415,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup ingestion accumulates exactly the batch pair set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    // duplicates within a shard (6,7), across adjacent shards (1→10),
+    // across distant shards (2→30), near-dups across shards (4→20),
+    // uniques — the full arrival-order matrix
+    val docs = Seq(
+      (1L, base), (2L, base), (6L, "one two three four five six seven eight nine ten"),
+      (7L, "one two three four five six seven eight nine ten"),
+      (10L, base), (4L, near),
+      (20L, near), (30L, base),
+      (40L, "another unique document that matches nothing in the corpus"))
+    val shards = Seq(docs.take(4), docs.slice(4, 7), docs.drop(7))
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+    val (indexDir, pairsDir) = (s"$root/index", s"$root/pairs")
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalDedupIngest(
+      src.toDF().toDF("doc_id", "text"), "text", indexDir, pairsDir).start()
+    try {
+      shards.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val streamed = pairSet(spark.read.parquet(pairsDir)
+      .select($"id1", $"id2", $"jaccard"))
+    val batch = pairSet(Dedup.dedupMinhashPairs(docs.toDF("doc_id", "text")))
+    assert(streamed == batch,
+      s"extra ${streamed -- batch} missing ${batch -- streamed}")
+    // the cross-shard exact pair (2,30) and in-shard pair (6,7) both present
+    assert(streamed.exists(p => p._1 == 2L && p._2 == 30L))
+    assert(streamed.exists(p => p._1 == 6L && p._2 == 7L))
+    // replaying the LAST shard (same batch id) must not duplicate pairs:
+    // overwrite-by-batch-id idempotence. Use the ACTUAL last batch id —
+    // the runtime may insert an empty micro-batch, shifting ids.
+    val lastId = new java.io.File(s"$indexDir/sh").listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).max
+    Dedup.ingestShard(shards.last.toDF("doc_id", "text"),
+      batchId = lastId, indexDir, pairsDir)
+    val replayed = pairSet(spark.read.parquet(pairsDir)
+      .select($"id1", $"id2", $"jaccard"))
+    assert(replayed == batch, "replay of a shard id must overwrite, not append")
+  }
+
   test("sessionization counts per-user events with gap splits") {
     val events = Seq(
       StreamingOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
