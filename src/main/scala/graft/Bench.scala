@@ -109,6 +109,20 @@ object Bench {
   /** Key shift between copies: far above any fixture key at bench scales. */
   private val copyShift = 1000000000L
 
+  /** Cross-round per-entry Verify-timing regressions (round-15 verdict
+    * item 6): entries >1.5× slower than the prior round, with ms floors
+    * filtering scheduling noise (prev ≥ 100 ms so a ratio means
+    * something; latest ≥ 300 ms so a flagged entry is worth reading at
+    * this harness's ~11 ms task floor). Returns (entry, prev_ms,
+    * latest_ms), slowest first. Pure — BenchSpec pins the thresholds. */
+  private[graft] def timingRegressions(latest: Map[String, Long],
+      prev: Map[String, Long]): Seq[(String, Long, Long)] =
+    latest.toSeq.flatMap { case (n, ms) =>
+      prev.get(n).collect {
+        case p if p >= 100 && ms >= 300 && ms > 1.5 * p => (n, p, ms)
+      }
+    }.sortBy(-_._3)
+
   /** SparkListener events arrive on an async bus: wait (bounded) until
     * the metrics' observed task count has been STABLE for a few polls —
     * waiting for just the first event still undercounts when later
@@ -801,12 +815,7 @@ object Bench {
       (loadTimings("verify_timings_latest.json"),
         loadTimings("verify_timings_prev.json")) match {
         case (Some((sfL, latest)), Some((sfP, prev))) if sfL == sfP =>
-          val regressions = latest.toSeq.flatMap { case (n, ms) =>
-            prev.get(n).collect {
-              case p if p >= 100 && ms >= 300 && ms > 1.5 * p =>
-                (n, p, ms)
-            }
-          }.sortBy(-_._3)
+          val regressions = timingRegressions(latest, prev)
           val body = regressions.map { case (n, p, ms) =>
             s"""{"entry":"$n","prev_ms":$p,"latest_ms":$ms}""" }
             .mkString("[", ",", "]")
