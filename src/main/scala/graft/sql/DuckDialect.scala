@@ -266,7 +266,9 @@ object DuckDialect {
     // keeps its named argument and fails Spark's parse rather than
     // silently flattening one level.
     "unnest" -> "explode",
-    "array_to_string" -> "array_join",
+    // array_to_string is NOT a plain rename: empty list → NULL in DuckDB
+    // vs '' in Spark's array_join — rewritten structurally in
+    // rewriteListFns (probed; NULL elements are skipped by BOTH).
     "list_append" -> "array_append",
     "list_max" -> "array_max",
     "list_min" -> "array_min",
@@ -316,12 +318,16 @@ object DuckDialect {
     * semantic below probed on the 1.0.0 oracle):
     *
     *   - `list_slice(l, b, e)` — 1-based INCLUSIVE endpoints, negative
-    *     = from-end, e<b → empty. Spark slice is (start, LENGTH), and a
-    *     negative length THROWS. Translated when b and e are integer
-    *     literals of the same sign: `slice(l, b, max(e-b+1, 0))` (the
-    *     length folds at translate time). Mixed-sign or non-literal
-    *     endpoints need the list size — left untranslated (loud
-    *     unknown-function failure, never a silently shifted window).
+    *     = from-end (−1 = last), 0 clamps to the edge, out-of-range
+    *     clamps, e<b → empty, any NULL argument → NULL (all probed on
+    *     1.0.0). Same-sign integer literals keep the constant-folded
+    *     fast path `slice(l, b, max(e-b+1, 0))`; everything else —
+    *     non-literal, mixed-sign, zero endpoints — takes the GENERAL
+    *     size-normalized form (round 16): endpoints normalize through
+    *     `size(l)` (negative → L+x+1), clamp to [1, L], and the length
+    *     is floored at 0 because a negative Spark slice length THROWS.
+    *     The list argument re-renders several times; SQL expressions
+    *     are pure, so this is correct (the list_concat precedent).
     *   - `list_prepend(e, l)` → `array_prepend(l, e)` (argument order
     *     swaps).
     *   - `list_concat(a, b)` — NULL operand = empty list, but NULL when
@@ -364,7 +370,7 @@ object DuckDialect {
         val n = nextIdx(v, i); n < v.length && v(n).is("(")
       }
       if (isCall && Set("list_slice", "list_prepend", "list_concat",
-          "list_reverse_sort")(t.word)) {
+          "list_reverse_sort", "array_to_string")(t.word)) {
         val open = nextIdx(v, i)
         val close = matching(v, open)
         val args = argSpans(v, open, close).map(a => render(a).trim)
@@ -374,7 +380,17 @@ object DuckDialect {
             (intLit(spans(1)), intLit(spans(2))) match {
               case (Some(b), Some(e)) if b.signum == e.signum && b != 0 && e != 0 =>
                 Some(s"slice((${args(0)}), $b, ${math.max(e - b + 1, 0L)})")
-              case _ => None
+              case _ =>
+                // general size-normalized form (see scaladoc): pb/pe are
+                // the clamped 1-based inclusive endpoints
+                val (l, b, e) = (args(0), args(1), args(2))
+                val pb = s"greatest(CASE WHEN ($b) < 0 " +
+                  s"THEN size(($l)) + ($b) + 1 ELSE ($b) END, 1)"
+                val pe = s"least(CASE WHEN ($e) < 0 " +
+                  s"THEN size(($l)) + ($e) + 1 ELSE ($e) END, size(($l)))"
+                Some(s"(CASE WHEN ($l) IS NULL OR ($b) IS NULL OR ($e) IS NULL " +
+                  s"THEN NULL ELSE slice(($l), $pb, " +
+                  s"greatest($pe - $pb + 1, 0)) END)")
             }
           case "list_prepend" if args.length == 2 =>
             Some(s"array_prepend((${args(1)}), (${args(0)}))")
@@ -384,6 +400,12 @@ object DuckDialect {
               s"ifnull((${args(1)}), array())) END)")
           case "list_reverse_sort" if args.length == 1 =>
             Some(s"sort_array((${args(0)}), false)")
+          case "array_to_string" if args.length == 2 =>
+            // DuckDB: empty list → NULL; Spark array_join: '' — guard
+            // the empty case (size(NULL) is NULL → else-branch → NULL ✓;
+            // NULL ELEMENTS are skipped identically by both engines)
+            Some(s"(CASE WHEN size((${args(0)})) = 0 THEN NULL " +
+              s"ELSE array_join((${args(0)}), (${args(1)})) END)")
           case _ => None
         }
         repl match {

@@ -476,6 +476,21 @@ object DuckSqlQueries {
       |  count(CASE WHEN p_name NOT SIMILAR TO '.*red.*' THEN 1 END) AS n_notsim
       |FROM part""".stripMargin
 
+  /** General (non-literal / mixed-sign / zero / clamping) list_slice
+    * endpoints — the round-16 size-normalized translation; endpoints
+    * derive from data columns so every corner (negative from-end, zero
+    * edge clamp, out-of-range clamp, e<b empty) executes on real rows.
+    * The identical raw string runs on DuckDB. */
+  val listSliceDynSql: String =
+    """SELECT n_nationkey,
+      |  array_to_string(list_slice(list_value(9, n_regionkey, 7, 3, 1),
+      |    n_nationkey % 7 - 3, n_nationkey % 9 - 2), ',') AS dyn,
+      |  array_to_string(list_slice(list_value(1, 2, 3, 4, 5),
+      |    2, n_regionkey - 2), ',') AS mixed,
+      |  array_to_string(list_slice(list_value(1, 2, 3),
+      |    n_nationkey - 10, 99), ',') AS clamped
+      |FROM nation""".stripMargin
+
   /** GLOB character classes (`[…]`, ranges, `!` negation, leading-`]`
     * literal) → anchored RLIKE — the raw string runs unchanged on DuckDB
     * (probed on 1.0.0: class semantics match the translated regex). */
@@ -591,6 +606,7 @@ object DuckSqlQueries {
     "ducksql_glob_class" -> via(globClassSql),
     "ducksql_by_name_chain" -> via(byNameChainSql),
     "ducksql_sample_reservoir" -> via(sampleReservoirSql),
+    "ducksql_list_slice_dyn" -> via(listSliceDynSql),
     "ducksql_series_unnest" -> via(seriesUnnestSql),
     "ducksql_using_sample" -> via(usingSampleSql),
     "ducksql_from_first" -> via(fromFirstSql),
@@ -666,6 +682,7 @@ object DuckSqlQueries {
     "ducksql_glob_class" -> globClassSql,
     "ducksql_by_name_chain" -> byNameChainSql,
     "ducksql_sample_reservoir" -> sampleReservoirSql,
+    "ducksql_list_slice_dyn" -> listSliceDynSql,
     "ducksql_series_unnest" -> seriesUnnestSql,
     "ducksql_using_sample" -> usingSampleSql,
     "ducksql_from_first" -> fromFirstSql,
