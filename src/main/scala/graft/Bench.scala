@@ -756,9 +756,37 @@ object Bench {
           s""""loadavg_start":"$loadStart","sf":"$sfDir"}"""
         try {
           val f = new java.io.File(s"$cleanRefDir/clean_reference_$n$slotSuffix.json")
-          val w = new java.io.PrintWriter(f, "UTF-8")
-          try w.println(snap) finally w.close()
-          System.err.println(s"[bench] clean $n block — refreshed ${f.getPath}")
+          // Spread can't see a UNIFORM slowdown (r16 verdict: a 3.05 s
+          // all-queries-slowed block with spread 0.042 overwrote the
+          // genuinely clean 2.27 s slot — box-wide background load slows
+          // every query alike). A same-sf slot is only REPLACED by a run
+          // within 10% of it or faster; a >10%-slower "clean" block keeps
+          // the stored best (the stored slot is never stale within an sf:
+          // plans only get faster or the regression shows up in the
+          // per-query timing diff). SPARK_GRAFT_BENCH_FORCE_SLOT_REFRESH=1
+          // overrides after an intentional perf-regressing change.
+          val storedTot: Option[Double] =
+            if (!f.isFile) None
+            else try {
+              val src = scala.io.Source.fromFile(f, "UTF-8")
+              val txt = try src.mkString finally src.close()
+              if (!txt.contains(s""""sf":"$sfDir"""")) None
+              else """"total"\s*:\s*([0-9.eE+-]+)""".r
+                .findFirstMatchIn(txt).map(_.group(1).toDouble)
+            } catch { case _: Throwable => None }
+          val force =
+            sys.env.get("SPARK_GRAFT_BENCH_FORCE_SLOT_REFRESH").contains("1")
+          if (!force && storedTot.exists(st => tot > st * 1.10)) {
+            System.err.println(
+              s"[bench] clean $n block at ${"%.3f".format(tot)}s is >10% " +
+                s"slower than stored slot ${"%.3f".format(storedTot.get)}s — " +
+                "keeping stored (uniform-slowdown guard; " +
+                "SPARK_GRAFT_BENCH_FORCE_SLOT_REFRESH=1 to override)")
+          } else {
+            val w = new java.io.PrintWriter(f, "UTF-8")
+            try w.println(snap) finally w.close()
+            System.err.println(s"[bench] clean $n block — refreshed ${f.getPath}")
+          }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] clean_reference_$n write failed (${e.getMessage})")
         }

@@ -13,6 +13,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Engine and oracle must read the SAME staged corpus scale (r16
+    // advice): pin the dir-derived scale before any oracle SQL is built.
+    graft.sql.TpchVerbatim.pinOracleScale(sfDir)
+    graft.sql.TpcdsVerbatim.pinOracleScale(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = EngineSession.local(cpus)
     new java.io.File(outDir).mkdirs()
@@ -152,9 +156,16 @@ object Verify {
             StandardCopyOption.REPLACE_EXISTING)
         val json = timings.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+        // loadavg annotation (r16 verdict: a noisy baseline was only
+        // identifiable by side-channel knowledge — record the box state
+        // in the file so a contended run is machine-detectable)
+        val load = try {
+          scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+            .split("\\s+").take(3).mkString(" ")
+        } catch { case _: Throwable => "" }
         Files.writeString(latest,
-          s"""{"sf":"$sfDir","timings":$json}""")
-        System.err.println(s"[verify] timings -> $latest")
+          s"""{"sf":"$sfDir","loadavg":"$load","timings":$json}""")
+        System.err.println(s"[verify] timings -> $latest (loadavg $load)")
       }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] timings rotation failed: ${e.getMessage}")

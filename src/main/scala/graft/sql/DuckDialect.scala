@@ -153,6 +153,21 @@ object DuckDialect {
 
   private def render(toks: Seq[Tok]): String = toks.map(_.text).mkString
 
+  /** FINAL render only (the single exit of [[translate]]): convert each
+    * string-literal token from DuckDB convention to Spark convention.
+    * DuckDB treats backslash as an ordinary character inside '…' while
+    * Spark's parser consumes it as an escape (probed: `'a\]b'` has
+    * length 3 in Spark) — so every literal backslash doubles exactly
+    * once here. All intermediate rewrites (which re-render spans and
+    * re-tokenize replacements) therefore keep token text in DuckDB
+    * convention: a synthesized regex literal holds ONE backslash per
+    * regex-level backslash (see [[regexEscapeLiteral]],
+    * [[globClassToRegex]]). Doubled quotes ('') parse identically on
+    * both engines (probed) and pass through untouched. */
+  private def renderFinal(toks: Seq[Tok]): String = toks.map { t =>
+    if (t.kind == 2) t.text.replace("\\", "\\\\") else t.text
+  }.mkString
+
   private def nextIdx(toks: Vector[Tok], from: Int): Int = {
     var j = from + 1
     while (j < toks.length && toks(j).isWs) j += 1
@@ -298,15 +313,17 @@ object DuckDialect {
 
   private def regexEscapeLiteral(lit: String): String = {
     // lit includes the surrounding quotes; escape Java-regex metachars in
-    // the body. Spark SQL string literals are backslash-escaped, so one
-    // regex-level backslash is two characters in the literal. A literal
-    // backslash separator therefore needs FOUR literal characters: the
-    // regex escape (\\) with each backslash literal-escaped again.
+    // the body. Token text stays in DuckDB convention (backslash is an
+    // ordinary character): ONE backslash per regex-level backslash here —
+    // [[renderFinal]] doubles each for Spark's escape-processing parser,
+    // so the parsed string Spark's regex engine sees is exactly the
+    // intended regex. A literal backslash separator is the regex escape
+    // \\ (two token characters).
     val body = lit.substring(1, lit.length - 1)
     val meta = ".[]{}()*+?^$|"
     val escaped = body.flatMap { ch =>
-      if (ch == '\\') "\\\\\\\\"
-      else if (meta.indexOf(ch) >= 0) "\\\\" + ch
+      if (ch == '\\') "\\\\"
+      else if (meta.indexOf(ch) >= 0) "\\" + ch
       else ch.toString
     }
     "'" + escaped + "'"
@@ -326,8 +343,11 @@ object DuckDialect {
     *     size-normalized form (round 16): endpoints normalize through
     *     `size(l)` (negative → L+x+1), clamp to [1, L], and the length
     *     is floored at 0 because a negative Spark slice length THROWS.
-    *     The list argument re-renders several times; SQL expressions
-    *     are pure, so this is correct (the list_concat precedent).
+    *     The three arguments are bound ONCE via
+    *     `transform(array(struct(...)), g -> ...)[0]` so
+    *     non-deterministic endpoints evaluate exactly once (DuckDB's
+    *     argument-evaluation contract) and nested dynamic slices stay
+    *     linear in SQL size.
     *   - `list_prepend(e, l)` → `array_prepend(l, e)` (argument order
     *     swaps).
     *   - `list_concat(a, b)` — NULL operand = empty list, but NULL when
@@ -382,15 +402,24 @@ object DuckDialect {
                 Some(s"slice((${args(0)}), $b, ${math.max(e - b + 1, 0L)})")
               case _ =>
                 // general size-normalized form (see scaladoc): pb/pe are
-                // the clamped 1-based inclusive endpoints
+                // the clamped 1-based inclusive endpoints. The three
+                // argument expressions are BOUND ONCE into a struct and
+                // the arithmetic references the struct's fields (r16
+                // advice: the previous spelling re-rendered each argument
+                // up to 5×, which evaluates non-deterministic endpoints
+                // inconsistently — DuckDB evaluates each argument once —
+                // and grew nested dynamic slices ~5× per level).
+                // transform(array(struct(...)), g -> ...)[0] is the
+                // expression-level let-binding Spark SQL has.
                 val (l, b, e) = (args(0), args(1), args(2))
-                val pb = s"greatest(CASE WHEN ($b) < 0 " +
-                  s"THEN size(($l)) + ($b) + 1 ELSE ($b) END, 1)"
-                val pe = s"least(CASE WHEN ($e) < 0 " +
-                  s"THEN size(($l)) + ($e) + 1 ELSE ($e) END, size(($l)))"
-                Some(s"(CASE WHEN ($l) IS NULL OR ($b) IS NULL OR ($e) IS NULL " +
-                  s"THEN NULL ELSE slice(($l), $pb, " +
-                  s"greatest($pe - $pb + 1, 0)) END)")
+                val pb = "greatest(CASE WHEN g.gb < 0 " +
+                  "THEN size(g.gl) + g.gb + 1 ELSE g.gb END, 1)"
+                val pe = "least(CASE WHEN g.ge < 0 " +
+                  "THEN size(g.gl) + g.ge + 1 ELSE g.ge END, size(g.gl))"
+                Some(s"transform(array(struct(($l) AS gl, ($b) AS gb, " +
+                  s"($e) AS ge)), g -> CASE WHEN g.gl IS NULL OR " +
+                  s"g.gb IS NULL OR g.ge IS NULL THEN NULL ELSE " +
+                  s"slice(g.gl, $pb, greatest($pe - $pb + 1, 0)) END)[0]")
             }
           case "list_prepend" if args.length == 2 =>
             Some(s"array_prepend((${args(1)}), (${args(0)}))")
@@ -1723,38 +1752,57 @@ object DuckDialect {
   }
 
   /** Glob pattern WITH character classes → Java regex body: `*` → `.*`,
-    * `?` → `.`, `[…]` / `[!…]` → a regex class (`!` → `^`; a leading
-    * `]` — after the optional `!` — is literal, per the glob rules the
-    * reference implements in like.cpp); everything else regex-quoted
-    * char-by-char. Unterminated classes refuse loudly. */
+    * `?` → `.`, `[…]` / `[!…]` → a regex class (`!` → `^`); everything
+    * else regex-quoted char-by-char. The class scan mirrors the
+    * reference's bracket loop (like.cpp glob path) exactly: after the
+    * optional `!`, a `]` in FIRST position is an ordinary member (so it
+    * can even start a range, `[]-a]`); members are consumed as
+    * `x-y` ranges or single characters, and — crucially — a `-` whose
+    * range endpoint is `]` CONSUMES that bracket (`[a-]` never finds its
+    * closing bracket in the reference and matches nothing), which this
+    * translation surfaces as a loud unterminated-class refusal rather
+    * than a silent Java-regex reinterpretation. Members are emitted
+    * escaped, so Java class metachars (`&&` intersection, `^`, `[`,
+    * `\`) stay the literal characters the reference matches. Token text
+    * is DuckDB-convention (single backslashes) — [[renderFinal]] doubles
+    * them for Spark's parser. */
   private[sql] def globClassToRegex(body: String): String = {
     val out = new StringBuilder
     var i = 0
     def quote(c: Char): String =
       if ("\\^$.|?*+()[]{}".contains(c)) "\\" + c else c.toString
+    // inside a [...] class: escape everything Java gives meaning to
+    def quoteInClass(c: Char): String =
+      if ("\\^$.|?*+()[]{}&-".contains(c)) "\\" + c else c.toString
+    def unterminated(): Nothing =
+      throw new GraftSqlException(
+        s"GLOB pattern has an unterminated character class: '$body' — " +
+          "the reference matches nothing for this pattern (like.cpp " +
+          "requires a closing ']' not consumed as a range endpoint)")
     while (i < body.length) {
       body(i) match {
         case '*' => out ++= ".*"; i += 1
         case '?' => out ++= "."; i += 1
         case '[' =>
-          out += '['
           i += 1
+          out += '['
           if (i < body.length && body(i) == '!') { out += '^'; i += 1 }
-          if (i < body.length && body(i) == ']') { out ++= "\\]"; i += 1 }
+          val start = i
           var closed = false
           while (i < body.length && !closed) {
-            body(i) match {
-              case ']' => out += ']'; closed = true
-              case '^' => out ++= "\\^"
-              case '\\' => out ++= "\\\\"
-              case '[' => out ++= "\\["
-              case c => out += c // ranges (a-z) pass through
-            }
-            i += 1
+            val c = body(i)
+            if (c == ']' && i > start) { closed = true; i += 1 }
+            else if (i + 1 >= body.length) unterminated() // last char, no ']'
+            else if (body(i + 1) == '-') {
+              // range x-y; y may be ']' (consumed AS the endpoint —
+              // reference pidx += 3 skips it, leaving the class open)
+              if (i + 2 >= body.length) unterminated()
+              out ++= quoteInClass(c) + "-" + quoteInClass(body(i + 2))
+              i += 3
+            } else { out ++= quoteInClass(c); i += 1 }
           }
-          if (!closed)
-            throw new GraftSqlException(
-              s"GLOB pattern has an unterminated character class: '$body'")
+          if (!closed) unterminated()
+          out += ']'
         case c => out ++= quote(c); i += 1
       }
     }
@@ -1806,8 +1854,12 @@ object DuckDialect {
             // full-string match, `!` negates, `]` first in a class is
             // literal). RLIKE is substring-search in Spark, hence the
             // ^(?s:…)$ anchor; (?s) so `*`/`?` cross newlines like glob.
+            // \z (not $) anchors: Java's $ also matches before a single
+            // trailing newline, while the reference glob requires full
+            // consumption (like.cpp: sidx == slen). Single backslash in
+            // the token — renderFinal doubles it for Spark's parser.
             v = v.take(i) ++ Vector(word("RLIKE"), ws(" "),
-              Tok(2, s"'^(?s:${globClassToRegex(body)})$$'")) ++ v.drop(n + 1)
+              Tok(2, s"'^(?s:${globClassToRegex(body)})\\z'")) ++ v.drop(n + 1)
             i += 2
           } else {
             val conv = body.flatMap {
@@ -1831,8 +1883,10 @@ object DuckDialect {
               "SIMILAR TO needs a string-literal pattern to translate — " +
                 "use RLIKE with explicit ^…$ anchors")
           val body = v(p).text.drop(1).dropRight(1)
+          // \z, not $: DuckDB's SIMILAR TO is a FULL match (probed), and
+          // Java's $ would also accept a trailing newline.
           v = v.take(i) ++
-            Vector(word("RLIKE"), ws(" "), Tok(2, s"'^(?:$body)$$'")) ++
+            Vector(word("RLIKE"), ws(" "), Tok(2, s"'^(?:$body)\\z'")) ++
             v.drop(p + 1)
           i += 2
         }
@@ -2412,7 +2466,7 @@ object DuckDialect {
     toks = rewriteBlocks(toks)
     toks = rewriteQuotedIdents(toks)
     toks = rewriteAttachedRefs(toks)
-    render(toks)
+    renderFinal(toks)
   }
 
   /** A trailing depth-0 `LIMIT <n> PERCENT` / `LIMIT <n>%` clause →

@@ -85,8 +85,20 @@ object DuckDml {
   def withTxnScope[T](f: => T): T =
     try f
     finally synchronized {
+      // Each restore is individually guarded: a failing restore (e.g. a
+      // missing version file) thrown from this finally-block would MASK
+      // the original exception from f — the root cause the caller needs
+      // (r16 advice). Log and keep rolling the remaining tables back.
       txnVersions.foreach(_.foreach { case (r, v) =>
-        graft.sources.GraftTable.restore(r, v) })
+        try graft.sources.GraftTable.restore(r, v)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] txn-scope rollback of $r to version $v FAILED " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+                "continuing so the original exception propagates")
+        }
+      })
       txnVersions = None
     }
 

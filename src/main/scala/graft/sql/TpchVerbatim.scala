@@ -61,6 +61,16 @@ object TpchVerbatim {
     sys.env.getOrElse("SPARK_GRAFT_TPCH_FORCE_SCALE",
       if (new java.io.File(testdataDir).getName == "sf0.1") "sf0.1" else "sf0.01")
 
+  /** Single scale source for the ORACLE side (r16 advice: the engine
+    * scale derived from the testdata dir while the oracle scale came
+    * from an independent env default — two knobs that could silently
+    * diverge). Verify pins the dir-derived scale here before dumping
+    * oracle SQL; SPARK_GRAFT_TPCH_ORACLE_SCALE stays an explicit
+    * override for hand-driven cross-scale checks. */
+  @volatile private var pinnedOracleScale: Option[String] = None
+  def pinOracleScale(testdataDir: String): Unit =
+    pinnedOracleScale = Some(scaleFor(testdataDir))
+
   def queryText(n: Int): String = {
     val f = java.nio.file.Paths.get(queriesDir, f"q$n%02d.sql")
     val raw = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
@@ -80,8 +90,8 @@ object TpchVerbatim {
     * local sf0.1 checks pass SPARK_GRAFT_TPCH_ORACLE_SCALE=sf0.1 to
     * Verify). CTEs shadow the gate's same-named testdata views. */
   def oracleText(n: Int): String = {
-    val scale =
-      sys.env.getOrElse("SPARK_GRAFT_TPCH_ORACLE_SCALE", "sf0.01")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_TPCH_ORACLE_SCALE",
+      pinnedOracleScale.getOrElse("sf0.01"))
     val binds = tables.map(t =>
       s"$t AS (SELECT * FROM read_parquet('$fixtureRoot/$scale/$t.parquet'))")
     val bound = s"WITH ${binds.mkString(", ")} ${queryText(n)}"

@@ -44,9 +44,17 @@ class DuckDialectSpec extends AnyFunSuite {
     // non-literal / mixed-sign / zero endpoints take the general
     // size-normalized form (round 16; every corner probed on 1.0.0)
     val dyn = norm(translate("SELECT list_slice(l, a, b) FROM t"))
-    assert(dyn.contains("CASE WHEN (l) IS NULL OR (a) IS NULL OR (b) IS NULL THEN NULL"))
-    assert(dyn.contains("greatest(CASE WHEN (a) < 0 THEN size((l)) + (a) + 1 ELSE (a) END, 1)"))
-    assert(dyn.contains("least(CASE WHEN (b) < 0 THEN size((l)) + (b) + 1 ELSE (b) END, size((l)))"))
+    // r16 advice: arguments bind ONCE into a struct (non-deterministic
+    // endpoints must evaluate exactly once, like DuckDB); the clamp
+    // arithmetic references only the bound struct fields
+    assert(dyn.contains("transform(array(struct((l) AS gl, (a) AS gb, (b) AS ge))"))
+    assert(dyn.contains("CASE WHEN g.gl IS NULL OR g.gb IS NULL OR g.ge IS NULL THEN NULL"))
+    assert(dyn.contains("greatest(CASE WHEN g.gb < 0 THEN size(g.gl) + g.gb + 1 ELSE g.gb END, 1)"))
+    assert(dyn.contains("least(CASE WHEN g.ge < 0 THEN size(g.gl) + g.ge + 1 ELSE g.ge END, size(g.gl))"))
+    // each argument expression appears exactly once in the output
+    assert("\\(l\\)".r.findAllIn(dyn).length == 1, dyn)
+    assert("\\(a\\)".r.findAllIn(dyn).length == 1, dyn)
+    assert("\\(b\\)".r.findAllIn(dyn).length == 1, dyn)
     assert(norm(translate("SELECT list_slice(l, 2, -2) FROM t"))
       .contains("CASE WHEN"), "mixed-sign literals route through the general form")
     // (non-literal / mixed-sign endpoints translated since round 16 —
@@ -302,6 +310,21 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(translate("SELECT string_split(a, '\\') FROM t").contains("split(a, '\\\\\\\\')"))
   }
 
+  test("string literals convert DuckDB backslash convention to Spark (r17)") {
+    // DuckDB treats backslash in '…' literally; Spark's parser consumes
+    // it as an escape (probed: 'a\]b' has length 3 in Spark, 4 in
+    // DuckDB). The final render doubles every literal backslash exactly
+    // once, so the VALUE both engines compute is identical.
+    assert(translate("SELECT 'a\\b' AS x FROM t").contains("'a\\\\b'"))
+    // doubled single-quotes parse identically on both engines — untouched
+    assert(translate("SELECT 'don''t' AS x FROM t").contains("'don''t'"))
+    // intermediate rewrites that re-render + re-tokenize spans must not
+    // double twice: a literal inside a rewritten list fn keeps ONE
+    // doubling (list_concat re-renders its argument spans)
+    val lc = translate("SELECT list_concat(['a\\b'], l) FROM t")
+    assert(lc.contains("'a\\\\b'") && !lc.contains("'a\\\\\\\\b'"), lc)
+  }
+
   test("UNION BY NAME aligns columns by name and NULL-fills the gaps") {
     val t = norm(translate(
       "SELECT a, b FROM t UNION ALL BY NAME SELECT c, a FROM u"))
@@ -379,21 +402,39 @@ class DuckDialectSpec extends AnyFunSuite {
   }
 
   test("GLOB character classes translate to anchored RLIKE (r15 item 4)") {
+    // final SQL literals are Spark-convention: each regex-level backslash
+    // is spelled DOUBLED (Spark's parser consumes one level — probed:
+    // 'a\]b' has length 3), and the anchor is \z, not $ (r16 advice:
+    // Java's $ also matches before a trailing newline; the reference glob
+    // requires full consumption)
     val t = norm(translate("SELECT p_name GLOB 'w[i!]dg*' AS m FROM part"))
-    assert(t.contains("RLIKE '^(?s:w[i!]dg.*)$'"), t)
+    assert(t.contains("RLIKE '^(?s:w[i!]dg.*)\\\\z'"), t)
     // negation, leading-] literal, range, regex metachars quoted
     assert(norm(translate("SELECT x GLOB 'a[!b-d]e' FROM t"))
-      .contains("RLIKE '^(?s:a[^b-d]e)$'"))
+      .contains("RLIKE '^(?s:a[^b-d]e)\\\\z'"))
     assert(norm(translate("SELECT x GLOB '[]]a.b' FROM t"))
-      .contains("RLIKE '^(?s:[\\]]a\\.b)$'"))
+      .contains("RLIKE '^(?s:[\\\\]]a\\\\.b)\\\\z'"))
     assert(norm(translate("SELECT x GLOB 'a+[0-9]?' FROM t"))
-      .contains("RLIKE '^(?s:a\\+[0-9].)$'"))
+      .contains("RLIKE '^(?s:a\\\\+[0-9].)\\\\z'"))
     // classless globs keep the cheaper LIKE path
     assert(norm(translate("SELECT x GLOB 'a*b' FROM t")).contains("LIKE 'a%b'"))
     // unterminated class refuses loudly
     assert(intercept[GraftSqlException](
       translate("SELECT x GLOB 'a[bc' FROM t"))
       .getMessage.contains("unterminated"))
+    // r16 advice: '[a-]' consumes the ']' as a range endpoint in the
+    // reference (found_closing_bracket stays false → matches nothing) —
+    // refuse loudly instead of silently matching 'a' or '-'
+    assert(intercept[GraftSqlException](
+      translate("SELECT x GLOB 'w[a-]d' FROM t"))
+      .getMessage.contains("unterminated"))
+    // '&' escaped inside classes: '[a&&b]' is the literal set {a,&,b} in
+    // the reference, never a Java character-class intersection
+    assert(norm(translate("SELECT x GLOB '[a&&b]' FROM t"))
+      .contains("RLIKE '^(?s:[a\\\\&\\\\&b])\\\\z'"))
+    // a ']' opening a RANGE in first position ([]-a] = chars ']'..'a')
+    assert(norm(translate("SELECT x GLOB '[]-a]x' FROM t"))
+      .contains("RLIKE '^(?s:[\\\\]-a]x)\\\\z'"))
   }
 
   test("INTERSECT/EXCEPT BY NAME align column ORDER by name (r13 item 6)") {
@@ -669,16 +710,17 @@ class DuckDialectSpec extends AnyFunSuite {
       "SELECT a LIKE 'wid%' FROM t")
     assert(norm(translate("SELECT a GLOB 'w?d' FROM t")) ==
       "SELECT a LIKE 'w_d' FROM t")
-    // GLOB's % is a LITERAL percent — escaped for LIKE
+    // GLOB's % is a LITERAL percent — escaped for LIKE (the backslash
+    // doubles at final render so Spark's parser leaves \% for LIKE)
     assert(norm(translate("SELECT a GLOB 'a%b' FROM t")) ==
-      "SELECT a LIKE 'a\\%b' FROM t")
+      "SELECT a LIKE 'a\\\\%b' FROM t")
     assert(norm(translate("SELECT a SIMILAR TO 'wid.*' FROM t")) ==
-      "SELECT a RLIKE '^(?:wid.*)$' FROM t")
+      "SELECT a RLIKE '^(?:wid.*)\\\\z' FROM t")
     assert(norm(translate("SELECT a NOT SIMILAR TO 'x' FROM t")) ==
-      "SELECT a NOT RLIKE '^(?:x)$' FROM t")
+      "SELECT a NOT RLIKE '^(?:x)\\\\z' FROM t")
     // character classes now translate (see the dedicated r15-item-4 test)
     assert(norm(translate("SELECT a GLOB '[ab]c' FROM t"))
-      .contains("RLIKE '^(?s:[ab]c)$'"))
+      .contains("RLIKE '^(?s:[ab]c)\\\\z'"))
     assert(intercept[GraftSqlException](translate("SELECT a SIMILAR TO p FROM t"))
       .getMessage.contains("string-literal"))
   }
