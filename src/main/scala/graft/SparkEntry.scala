@@ -32,6 +32,7 @@ object SparkEntry {
       operators.EdgeQueries.queries ++
       sql.DuckSqlQueries.queries ++
       sql.TpchVerbatim.queries ++
+      sql.TpcdsVerbatim.queries ++
       functions.FunctionQueries.queries ++
       functions.GraftMacros.queries ++
       pipeline.Dedup.queries ++
@@ -64,6 +65,7 @@ object SparkEntry {
       operators.EdgeQueries.oracle ++
       sql.DuckSqlQueries.oracle ++
       sql.TpchVerbatim.oracle ++
+      sql.TpcdsVerbatim.oracle ++
       functions.FunctionQueries.oracle ++
       functions.GraftMacros.oracle ++
       pipeline.Dedup.oracle ++

@@ -1,0 +1,177 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's REAL TPC-DS benchmark corpus, executed VERBATIM.
+  *
+  * The reference ships the genuine dsdgen + all 99 official query texts
+  * (reference `extension/tpcds/dsdgen/queries/01.sql..99.sql`, driven by
+  * the `.benchmark` files under `benchmark/tpcds/sf1` and validated
+  * against `dsdgen/answers/`) over the full 24-table snowflake schema.
+  * The 50 `ds_*` planner-shape analogs cover the plan shapes; THIS
+  * module (round 17) closes the corpus-parity gap the same way
+  * [[TpchVerbatim]] did for TPC-H in round 16: the reference's own SQL
+  * strings, unmodified, run through [[DuckDialect.translate]] →
+  * `spark.sql` over a real offline-dsdgen corpus (staged by
+  * `scripts/stage_tpcds.py`: DuckDB's `CALL dsdgen(sf=...)` → parquet,
+  * DECIMAL money columns exported as DOUBLE so both engines do
+  * identical double arithmetic).
+  *
+  * TPC-DS differs from TPC-H at the comparison boundary in one
+  * mechanical way: many query outputs are UNALIASED expressions
+  * (`round(sun_sales1/sun_sales2, 2)`, bare `count(*)`, …) whose
+  * auto-generated names differ per engine, and the driver's comparator
+  * keys on column names. Both sides therefore rename POSITIONALLY to
+  * `c0..cN`: the engine via `df.toDF`, the oracle via a derived column
+  * list `FROM (…) AS graft_t(c0, …)`. The arity and the DuckDB result
+  * types come from `fixtures/tpcds/meta.json`, probed at staging time;
+  * HUGEINT columns (DuckDB's `sum(INTEGER)`) are cast to BIGINT in the
+  * oracle — the same integer, and the exact shim [[TpchVerbatim]]
+  * documents for its q12. Neither rename nor cast touches the verbatim
+  * query text itself.
+  *
+  * The oracle binds the 24 table names to `read_parquet` over the
+  * staged fixture files with a WITH prefix; for the 32 queries that
+  * already START with a WITH clause the binding CTEs are merged into
+  * the query's own CTE list (`WITH binds, original_ctes …`) — CTE names
+  * shadow any same-named views the gate registers, so the oracle
+  * provably reads the TPC-DS corpus.
+  *
+  * At 100 TB the physical plans are the ones Catalyst picks with AQE:
+  * date_dim/item/store/… dims broadcast, the seven fact tables
+  * (store_sales/_returns, catalog_sales/_returns, web_sales/_returns,
+  * inventory) shuffle on their join keys, partial aggregation
+  * map-side — the same posture the `ds_*` analogs plan-pin. This
+  * module's job is SQL-surface parity over the reference's own corpus.
+  */
+object TpcdsVerbatim {
+
+  val tables: Seq[String] = Seq(
+    "call_center", "catalog_page", "catalog_returns", "catalog_sales",
+    "customer", "customer_address", "customer_demographics", "date_dim",
+    "household_demographics", "income_band", "inventory", "item",
+    "promotion", "reason", "ship_mode", "store", "store_returns",
+    "store_sales", "time_dim", "warehouse", "web_page", "web_returns",
+    "web_sales", "web_site")
+
+  /** Root of the staged dsdgen fixtures (committed to the repo). */
+  def fixtureRoot: String =
+    sys.env.get("SPARK_GRAFT_TPCDS_FIXTURES").getOrElse {
+      val local = new java.io.File("fixtures/tpcds")
+      if (local.isDirectory) local.getAbsolutePath
+      else "/root/repo/fixtures/tpcds"
+    }
+
+  /** Directory holding the reference's verbatim query texts. */
+  def queriesDir: String =
+    sys.env.get("SPARK_GRAFT_TPCDS_QUERIES").getOrElse {
+      val ref = new java.io.File(
+        "/root/reference/extension/tpcds/dsdgen/queries")
+      if (ref.isDirectory) ref.getAbsolutePath
+      else throw new IllegalStateException(
+        "reference TPC-DS query dir not found — set SPARK_GRAFT_TPCDS_QUERIES")
+    }
+
+  /** Map the driver's testdata dir to the matching fixture scale.
+    * SPARK_GRAFT_TPCDS_FORCE_SCALE pins a staged scale for bench
+    * sweeps (e.g. a tmpfs-staged sf1). */
+  private[sql] def scaleFor(testdataDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_TPCDS_FORCE_SCALE",
+      if (new java.io.File(testdataDir).getName == "sf0.1") "sf0.1" else "sf0.01")
+
+  /** Single scale source for the oracle side — pinned by Verify from
+    * the SAME testdata dir the engine entries receive (the r16-advice
+    * contract [[TpchVerbatim.pinOracleScale]] established). */
+  @volatile private var pinnedOracleScale: Option[String] = None
+  def pinOracleScale(testdataDir: String): Unit =
+    pinnedOracleScale = Some(scaleFor(testdataDir))
+
+  def queryText(n: Int): String = {
+    val f = java.nio.file.Paths.get(queriesDir, f"$n%02d.sql")
+    val raw = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    raw.trim.stripSuffix(";")
+  }
+
+  /** Staging-time probe of each query's result arity + DuckDB types
+    * (scripts/stage_tpcds.py → fixtures/tpcds/meta.json). */
+  private lazy val meta: Map[Int, (Int, Vector[String])] = {
+    val f = java.nio.file.Paths.get(fixtureRoot, "meta.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    val entry =
+      """"(\d\d)":\s*\{([^}]*)\}""".r
+    val ncolsRe = """"ncols":\s*(\d+)""".r
+    val typesRe = """"types":\s*\[([^\]]*)\]""".r
+    entry.findAllMatchIn(txt).map { m =>
+      val n = m.group(1).toInt
+      val body = m.group(2)
+      val ncols = ncolsRe.findFirstMatchIn(body).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"meta.json entry $n lacks ncols"))
+      val types = typesRe.findFirstMatchIn(body).map(_.group(1))
+        .getOrElse(throw new IllegalStateException(
+          s"meta.json entry $n lacks types"))
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toVector
+      require(types.length == ncols,
+        s"meta.json entry $n: ${types.length} types vs ncols $ncols")
+      n -> (ncols, types)
+    }.toMap
+  }
+
+  private def posNames(ncols: Int): Seq[String] =
+    (0 until ncols).map(i => s"c$i")
+
+  /** Comparison-boundary type shims, NOT query changes (the TpchVerbatim
+    * q12 precedent). q18's seven `avg(CAST(x AS DECIMAL(12,2)))` columns:
+    * ANSI (and Spark) keep avg-of-decimal IN decimal — decimal(16,6),
+    * quantized half-up at the 6th place — while DuckDB's avg(DECIMAL)
+    * returns full-precision DOUBLE; the same rational average, quantized
+    * differently. Casting the oracle's double to Spark's result type
+    * re-quantizes it onto the identical grid. */
+  private val oracleCasts: Map[Int, Map[Int, String]] = Map(
+    18 -> (4 to 10).map(_ -> "DECIMAL(16,6)").toMap)
+
+  /** Run verbatim query `n` over the staged corpus for `dir`'s scale,
+    * result columns renamed positionally (see scaladoc). */
+  def run(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val fixDir = s"$fixtureRoot/${scaleFor(dir)}"
+    tables.foreach(t =>
+      graft.Tables.t(spark, fixDir, t).createOrReplaceTempView(t))
+    val df = spark.sql(DuckDialect.translate(queryText(n)))
+    df.toDF(posNames(df.columns.length): _*)
+  }
+
+  /** Oracle: the verbatim text with the 24 tables bound via a WITH
+    * prefix (merged into the query's own WITH list when it has one),
+    * wrapped in a positional rename + HUGEINT→BIGINT comparison casts. */
+  def oracleText(n: Int): String = {
+    val scale = sys.env.getOrElse("SPARK_GRAFT_TPCDS_ORACLE_SCALE",
+      pinnedOracleScale.getOrElse("sf0.01"))
+    val binds = tables.map(t =>
+      s"$t AS (SELECT * FROM read_parquet('$fixtureRoot/$scale/$t.parquet'))")
+      .mkString(", ")
+    val qt = queryText(n)
+    val bound =
+      if (qt.take(4).equalsIgnoreCase("with"))
+        s"WITH $binds, ${qt.drop(4).trim}"
+      else s"WITH $binds $qt"
+    val (ncols, types) = meta.getOrElse(n, throw new IllegalStateException(
+      s"fixtures/tpcds/meta.json has no entry for query $n — re-run " +
+        "scripts/stage_tpcds.py"))
+    val sel = (0 until ncols).map { i =>
+      oracleCasts.get(n).flatMap(_.get(i)) match {
+        case Some(t) => s"CAST(c$i AS $t) AS c$i"
+        case None if types(i) == "HUGEINT" => s"CAST(c$i AS BIGINT) AS c$i"
+        case None => s"c$i"
+      }
+    }.mkString(", ")
+    s"SELECT $sel FROM ($bound) AS graft_t(${posNames(ncols).mkString(", ")})"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    (1 to 99).map(n =>
+      f"tpcds_q$n%02d" -> ((s: SparkSession, dir: String) => run(s, dir, n))
+    ).toMap
+
+  def oracle: Map[String, String] =
+    (1 to 99).map(n => f"tpcds_q$n%02d" -> oracleText(n)).toMap
+}
