@@ -33,6 +33,7 @@ object SparkEntry {
       sql.DuckSqlQueries.queries ++
       sql.TpchVerbatim.queries ++
       sql.TpcdsVerbatim.queries ++
+      sql.JobVerbatim.queries ++
       functions.FunctionQueries.queries ++
       functions.GraftMacros.queries ++
       pipeline.Dedup.queries ++
@@ -66,6 +67,7 @@ object SparkEntry {
       sql.DuckSqlQueries.oracle ++
       sql.TpchVerbatim.oracle ++
       sql.TpcdsVerbatim.oracle ++
+      sql.JobVerbatim.oracle ++
       functions.FunctionQueries.oracle ++
       functions.GraftMacros.oracle ++
       pipeline.Dedup.oracle ++
