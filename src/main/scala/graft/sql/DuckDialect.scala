@@ -1495,9 +1495,16 @@ object DuckDialect {
     if (selAt < 0)
       throw new GraftSqlException("QUALIFY outside a SELECT block")
     val afterSel = nextIdx(block, selAt)
-    if (afterSel < block.length && block(afterSel).word == "distinct")
-      throw new GraftSqlException(
-        "QUALIFY with SELECT DISTINCT is unsupported (helper column would join the dedup key); dedup in an outer query")
+    // QUALIFY evaluates BEFORE DISTINCT in DuckDB (probed on 1.0.0:
+    // `SELECT DISTINCT g FROM t QUALIFY row_number() OVER (...) = 3`
+    // keeps a group whose third row exists only pre-dedup), so the
+    // rewrite computes the helper predicate in a NON-distinct subquery
+    // and applies DISTINCT in the outer projection (r16 verdict item 3).
+    val isDistinct =
+      afterSel < block.length && block(afterSel).word == "distinct" &&
+        // DISTINCT ON is a different construct (rewriteDistinctOn)
+        !(nextIdx(block, afterSel) < block.length &&
+          block(nextIdx(block, afterSel)).word == "on")
     val fromAt = firstDepth0(block, selAt, Set("from"))
     if (fromAt < 0 || fromAt > qAt)
       throw new GraftSqlException("QUALIFY requires a FROM clause")
@@ -1506,7 +1513,9 @@ object DuckDialect {
       val after = nextIdx(block, nextIdx(block, groupAt)) // GROUP BY <tok>
       if (after < block.length && block(after).word == "all")
         throw new GraftSqlException(
-          "QUALIFY with GROUP BY ALL is unsupported (the injected predicate column would change the inferred grouping); spell the GROUP BY keys explicitly")
+          "QUALIFY with GROUP BY ALL: the REFERENCE refuses this too " +
+            "(DuckDB 1.0.0 binder: 'Combining QUALIFY with GROUP BY ALL " +
+            "is not supported yet') — spell the GROUP BY keys explicitly")
     }
     val tailAt = {
       // set operations end the QUALIFY branch too — the predicate must
@@ -1515,7 +1524,9 @@ object DuckDialect {
         Set("order", "limit", "offset", "union", "intersect", "except"))
       if (t < 0) block.length else t
     }
-    val head = block.slice(selAt + 1, fromAt)   // select list
+    // select list WITHOUT the distinct keyword (it moves to the outer
+    // projection; also keeps alias-inlining below clean)
+    val head = block.slice(if (isDistinct) afterSel + 1 else selAt + 1, fromAt)
     val mid = block.slice(fromAt, qAt)          // FROM … WHERE … GROUP … HAVING
     val pred = {
       // The dominant DuckDB idiom references a select-list alias
@@ -1576,9 +1587,13 @@ object DuckDialect {
     val prefix = block.take(selAt)              // e.g. WITH … AS (…) before main SELECT
     val b = Vector.newBuilder[Tok]
     b ++= prefix
-    b ++= Seq(word("SELECT"), ws(" "), sym("*"), ws(" "), word("EXCEPT"),
+    b += word("SELECT")
+    if (isDistinct) { b += ws(" "); b += word("DISTINCT") }
+    b ++= Seq(ws(" "), sym("*"), ws(" "), word("EXCEPT"),
       sym("("), word("__graft_q"), sym(")"), ws(" "), word("FROM"), ws(" "), sym("("),
       word("SELECT"), ws(" "))
+    // the inner subquery is NON-distinct even when the original was —
+    // QUALIFY's windows must see pre-dedup rows (probed; see above)
     b ++= head
     b ++= Seq(sym(","), ws(" "), sym("("))
     b ++= pred

@@ -225,6 +225,21 @@ object DuckSqlQueries {
       |FROM customer
       |QUALIFY rn <= 2""".stripMargin
 
+  /** QUALIFY with SELECT DISTINCT (r17): QUALIFY evaluates BEFORE
+    * DISTINCT (probed on 1.0.0 — see rewriteQualify), so the 50th
+    * duplicate row per group exists for the window even though the
+    * dedup'd output has one row per group; a post-distinct evaluation
+    * would return zero rows. The second column exercises alias
+    * inlining in the predicate under DISTINCT. The raw string runs
+    * unchanged on DuckDB. */
+  val qualifyDistinctSql: String =
+    """SELECT DISTINCT l_returnflag AS flag,
+      |  least(row_number() OVER (PARTITION BY l_returnflag
+      |                           ORDER BY l_orderkey, l_linenumber), 3) AS rn3
+      |FROM lineitem
+      |QUALIFY rn3 >= 2 AND row_number() OVER (PARTITION BY l_returnflag
+      |                     ORDER BY l_orderkey, l_linenumber) >= 50""".stripMargin
+
   /** ASOF JOIN strings: the exact oracle SQL the `join_asof` /
     * `join_asof_inner` DataFrame recipes are checked against, now run
     * through the translator on the Spark side too — so the engine
@@ -634,6 +649,7 @@ object DuckSqlQueries {
     "ducksql_map_literal" -> via(mapLiteralSql),
     "ducksql_arg_extreme" -> via(argExtremeSql),
     "ducksql_qualify_alias" -> via(qualifyAliasSql),
+    "ducksql_qualify_distinct" -> via(qualifyDistinctSql),
     "ducksql_describe" -> via("DESCRIBE events"),
     "ducksql_macro_stmt" -> ((s, dir) => DuckDialect.withMacroScope {
       // scoped: the 'taxed' registration must not leak into every later
@@ -710,6 +726,7 @@ object DuckSqlQueries {
     "ducksql_map_literal" -> mapLiteralSql,
     "ducksql_arg_extreme" -> argExtremeSql,
     "ducksql_qualify_alias" -> qualifyAliasSql,
+    "ducksql_qualify_distinct" -> qualifyDistinctSql,
     "ducksql_describe" -> "DESCRIBE events",
     "ducksql_macro_stmt" -> macroStmtOracleSql,
     "ducksql_prepare_stmt" -> prepareStmtOracleSql,

@@ -189,11 +189,27 @@ class DuckDialectSpec extends AnyFunSuite {
   test("refusals: the constructs we cannot translate faithfully") {
     intercept[GraftSqlException](translate(
       "SELECT DISTINCT ON (g) g, v FROM t")) // no ORDER BY → nondeterministic
-    intercept[GraftSqlException](translate(
-      "SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"))
-    intercept[GraftSqlException](translate(
+    // QUALIFY + GROUP BY ALL: the reference itself refuses (DuckDB
+    // 1.0.0 binder error) — our refusal is parity, and says so
+    assert(intercept[GraftSqlException](translate(
       "SELECT g, count(*) FROM t GROUP BY ALL QUALIFY rank() OVER (ORDER BY g) = 1"))
+      .getMessage.contains("REFERENCE refuses"))
     intercept[GraftSqlException](translate("SELECT * REPLACE (x + 1) FROM t"))
+  }
+
+  test("QUALIFY with SELECT DISTINCT dedups AFTER the predicate (r16 item 3)") {
+    // probed on 1.0.0: QUALIFY evaluates before DISTINCT, so the inner
+    // subquery must be non-distinct and DISTINCT moves to the outer
+    // projection
+    val out = norm(translate(
+      "SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"))
+    assert(out.startsWith("SELECT DISTINCT * EXCEPT(__graft_q) FROM (SELECT a ,"), out)
+    assert(!out.matches("(?is).*\\(\\s*SELECT\\s+DISTINCT.*"),
+      "inner subquery must see pre-dedup rows")
+    // DISTINCT ON still routes to its own rewrite, not this path
+    val on = norm(translate(
+      "SELECT DISTINCT ON (g) g, v FROM t ORDER BY g, v"))
+    assert(on.contains("row_number"), on)
   }
 
   test("positional list subscripts are refused loudly (1-based vs 0-based)") {
