@@ -23,6 +23,8 @@ class SparkEntrySpec extends SparkSpec {
       operators.Shaping.queries, operators.EdgeQueries.queries,
       sql.DuckSqlQueries.queries,
       sql.TpchVerbatim.queries,
+      sql.TpcdsVerbatim.queries,
+      sql.JobVerbatim.queries,
       functions.FunctionQueries.queries,
       functions.GraftMacros.queries,
       pipeline.Dedup.queries, pipeline.Similarity.queries,
