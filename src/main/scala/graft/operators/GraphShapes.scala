@@ -343,6 +343,9 @@ object GraphShapes {
           (expr("150000000000 DIV n") +
             expr("85 * coalesce(inmass, CAST(0 AS BIGINT)) DIV 100")).as("r"))
     }
+    // (per-round localCheckpoint measured SLOWER here in r17 — 1.89 s →
+    // 2.34 s at sf0.01: 3 rounds × 2× growth is only 8 copies of a tiny
+    // subtree, cheaper to re-plan than to materialize eagerly)
     rank.select(col("node"), col("r").as("rank_e12"))
   }
 

@@ -667,6 +667,11 @@ object Dedup {
       .withColumn("label", col("doc_id"))
     for (_ <- 1 to iters) {
       // every node in the pair graph has >= 1 neighbor: inner joins keep all
+      // (labels is referenced twice per round — 2× plan growth/round — but
+      // a per-round localCheckpoint was MEASURED SLOWER at 3 rounds in r17:
+      // 5.15 s → 7.01 s at sf0.01; the eager materialization jobs cost more
+      // than the 8×-of-a-tiny-subtree planning they save. Revisit only if
+      // iters grows.)
       val nbr = edges.join(labels.withColumnRenamed("doc_id", "id2"), Seq("id2"))
         .groupBy(col("id1")).agg(min(col("label")).as("nbr_min"))
       labels = labels.join(nbr.withColumnRenamed("id1", "doc_id"), Seq("doc_id"))

@@ -233,14 +233,23 @@ object Similarity {
         Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("v"))
       .select(col("vec_id").as("u"), col("v")).distinct()
-    var g = topkOf(cand0)
-    for (_ <- 1 to rounds) {
+    // Each round references the previous graph ~7× (nn twice in `base`,
+    // `base` twice more in the self-join `expand`, plus the union), so a
+    // lazy chain DUPLICATES the prior round's subtree 7×/round — plan size
+    // and AQE re-optimization cost grow exponentially with rounds
+    // (measured r17: ann_nndescent 6.0 s / ann_graph_search 21.5 s at
+    // sf0.01 on a 200-node graph, nearly all of it planning). Each round
+    // is therefore materialized (localCheckpoint: ≤ nodes·k rows), the
+    // engine-side twin of the oracle's `gN AS MATERIALIZED` CTEs.
+    var g = if (rounds > 0) topkOf(cand0).localCheckpoint() else topkOf(cand0)
+    for (r <- 1 to rounds) {
       val nn = g.select(col("u"), col("v"))
       val base = nn.unionAll(nn.select(col("v").as("u"), col("u").as("v"))).distinct()
       val expand = base.as("a").join(base.as("b"),
           col("a.v") === col("b.u") && col("a.u") =!= col("b.v"))
         .select(col("a.u").as("u"), col("b.v").as("v"))
       g = topkOf(nn.unionAll(base).unionAll(expand).distinct())
+      if (r < rounds) g = g.localCheckpoint()
     }
     g.select(col("u"), col("v"), col("rank").cast("long").as("rank"), col("cos"))
   }
@@ -346,14 +355,19 @@ object Similarity {
       .select(col("u").as("qid"), col("v").as("vec_id"))
       .unionAll(queries.select(col("qid")).crossJoin(broadcast(entry)))
       .distinct()
-    var w = topEf(scored(seeds))
-    for (_ <- 1 to hops) {
+    // Same exponential-lineage hazard as the NN-Descent rounds: each hop
+    // references the beam twice (itself + its graph expansion), so a lazy
+    // chain doubles the plan per hop on a ≤ 5·ef-row frame. Materialize
+    // the beam per hop (the oracle's `wN AS MATERIALIZED` twin).
+    var w = topEf(scored(seeds)).localCheckpoint()
+    for (h <- 1 to hops) {
       val cand = w.select(col("qid"), col("vec_id"))
         .unionAll(w.select(col("qid"), col("vec_id").as("u"))
           .join(edges, Seq("u"))
           .select(col("qid"), col("v").as("vec_id")))
         .distinct()
       w = topEf(scored(cand))
+      if (h < hops) w = w.localCheckpoint()
     }
     // the query node navigates the beam (it's the best waypoint) but is
     // excluded from the ANSWER, like ann_topk — also the cross-engine
@@ -616,6 +630,9 @@ object Similarity {
         .agg(round(avg(col("x").cast("double")), 6).as("c"))
         .select(col("code").as("cid"), col("d"), col("c"))
     }
+    // (per-round localCheckpoint measured a slight REGRESSION here in r17
+    // — 2.70 s → 2.88 s at sf0.01, 2 iters: the eager jobs outweigh the
+    // 4-copy planning growth)
     cb
   }
 
