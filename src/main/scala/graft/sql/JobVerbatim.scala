@@ -81,7 +81,7 @@ object JobVerbatim {
     * GRAFT_IMDB_ROOT + SPARK_GRAFT_IMDB_FIXTURES instead). */
   def run(spark: SparkSession, id: String): DataFrame = {
     tables.foreach(t =>
-      graft.Tables.t(spark, fixtureRoot, t).createOrReplaceTempView(t))
+      graft.Tables.registerView(spark, t, graft.Tables.t(spark, fixtureRoot, t)))
     spark.sql(DuckDialect.translate(queryText(id)))
   }
 

@@ -135,7 +135,7 @@ object TpcdsVerbatim {
   def run(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val fixDir = s"$fixtureRoot/${scaleFor(dir)}"
     tables.foreach(t =>
-      graft.Tables.t(spark, fixDir, t).createOrReplaceTempView(t))
+      graft.Tables.registerView(spark, t, graft.Tables.t(spark, fixDir, t)))
     val df = spark.sql(DuckDialect.translate(queryText(n)))
     df.toDF(posNames(df.columns.length): _*)
   }

@@ -81,7 +81,7 @@ object TpchVerbatim {
   def run(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val fixDir = s"$fixtureRoot/${scaleFor(dir)}"
     tables.foreach(t =>
-      graft.Tables.t(spark, fixDir, t).createOrReplaceTempView(t))
+      graft.Tables.registerView(spark, t, graft.Tables.t(spark, fixDir, t)))
     spark.sql(DuckDialect.translate(queryText(n)))
   }
 
