@@ -306,13 +306,17 @@ object Dedup {
     nDocs > 0 && nDistinct < 0.95 * nDocs
 
   def dedupMinhashPairs(docs: DataFrame): DataFrame = {
-    val keyed = docs.select(col("doc_id"),
-      md5(normalized(col("text")).cast("binary")).as("k"), col("text"))
-    val stats = keyed
+    val stats = docs
       // rsd 0.02, not the 0.05 default: a fully-distinct corpus must not
-      // estimate under the 0.95 gate (±5% straddles it; ±2% cannot)
+      // estimate under the 0.95 gate (±5% straddles it; ±2% cannot).
+      // The HLL hashes its input itself, so the probe feeds it the
+      // normalized text DIRECTLY — the old md5-then-HLL double hash cost
+      // a per-doc md5 for nothing (r17 stage profile: the probe was ~220
+      // ms of the 1.4 s sf0.1 query). Same distinct quantity, same rsd;
+      // the gate stays a pure plan choice (both branches produce the
+      // identical pair set — PipelineSpec pins it).
       .agg(count(lit(1)).as("n"),
-        approx_count_distinct(col("k"), 0.02).as("d")).head()
+        approx_count_distinct(normalized(col("text")), 0.02).as("d")).head()
     val collapse = shouldCollapse(stats.getLong(0), stats.getLong(1))
     System.err.println(s"[dedup] pre-collapse gate: n=${stats.getLong(0)} " +
       s"distinct≈${stats.getLong(1)} -> ${if (collapse) "collapse" else "skip"}")
@@ -325,6 +329,10 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .select(col("id1"), col("id2"), col("jaccard"))
     }
+    // collapse branch: the 16-byte text-hash key (shuffling md5(text) in
+    // place of the full text — the only full-text shuffle of the branch)
+    val keyed = docs.select(col("doc_id"),
+      md5(normalized(col("text")).cast("binary")).as("k"), col("text"))
     // one row per DISTINCT normalized text; any member's raw text works
     // (identical normalized text => identical shingles downstream)
     val repDocs = keyed.groupBy(col("k"))
