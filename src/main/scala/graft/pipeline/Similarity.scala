@@ -245,7 +245,13 @@ object Similarity {
     for (r <- 1 to rounds) {
       val nn = g.select(col("u"), col("v"))
       val base = nn.unionAll(nn.select(col("v").as("u"), col("u").as("v"))).distinct()
-      val expand = base.as("a").join(base.as("b"),
+      // broadcast one side of the neighbor-expansion self-join: the
+      // checkpointed graph has no size statistics, so Catalyst planned a
+      // sort-merge join (two exchanges + sorts per round) for a ≤
+      // 2·nodes·k-row frame. Within a graph shard — the unit NN-Descent
+      // runs on at scale (see scaladoc) — base is bounded, the local-join
+      // posture of Dong et al.
+      val expand = broadcast(base.as("a")).join(base.as("b"),
           col("a.v") === col("b.u") && col("a.u") =!= col("b.v"))
         .select(col("a.u").as("u"), col("b.v").as("v"))
       g = topkOf(nn.unionAll(base).unionAll(expand).distinct())
@@ -350,24 +356,38 @@ object Similarity {
           .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= ef)
         .select(col("qid"), col("vec_id"), col("cos"))
-    val seeds = annNnDescent(s, dir, nodes, k, rounds = 0)
+    // One exchange per hop, not two: hash-partitioning on qid alone
+    // satisfies BOTH the dedup's ClusteredDistribution(qid, vec_id) (a
+    // subset clustering co-locates every duplicate) and the top-ef
+    // window's ClusteredDistribution(qid), and the broadcast joins in
+    // scored() stream that partitioning through — so repartition(qid) +
+    // dropDuplicates replaces the distinct's own (qid, vec_id) exchange
+    // AND the window's qid exchange with a single shuffle (r17: 82 → ~60
+    // stages, each ~65 ms of scheduling at sf0.01).
+    def dedupByQid(cand: DataFrame): DataFrame =
+      cand.repartition(col("qid")).dropDuplicates(Seq("qid", "vec_id"))
+    val seeds = dedupByQid(annNnDescent(s, dir, nodes, k, rounds = 0)
       .filter(col("u") < 5)
       .select(col("u").as("qid"), col("v").as("vec_id"))
-      .unionAll(queries.select(col("qid")).crossJoin(broadcast(entry)))
-      .distinct()
+      .unionAll(queries.select(col("qid")).crossJoin(broadcast(entry))))
     // Same exponential-lineage hazard as the NN-Descent rounds: each hop
     // references the beam twice (itself + its graph expansion), so a lazy
     // chain doubles the plan per hop on a ≤ 5·ef-row frame. Materialize
     // the beam per hop (the oracle's `wN AS MATERIALIZED` twin).
     var w = topEf(scored(seeds)).localCheckpoint()
     for (h <- 1 to hops) {
-      val cand = w.select(col("qid"), col("vec_id"))
-        .unionAll(w.select(col("qid"), col("vec_id").as("u"))
+      // broadcast the BEAM side of the expansion join: checkpointed
+      // frames carry no size statistics (LogicalRDD defaults to
+      // defaultSizeInBytes), so without the hint Catalyst planned a
+      // sort-merge join — two exchanges + sorts per hop over a ≤ 5·ef-row
+      // beam. The beam (probes × ef) is the side that stays small at any
+      // scale; the graph side streams partition-local, the batch-ANN
+      // posture.
+      val cand = dedupByQid(w.select(col("qid"), col("vec_id"))
+        .unionAll(broadcast(w.select(col("qid"), col("vec_id").as("u")))
           .join(edges, Seq("u"))
-          .select(col("qid"), col("v").as("vec_id")))
-        .distinct()
+          .select(col("qid"), col("v").as("vec_id"))))
       w = topEf(scored(cand))
-      if (h < hops) w = w.localCheckpoint()
     }
     // the query node navigates the beam (it's the best waypoint) but is
     // excluded from the ANSWER, like ann_topk — also the cross-engine
