@@ -418,21 +418,36 @@ object Bench {
     // noisy_blocks flag still marks a run that stayed contended).
     def loadavgNum(): Double =
       try loadavg().toDouble catch { case _: Throwable => 0.0 }
+    // r17 verdict item 2: the r17 headline ran at loadavg 12 and the
+    // driver's PERF comparison read box weather as a 0.84 geomean
+    // regression on untouched code. Tightened: threshold defaults to 4
+    // flat (was cpus/4 = 8 at 32 cpus — high enough to wave through a
+    // contended run), polling at 15 s so a clearing box is caught early,
+    // with one bounded WAIT BUDGET shared across all gates (default
+    // 600 s) so the worst case adds at most ~10 min to the run.
     val loadThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX",
-      math.max(4, cpus / 4).toString).toDouble
+      "4").toDouble
+    var gateBudgetMs = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_LOAD_WAIT_BUDGET_SEC", "600").toLong * 1000L
     val gateExhausted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val blockLoadavg = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def loadGate(what: String): Unit = {
-      var tries = 0
-      while (loadavgNum() > loadThresh && tries < 5) {
-        System.err.println(f"[bench] loadavg ${loadavgNum()}%.1f > " +
-          f"$loadThresh%.0f before $what — sleeping 60s (${tries + 1}/5)")
-        Thread.sleep(60000)
-        tries += 1
+      var waited = 0L
+      while (loadavgNum() > loadThresh && gateBudgetMs > 0) {
+        if (waited == 0L)
+          System.err.println(f"[bench] loadavg ${loadavgNum()}%.1f > " +
+            f"$loadThresh%.0f before $what — waiting (budget ${gateBudgetMs / 1000}s)")
+        Thread.sleep(15000)
+        waited += 15000; gateBudgetMs -= 15000
       }
-      // retries exhausted while still contended: the block that follows
+      if (waited > 0)
+        System.err.println(f"[bench] waited ${waited / 1000}s before $what; " +
+          f"loadavg now ${loadavgNum()}%.1f")
+      // budget exhausted while still contended: the block that follows
       // is timed anyway, but the artifact will carry the last clean
       // run's numbers as its defensible headline (round-14 verdict #8)
       if (loadavgNum() > loadThresh) gateExhausted += what
+      blockLoadavg += what -> loadavg()
     }
 
     // Block 1 — tuned config (headline numbers), best-of-N RECORDED
@@ -716,6 +731,8 @@ object Bench {
       s""","tuned_blocks_run":$tunedBlocksN""" +
       s""","tuned_block_spreads":${
         tunedBlocks.map(s => "%.3f".format(blockSpread(s))).mkString("[", ",", "]")}""" +
+      s""","loadavg_blocks":${blockLoadavg
+        .map { case (w, l) => s""""$w":"$l"""" }.mkString("{", ",", "}")}""" +
       s""","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}""""
     val sf10xFields = if (resultsSf10x.isEmpty) "" else
       s""","queries_sf10x":${toJson(resultsSf10x)},"total_sf10x":${finiteSum(resultsSf10x)},"inflate_copies":$inflate"""
@@ -828,6 +845,10 @@ object Bench {
     // sub-300 ms entries are scheduling noise at this harness's 11 ms
     // task floor). The diff lands in the sidecar + its own evidence file.
     val timingDiffField: String = try {
+      // ("sf@threads" tag, entry→ms): the gate's per-entry wall times are
+      // only comparable at the same scale AND the same Verify parallelism
+      // (pooled entries are contention-inflated vs a serial run — r18's
+      // two-lane gate), so the diff requires both tags to match.
       def loadTimings(p: String): Option[(String, Map[String, Long])] = {
         val f = new java.io.File(s"$cleanRefDir/$p")
         if (!f.isFile) None else {
@@ -835,9 +856,11 @@ object Bench {
           val txt = try s.mkString finally s.close()
           val sf = """"sf"\s*:\s*"([^"]*)"""".r
             .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          val th = """"threads"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("1")
           val m = """"([A-Za-z0-9_]+)"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
-            .map(g => g.group(1) -> g.group(2).toLong).toMap - "sf"
-          Some((sf, m))
+            .map(g => g.group(1) -> g.group(2).toLong).toMap - "sf" - "threads"
+          Some((s"$sf@$th", m))
         }
       }
       (loadTimings("verify_timings_latest.json"),

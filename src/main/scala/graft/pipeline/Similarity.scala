@@ -1118,7 +1118,21 @@ object Similarity {
     * combining 64-row aggregate — no corpus-sized shuffle, no pairwise
     * anything; at 100 TB you'd persist the quantized long format once
     * and the 8 rounds stream it. */
-  def embPca(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+  /** Shared quantize→center→power-iterate core for [[embPca]] and
+    * [[embAbtt]]: returns (per-dim mean in micro-units, component v).
+    *
+    * r17 verdict item 6 (guide §5 cache-when-reused): each of the 8
+    * rounds used to RESCAN the embeddings parquet and recompute the
+    * quantization + centering expressions — 9 full corpus scans per
+    * query (69 s for emb_abtt at the 100× probe). The centered
+    * micro-unit array is now computed ONCE into a persisted frame
+    * (MEMORY_AND_DISK — spills gracefully; ~64 longs/vector, 100× of
+    * sf0.1 ≈ 0.2 GB) that the 8 rounds stream, and unpersisted before
+    * returning. This is intra-query materialization inside the timed
+    * region — no state survives the query. The integer arithmetic is
+    * unchanged, so results are bit-identical. */
+  private def pcaCore(s: SparkSession, dir: String,
+      rounds: Int): (Map[Int, Long], IndexedSeq[BigInt]) = {
     val e = Tables.t(s, dir, "embeddings").filter(col("embedding").isNotNull)
     val xq = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
       .select(col("vec_id"), col("d"),
@@ -1128,29 +1142,40 @@ object Similarity {
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val dim = stats.size
     if (dim == 0) // empty corpus: no dimensions, no component
-      return s.createDataFrame(Seq.empty[(Long, Long)]).toDF("d", "v_micro")
-    val mLit = array((0 until dim).map(d => lit(stats(d)._1 / stats(d)._2)): _*)
-    // centered micro-unit array per vector, computed once per round's scan
-    val cArr = zip_with(col("embedding"), mLit,
-      (x, mm) => floor(x.cast("double") * 1e6).cast("long") - mm)
+      return (Map.empty, IndexedSeq.empty)
+    val means = (0 until dim).map(d => d -> stats(d)._1 / stats(d)._2).toMap
+    val mLit = array((0 until dim).map(d => lit(means(d))): _*)
+    // centered micro-unit array per vector — ONE scan, then persisted
+    val cDf = e.select(zip_with(col("embedding"), mLit,
+        (x, mm) => floor(x.cast("double") * 1e6).cast("long") - mm).as("carr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var v: IndexedSeq[BigInt] = IndexedSeq.fill(dim)(BigInt(1000000))
-    for (_ <- 1 to rounds) {
-      val vLit = array(v.map(b => lit(b.toLong)): _*)
-      val y = e
-        .select(aggregate(zip_with(cArr, vLit, (a, b) => a * b),
-            lit(0L), (acc, t) => acc + t).as("s"),
-          posexplode(cArr).as(Seq("d", "c")))
-        .groupBy(col("d"))
-        .agg(sum(col("s").cast("decimal(25,0)") * col("c")).as("y"))
-        .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
-      val mx = (0 until dim).map(d => y(d).abs).max
-      // zero-variance corpus (one row / all-identical rows): y ≡ 0 and
-      // the iteration is a fixpoint — keep the current direction
-      if (mx > 0)
-        v = (0 until dim).map(d => y(d) * 1000000 / mx) // BigInt / truncates like DIV
-    }
+    try {
+      for (_ <- 1 to rounds) {
+        val vLit = array(v.map(b => lit(b.toLong)): _*)
+        val y = cDf
+          .select(aggregate(zip_with(col("carr"), vLit, (a, b) => a * b),
+              lit(0L), (acc, t) => acc + t).as("s"),
+            posexplode(col("carr")).as(Seq("d", "c")))
+          .groupBy(col("d"))
+          .agg(sum(col("s").cast("decimal(25,0)") * col("c")).as("y"))
+          .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+        val mx = (0 until dim).map(d => y(d).abs).max
+        // zero-variance corpus (one row / all-identical rows): y ≡ 0 and
+        // the iteration is a fixpoint — keep the current direction
+        if (mx > 0)
+          v = (0 until dim).map(d => y(d) * 1000000 / mx) // BigInt / truncates like DIV
+      }
+    } finally cDf.unpersist(blocking = false)
+    (means, v)
+  }
+
+  def embPca(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val (_, v) = pcaCore(s, dir, rounds)
+    if (v.isEmpty)
+      return s.createDataFrame(Seq.empty[(Long, Long)]).toDF("d", "v_micro")
     s.createDataFrame(
-      (0 until dim).map(d => (d.toLong, v(d).toLong))).toDF("d", "v_micro")
+      v.indices.map(d => (d.toLong, v(d).toLong))).toDF("d", "v_micro")
   }
 
   /** The identical quantization, centering, and 8 unrolled power-
@@ -1200,12 +1225,16 @@ object Similarity {
     * Overflow audit: |c| ≤ 4·10⁶, VV ≤ 64·10⁶ → |c·VV| ≤ 2.6·10¹⁴;
     * |c·v'| ≤ 64·4·10⁶·10³ = 2.6·10¹¹, ×|v'_d| ≤ 10³ → 2.6·10¹⁴. */
   def embAbtt(s: SparkSession, dir: String): DataFrame = {
-    val comp = embPca(s, dir).collect()
-      .map(r => r.getLong(0).toInt -> (r.getLong(1) / 1000L)).toMap
-    val dim = comp.size
+    // pcaCore returns BOTH the component and the per-dim means its own
+    // centering pass computed — the separate means-recomputing scan this
+    // function used to pay (one more full posexplode+aggregate of the
+    // corpus) is gone; the values are the identical integers.
+    val (means, vFull) = pcaCore(s, dir, rounds = 8)
+    val dim = vFull.size
     if (dim == 0) // empty corpus: nothing to project
       return s.createDataFrame(Seq.empty[(Long, Long, Long)])
         .toDF("vec_id", "d", "xp")
+    val comp = (0 until dim).map(d => d -> (vFull(d).toLong / 1000L)).toMap
     val vv = (0 until dim).map(d => comp(d) * comp(d)).sum
     val vLit = array((0 until dim).map(d => lit(comp(d))): _*)
     val e = Tables.t(s, dir, "embeddings").filter(col("embedding").isNotNull)
@@ -1213,12 +1242,7 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
       .select(col("vec_id"), col("d"),
         floor(col("xf").cast("double") * 1e6).cast("long").as("xq"))
-    val stats = Tables.t(s, dir, "embeddings").filter(col("embedding").isNotNull)
-      .select(posexplode(col("embedding")).as(Seq("d", "xf")))
-      .select(col("d"), floor(col("xf").cast("double") * 1e6).cast("long").as("xq"))
-      .groupBy(col("d")).agg(sum(col("xq")).as("sd"), count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1) / r.getLong(2))).toMap
-    val mLit = array((0 until dim).map(d => lit(stats(d))): _*)
+    val mLit = array((0 until dim).map(d => lit(means(d))): _*)
     xq.withColumn("c", col("xq") - element_at(mLit, col("d") + 1))
       .withColumn("cv", sum(col("c") * element_at(vLit, col("d") + 1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))))

@@ -34,6 +34,20 @@ class TpcdsVerbatimSpec extends SparkSpec {
     }
   }
 
+  test("engine-side round-grid shims emit DOUBLE on the shimmed columns") {
+    // types must match the oracle's CAST(ROUND(..) AS DOUBLE) exactly:
+    // the driver's hash is on native values, so decimal-vs-double is a
+    // fail even when every value agrees ("4.00" vs "4.0", r17 q78).
+    import org.apache.spark.sql.types.DoubleType
+    val s18 = TpcdsVerbatim.run(spark, sf("sf0.01"), 18).schema
+    (4 to 10).foreach(i => assert(s18(s"c$i").dataType === DoubleType))
+    val s61 = TpcdsVerbatim.run(spark, sf("sf0.01"), 61).schema
+    (0 to 2).foreach(i => assert(s61(s"c$i").dataType === DoubleType))
+    val s78 = TpcdsVerbatim.run(spark, sf("sf0.01"), 78).schema
+    assert(s78("c3").dataType === DoubleType)
+    assert(s78("c4").dataType !== DoubleType, "unshimmed columns untouched")
+  }
+
   test("result columns rename positionally to c0..cN on the engine side") {
     val df = TpcdsVerbatim.run(spark, sf("sf0.01"), 2)
     assert(df.columns.toSeq === (0 until 8).map(i => s"c$i"),
@@ -61,13 +75,20 @@ class TpcdsVerbatimSpec extends SparkSpec {
       o3.contains("web_site.parquet')) SELECT"), o3.takeRight(120))
   }
 
-  test("comparison shims: HUGEINT->BIGINT (q21), avg-decimal (q18) — and only there") {
+  test("comparison shims: HUGEINT->BIGINT (q21), round-grid (q18/q61/q78) — and only there") {
     val o21 = TpcdsVerbatim.oracleText(21)
     assert(o21.contains("CAST(c2 AS BIGINT) AS c2") &&
       o21.contains("CAST(c3 AS BIGINT) AS c3"))
+    // both-engines-on-one-grid: ROUND(x, k) AS DOUBLE (r17 verdict item 1)
     val o18 = TpcdsVerbatim.oracleText(18)
     (4 to 10).foreach(i =>
-      assert(o18.contains(s"CAST(c$i AS DECIMAL(16,6)) AS c$i")))
+      assert(o18.contains(s"CAST(ROUND(c$i, 3) AS DOUBLE) AS c$i")))
+    val o61 = TpcdsVerbatim.oracleText(61)
+    (0 to 2).foreach(i =>
+      assert(o61.contains(s"CAST(ROUND(c$i, 2) AS DOUBLE) AS c$i")))
+    val o78 = TpcdsVerbatim.oracleText(78)
+    assert(o78.contains("CAST(ROUND(c3, 2) AS DOUBLE) AS c3"))
+    assert(!o78.contains("ROUND(c4"), "q78 shims only the ratio column")
     val o3 = TpcdsVerbatim.oracleText(3)
     assert(!o3.contains("CAST(c"), "q3 has no shim columns")
   }
