@@ -99,10 +99,29 @@ object Dedup {
     *    (inputPartitions >= cores) the gate skips the repartition
     *    entirely — an unconditional one would shuffle the heaviest
     *    column (raw text) over the network for nothing.
-    *  - the distinct sits HERE, below one exchange that every consumer
-    *    (signatures via the [[minhashSignaturesHashed]] barrier, both
-    *    verification joins, the size aggregate) reuses — the heavy text
-    *    compute runs ONCE per query, not once per consumer. */
+    *  - the dedup sits HERE, above ONE doc_id-keyed exchange that every
+    *    consumer (the signature aggregate, both verification joins, the
+    *    size aggregate) reuses — the heavy text compute runs ONCE per
+    *    query, not once per consumer.
+    *
+    * OUTPUT CONTRACT (r18, guide §2.4): the frame is hash-partitioned on
+    * `doc_id` at the session's default parallelism (stated width — the
+    * compute-bound downstream aggregates must not be size-coalesced by
+    * AQE) and exactly distinct on (doc_id, h). Through r17 the dedup was
+    * a plain `.distinct()` — an exchange keyed (doc_id, h) — and
+    * [[minhashSignaturesHashed]] then paid a SECOND full exchange
+    * re-keying the same 2.6M rows (10× bench) onto doc_id as its
+    * optimizer barrier. Partitioning by doc_id BELOW the dedup serves
+    * both at once: HashPartitioning(doc_id) satisfies the dedup's
+    * ClusteredDistribution(doc_id, h) by the subset rule AND the
+    * signature groupBy's ClusteredDistribution(doc_id), so the barrier
+    * exchange is gone (10× stage profile r18: the 2.6M-row 33 MB
+    * barrier write + read was ~0.6 s). The re-scan hazard the barrier
+    * guarded against stays closed: a consumer whose pruned variant
+    * collapses the dedup into its duplicate-insensitive aggregate still
+    * canonicalizes to the SAME repartition exchange, so exchange reuse
+    * keeps the text compute single-run (verified in the plan — one
+    * documents scan subtree). */
   def shingleHashes(df: DataFrame, textCol: String, n: Int): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val widened =
@@ -114,7 +133,8 @@ object Dedup {
           s"transform(sequence(1, greatest(size(w) - ${n - 1}, 1)), " +
             s"i -> concat_ws(' ', slice(w, i, $n)))")).as("shingle"))
       .select(col("doc_id"), hash64(0, col("shingle")).as("h"))
-      .distinct()
+      .repartition(cores, col("doc_id"))
+      .dropDuplicates("doc_id", "h")
   }
 
   /** Universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod p over
@@ -131,32 +151,22 @@ object Dedup {
     * base hash — plus the shingle-set SIZE (`n_sh` — jaccard
     * verification needs it) in the same aggregate.
     *
-    * The `repartition(doc_id)` is a deliberate OPTIMIZER BARRIER, not a
-    * partitioning nicety. `min` is duplicate-insensitive, so Catalyst's
-    * RemoveRedundantAggregates collapses the distinct below directly
-    * into the signature aggregate and re-plans a SECOND full corpus scan
-    * + text-processing pass (measured: the duplicated scan stages
-    * dominated the 10× bench at ~2.3 s each). Carrying `count` in the
-    * aggregate is NOT enough to stop that: each downstream consumer
-    * prunes the columns it doesn't use, and the pruned min-only variant
-    * collapses again (verified in the physical plan). With the barrier,
-    * every pruned variant still reads the SAME materialized distinct
-    * exchange as the verification joins; the barrier itself re-shuffles
-    * only (doc_id, h) longs, and groupBy(doc_id) then runs exchange-free
-    * on the aligned partitioning. */
+    * INPUT CONTRACT: `sh` is [[shingleHashes]] output — already
+    * hash-partitioned on doc_id at stated width (see its scaladoc), so
+    * the groupBy(doc_id) runs exchange-free on the aligned partitioning
+    * and at the stated width (the r17-measured AQE-narrowing hazard —
+    * size-based coalescing throttling the CPU-bound 32-min aggregate —
+    * cannot apply to a user-stated repartition). Through r17 this
+    * function carried its own `repartition(doc_id)` as an optimizer
+    * barrier against RemoveRedundantAggregates collapsing the shingle
+    * distinct into the signature aggregate and re-planning a second
+    * corpus scan (r8: duplicated 2.3 s scan stages at 10×); with the
+    * dedup now sitting ABOVE shingleHashes' doc_id exchange, a collapsed
+    * pruned variant still canonicalizes to that same exchange, so the
+    * re-scan cannot come back and the barrier is pure savings to drop
+    * (one 2.6M-row exchange at the 10× bench). */
   def minhashSignaturesHashed(sh: DataFrame, numHashes: Int): DataFrame =
-    // EXPLICIT partition count: repartition(col) without N is an
-    // AQE-coalescible shuffle — under the production conf AQE narrows the
-    // small (doc_id, h) exchange and with it the CPU-heavy 32-min
-    // signature aggregate above. Bytes are a bad proxy for cost here (the
-    // stage is compute-bound per row, which size-based coalescing cannot
-    // see), so the barrier states its width. Measured at sf0.1, AQE conf,
-    // best-of-4: 1.68 s → 1.51 s (tuned-mode plan unchanged — the
-    // remaining tuned-vs-AQE gap is the 64 MB vs 10 MB broadcast
-    // threshold flipping the membership joins, a conf choice, not a plan
-    // defect).
-    sh.repartition(sh.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("hb", col("h") % 4294967296L)
+    sh.withColumn("hb", col("h") % 4294967296L)
       .groupBy(col("doc_id"))
       .agg(
         min((lit(mhA(0)) * col("hb") + lit(mhB(0))) % mhP).as("h0"),
