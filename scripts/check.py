@@ -48,6 +48,49 @@ def close_enough(a, b):
     return False
 
 
+def native_type_mismatch(con, outdir, name, sql):
+    """NATIVE value-type parity between the Spark parquet and the oracle.
+
+    The r17 driver failures this gate MISSED (tpcds_q61/q78) were pure
+    representation seams: Spark emitted DECIMAL where DuckDB computed
+    DOUBLE — numerically equal, but the driver hashes native values, so
+    Decimal('4.00') vs 4.0 is a fail. pandas .df() coerces both to
+    float64 and hides it. This probe fetches up to 200 rows natively
+    from both sides and compares the Python type of each column's first
+    non-null value. Allowlisted: datetime-vs-date (the driver has
+    tolerated it on fn_date since r13 — its hash canonicalizes
+    temporal values). Returns [] when clean, None when the probe does
+    not apply (multi-statement oracle scripts).
+    """
+    try:
+        gq = con.execute(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+        gcols = [d[0] for d in gq.description]
+        grows = gq.fetchmany(200)
+        wq = con.execute(sql)
+        wcols = [d[0] for d in wq.description]
+        wrows = wq.fetchmany(200)
+    except Exception:
+        return None
+
+    def coltypes(cols, rows):
+        out = {}
+        for i, c in enumerate(cols):
+            t = None
+            for r in rows:
+                if r[i] is not None:
+                    t = type(r[i]).__name__
+                    break
+            out[c] = t
+        return out
+
+    gt, wt = coltypes(gcols, grows), coltypes(wcols, wrows)
+    allow = [{"datetime", "date"}]
+    return [(c, gt[c], wt[c]) for c in sorted(set(gt) & set(wt))
+            if gt[c] and wt[c] and gt[c] != wt[c]
+            and {gt[c], wt[c]} not in allow]
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -124,6 +167,14 @@ def main():
                 for c in bad[:2]:
                     diffs = [(a, b) for a, b in zip(gv[c], wv[c]) if a != b][:3]
                     print(f"  {c}: {diffs}")
+                n_fail += 1
+                continue
+            tbad = native_type_mismatch(con, outdir, name, sql)
+            if tbad:
+                print(f"FAIL {name}: native type mismatch {tbad} "
+                      "(numerically equal but the driver's hash is on "
+                      "native values — add a comparison-boundary cast "
+                      "on BOTH sides)")
                 n_fail += 1
             else:
                 print(f"PASS {name} ({len(got)} rows)")
