@@ -62,12 +62,18 @@ def native_type_mismatch(con, outdir, name, sql):
     temporal values). Returns [] when clean, None when the probe does
     not apply (multi-statement oracle scripts).
     """
+    if ";" in sql:
+        # multi-statement oracle script (ATTACH/PREPARE/MACRO): re-running
+        # it would re-apply state on the shared connection — not probed
+        return None
     try:
         gq = con.execute(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
         gcols = [d[0] for d in gq.description]
         grows = gq.fetchmany(200)
-        wq = con.execute(sql)
+        # LIMIT-wrapped: the probe needs 200 rows of native values, not a
+        # second full materialization of an expensive oracle
+        wq = con.execute(f"SELECT * FROM ({sql}) graft_tp LIMIT 200")
         wcols = [d[0] for d in wq.description]
         wrows = wq.fetchmany(200)
     except Exception:
@@ -86,9 +92,26 @@ def native_type_mismatch(con, outdir, name, sql):
 
     gt, wt = coltypes(gcols, grows), coltypes(wcols, wrows)
     allow = [{"datetime", "date"}]
-    return [(c, gt[c], wt[c]) for c in sorted(set(gt) & set(wt))
-            if gt[c] and wt[c] and gt[c] != wt[c]
-            and {gt[c], wt[c]} not in allow]
+    bad = [(c, gt[c], wt[c]) for c in sorted(set(gt) & set(wt))
+           if gt[c] and wt[c] and gt[c] != wt[c]
+           and {gt[c], wt[c]} not in allow]
+    # Same-type Decimal SCALE seams (Decimal('4.00') vs Decimal('4.0'))
+    # also fail the driver's string hash: cell-wise str compare over the
+    # probed rows. Valid only when both sides carry the canonical total
+    # ORDER BY (graft_ord), which row-aligns them.
+    if "graft_ord" in sql and len(grows) == len(wrows):
+        gi = {c: i for i, c in enumerate(gcols)}
+        wi = {c: i for i, c in enumerate(wcols)}
+        for c in sorted(set(gt) & set(wt)):
+            if gt[c] == "Decimal" and wt[c] == "Decimal" and \
+                    not any(b[0] == c for b in bad):
+                for gr, wr in zip(grows, wrows):
+                    a, b = gr[gi[c]], wr[wi[c]]
+                    if (a is None) != (b is None) or \
+                            (a is not None and str(a) != str(b)):
+                        bad.append((c, f"Decimal[{a}]", f"Decimal[{b}]"))
+                        break
+    return bad
 
 
 def main():

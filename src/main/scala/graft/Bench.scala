@@ -878,6 +878,14 @@ object Bench {
             try w.println(rec) finally w.close()
           } catch { case _: Throwable => }
           s""","verify_timing_diff":$rec"""
+        case (Some((sfL, _)), Some((sfP, _))) =>
+          // tags differ (scale or Verify parallelism changed between the
+          // two gate runs): the diff would compare incomparable regimes.
+          // Skip LOUDLY — an omitted check must never read as a clean one
+          // (the whole-gate perf-regression coverage is r15 verdict #6).
+          System.err.println(
+            s"[bench] verify timing diff SKIPPED: tag mismatch $sfL vs $sfP")
+          s""","verify_timing_diff":{"skipped":"tag mismatch $sfL vs $sfP"}"""
         case _ => ""
       }
     } catch { case e: Throwable =>

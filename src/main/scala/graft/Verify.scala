@@ -196,8 +196,12 @@ object Verify {
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "3").toInt)
     warm(spark)
     if (threads == 1) {
-      // single-thread mode: exactly the historical serial gate
-      selected.foreach { case (name, fn) => runOne(spark, name, fn) }
+      // single-session mode — SAME two-lane ORDER as the pooled gate
+      // (pool entries first, serial lane after), so translate() sees the
+      // identical registry state in both modes and gate results are
+      // mode-reproducible; only the concurrency differs.
+      (poolEntries ++ serialEntries).foreach {
+        case (name, fn) => runOne(spark, name, fn) }
     } else {
       System.err.println(s"[verify] two-lane gate: ${poolEntries.size} " +
         s"pooled entries on $threads worker sessions, " +
@@ -207,17 +211,32 @@ object Verify {
       poolEntries.foreach(queue.add)
       val workers = (1 to threads).map { i =>
         val th = new Thread(() => {
-          val ws = spark.newSession()
-          compaction.Compact.enableAqeCompaction(ws)
-          warm(ws)
-          var e = queue.poll()
-          while (e != null) { runOne(ws, e._1, e._2); e = queue.poll() }
+          // The whole body is guarded: a failure OUTSIDE runOne's
+          // per-entry try (session init, enableAqeCompaction) must not
+          // kill the worker silently — a dead pool would make hundreds
+          // of entries VANISH from the record, violating the gate's
+          // failed-rows-never-vanish invariant (round 7).
+          try {
+            val ws = spark.newSession()
+            compaction.Compact.enableAqeCompaction(ws)
+            warm(ws)
+            var e = queue.poll()
+            while (e != null) { runOne(ws, e._1, e._2); e = queue.poll() }
+          } catch { case t: Throwable =>
+            System.err.println(
+              s"[verify] worker-$i died: ${Option(t.getMessage).getOrElse(t.getClass.getName)}")
+          }
         }, s"verify-worker-$i")
         th.setDaemon(true)
         th.start()
         th
       }
       workers.foreach(_.join())
+      // Backstop: anything still queued after every worker exited (all
+      // workers died early) is drained on the MAIN session — slower, but
+      // every entry still lands in the record as dumped or FAILED.
+      var left = queue.poll()
+      while (left != null) { runOne(spark, left._1, left._2); left = queue.poll() }
       serialEntries.foreach { case (name, fn) => runOne(spark, name, fn) }
     }
     // Repo-side rotation for cross-round diffing — only for the full map
